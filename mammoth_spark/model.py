@@ -1,0 +1,125 @@
+"""The engine's IR: the change-log DataFrame schema.
+
+The reference's only intermediate representation is the row-change model
+``RowAction``/``WalTransaction`` (reference sync/db/db.go:116-138): each
+committed Postgres transaction carries an LSN and an ordered list of row
+actions; each action has a kind (INSERT/UPDATE/DELETE), the row identity
+*before* the action, and the new values — where every value is a text
+representation plus two flags, ``is_null`` and ``is_unchanged`` (TOAST:
+value not re-sent because unchanged; sync/db/db.go:24-30).
+
+Here that model is one flat DataFrame, the shape every CDC operator in this
+package consumes:
+
+    change_log(
+      lsn    bigint,   -- commit LSN of the enclosing transaction
+      seq    bigint,   -- global action order (total order within a batch)
+      schema string, tbl string,
+      kind   string,   -- 'INSERT' | 'UPDATE' | 'DELETE'
+      changes_row_identity boolean,
+      key_before  map/struct of pk col -> text value,
+      new_values  map of col -> struct<v string, is_null bool, is_unchanged bool>
+    )
+
+Flat > nested for scale: a struct-of-structs column defeats parquet column
+pruning and predicate pushdown; the operators below therefore also accept
+"wide" change logs where key/value columns are ordinary top-level columns.
+
+This module also defines the deterministic mapping from the driver's
+``events`` fixture table onto a change log (see FIXTURES.md §3) used by the
+oracle-checked queries: seq=event_id, key=user_id,
+kind = signup→INSERT, error→DELETE, click/view/purchase→UPDATE,
+lsn = event_id / 50 (micro-transactions of ~50 actions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KIND_INSERT = "INSERT"
+KIND_UPDATE = "UPDATE"
+KIND_DELETE = "DELETE"
+VALID_KINDS = (KIND_INSERT, KIND_UPDATE, KIND_DELETE)
+
+# One cell of a change row: text value + null/TOAST-unchanged flags
+# (reference sync/db/db.go:24-30).
+VALUE_STRUCT = T.StructType(
+    [
+        T.StructField("v", T.StringType()),
+        T.StructField("is_null", T.BooleanType()),
+        T.StructField("is_unchanged", T.BooleanType()),
+    ]
+)
+
+
+def change_log_schema(value_columns: list[str]) -> T.StructType:
+    """Wide change-log schema for a relation with the given value columns."""
+    fields = [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("tbl", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("changes_row_identity", T.BooleanType()),
+        T.StructField("key_before", T.ArrayType(T.StringType())),
+        T.StructField(
+            "new_values",
+            T.StructType([T.StructField(c, VALUE_STRUCT) for c in value_columns]),
+        ),
+    ]
+    return T.StructType(fields)
+
+
+# --- events fixture -> change log (deterministic; mirrored in oracle SQL) ---
+
+# SQL CASE used verbatim by DuckDB oracles; keep in sync with kind_column().
+EVENTS_KIND_SQL = (
+    "CASE WHEN event_type = 'signup' THEN 'INSERT' "
+    "WHEN event_type = 'error' THEN 'DELETE' "
+    "ELSE 'UPDATE' END"
+)
+EVENTS_LSN_DIVISOR = 50
+
+
+def kind_column(event_type: Column) -> Column:
+    return (
+        F.when(event_type == "signup", F.lit(KIND_INSERT))
+        .when(event_type == "error", F.lit(KIND_DELETE))
+        .otherwise(F.lit(KIND_UPDATE))
+    )
+
+
+def events_as_change_log(events: DataFrame) -> DataFrame:
+    """Map the ``events`` fixture to a change log on key ``user_id``.
+
+    Stays entirely in JVM expressions — no UDFs — so the scan prunes to the
+    referenced columns and the mapping is free at any scale.
+    """
+    return events.select(
+        (F.col("event_id") / EVENTS_LSN_DIVISOR).cast("bigint").alias("lsn"),
+        F.col("event_id").alias("seq"),
+        F.lit("public").alias("schema"),
+        F.lit("users").alias("tbl"),
+        kind_column(F.col("event_type")).alias("kind"),
+        F.lit(False).alias("changes_row_identity"),
+        F.col("user_id").cast("bigint").alias("key"),
+        F.col("value"),
+        F.col("props"),
+        # ts arrives as epoch-nanos (nanosAsLong); keep integral for
+        # engine-internal ordering, convert at the edge when rendering
+        F.col("ts").cast("bigint").alias("ts_ns"),
+    )
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver fixture table (TESTDATA.md).
+
+    The fixture parquet carries TIMESTAMP(NANOS) columns, which Spark only
+    reads with the nanosAsLong legacy conf (epoch-nanos longs). Set it here
+    so the engine works under ANY caller-owned SparkSession, not just the
+    tuned one from plans.session.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,343 @@
+"""The oracle-checked query surface (driver contract).
+
+Each entry pairs a Spark DataFrame implementation (built from the
+operators in this package) with an equivalent ANSI-SQL oracle that DuckDB
+runs on the same parquet fixtures. Column names/aliases match exactly on
+both sides — the driver hashes values after sorting columns by name.
+
+Registered here and re-exported by /root/repo/__spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import EVENTS_KIND_SQL, KIND_DELETE, events_as_change_log, read_table
+from .operators import (
+    apply_changes,
+    compact_last_wins,
+    empty_tx_filter,
+    group_by_relation,
+    merge_upsert,
+    micro_batch_stats,
+    offset_commit,
+    schema_diff,
+    set_equality,
+    tx_assemble,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Common oracle CTE: the events->change-log mapping (model.py, FIXTURES.md §3)
+CHANGE_LOG_CTE = f"""
+change_log AS (
+  SELECT CAST(floor(event_id / 50) AS BIGINT) AS lsn,
+         event_id AS seq,
+         'public' AS schema, 'users' AS tbl,
+         {EVENTS_KIND_SQL} AS kind,
+         CAST(user_id AS BIGINT) AS key,
+         value, props,
+         CAST(epoch_ns(ts) AS BIGINT) AS ts_ns
+  FROM events
+)
+"""
+
+
+# --------------------------- CDC core (SURVEY §2 A-table) ---------------------------
+
+
+@register(
+    "cdc_last_per_key",
+    oracle=f"""
+WITH {CHANGE_LOG_CTE}
+SELECT key, kind, value, props, seq AS last_seq FROM (
+  SELECT key, kind, value, props, seq,
+         row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+  FROM change_log
+) WHERE rn = 1
+""",
+)
+def cdc_last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last action per row identity — the window primitive under A9.
+
+    Implemented as max_by aggregation (map-side combinable; one shuffle,
+    no sort) rather than a row_number window."""
+    log = events_as_change_log(read_table(spark, sf_dir, "events"))
+    return log.groupBy("key").agg(
+        F.max_by("kind", "seq").alias("kind"),
+        F.max_by("value", "seq").alias("value"),
+        F.max_by("props", "seq").alias("props"),
+        F.max("seq").alias("last_seq"),
+    )
+
+
+@register(
+    "cdc_net_effect",
+    oracle=f"""
+WITH {CHANGE_LOG_CTE},
+agg AS (
+  SELECT key,
+         arg_min(kind, seq) AS first_kind,
+         arg_max(kind, seq) AS last_kind,
+         max(seq) AS last_seq,
+         count(*) AS n_actions,
+         arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) AS value,
+         arg_max(props, CASE WHEN kind <> 'DELETE' THEN seq END) AS props
+  FROM change_log GROUP BY key
+)
+SELECT key,
+       CASE WHEN first_kind = 'INSERT' AND last_kind = 'DELETE' THEN NULL
+            WHEN last_kind = 'DELETE' THEN 'DELETE'
+            WHEN first_kind = 'INSERT' THEN 'INSERT'
+            ELSE 'UPDATE' END AS kind,
+       last_seq, n_actions, value, props
+FROM agg
+WHERE NOT (first_kind = 'INSERT' AND last_kind = 'DELETE')
+""",
+)
+def cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdc_compact fast path (A9): net kind + latest values per key."""
+    log = events_as_change_log(read_table(spark, sf_dir, "events"))
+    return compact_last_wins(log, ["key"], ["value", "props"]).select(
+        "key", "kind", "last_seq", "n_actions", "value", "props"
+    )
+
+
+@register(
+    "cdc_apply",
+    oracle=f"""
+WITH {CHANGE_LOG_CTE},
+agg AS (
+  SELECT key,
+         arg_min(kind, seq) AS first_kind,
+         arg_max(kind, seq) AS last_kind,
+         arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) AS value
+  FROM change_log GROUP BY key
+),
+compacted AS (
+  SELECT key,
+         CASE WHEN last_kind = 'DELETE' THEN 'DELETE'
+              WHEN first_kind = 'INSERT' THEN 'INSERT'
+              ELSE 'UPDATE' END AS kind,
+         value
+  FROM agg
+  WHERE NOT (first_kind = 'INSERT' AND last_kind = 'DELETE')
+)
+SELECT coalesce(t.c_custkey, c.key) AS c_custkey,
+       t.c_name,
+       t.c_nationkey,
+       CASE WHEN c.kind IS NULL THEN t.c_acctbal ELSE c.value END AS c_acctbal,
+       t.c_mktsegment
+FROM customer t FULL OUTER JOIN compacted c ON t.c_custkey = c.key
+WHERE coalesce(c.kind, '') <> 'DELETE'
+""",
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+A14+A15 end-to-end: compact the change log and MERGE it into the
+    ``customer`` base table (key c_custkey = user_id; c_acctbal takes the
+    change's value; other columns keep target values — NULL for inserts).
+    The change side is broadcast: the target table never shuffles."""
+    target = read_table(spark, sf_dir, "customer")
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "seq", "kind", "key", "value"
+    )
+    compacted = compact_last_wins(log, ["key"], ["value"]).select("key", "kind", "value")
+    # MERGE as broadcast full-outer join: the (small, compacted) change set
+    # broadcasts; the (big) target table is read once with no shuffle.
+    joined = target.alias("t").join(
+        F.broadcast(compacted.alias("c")),
+        F.col("t.c_custkey") == F.col("c.key"),
+        "full_outer",
+    )
+    kind = F.col("c.kind")
+    return joined.filter(F.coalesce(kind, F.lit("")) != KIND_DELETE).select(
+        F.coalesce(F.col("t.c_custkey"), F.col("c.key")).alias("c_custkey"),
+        F.col("t.c_name").alias("c_name"),
+        F.col("t.c_nationkey").alias("c_nationkey"),
+        F.when(kind.isNull(), F.col("t.c_acctbal")).otherwise(F.col("c.value")).alias("c_acctbal"),
+        F.col("t.c_mktsegment").alias("c_mktsegment"),
+    )
+
+
+@register(
+    "tx_assemble",
+    oracle=f"""
+WITH {CHANGE_LOG_CTE}
+SELECT lsn, count(*) AS n_actions, min(seq) AS first_seq, max(seq) AS last_seq,
+       sum(CASE WHEN kind = 'INSERT' THEN 1 ELSE 0 END) AS n_insert,
+       sum(CASE WHEN kind = 'UPDATE' THEN 1 ELSE 0 END) AS n_update,
+       sum(CASE WHEN kind = 'DELETE' THEN 1 ELSE 0 END) AS n_delete
+FROM change_log GROUP BY lsn
+""",
+)
+def tx_assemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: WAL message -> transaction assembly as a groupBy(lsn)."""
+    log = events_as_change_log(read_table(spark, sf_dir, "events"))
+    return tx_assemble(log)
+
+
+@register(
+    "micro_batch_stats",
+    oracle=f"""
+WITH {CHANGE_LOG_CTE},
+txs AS (
+  SELECT lsn, count(*) AS n_actions FROM change_log GROUP BY lsn
+),
+cum AS (
+  SELECT lsn, n_actions,
+         sum(n_actions) OVER (ORDER BY lsn ROWS UNBOUNDED PRECEDING) AS cum_actions
+  FROM txs
+)
+SELECT CAST(floor((cum_actions - 1) / 500.0) AS BIGINT) AS batch_id,
+       count(*) AS n_transactions, sum(n_actions) AS n_actions,
+       min(lsn) AS first_lsn, max(lsn) AS last_lsn
+FROM cum GROUP BY 1
+""",
+)
+def micro_batch_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: count-bounded micro-batch accounting (500 actions per batch at
+    test scale; 25k in production per reference config/config.go:49)."""
+    log = events_as_change_log(read_table(spark, sf_dir, "events"))
+    return micro_batch_stats(log, batch_max_items=500)
+
+
+@register(
+    "group_by_relation",
+    oracle=f"""
+WITH {CHANGE_LOG_CTE}
+SELECT schema, tbl, count(*) AS n_actions, count(DISTINCT lsn) AS n_transactions,
+       min(seq) AS first_seq, max(seq) AS last_seq
+FROM change_log GROUP BY schema, tbl
+""",
+)
+def group_by_relation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-relation batch partitioning accounting."""
+    log = events_as_change_log(read_table(spark, sf_dir, "events"))
+    return group_by_relation(log)
+
+
+@register(
+    "offset_commit",
+    oracle=f"""
+WITH {CHANGE_LOG_CTE}
+SELECT max(lsn) + 1 AS committed_lsn, max(seq) AS committed_seq,
+       count(*) AS acked_actions
+FROM change_log
+""",
+)
+def offset_commit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: committed-LSN register after a durable batch write."""
+    log = events_as_change_log(read_table(spark, sf_dir, "events"))
+    return offset_commit(log)
+
+
+@register(
+    "empty_tx_filter",
+    oracle=f"""
+WITH {CHANGE_LOG_CTE},
+txs AS (
+  SELECT lsn, count(*) AS n_actions, min(seq) AS first_seq, max(seq) AS last_seq,
+         sum(CASE WHEN kind = 'INSERT' THEN 1 ELSE 0 END) AS n_insert,
+         sum(CASE WHEN kind = 'UPDATE' THEN 1 ELSE 0 END) AS n_update,
+         sum(CASE WHEN kind = 'DELETE' THEN 1 ELSE 0 END) AS n_delete
+  FROM change_log GROUP BY lsn
+)
+SELECT * FROM txs WHERE n_actions > 0
+""",
+)
+def empty_tx_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: drop keepalive-only transactions before the sink."""
+    log = events_as_change_log(read_table(spark, sf_dir, "events"))
+    return empty_tx_filter(tx_assemble(log))
+
+
+@register(
+    "schema_verify",
+    oracle="""
+WITH pg_side AS (
+  SELECT 'c_custkey' AS column_name, 'bigint' AS column_type, 'pg' AS side UNION ALL
+  SELECT 'c_name', 'string', 'pg' UNION ALL
+  SELECT 'c_nationkey', 'int', 'pg' UNION ALL
+  SELECT 'c_acctbal', 'double', 'pg' UNION ALL
+  SELECT 'c_mktsegment', 'string', 'pg' UNION ALL
+  SELECT 'c_comment', 'string', 'pg'
+),
+tgt_side AS (
+  SELECT 'c_custkey' AS column_name, 'bigint' AS column_type, 'target' AS side UNION ALL
+  SELECT 'c_name', 'string', 'target' UNION ALL
+  SELECT 'c_nationkey', 'bigint', 'target' UNION ALL
+  SELECT 'c_acctbal', 'double', 'target' UNION ALL
+  SELECT 'c_mktsegment', 'string', 'target'
+)
+SELECT column_name, column_type, min(side) AS only_in FROM (
+  SELECT * FROM pg_side UNION ALL SELECT * FROM tgt_side
+) GROUP BY column_name, column_type HAVING count(*) = 1
+""",
+)
+def schema_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: UNION ALL / GROUP BY schema diff. Drift injected: target lacks
+    c_comment and types c_nationkey as bigint (mirrors the reference's
+    verify query, snowflake_target.go:241-250)."""
+    pg_rows = [
+        ("c_custkey", "bigint", "pg"),
+        ("c_name", "string", "pg"),
+        ("c_nationkey", "int", "pg"),
+        ("c_acctbal", "double", "pg"),
+        ("c_mktsegment", "string", "pg"),
+        ("c_comment", "string", "pg"),
+    ]
+    tgt_rows = [
+        ("c_custkey", "bigint", "target"),
+        ("c_name", "string", "target"),
+        ("c_nationkey", "bigint", "target"),
+        ("c_acctbal", "double", "target"),
+        ("c_mktsegment", "string", "target"),
+    ]
+    cols = ["column_name", "column_type", "side"]
+    left = spark.createDataFrame(pg_rows, cols)
+    right = spark.createDataFrame(tgt_rows, cols)
+    return schema_diff(left, right)
+
+
+@register(
+    "publication_set_equality",
+    oracle="""
+WITH config_tables AS (
+  SELECT DISTINCT 'n_' || CAST(n_nationkey AS VARCHAR) AS member
+  FROM nation WHERE n_nationkey < 20
+),
+pub_tables AS (
+  SELECT DISTINCT 'n_' || CAST(n_nationkey AS VARCHAR) AS member
+  FROM nation WHERE n_nationkey >= 5
+)
+SELECT member, 'left' AS only_in FROM config_tables
+WHERE member NOT IN (SELECT member FROM pub_tables)
+UNION ALL
+SELECT member, 'right' AS only_in FROM pub_tables
+WHERE member NOT IN (SELECT member FROM config_tables)
+""",
+)
+def publication_set_equality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: config-vs-publication table-list set equality as two anti-joins
+    (the scalable rewrite of the reference's nested loop,
+    sync_service.go:278-290)."""
+    nation = read_table(spark, sf_dir, "nation")
+    member = F.concat(F.lit("n_"), F.col("n_nationkey").cast("string")).alias("member")
+    left = nation.filter(F.col("n_nationkey") < 20).select(member).distinct()
+    right = nation.filter(F.col("n_nationkey") >= 5).select(member).distinct()
+    return set_equality(left, right)
