@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-disciplined for 100 TB corpora:
+
+- ``dedup_exact``      — content-hash groupBy (one shuffle on md5(text)).
+- ``minhash_signatures``/``dedup_minhash_lsh`` — shingle -> minhash ->
+  banded LSH bucket join. The candidate join is on band keys (high
+  selectivity), NEVER all-pairs; exact Jaccard verifies candidates.
+- ``dedup_simhash``    — 16-bit SimHash from token md5 nibbles; duplicate
+  groups = equal simhash. Pure expressions, one aggregation.
+- ``ngram_jaccard_pairs`` — exact word-3-gram Jaccard within a blocking
+  key (lang, source); the quadratic step is bounded per block.
+- embedding cosine near-dup lives in similarity.py (shared kernels).
+
+Everything is built from the md5-portable expression subset so each query
+has an exact DuckDB oracle (queries.py generates the mirrored SQL
+programmatically with the same constants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .numeric import round6
+
+# MinHash configuration — mirrored by the oracle SQL generator.
+MINHASH_HASHES = 8
+LSH_BANDS = 4
+LSH_ROWS = 2  # MINHASH_HASHES / LSH_BANDS
+SHINGLE_WORDS = 3
+
+
+def _word_shingles(text: Column) -> Column:
+    """Distinct word 3-gram shingles; whole text if shorter than 3 words."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(SHINGLE_WORDS - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(o)) for o in range(SHINGLE_WORDS)]
+        ),
+    )
+    return F.array_distinct(F.when(n >= SHINGLE_WORDS, grams).otherwise(F.array(text)))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content hash; emit groups + canonical id.
+
+    One hash aggregation; at scale the md5 shuffle key is uniformly
+    distributed so there is no skew by construction.
+    """
+    h = F.md5(F.col(text_col))
+    return (
+        df.groupBy(h.alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("canonical_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_j = min over shingles of
+    md5('<j>:'||shingle). Lexicographic min over md5 hex IS a uniform
+    min-hash (the hex string orders identically to the 128-bit value).
+    Computed with explode + groupBy: one shuffle keyed by doc, partial
+    min() combines map-side."""
+    sh = df.select(F.col(id_col), F.explode(_word_shingles(F.col(text_col))).alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
+        for j in range(MINHASH_HASHES)
+    ]
+    return sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"), *aggs)
+
+
+def _band_cols() -> list[Column]:
+    cols = []
+    for b in range(LSH_BANDS):
+        parts = [F.col(f"sig_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    return cols
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
+
+    Stage 1: signatures (one shuffle). Stage 2: band bucket join — docs
+    sharing ANY band become candidates (union over bands, distinct).
+    Stage 3: exact Jaccard on shingle sets for candidates only. The
+    all-pairs product never materializes; at 100 TB the band keys are the
+    partition keys and AQE handles residual bucket skew.
+    """
+    sigs = minhash_signatures(df, text_col, id_col).select(
+        F.col(id_col), *_band_cols()
+    )
+    bands = sigs.selectExpr(
+        id_col,
+        "stack({n}, {args}) as (band_idx, band)".format(
+            n=LSH_BANDS,
+            args=", ".join(f"{b}, band_{b}" for b in range(LSH_BANDS)),
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    shingles = df.select(
+        F.col(id_col), _word_shingles(F.col(text_col)).alias("shingles")
+    )
+    pairs = (
+        cand.join(shingles.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(shingles.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            round6(inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+SIMHASH_BITS = 16
+_HEX = "0123456789abcdef"
+
+
+def _nibble(hex_col: Column, pos: int) -> Column:
+    """Value 0-15 of the pos-th (1-based) hex char — portable to DuckDB via
+    strpos('0123..f', substr(h,pos,1))-1."""
+    return F.instr(F.lit(_HEX), F.substring(hex_col, pos, 1)) - 1
+
+
+def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash per doc over distinct tokens; near-dups share the
+    value. Bit b comes from nibble b//4 of md5(token), bit 3-(b%4); the
+    doc's bit is 1 when more tokens set it than clear it (sum > 0).
+
+    explode + one groupBy(doc) aggregation; the 16 conditional sums all
+    partial-combine map-side."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    ex = df.select(F.col(id_col), F.explode(toks).alias("tok")).withColumn(
+        "h", F.md5(F.col("tok"))
+    )
+    bit_sums = []
+    for b in range(SIMHASH_BITS):
+        nib = _nibble(F.col("h"), b // 4 + 1)
+        mask = 1 << (3 - (b % 4))
+        set_ = (F.floor(nib / mask) % 2) == 1
+        bit_sums.append(F.sum(F.when(set_, 1).otherwise(-1)).alias(f"bs_{b}"))
+    agg = ex.groupBy(id_col).agg(*bit_sums, F.count(F.lit(1)).alias("n_tokens"))
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"bs_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return agg.select(F.col(id_col), simhash.cast("bigint").alias("simhash"), "n_tokens")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    jaccard_threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within a blocking key.
+
+    The quadratic comparison is confined to each (lang, source) block —
+    the standard blocking pattern that keeps exact pairwise dedup feasible
+    at corpus scale (block sizes are bounded; the join key is the block)."""
+    docs = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], _word_shingles(F.col(text_col)).alias("sh")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            round6(inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_pairs_bucketed`` — embedding-cosine near-dup pairs with
+  sign-bit LSH blocking: each vector lands in ONE bucket (the sign
+  pattern of its first k components); pairs only form within a bucket.
+  The all-pairs product never materializes — the join key is the bucket.
+- ``ann_topk_bruteforce`` — exact top-k neighbors for a (small) query
+  set: broadcast the queries, one pass over the corpus, per-query top-k
+  via window. The baseline every approximate method is judged against.
+- ``ann_topk_bucketed`` — the IVF-style scale path: queries only probe
+  their own sign-bucket (and the corpus is pre-partitioned by bucket, so
+  a probe is a partition-pruned scan, not a full pass).
+
+Dot products are F.zip_with + F.aggregate over array<double> — JVM
+higher-order functions, sequential summation (bit-identical to the DuckDB
+oracle's list_transform/list_sum), no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .numeric import round6
+
+SIGN_BUCKET_BITS = 4
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def sign_bucket(emb: Column, bits: int = SIGN_BUCKET_BITS) -> Column:
+    """IVF-ish coarse quantizer: bucket id from the sign of the first
+    ``bits`` components (element_at is 1-based)."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(F.element_at(emb, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def with_norm_and_bucket(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    emb = _as_double(F.col(emb_col))
+    return df.select(
+        "*",
+        norm(emb).alias("_norm"),
+        sign_bucket(F.col(emb_col)).alias("_bucket"),
+    )
+
+
+def cosine_pairs_bucketed(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within sign buckets."""
+    v = with_norm_and_bucket(df, emb_col).select(
+        F.col(id_col), F.col(emb_col), "_norm", "_bucket"
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = dot(_as_double(F.col(f"a.{emb_col}")), _as_double(F.col(f"b.{emb_col}"))) / (
+        F.col("a._norm") * F.col("b._norm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._bucket").alias("bucket"),
+            round6(cos).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ann_topk_bruteforce(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_queries: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: query set = vec_id < n_queries, broadcast
+    against the full corpus; rank by (cos desc, neighbor id) for
+    deterministic ties."""
+    from pyspark.sql import Window
+
+    v = df.select(F.col(id_col), _as_double(F.col(emb_col)).alias("emb")).withColumn(
+        "_norm", norm(F.col("emb"))
+    )
+    q = v.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("emb").alias("q_emb"), F.col("_norm").alias("q_norm")
+    )
+    joined = v.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    cos = dot(F.col("emb"), F.col("q_emb")) / (F.col("_norm") * F.col("q_norm"))
+    scored = joined.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), round6(cos).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ann_topk_bucketed(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_queries: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: probe only the query's sign bucket. Same output
+    shape as the brute-force baseline; recall < 1 by design — the tradeoff
+    that makes 100 TB-scale search a partition-pruned scan."""
+    from pyspark.sql import Window
+
+    v = with_norm_and_bucket(df, emb_col).select(
+        F.col(id_col), _as_double(F.col(emb_col)).alias("emb"), "_norm", "_bucket"
+    )
+    q = v.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+        F.col("_bucket").alias("q_bucket"),
+    )
+    joined = v.join(
+        F.broadcast(q),
+        (F.col("_bucket") == F.col("q_bucket")) & (F.col(id_col) != F.col("query_id")),
+    )
+    cos = dot(F.col("emb"), F.col("q_emb")) / (F.col("_norm") * F.col("q_norm"))
+    scored = joined.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), round6(cos).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

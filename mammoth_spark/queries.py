@@ -29,18 +29,7 @@ from .operators import (
     tx_assemble,
 )
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+from .registry import ORACLES, QUERIES, register
 
 
 # Common oracle CTE: the events->change-log mapping (model.py, FIXTURES.md §3)
@@ -341,3 +330,8 @@ def publication_set_equality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = nation.filter(F.col("n_nationkey") < 20).select(member).distinct()
     right = nation.filter(F.col("n_nationkey") >= 5).select(member).distinct()
     return set_equality(left, right)
+
+
+# pull in the training-data-pipeline query surface (text analysis, dedup,
+# similarity search) — registration happens on import
+from . import queries_pipeline  # noqa: E402,F401

@@ -1,0 +1,401 @@
+"""Training-data-pipeline query surface: text analysis, dedup, similarity.
+
+Each Spark implementation (functions/{text,dedup,similarity}.py) is paired
+with a DuckDB oracle GENERATED from the same constants, so both sides stay
+mirror-exact: same regexes, same md5-based hashing, same thresholds, same
+rounding. The portable primitives (verified identical across engines):
+md5 hex, regexp_extract_all, lexicographic min over hex strings,
+sequential double summation (F.aggregate <-> list_reduce).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_HASHES,
+    SHINGLE_WORDS,
+    SIMHASH_BITS,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from .functions.similarity import (
+    SIGN_BUCKET_BITS,
+    ann_topk_bruteforce,
+    ann_topk_bucketed,
+    cosine_pairs_bucketed,
+)
+from .functions.text import (
+    LANG_PROFILES,
+    STOPWORDS,
+    TOKEN_REGEX,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from .model import read_table
+from .registry import register
+
+# thresholds shared by Spark impl + oracle
+MINHASH_JACCARD_T = 0.2
+NGRAM_JACCARD_T = 0.1
+COSINE_T = 0.3
+ANN_QUERIES = 16
+ANN_K = 5
+FINGERPRINT_K = 16
+
+# ------------------------------ text analysis ------------------------------
+
+_SQL_TOKS = f"regexp_extract_all(text, '{TOKEN_REGEX}')"
+
+
+@register(
+    "token_count",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+       len({_SQL_TOKS}) AS n_tokens,
+       len(list_distinct({_SQL_TOKS})) AS n_distinct_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokens, distinct counts."""
+    return token_stats(read_table(spark, sf_dir, "documents"))
+
+
+def _quality_oracle() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks,
+         len({_SQL_TOKS}) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS n_punct
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, length(text) AS n_chars, n_tokens,
+         CASE WHEN n_tokens > 0 THEN n_punct * 1.0 / n_tokens ELSE 0.0 END AS punct_ratio_raw,
+         CASE WHEN n_tokens > 0 THEN
+           len(list_filter(toks, t -> list_contains([{stop_list}], lower(t)))) * 1.0 / n_tokens
+           ELSE 0.0 END AS stop_ratio_raw,
+         CASE WHEN n_tokens > 0 THEN
+           list_sum(list_transform(toks, t -> length(t))) * 1.0 / n_tokens
+           ELSE 0.0 END AS mean_tok_len_raw
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens,
+       floor((punct_ratio_raw) * 1000000) / 1000000 AS punct_ratio,
+       floor((stop_ratio_raw) * 1000000) / 1000000 AS stopword_ratio,
+       floor((mean_tok_len_raw) * 1000000) / 1000000 AS mean_token_len,
+       floor((least(n_chars / 500.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio_raw * 4, 1.0)) * 0.3
+             + least(stop_ratio_raw * 5, 1.0) * 0.3) * 1000000) / 1000000 AS quality
+FROM feat
+"""
+
+
+@register("quality_score", oracle=_quality_oracle())
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length/punct/stopword features + composite."""
+    return quality_score(read_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    codes = sorted(LANG_PROFILES)
+    score_exprs = []
+    for c in codes:
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[c])
+        score_exprs.append(
+            f"len(list_intersect(toks, [{words}])) AS score_{c}"
+        )
+    best = "greatest(" + ", ".join(f"score_{c}" for c in codes) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND score_{c} = {best} THEN '{c}'" for c in codes
+    ) + " ELSE 'und' END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_SQL_TOKS}, t -> lower(t))) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, {", ".join(score_exprs)} FROM toks
+)
+SELECT doc_id, {lang_case} AS lang_pred, {best} AS lang_score,
+       {", ".join(f"score_{c}" for c in codes)}
+FROM scored
+"""
+
+
+@register("lang_id", oracle=_lang_id_oracle())
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-profile voting (n-gram heuristic)."""
+    return lang_id(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       list_min(list_transform(
+         generate_series(1, greatest(length(text) - {FINGERPRINT_K - 1}, 1)),
+         i -> md5(substr(text, CAST(i AS INT), {FINGERPRINT_K})))) AS fingerprint,
+       length(text) AS n_chars
+FROM documents
+""",
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint: min md5 over k-char grams."""
+    return doc_fingerprint(read_table(spark, sf_dir, "documents"), k=FINGERPRINT_K)
+
+
+# ------------------------------ deduplication ------------------------------
+
+# shared shingle CTE (word 3-grams, distinct, whole-text fallback)
+_SHINGLES_CTE = f"""
+doc_shingles AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= {SHINGLE_WORDS}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}),
+                     i -> string_split(text, ' ')[i] || ' ' ||
+                          string_split(text, ' ')[i+1] || ' ' ||
+                          string_split(text, ' ')[i+2]))
+              ELSE [text] END AS shingles
+  FROM documents
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash, count(*) AS n_copies,
+       min(doc_id) AS canonical_id, max(doc_id) AS max_id
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash."""
+    return dedup_exact(read_table(spark, sf_dir, "documents"))
+
+
+def _minhash_sig_sql() -> str:
+    sig_aggs = ", ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(MINHASH_HASHES)
+    )
+    return f"""
+sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM doc_shingles),
+sigs AS (
+  SELECT doc_id, count(*) AS n_shingles, {sig_aggs}
+  FROM sh GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}
+SELECT * FROM sigs
+""",
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signatures (8 hashes over word-3-gram shingles)."""
+    return minhash_signatures(read_table(spark, sf_dir, "documents"))
+
+
+def _minhash_lsh_oracle() -> str:
+    band_exprs = ", ".join(
+        "md5("
+        + " || '|' || ".join(f"sig_{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + f") AS band_{b}"
+        for b in range(LSH_BANDS)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band_{b} AS band FROM sigbands"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE}, {_minhash_sig_sql()},
+sigbands AS (SELECT doc_id, {band_exprs} FROM sigs),
+bands AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       floor((len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+             len(list_distinct(sa.shingles || sb.shingles))) * 1000000) / 1000000 AS jaccard
+FROM cand
+JOIN doc_shingles sa ON sa.doc_id = id_a
+JOIN doc_shingles sb ON sb.doc_id = id_b
+WHERE floor((len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+            len(list_distinct(sa.shingles || sb.shingles))) * 1000000) / 1000000 >= {MINHASH_JACCARD_T}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidate pairs verified by exact Jaccard."""
+    return dedup_minhash_lsh(
+        read_table(spark, sf_dir, "documents"), jaccard_threshold=MINHASH_JACCARD_T
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_sums = []
+    for b in range(SIMHASH_BITS):
+        pos = b // 4 + 1
+        mask = 1 << (3 - (b % 4))
+        nib = f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+        bit_sums.append(
+            f"sum(CASE WHEN CAST(floor({nib} / {mask}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS bs_{b}"
+        )
+    simhash = " + ".join(
+        f"CASE WHEN bs_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS h
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, {", ".join(bit_sums)}, count(*) AS n_tokens
+  FROM ex GROUP BY doc_id
+)
+SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash, n_tokens FROM agg
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document over distinct tokens."""
+    return dedup_simhash(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+docs AS (
+  SELECT d.doc_id, d.lang, d.source, s.shingles
+  FROM documents d JOIN doc_shingles s ON d.doc_id = s.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang, a.source,
+       floor((len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             len(list_distinct(a.shingles || b.shingles))) * 1000000) / 1000000 AS jaccard
+FROM docs a JOIN docs b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE floor((len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+            len(list_distinct(a.shingles || b.shingles))) * 1000000) / 1000000 >= {NGRAM_JACCARD_T}
+""",
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs within (lang, source) blocks."""
+    return ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), jaccard_threshold=NGRAM_JACCARD_T
+    )
+
+
+# ---------------------------- similarity search ----------------------------
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * x[2]),"
+    " (acc, v) -> acc + v)"
+)
+
+
+def _bucket_sql(emb: str) -> str:
+    terms = [
+        f"CASE WHEN {emb}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(SIGN_BUCKET_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _vec_cte() -> str:
+    dot_self = _DOT.format(a="emb", b="emb")
+    return f"""
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         {_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+),
+vn AS (SELECT vec_id, emb, bucket, sqrt({dot_self}) AS nrm FROM v)
+"""
+
+
+@register(
+    "embedding_cosine_pairs",
+    oracle=f"""
+WITH {_vec_cte()}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+       floor(({_DOT.format(a="a.emb", b="b.emb")} / (a.nrm * b.nrm)) * 1000000) / 1000000 AS cos_sim
+FROM vn a JOIN vn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE floor(({_DOT.format(a="a.emb", b="b.emb")} / (a.nrm * b.nrm)) * 1000000) / 1000000 >= {COSINE_T}
+""",
+)
+def embedding_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within sign-LSH buckets."""
+    return cosine_pairs_bucketed(
+        read_table(spark, sf_dir, "embeddings"), threshold=COSINE_T
+    )
+
+
+@register(
+    "ann_topk",
+    oracle=f"""
+WITH {_vec_cte()},
+q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM vn WHERE vec_id < {ANN_QUERIES}),
+scored AS (
+  SELECT q.query_id, vn.vec_id AS neighbor_id,
+         floor(({_DOT.format(a="vn.emb", b="q.q_emb")} / (vn.nrm * q.q_nrm)) * 1000000) / 1000000 AS cos_sim
+  FROM vn JOIN q ON vn.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+""",
+)
+def ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k for the first 16 vectors."""
+    return ann_topk_bruteforce(
+        read_table(spark, sf_dir, "embeddings"), n_queries=ANN_QUERIES, k=ANN_K
+    )
+
+
+@register(
+    "ann_topk_bucketed",
+    oracle=f"""
+WITH {_vec_cte()},
+q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+      FROM vn WHERE vec_id < {ANN_QUERIES}),
+scored AS (
+  SELECT q.query_id, vn.vec_id AS neighbor_id,
+         floor(({_DOT.format(a="vn.emb", b="q.q_emb")} / (vn.nrm * q.q_nrm)) * 1000000) / 1000000 AS cos_sim
+  FROM vn JOIN q ON vn.bucket = q.q_bucket AND vn.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+""",
+)
+def ann_topk_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's sign bucket."""
+    return ann_topk_bucketed(
+        read_table(spark, sf_dir, "embeddings"), n_queries=ANN_QUERIES, k=ANN_K
+    )
