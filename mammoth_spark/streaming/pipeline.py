@@ -1,0 +1,166 @@
+"""The sync pipeline (A4-A7, A15-A17, A26) on Structured Streaming.
+
+Reference shape (sync/stream/stream.go:354-381): three channel-wired
+stages — eventSource (decode+assemble) -> eventBatcher (size/time bounded)
+-> eventSink (compact + set-based write + ack). On Spark:
+
+    readStream(change-log files) -> trigger(processingTime|availableNow)
+      -> foreachBatch: compact (A9) -> MERGE per table (A14/A15)
+      -> checkpointLocation commit = LSN ack (A16)
+
+Empty micro-batches still commit offsets (A17 keepalive_advance — free in
+Structured Streaming). Schema drift raises RelationChangedError from
+foreachBatch; ``run_with_restart`` (A26 supervisor_loop) tears the query
+down, re-runs backfill, and restarts the stream — the reference's
+drop-slot + resync semantics (supervisor.go:31-83).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..model import change_log_schema
+from ..operators import compact_last_wins
+from ..types import Relation, RelationChangedError
+from ..sources.target import ParquetMergeTarget
+
+# wide change-log schema used by the file stream source: plain columns
+# (one table per pipeline run keeps the demo schema concrete; multi-table
+# batches fan out inside foreachBatch via the tbl column)
+def plain_change_log_schema(value_cols: list[str]) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("schema", T.StringType()),
+            T.StructField("tbl", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("key", T.StringType()),
+            # in-band relation metadata: the source's current column list,
+            # the analog of pgoutput Relation messages — drift is detected
+            # by comparing this against the pipeline's declared columns
+            # (Relation.Equal, sync/db/db.go:53-67)
+            T.StructField("rel_cols", T.ArrayType(T.StringType())),
+        ]
+        + [T.StructField(c, T.StringType()) for c in value_cols]
+    )
+
+
+class ChangeLogPipeline:
+    """Micro-batched CDC apply loop over a file-based change-log stream."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        checkpoint_dir: str,
+        targets: dict[str, ParquetMergeTarget],
+        value_cols: list[str],
+        expected_schema: T.StructType | None = None,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.targets = targets
+        self.value_cols = value_cols
+        self.expected_schema = expected_schema or plain_change_log_schema(value_cols)
+        self.max_files_per_trigger = max_files_per_trigger
+        self.batches_applied = 0
+        self.last_committed_lsn: int | None = None
+
+    # -- the sink body (stage 3, eventSink stream.go:323-349) -------------
+    def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        # A17: empty batches still advance the checkpoint — nothing to do
+        if batch.isEmpty():
+            return
+        # drift check (message_accumulator.go:118-122): every in-band
+        # relation column list must equal the pipeline's declared value
+        # columns; a differing Relation message aborts the stream and the
+        # supervisor re-syncs from scratch
+        declared = list(self.value_cols)
+        observed = [
+            r[0]
+            for r in batch.filter(F.col("rel_cols").isNotNull())
+            .select("rel_cols")
+            .distinct()
+            .collect()
+        ]
+        for cols in observed:
+            if list(cols) != declared:
+                raise RelationChangedError(
+                    f"schema drift: relation advertises {list(cols)}, pipeline declared {declared}"
+                )
+        # A8: fan out per relation; order preserved via seq inside compact
+        for tbl, target in self.targets.items():
+            rel_batch = batch.filter(F.col("tbl") == tbl)
+            compacted = compact_last_wins(
+                rel_batch, ["key"], self.value_cols
+            ).drop("last_seq", "n_actions")
+            # align the change key to the target's key column
+            compacted = compacted.withColumnRenamed("key", target.key_cols[0])
+            target.write(compacted)
+        # A16: track the commit watermark (the checkpoint holds the real
+        # offsets; this mirrors the reference's AtomicLSN for observability)
+        max_lsn = batch.agg(F.max("lsn")).collect()[0][0]
+        if max_lsn is not None:
+            if self.last_committed_lsn is not None and max_lsn + 1 < self.last_committed_lsn:
+                raise RuntimeError(
+                    f"LSN regression: {max_lsn + 1} < {self.last_committed_lsn}"
+                )  # lsn.go:32-45 monotonicity
+            self.last_committed_lsn = max_lsn + 1
+        self.batches_applied += 1
+
+    def start(self, trigger_seconds: float | None = None, available_now: bool = False):
+        reader = (
+            self.spark.readStream.schema(self.expected_schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
+        )
+        stream = reader.json(self.source_dir)
+        writer = stream.writeStream.foreachBatch(self._apply_batch).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_seconds:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
+
+    def run_available(self) -> None:
+        """Process everything currently in the source dir, then stop
+        (the batch-equivalent of one micro-batch cycle)."""
+        q = self.start(available_now=True)
+        q.awaitTermination()
+        if q.exception() is not None:
+            raise q.exception()
+
+
+def run_with_restart(
+    make_pipeline,
+    backfill,
+    max_restarts: int = 3,
+    backoff_seconds: float = 0.5,
+) -> int:
+    """A26 supervisor loop: run the pipeline; on RelationChangedError,
+    re-run backfill (fresh snapshot, reference sync_service.go:111-125)
+    and restart. Returns the number of restarts performed."""
+    restarts = 0
+    while True:
+        pipeline = make_pipeline()
+        try:
+            pipeline.run_available()
+            return restarts
+        except Exception as exc:  # StreamingQueryException wraps the cause
+            root = exc
+            while root is not None and not isinstance(root, RelationChangedError):
+                root = getattr(root, "__cause__", None)
+            is_drift = isinstance(root, RelationChangedError) or "RelationChangedError" in str(exc)
+            if not is_drift or restarts >= max_restarts:
+                raise
+            restarts += 1
+            time.sleep(backoff_seconds)  # supervisor.go:74-75 (10s in prod)
+            backfill()

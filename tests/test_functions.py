@@ -1,0 +1,82 @@
+"""Function-module goldens: PG array->JSON (the reference's own test cases
+from /root/reference/target/common/arraytojson/arraytojson_test.go:9-51),
+text analysis sanity, dedup/similarity invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mammoth_spark.functions.arrays import pg_array_text_to_json, pg_array_to_json
+from mammoth_spark.functions.dedup import dedup_exact, minhash_signatures
+from mammoth_spark.functions.similarity import ann_topk_bruteforce, ann_topk_bucketed
+
+
+# reference golden cases (arraytojson_test.go): 1-D, 2-D, empty, null,
+# quoting/escapes
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        ("{foo,bar,bim}", '["foo","bar","bim"]'),
+        ("{{one,two},{three,four}}", '[["one","two"],["three","four"]]'),
+        ("{}", "[]"),
+        ("", ""),
+        (None, None),
+        ("{NULL,x}", '[null,"x"]'),
+        ('{"with,comma","with\\"quote"}', '["with,comma","with\\"quote"]'),
+        ('{"multi word",plain}', '["multi word","plain"]'),
+    ],
+)
+def test_pg_array_to_json_scalar(src, expected):
+    assert pg_array_text_to_json(src) == expected
+
+
+def test_pg_array_to_json_rejects_garbage():
+    with pytest.raises(ValueError):
+        pg_array_text_to_json("not-an-array")
+    with pytest.raises(ValueError):
+        pg_array_text_to_json("{unterminated")
+
+
+def test_pg_array_to_json_udf(spark):
+    df = spark.createDataFrame(
+        [("{a,b}",), ("{{x},{y}}",), ("",), (None,)], ["arr"]
+    )
+    got = [r[0] for r in df.select(pg_array_to_json(F.col("arr"))).collect()]
+    assert got == ['["a","b"]', '[["x"],["y"]]', "", None]
+
+
+def test_dedup_exact_finds_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    groups = {r["canonical_id"]: r["n_copies"] for r in dedup_exact(df).collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally different words here now ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: tuple(r[f"sig_{j}"] for j in range(8)) for r in minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_ann_bucketed_is_subset_of_bruteforce_corpus(spark, sf_dir):
+    from mammoth_spark.model import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    brute = ann_topk_bruteforce(emb, n_queries=4, k=3)
+    bucketed = ann_topk_bucketed(emb, n_queries=4, k=3)
+    b_rows = {(r["query_id"], r["neighbor_id"]) for r in bucketed.collect()}
+    # bucketed neighbors must come from the query's own bucket: every
+    # bucketed result is a valid (query, corpus) pair and ranks are 1..k
+    assert all(1 <= r["rank"] <= 3 for r in bucketed.collect())
+    assert len(b_rows) > 0
+    # brute force returns exactly k rows per query
+    counts = brute.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)

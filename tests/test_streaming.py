@@ -1,0 +1,236 @@
+"""Streaming pipeline tests: backfill -> incremental apply -> convergence,
+checkpoint resume, drift restart — the Spark equivalent of the reference's
+e2e test (/root/reference/supervisor/e2e_test.go:45-188)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mammoth_spark.sources import ParquetMergeTarget
+from mammoth_spark.streaming import ChangeLogPipeline, run_with_restart
+from mammoth_spark.types import RelationChangedError
+
+
+def write_changes(src_dir, name, rows):
+    os.makedirs(src_dir, exist_ok=True)
+    path = os.path.join(src_dir, name)
+    with open(path + ".tmp", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.replace(path + ".tmp", path)  # files must appear atomically
+
+
+def change(lsn, seq, kind, key, name=None, rel_cols=("name",)):
+    return {
+        "lsn": lsn,
+        "seq": seq,
+        "schema": "public",
+        "tbl": "users",
+        "kind": kind,
+        "key": str(key),
+        "name": name,
+        "rel_cols": list(rel_cols),
+    }
+
+
+@pytest.fixture
+def pipeline_env(spark, tmp_path):
+    src = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    tgt_root = str(tmp_path / "target")
+    os.makedirs(src, exist_ok=True)
+    target = ParquetMergeTarget(spark, tgt_root, ["key"], ["name"])
+    # backfill: seed rows (e2e_test.go:100-105 seeds 3 artists)
+    seed = spark.createDataFrame(
+        [("1", "Taylor Swift"), ("2", "Van Morrison"), ("3", "Woody Guthrie")],
+        T.StructType(
+            [T.StructField("key", T.StringType()), T.StructField("name", T.StringType())]
+        ),
+    )
+    target.initialize(seed)
+    pipeline = ChangeLogPipeline(
+        spark,
+        source_dir=src,
+        checkpoint_dir=ckpt,
+        targets={"users": target},
+        value_cols=["name"],
+    )
+    return src, target, pipeline
+
+
+def state(target):
+    return {r["key"]: r["name"] for r in target.read().collect()}
+
+
+def test_backfill_then_incremental_convergence(pipeline_env):
+    src, target, pipeline = pipeline_env
+    assert state(target) == {"1": "Taylor Swift", "2": "Van Morrison", "3": "Woody Guthrie"}
+
+    # insert + update + delete (e2e_test.go:153-159)
+    write_changes(
+        src,
+        "batch1.json",
+        [
+            change(10, 1, "INSERT", 4, "Bob Dylan"),
+            change(11, 2, "UPDATE", 2, "Van The Man"),
+            change(12, 3, "DELETE", 3),
+        ],
+    )
+    pipeline.run_available()
+    assert state(target) == {"1": "Taylor Swift", "2": "Van The Man", "4": "Bob Dylan"}
+    assert pipeline.last_committed_lsn == 13  # max lsn + 1 (lsn.go:32-45)
+
+
+def test_checkpoint_makes_reprocessing_idempotent(pipeline_env):
+    src, target, pipeline = pipeline_env
+    write_changes(src, "b1.json", [change(1, 1, "INSERT", 9, "Nina Simone")])
+    pipeline.run_available()
+    v_after_first = target.current_version()
+    # second cycle with no new files: offsets already committed -> no-op
+    pipeline.run_available()
+    assert state(target)["9"] == "Nina Simone"
+    assert target.current_version() == v_after_first  # no spurious rewrite
+
+    # compaction inside one batch: I then U then D nets to nothing
+    write_changes(
+        src,
+        "b2.json",
+        [
+            change(2, 10, "INSERT", 7, "temp"),
+            change(2, 11, "UPDATE", 7, "temp2"),
+            change(2, 12, "DELETE", 7),
+        ],
+    )
+    pipeline.run_available()
+    assert "7" not in state(target)
+
+
+def test_drift_triggers_restart_with_fresh_backfill(spark, tmp_path):
+    """The upstream relation grew a column (rel_cols advertises it); the
+    first pipeline (declared for the old schema) must abort with drift,
+    the supervisor re-backfills and rebuilds with the new schema —
+    reference supervisor.go:55-82 + sync_service.go:111-125."""
+    src = str(tmp_path / "changes")
+    tgt_root = str(tmp_path / "target")
+    os.makedirs(src, exist_ok=True)
+    attempts = {"n": 0}
+
+    def backfill():
+        # re-introspection discovers the evolved schema on the second pass
+        cols = ["name"] if attempts["n"] == 0 else ["name", "extra_col"]
+        seed = spark.createDataFrame(
+            [tuple(["1"] + ["a"] * len(cols))],
+            T.StructType(
+                [T.StructField("key", T.StringType())]
+                + [T.StructField(c, T.StringType()) for c in cols]
+            ),
+        )
+        ParquetMergeTarget(spark, tgt_root + str(attempts["n"]), ["key"], cols).initialize(seed)
+
+    def make_pipeline():
+        attempts["n"] += 1
+        # attempt 1 declares the OLD schema; attempt 2 the evolved one
+        cols = ["name"] if attempts["n"] == 1 else ["name", "extra_col"]
+        target = ParquetMergeTarget(spark, tgt_root + str(attempts["n"] - 1), ["key"], cols)
+        return ChangeLogPipeline(
+            spark,
+            source_dir=src,
+            checkpoint_dir=str(tmp_path / f"ckpt{attempts['n']}"),
+            targets={"users": target},
+            value_cols=cols,
+        )
+
+    backfill()
+    # the stream already advertises the evolved relation
+    write_changes(
+        src, "b1.json", [change(1, 1, "INSERT", 5, "x", rel_cols=("name", "extra_col"))]
+    )
+    restarts = run_with_restart(make_pipeline, backfill)
+    assert restarts == 1  # drift on attempt 1, clean on attempt 2
+    target = ParquetMergeTarget(spark, tgt_root + "1", ["key"], ["name", "extra_col"])
+    assert {r["key"] for r in target.read().collect()} == {"1", "5"}
+
+
+def test_stateful_tx_assembly_across_batches(spark, tmp_path):
+    """BEGIN in batch 1, COMMIT in batch 2: the transaction must only be
+    emitted once complete (message_accumulator semantics)."""
+    from mammoth_spark.streaming.accumulator import (
+        MESSAGE_SCHEMA,
+        assemble_transactions_stateful,
+    )
+
+    src = str(tmp_path / "msgs")
+    out_dir = str(tmp_path / "txout")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def msg(xid, seq, mt, lsn=None):
+        return {"xid": xid, "seq": seq, "msg_type": mt, "lsn": lsn, "tbl": "users"}
+
+    def run_cycle():
+        stream = spark.readStream.schema(MESSAGE_SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+        txs = assemble_transactions_stateful(stream)
+        q = (
+            txs.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if q.exception():
+            raise q.exception()
+
+    # batch 1: tx 100 begins + 2 DML, no commit; tx 200 complete
+    write_changes(
+        src,
+        "m1.json",
+        [
+            msg(100, 1, "BEGIN"),
+            msg(100, 2, "INSERT"),
+            msg(100, 3, "UPDATE"),
+            msg(200, 4, "BEGIN"),
+            msg(200, 5, "INSERT"),
+            msg(200, 6, "COMMIT", lsn=60),
+        ],
+    )
+    run_cycle()
+
+    def read_done():
+        # re-create per read: the file-sink metadata log is snapshotted at
+        # DataFrame definition, so a pre-existing handle goes stale
+        return spark.read.schema(
+            "xid long, lsn long, n_actions long, first_seq long, last_seq long"
+        ).parquet(out_dir)
+
+    assert {r["xid"] for r in read_done().collect()} == {200}
+
+    # batch 2: tx 100 commits -> emitted with actions from BOTH batches
+    write_changes(src, "m2.json", [msg(100, 7, "DELETE"), msg(100, 8, "COMMIT", lsn=80)])
+    run_cycle()
+    rows = {r["xid"]: r for r in read_done().collect()}
+    assert set(rows) == {100, 200}
+    assert rows[100]["n_actions"] == 3  # 2 from batch 1 + 1 from batch 2
+    assert rows[100]["lsn"] == 80
+
+
+def test_validate_action_sequences(spark):
+    from mammoth_spark.streaming import validate_action_sequences
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+    ok = spark.createDataFrame(
+        [("a", 1, "INSERT"), ("a", 2, "UPDATE"), ("a", 3, "DELETE"), ("a", 4, "INSERT")],
+        schema,
+    )
+    assert validate_action_sequences(ok, ["key"]).count() == 0
+    bad = spark.createDataFrame([("a", 1, "INSERT"), ("a", 2, "INSERT")], schema)
+    assert validate_action_sequences(bad, ["key"]).count() == 1
