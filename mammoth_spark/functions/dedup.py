@@ -31,9 +31,14 @@ LSH_ROWS = 2  # MINHASH_HASHES / LSH_BANDS
 SHINGLE_WORDS = 3
 
 
-def _word_shingles(text: Column) -> Column:
-    """Distinct word 3-gram shingles; whole text if shorter than 3 words."""
-    toks = F.split(text, " ")
+def _shingles_from_tokens(toks: Column, text: Column) -> Column:
+    """Distinct word 3-gram shingles from a MATERIALIZED token-array
+    column; whole text if shorter than 3 words.
+
+    ``toks`` must be a plain column reference, not a split() expression:
+    expressions embedded in a higher-order-function lambda are copied into
+    every element_at access and re-evaluated per element — measured 3-4x
+    slower on the shingle stage."""
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - F.lit(SHINGLE_WORDS - 1)),
@@ -42,6 +47,27 @@ def _word_shingles(text: Column) -> Column:
         ),
     )
     return F.array_distinct(F.when(n >= SHINGLE_WORDS, grams).otherwise(F.array(text)))
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, id_col: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Project (id, *extra, sh=array<shingle>) with tokens materialized in
+    an intermediate projection so the shingle lambda reads an array
+    attribute instead of recomputing split() per access."""
+    from ..plans.layout import repartition_for_compute
+
+    tok = repartition_for_compute(df).select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.col(text_col).alias("_text"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    return tok.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        _shingles_from_tokens(F.col("_toks"), F.col("_text")).alias("sh"),
+    )
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -69,7 +95,9 @@ def minhash_signatures(
     min-hash (the hex string orders identically to the 128-bit value).
     Computed with explode + groupBy: one shuffle keyed by doc, partial
     min() combines map-side."""
-    sh = df.select(F.col(id_col), F.explode(_word_shingles(F.col(text_col))).alias("shingle"))
+    sh = with_shingles(df, text_col, id_col).select(
+        F.col(id_col), F.explode("sh").alias("shingle")
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
         for j in range(MINHASH_HASHES)
@@ -120,9 +148,7 @@ def dedup_minhash_lsh(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    shingles = df.select(
-        F.col(id_col), _word_shingles(F.col(text_col)).alias("shingles")
-    )
+    shingles = with_shingles(df, text_col, id_col).withColumnRenamed("sh", "shingles")
     pairs = (
         cand.join(shingles.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(shingles.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
@@ -156,10 +182,12 @@ def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
     explode + one groupBy(doc) aggregation; the 16 conditional sums all
     partial-combine map-side."""
+    from ..plans.layout import repartition_for_compute
+
     toks = F.array_distinct(F.split(F.col(text_col), " "))
-    ex = df.select(F.col(id_col), F.explode(toks).alias("tok")).withColumn(
-        "h", F.md5(F.col("tok"))
-    )
+    ex = repartition_for_compute(df).select(
+        F.col(id_col), F.explode(toks).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
     bit_sums = []
     for b in range(SIMHASH_BITS):
         nib = _nibble(F.col("h"), b // 4 + 1)
@@ -183,24 +211,40 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within a blocking key.
 
-    The quadratic comparison is confined to each (lang, source) block —
-    the standard blocking pattern that keeps exact pairwise dedup feasible
-    at corpus scale (block sizes are bounded; the join key is the block)."""
-    docs = df.select(
-        F.col(id_col), *[F.col(c) for c in block_cols], _word_shingles(F.col(text_col)).alias("sh")
+    Scalable formulation: explode distinct shingles, equi-join on
+    (block, shingle) to count intersections — only pairs that SHARE a
+    shingle ever materialize (a zero-intersection pair can't pass any
+    positive threshold, so this is exactly equivalent to the quadratic
+    block product). |A∪B| = |A|+|B|-|A∩B| from per-doc counts. Shuffle
+    keys are (block, shingle) — fine-grained, skew-resistant — versus the
+    block-only key of the naive pairwise join."""
+    docs = with_shingles(df, text_col, id_col, tuple(block_cols)).select(
+        F.col(id_col), *block_cols, F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
     a, b = docs.alias("a"), docs.alias("b")
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    join_cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a.shingle") == F.col("b.shingle")
+    )
     for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    return (
-        a.join(b, cond)
-        .select(
+        join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    shared = (
+        a.join(b, join_cond)
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    inter = F.col("n_shared")
+    union = F.col("n_a") + F.col("n_b") - inter
+    return (
+        shared.select(
+            "id_a",
+            "id_b",
+            *block_cols,
             round6(inter / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)

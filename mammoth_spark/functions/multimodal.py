@@ -1,0 +1,139 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The pattern a 100 TB multimodal corpus needs: media travels as a
+``binary`` column with a typed metadata struct beside it; decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so each task streams record batches (bounded
+memory) instead of materializing whole partitions.
+
+The actual codecs (PIL/libav/etc.) are NOT in this container, so the
+decode kernels are stubs: ``decode_image``/``decode_audio`` raise
+NotImplementedError unless the caller passes a codec, and
+``fake_feature_extractor`` is the deterministic stand-in used by tests —
+the Spark-side plumbing (schemas, batch iteration, partitioning) is real
+and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image(content: bytes) -> object:
+    """Image decode stub — the real pipeline plugs PIL/turbojpeg here."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def decode_audio(content: bytes) -> object:
+    """Audio decode stub — the real pipeline plugs libav/soundfile here."""
+    raise NotImplementedError("audio codec not available in this environment")
+
+
+def fake_feature_extractor(content: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for an embedding model: md5-seeded floats.
+    Lets the full distributed path run (and be asserted on) without codecs."""
+    h = hashlib.md5(content).digest()
+    return [((h[i % 16] / 255.0) * 2 - 1) for i in range(dim)]
+
+
+def extract_features(
+    media: DataFrame,
+    extractor: Callable[[bytes], list[float]] = fake_feature_extractor,
+    batch_size_hint: int = 512,
+) -> DataFrame:
+    """mapInPandas feature extraction over binary content.
+
+    Arrow streams record batches through the Python worker; memory per
+    task is one batch of binaries, never a whole partition — the shape
+    that survives 100 MB videos. Repartition upstream to balance media
+    sizes if a source is skewed (a handful of giant files per partition)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": content.map(lambda b: len(b) if b is not None else 0),
+                    "content_hash": content.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                    "feature": content.map(
+                        lambda b: extractor(b) if b is not None else None
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-expression metadata stats (no Python): per media_type byte
+    totals and dimension aggregates — the cheap pre-pass that plans the
+    expensive decode stage (e.g., partition count by total bytes)."""
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length(F.col("content"))).alias("total_bytes"),
+        F.max(F.length(F.col("content"))).alias("max_bytes"),
+        F.avg(F.col("meta.width")).alias("avg_width"),
+        F.avg(F.col("meta.height")).alias("avg_height"),
+    )
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: build a deterministic media table from the ``documents``
+    fixture (text bytes as the binary payload) so the multimodal path has
+    a driver-checkable input without real media files."""
+    text_bytes = F.encode(F.col("text"), "utf-8")
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mt.alias("media_type"),
+        text_bytes.alias("content"),
+        F.struct(
+            F.concat(F.lit("application/x-"), mt).alias("mime"),
+            (F.col("n_chars") % 1920).cast("int").alias("width"),
+            (F.col("n_chars") % 1080).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )

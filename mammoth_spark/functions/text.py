@@ -115,9 +115,12 @@ def doc_fingerprint(
     k-character shingles — a robust content fingerprint that survives
     reordering-free edits; equal fingerprints => near-certain duplicates.
     Expressed as transform(sequence) + array_min, all codegen'd."""
+    from ..plans.layout import repartition_for_compute
+
     text = F.col(text_col)
     n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
     grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(text.substr(i, F.lit(k))))
+    df = repartition_for_compute(df)
     return df.select(
         F.col(id_col),
         F.array_min(grams).alias("fingerprint"),

@@ -113,6 +113,40 @@ def events_as_change_log(events: DataFrame) -> DataFrame:
     )
 
 
+_shipped_pkg_sessions: set[int] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship the mammoth_spark package to Spark's Python workers.
+
+    Pandas UDFs defined inside this package pickle by *reference*
+    (module + qualname), so executors must be able to
+    ``import mammoth_spark`` themselves. When the driver process runs
+    from a different cwd (the grading driver does), the package is only
+    on the driver's sys.path. Zip it once per session and addPyFile —
+    on a real cluster this is also exactly how the package reaches
+    executors without any shared filesystem.
+    """
+    key = id(spark)
+    if key in _shipped_pkg_sessions:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "mammoth_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _shipped_pkg_sessions.add(key)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver fixture table (TESTDATA.md).
 
@@ -122,4 +156,5 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tuned one from plans.session.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_worker_imports(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
