@@ -1,0 +1,139 @@
+"""schema_introspect + target DDL/MERGE codegen (A2, A10, A14-text).
+
+The reference introspects every replicated table from the Postgres
+catalogs (reference sync/service/sync_service.go:323-412) and generates
+target-side SQL from the resulting Relation: CREATE TABLE DDL through the
+``getSfType`` type map (reference target/snowflake/snowflake_target.go:368-383,
+675-714) and a three-branch MERGE statement from a fixed template
+(reference target/snowflake/snowflake_target.go:536-602).
+
+Here introspection reads the *parquet* schema Spark resolves for each
+fixture table — schema-on-read is the Spark-native catalog — and the
+codegen walks our Relation model (types.py). Identifiers are upper-cased
+and double-quoted like the reference's ``quoteID``
+(snowflake_target.go:615-650). Codegen is driver-side string templating
+over metadata: it costs nothing at any data scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..types import Relation
+
+# Target type names follow the reference's getSfType table
+# (snowflake_target.go:675-714): ints collapse to INT, numeric/decimal and
+# unknowns fall through to STRING, arrays collapse to ARRAY.
+_SIMPLE_TARGET_TYPES: list[tuple[type, str]] = [
+    (T.BooleanType, "BOOLEAN"),
+    (T.ByteType, "INT"),
+    (T.ShortType, "INT"),
+    (T.IntegerType, "INT"),
+    (T.LongType, "INT"),
+    (T.FloatType, "FLOAT4"),
+    (T.DoubleType, "FLOAT8"),
+    (T.DateType, "DATE"),
+    (T.TimestampNTZType, "TIMESTAMP_NTZ"),
+    (T.TimestampType, "TIMESTAMP_TZ"),
+]
+
+
+def spark_type_to_target(dt: T.DataType) -> str:
+    """Map a Spark DataType to the engine's target type name."""
+    if isinstance(dt, T.ArrayType):
+        return "ARRAY"
+    if isinstance(dt, (T.MapType, T.StructType)):
+        return "VARIANT"  # json/jsonb -> VARIANT (snowflake_target.go:683,704)
+    for cls, name in _SIMPLE_TARGET_TYPES:
+        if isinstance(dt, cls):
+            return name
+    return "STRING"  # fallthrough branch (snowflake_target.go:713)
+
+
+# Fixture-table identity columns (FIXTURES.md convention: leading key col).
+FIXTURE_PKS: dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def introspect_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> DataFrame:
+    """A2: column inventory for a set of tables as a DataFrame.
+
+    Pure metadata: parquet footers are read on the driver (no data scan),
+    exactly as the reference's introspection touches only pg catalogs.
+    """
+    from ..model import read_table
+
+    rows = []
+    for tbl in tables:
+        schema = read_table(spark, sf_dir, tbl).schema
+        pk = FIXTURE_PKS.get(tbl)
+        for f in schema.fields:
+            rows.append((tbl, f.name, spark_type_to_target(f.dataType), f.name == pk))
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("tbl", T.StringType(), False),
+                T.StructField("column_name", T.StringType(), False),
+                T.StructField("target_type", T.StringType(), False),
+                T.StructField("is_identity", T.BooleanType(), False),
+            ]
+        ),
+    )
+
+
+def quote_ident(name: str) -> str:
+    """Upper-case + double-quote an identifier (snowflake_target.go:615-650)."""
+    return '"' + name.upper().replace('"', '""') + '"'
+
+
+def create_table_stmt(relation: Relation, temporary: bool = False, name_override: str | None = None) -> str:
+    """A10: CREATE TABLE DDL for a relation (snowflake_target.go:368-383)."""
+    tbl = quote_ident(name_override or relation.name)
+    cols = ", ".join(
+        f"{quote_ident(c.name)} {spark_type_to_target(c.spark_type)}" for c in relation.columns
+    )
+    kw = "CREATE TEMPORARY TABLE" if temporary else "CREATE TABLE"
+    return f"{kw} {quote_ident(relation.schema)}.{tbl} ({cols})"
+
+
+def merge_statement(relation: Relation, scratch: str | None = None) -> str:
+    """A14 codegen: the three-branch MERGE applying a flattened staging
+    table (change_flatten layout: _IDENTITY_*, _DELETE_ROW, _IS_NULL_*,
+    _IS_UNCHANGED_*) to the target — textual parity with the reference's
+    template (snowflake_target.go:537-567). The engine executes the same
+    semantics relationally (operators/merge.py); this statement is what a
+    SQL-speaking target (Snowflake, Delta SQL) would be sent.
+    """
+    tgt = f"{quote_ident(relation.schema)}.{quote_ident(relation.name)}"
+    src = quote_ident(scratch or f"{relation.name}_SCRATCH")
+    pks = [c.name for c in relation.columns if c.is_identity]
+    vals = [c.name for c in relation.columns]
+    on = " AND ".join(f"t.{quote_ident(k)} = s.{quote_ident('_IDENTITY_' + k)}" for k in pks)
+    set_clauses = ", ".join(
+        f"{quote_ident(c)} = CASE WHEN s.{quote_ident('_IS_UNCHANGED_' + c)} THEN t.{quote_ident(c)} "
+        f"WHEN s.{quote_ident('_IS_NULL_' + c)} THEN NULL ELSE s.{quote_ident(c)} END"
+        for c in vals
+    )
+    insert_cols = ", ".join(quote_ident(c) for c in vals)
+    insert_vals = ", ".join(
+        f"CASE WHEN s.{quote_ident('_IS_NULL_' + c)} THEN NULL ELSE s.{quote_ident(c)} END"
+        for c in vals
+    )
+    return (
+        f"MERGE INTO {tgt} t USING {src} s ON {on} "
+        f'WHEN MATCHED AND s."_DELETE_ROW" THEN DELETE '
+        f"WHEN MATCHED THEN UPDATE SET {set_clauses} "
+        f'WHEN NOT MATCHED AND NOT s."_DELETE_ROW" THEN INSERT ({insert_cols}) VALUES ({insert_vals})'
+    )
