@@ -87,22 +87,35 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _sig_cols() -> list[Column]:
+    """sig_j = min over shingles of md5('<j>:'||shingle), computed narrowly
+    as array_min(transform(sh, ...)): per-row expressions only.
+
+    NB: the per-j lambda must stay unary — F.transform dispatches on lambda
+    arity, and a captured-default second parameter would be silently bound
+    to the array index."""
+
+    def hash_fn(j: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    return [
+        F.array_min(F.transform(F.col("sh"), hash_fn(j))).alias(f"sig_{j}")
+        for j in range(MINHASH_HASHES)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_j = min over shingles of
     md5('<j>:'||shingle). Lexicographic min over md5 hex IS a uniform
     min-hash (the hex string orders identically to the 128-bit value).
-    Computed with explode + groupBy: one shuffle keyed by doc, partial
-    min() combines map-side."""
-    sh = with_shingles(df, text_col, id_col).select(
-        F.col(id_col), F.explode("sh").alias("shingle")
-    )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
-        for j in range(MINHASH_HASHES)
-    ]
-    return sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"), *aggs)
+
+    Entirely narrow — array_min over a transform of the shingle array —
+    so signatures cost ZERO shuffles at any scale (the earlier
+    explode+groupBy formulation shuffled every shingle)."""
+    sh = with_shingles(df, text_col, id_col)
+    return sh.select(F.col(id_col), F.size("sh").alias("n_shingles"), *_sig_cols())
 
 
 def _band_cols() -> list[Column]:
@@ -121,15 +134,19 @@ def dedup_minhash_lsh(
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
 
-    Stage 1: signatures (one shuffle). Stage 2: band bucket join — docs
-    sharing ANY band become candidates (union over bands, distinct).
-    Stage 3: exact Jaccard on shingle sets for candidates only. The
-    all-pairs product never materializes; at 100 TB the band keys are the
-    partition keys and AQE handles residual bucket skew.
+    Stage 1: signatures — narrow per-row expressions, no shuffle.
+    Stage 2: band bucket join — docs sharing ANY band become candidates
+    (union over bands, distinct). Stage 3: exact Jaccard on shingle sets
+    for candidates only. The all-pairs product never materializes; at
+    100 TB the band keys are the partition keys and AQE handles residual
+    bucket skew. The shingle frame is computed ONCE and persisted
+    (memory-and-disk) because three branches consume it — signatures and
+    both sides of the verification join.
     """
-    sigs = minhash_signatures(df, text_col, id_col).select(
-        F.col(id_col), *_band_cols()
-    )
+    from pyspark import StorageLevel
+
+    base = with_shingles(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = base.select(F.col(id_col), *_sig_cols()).select(F.col(id_col), *_band_cols())
     bands = sigs.selectExpr(
         id_col,
         "stack({n}, {args}) as (band_idx, band)".format(
@@ -148,7 +165,7 @@ def dedup_minhash_lsh(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    shingles = with_shingles(df, text_col, id_col).withColumnRenamed("sh", "shingles")
+    shingles = base.withColumnRenamed("sh", "shingles")
     pairs = (
         cand.join(shingles.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(shingles.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
@@ -180,26 +197,37 @@ def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     value. Bit b comes from nibble b//4 of md5(token), bit 3-(b%4); the
     doc's bit is 1 when more tokens set it than clear it (sum > 0).
 
-    explode + one groupBy(doc) aggregation; the 16 conditional sums all
-    partial-combine map-side."""
+    Entirely narrow: tokens are md5-hashed once into an array column, then
+    each bit's majority vote is size(filter(...)) arithmetic over that
+    array — per-row expressions, ZERO shuffles at any scale (the earlier
+    explode+groupBy formulation shuffled one row per doc)."""
     from ..plans.layout import repartition_for_compute
 
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
-    ex = repartition_for_compute(df).select(
-        F.col(id_col), F.explode(toks).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok")))
-    bit_sums = []
-    for b in range(SIMHASH_BITS):
-        nib = _nibble(F.col("h"), b // 4 + 1)
-        mask = 1 << (3 - (b % 4))
-        set_ = (F.floor(nib / mask) % 2) == 1
-        bit_sums.append(F.sum(F.when(set_, 1).otherwise(-1)).alias(f"bs_{b}"))
-    agg = ex.groupBy(id_col).agg(*bit_sums, F.count(F.lit(1)).alias("n_tokens"))
+    hashed = repartition_for_compute(df).select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(F.split(F.col(text_col), " ")), lambda t: F.md5(t)
+        ).alias("_hs"),
+    )
+    n = F.size(F.col("_hs"))
+
+    def bit_test(pos: int, mask: int):
+        # unary lambda — F.filter dispatches on arity (see _sig_cols)
+        def f(h):
+            nib = F.instr(F.lit(_HEX), F.substring(h, pos, 1)) - 1
+            return (F.floor(nib / mask) % 2) == 1
+
+        return f
+
     simhash = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"bs_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        pos, mask = b // 4 + 1, 1 << (3 - (b % 4))
+        n_set = F.size(F.filter(F.col("_hs"), bit_test(pos, mask)))
+        term = F.when(2 * n_set - n > 0, F.lit(1 << b)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    return agg.select(F.col(id_col), simhash.cast("bigint").alias("simhash"), "n_tokens")
+    return hashed.select(
+        F.col(id_col), simhash.cast("bigint").alias("simhash"), n.alias("n_tokens")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -219,9 +247,19 @@ def ngram_jaccard_pairs(
     keys are (block, shingle) — fine-grained, skew-resistant — versus the
     block-only key of the naive pairwise join."""
     docs = with_shingles(df, text_col, id_col, tuple(block_cols)).select(
-        F.col(id_col), *block_cols, F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+        F.col(id_col),
+        *block_cols,
+        F.size("sh").alias("n_sh"),
+        # shingles travel through the shuffle as 64-bit fingerprints, not
+        # 3-word strings: identical intersection counts, far fewer bytes
+        F.explode(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("shingle"),
     )
-    a, b = docs.alias("a"), docs.alias("b")
+    # one shingle computation feeds both join sides; hash join beats
+    # sort-merge here (small build side per (block, shingle) key)
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = docs.alias("a"), docs.hint("shuffle_hash").alias("b")
     join_cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
         F.col("a.shingle") == F.col("b.shingle")
     )
