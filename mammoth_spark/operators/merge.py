@@ -9,14 +9,23 @@ target/snowflake/snowflake_target.go:536-602):
         THEN target.col WHEN _IS_NULL_col THEN NULL ELSE scratch.col END
     WHEN NOT MATCHED [AND NOT _DELETE_ROW] THEN INSERT
 
-Without Delta in the container, the exact relational equivalent is a
-full-outer join on the key + per-column conditional projection — the same
-set-based shape Catalyst would plan for MERGE. The change side is a
-compacted micro-batch (small — ≤25k rows by the batching contract), so the
-join is explicitly **broadcast**: the big target table never shuffles, and
-the plan is a single pass over the target at any scale. The result can be
-written back atomically with mode("overwrite") (A12 atomic_swap — Spark's
-file-commit protocol gives scratch-and-swap for free).
+Without Delta in the container, the relational equivalent is a join on the
+key + per-column conditional projection. A naive full-outer join would be
+wrong at scale: **Spark cannot broadcast any full-outer join** (the hint
+is silently dropped), so the whole target table would shuffle into a
+sort-merge join. Instead MERGE decomposes into two broadcast-friendly
+branches:
+
+  1. ``target LEFT OUTER JOIN broadcast(changes)`` — updates, deletes and
+     untouched rows in ONE narrow pass; the target never shuffles.
+  2. inserts: ``changes LEFT ANTI JOIN target.select(keys)`` — the probe
+     side is the (small) change set and the target contributes only its
+     pruned key column(s); at 100 TB this scans a few percent of the
+     table instead of shuffling all of it.
+
+The result can be written back atomically with mode("overwrite") (A12
+atomic_swap — Spark's file-commit protocol gives scratch-and-swap for
+free).
 """
 
 from __future__ import annotations
@@ -50,22 +59,27 @@ def merge_upsert(
     )
     if broadcast_changes:
         ch = F.broadcast(ch)
-    joined = (
-        target.withColumn("_t_exists", F.lit(True))
-        .alias("t")
-        .join(ch.alias("c"), on=key_cols, how="full_outer")
-    )
     kind = F.col("_kind")
+
+    # branch 1: one narrow pass over the target (updates/deletes/kept rows)
+    joined = target.alias("t").join(ch.alias("c"), on=key_cols, how="left_outer")
     is_delete = F.coalesce(kind == KIND_DELETE, F.lit(False))
-    # matched DELETE removes the row; unmatched (ghost) DELETE emits nothing
-    out = joined.filter(~is_delete)
-    return out.select(
+    existing = joined.filter(~is_delete).select(
         *key_cols,
         *[
             F.when(kind.isNull(), F.col(f"t.{c}")).otherwise(F.col(f"_new_{c}")).alias(c)
             for c in value_cols
         ],
     )
+
+    # branch 2: change keys absent from the target insert as new rows;
+    # the anti join probes only the target's pruned key column(s)
+    inserts = (
+        ch.filter(kind != KIND_DELETE)  # ghost DELETEs emit nothing
+        .join(target.select(*key_cols), on=key_cols, how="left_anti")
+        .select(*key_cols, *[F.col(f"_new_{c}").alias(c) for c in value_cols])
+    )
+    return existing.unionByName(inserts)
 
 
 def merge_upsert_flagged(
@@ -91,25 +105,39 @@ def merge_upsert_flagged(
     )
     if broadcast_changes:
         ch = F.broadcast(ch)
-    joined = (
-        target.withColumn("_t_exists", F.lit(True))
-        .alias("t")
-        .join(ch.alias("c"), on=key_cols, how="full_outer")
-    )
-    in_target = F.coalesce(F.col("_t_exists"), F.lit(False))
     in_changes = F.col("_delete_row").isNotNull()
     delete_row = F.coalesce(F.col("_delete_row"), F.lit(False))
-    out = joined.filter(~delete_row)  # drops matched deletes AND ghost deletes
+
+    # branch 1: narrow pass over the target — matched rows merge per-column
+    # with the reference's CASE (unchanged -> target, null -> NULL, else new)
+    joined = target.alias("t").join(ch.alias("c"), on=key_cols, how="left_outer")
     cols = [F.col(k) for k in key_cols]
     for c in value_cols:
         cols.append(
             F.when(~in_changes, F.col(f"t.{c}"))
-            .when(F.col(f"_is_unchanged_{c}") & in_target, F.col(f"t.{c}"))
+            .when(F.col(f"_is_unchanged_{c}"), F.col(f"t.{c}"))
             .when(F.col(f"_is_null_{c}"), F.lit(None))
             .otherwise(F.col(f"_new_{c}"))
             .alias(c)
         )
-    return out.select(*cols)
+    existing = joined.filter(~delete_row).select(*cols)
+
+    # branch 2: not-matched inserts (reference insert branch: only the
+    # is_null CASE applies — there is no target value to inherit)
+    inserts = (
+        ch.filter(~F.col("_delete_row"))
+        .join(target.select(*key_cols), on=key_cols, how="left_anti")
+        .select(
+            *key_cols,
+            *[
+                F.when(F.col(f"_is_null_{c}"), F.lit(None))
+                .otherwise(F.col(f"_new_{c}"))
+                .alias(c)
+                for c in value_cols
+            ],
+        )
+    )
+    return existing.unionByName(inserts)
 
 
 def apply_changes(

@@ -140,27 +140,49 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9+A14+A15 end-to-end: compact the change log and MERGE it into the
     ``customer`` base table (key c_custkey = user_id; c_acctbal takes the
     change's value; other columns keep target values — NULL for inserts).
-    The change side is broadcast: the target table never shuffles."""
+
+    MERGE shape (see operators/merge.py): Spark cannot broadcast a
+    full-outer join, so the merge decomposes into a broadcast LEFT OUTER
+    pass over the target (updates/deletes — the target never shuffles)
+    unioned with anti-join inserts probing only the target's key column."""
     target = read_table(spark, sf_dir, "customer")
     log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
         "seq", "kind", "key", "value"
     )
-    compacted = compact_last_wins(log, ["key"], ["value"]).select("key", "kind", "value")
-    # MERGE as broadcast full-outer join: the (small, compacted) change set
-    # broadcasts; the (big) target table is read once with no shuffle.
-    joined = target.alias("t").join(
-        F.broadcast(compacted.alias("c")),
-        F.col("t.c_custkey") == F.col("c.key"),
-        "full_outer",
+    compacted = F.broadcast(
+        compact_last_wins(log, ["key"], ["value"]).select("key", "kind", "value")
     )
     kind = F.col("c.kind")
-    return joined.filter(F.coalesce(kind, F.lit("")) != KIND_DELETE).select(
-        F.coalesce(F.col("t.c_custkey"), F.col("c.key")).alias("c_custkey"),
-        F.col("t.c_name").alias("c_name"),
-        F.col("t.c_nationkey").alias("c_nationkey"),
-        F.when(kind.isNull(), F.col("t.c_acctbal")).otherwise(F.col("c.value")).alias("c_acctbal"),
-        F.col("t.c_mktsegment").alias("c_mktsegment"),
+    existing = (
+        target.alias("t")
+        .join(compacted.alias("c"), F.col("t.c_custkey") == F.col("c.key"), "left_outer")
+        .filter(F.coalesce(kind, F.lit("")) != KIND_DELETE)
+        .select(
+            F.col("t.c_custkey").alias("c_custkey"),
+            F.col("t.c_name").alias("c_name"),
+            F.col("t.c_nationkey").alias("c_nationkey"),
+            F.when(kind.isNull(), F.col("t.c_acctbal"))
+            .otherwise(F.col("c.value"))
+            .alias("c_acctbal"),
+            F.col("t.c_mktsegment").alias("c_mktsegment"),
+        )
     )
+    inserts = (
+        compacted.filter(F.col("kind") != KIND_DELETE)
+        .join(
+            target.select("c_custkey"),
+            F.col("key") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .select(
+            F.col("key").alias("c_custkey"),
+            F.lit(None).cast("string").alias("c_name"),
+            F.lit(None).cast("int").alias("c_nationkey"),
+            F.col("value").alias("c_acctbal"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+        )
+    )
+    return existing.unionByName(inserts)
 
 
 @register(

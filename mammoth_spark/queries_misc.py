@@ -229,3 +229,146 @@ def snapshot_incremental_equiv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(snap, inc, ["key"], ["value"])
+
+
+@register(
+    "csv_chunk_roundtrip",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_chars) AS sum_chars,
+       min(md5(text)) AS min_text_md5,
+       max(md5(text)) AS max_text_md5
+FROM documents GROUP BY source
+""",
+)
+def csv_chunk_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22+A1: chunked CSV staging fidelity. Documents are exported as
+    ≤500-row CSV chunks with every space turned into an embedded NEWLINE
+    (the exact hazard csvsplit guards against, reference
+    target/common/csvsplit/csvsplit.go:33-36), read back with
+    multiLine=True, restored, and aggregated — matching the oracle run on
+    the original table proves the quote/newline round-trip is lossless."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sources.snapshot import read_csv_snapshot
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " ", "\n").alias("text"),
+        "source",
+        "n_chars",
+    )
+    out = tempfile.mkdtemp(prefix="csv_chunks_")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "500")
+    docs.write.mode("overwrite").option("header", True).option("escape", '"').csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = read_csv_snapshot(spark, out, schema=schema)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min(F.md5(F.regexp_replace(F.col("text"), "\n", " "))).alias("min_text_md5"),
+        F.max(F.md5(F.regexp_replace(F.col("text"), "\n", " "))).alias("max_text_md5"),
+    )
+
+
+@register(
+    "cdc_compact_exact",
+    oracle=f"""
+WITH change_log AS (
+  SELECT CAST(floor(event_id / 50) AS BIGINT) AS lsn,
+         event_id AS seq,
+         {EVENTS_KIND_SQL} AS kind,
+         CAST(user_id AS BIGINT) AS key,
+         value
+  FROM events
+  WHERE CAST(floor(event_id / 50) AS BIGINT) < 250
+),
+norm AS (
+  SELECT key, seq, value, kind AS orig_kind,
+         row_number() OVER (PARTITION BY key ORDER BY seq) AS rn,
+         count(*) OVER (PARTITION BY key) AS cnt
+  FROM change_log
+),
+valid AS (
+  SELECT key, seq, value,
+         CASE WHEN rn = 1 THEN 'INSERT'
+              WHEN rn = cnt AND orig_kind = 'DELETE' THEN 'DELETE'
+              ELSE 'UPDATE' END AS kind
+  FROM norm
+)
+SELECT key, 'INSERT' AS kind,
+       CAST(CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 100) AS BIGINT) AS VARCHAR) AS value_c
+FROM valid
+GROUP BY key
+HAVING arg_max(kind, seq) <> 'DELETE'
+""",
+)
+def cdc_compact_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 exact-parity path: the ordered applyInPandas fold implementing
+    the reference's pair-rule algebra (multi_row_action.go:103-180) on one
+    micro-batch of normalized-valid chains (first action per key INSERT,
+    trailing DELETE kept, interior actions UPDATE — the validity invariant
+    real WAL provides). The oracle independently derives the net result:
+    surviving keys net to INSERT carrying the last non-DELETE value.
+    Batch bounded to lsn < 250 (~12.5k actions ≈ the reference's 25k-row
+    batch cap) — the fold is per-relation per-batch by contract."""
+    import json as _json
+
+    from pyspark.sql import Window
+
+    from .operators.compact import compact_exact
+
+    log = (
+        events_as_change_log(read_table(spark, sf_dir, "events"))
+        .filter(F.col("lsn") < 250)
+        .select("seq", "key", "kind", "value")
+    )
+    w = Window.partitionBy("key").orderBy("seq")
+    wall = Window.partitionBy("key")
+    norm = log.select(
+        "seq",
+        "key",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+        "kind",
+    ).select(
+        "seq",
+        "key",
+        "value",
+        F.when(F.col("rn") == 1, F.lit("INSERT"))
+        .when((F.col("rn") == F.col("cnt")) & (F.col("kind") == "DELETE"), F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("kind"),
+    )
+    value_c = F.floor(F.col("value") * 100).cast("long").cast("string")
+    cell = F.struct(
+        value_c.alias("v"), F.lit(False).alias("is_null"), F.lit(False).alias("is_unchanged")
+    )
+    change_log = norm.select(
+        F.lit("public").alias("schema"),
+        F.lit("users").alias("tbl"),
+        "seq",
+        "kind",
+        F.array(F.col("key").cast("string")).alias("key_before"),
+        F.array(F.col("key").cast("string")).alias("key_after"),
+        F.when(
+            F.col("kind") != "DELETE", F.to_json(F.create_map(F.lit("value_c"), cell))
+        ).alias("new_values"),
+    )
+    out = compact_exact(change_log)
+    return out.select(
+        F.element_at("key_before", 1).cast("bigint").alias("key"),
+        "kind",
+        F.get_json_object("new_values", "$.value_c.v").alias("value_c"),
+    )
