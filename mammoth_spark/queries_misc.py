@@ -372,3 +372,100 @@ def cdc_compact_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         F.get_json_object("new_values", "$.value_c.v").alias("value_c"),
     )
+
+
+@register(
+    "streaming_cdc_apply",
+    oracle=f"""
+WITH change_log AS (
+  SELECT CAST(floor(event_id / 50) AS BIGINT) AS lsn,
+         event_id AS seq,
+         {EVENTS_KIND_SQL} AS kind,
+         CAST(user_id AS BIGINT) AS key,
+         value
+  FROM events
+),
+norm AS (
+  SELECT key, seq, value, kind AS orig_kind,
+         row_number() OVER (PARTITION BY key ORDER BY seq) AS rn,
+         count(*) OVER (PARTITION BY key) AS cnt
+  FROM change_log
+),
+valid AS (
+  SELECT key, seq, value,
+         CASE WHEN rn = 1 THEN 'INSERT'
+              WHEN rn = cnt AND orig_kind = 'DELETE' THEN 'DELETE'
+              ELSE 'UPDATE' END AS kind
+  FROM norm
+)
+SELECT key,
+       CAST(CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 100) AS BIGINT) AS VARCHAR) AS value_c
+FROM valid
+GROUP BY key
+HAVING arg_max(kind, seq) <> 'DELETE'
+""",
+)
+def streaming_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-A7+A14-A17 end-to-end through Structured Streaming: the events
+    change log (normalized to valid chains) is staged as a JSONL change
+    stream, consumed by ``readStream -> foreachBatch(compact -> MERGE)``
+    with a fresh checkpoint (ChangeLogPipeline), applied to a versioned
+    ParquetMergeTarget, and the published table state is returned — it
+    must equal the oracle's one-shot net effect."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from .sources.target import ParquetMergeTarget
+    from .streaming.pipeline import ChangeLogPipeline
+
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "lsn", "seq", "key", "kind", "value"
+    )
+    w = Window.partitionBy("key").orderBy("seq")
+    wall = Window.partitionBy("key")
+    norm = log.select(
+        "lsn",
+        "seq",
+        "key",
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+        "kind",
+    )
+    stream_rows = norm.select(
+        "lsn",
+        "seq",
+        F.lit("public").alias("schema"),
+        F.lit("users").alias("tbl"),
+        F.when(F.col("rn") == 1, F.lit("INSERT"))
+        .when((F.col("rn") == F.col("cnt")) & (F.col("kind") == "DELETE"), F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("kind"),
+        F.col("key").cast("string").alias("key"),
+        F.array(F.lit("value_c")).alias("rel_cols"),
+        "value_c",
+    )
+    src = tempfile.mkdtemp(prefix="cdc_stream_src_")
+    stream_rows.coalesce(4).write.mode("overwrite").json(src)
+
+    target = ParquetMergeTarget(
+        spark, tempfile.mkdtemp(prefix="cdc_stream_tgt_"), ["key"], ["value_c"]
+    )
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
+        ),
+    )
+    target.initialize(empty)
+    pipeline = ChangeLogPipeline(
+        spark,
+        src,
+        tempfile.mkdtemp(prefix="cdc_stream_ckpt_"),
+        {"users": target},
+        ["value_c"],
+    )
+    pipeline.run_available()
+    return target.read().select(F.col("key").cast("bigint").alias("key"), "value_c")
