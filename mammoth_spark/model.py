@@ -113,6 +113,24 @@ def events_as_change_log(events: DataFrame) -> DataFrame:
     )
 
 
+def local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Build a small driver-side relation via the Arrow fast path.
+
+    ``spark.createDataFrame(list_of_rows)`` goes through the Python-RDD
+    path and distributes the rows over ``defaultParallelism`` tasks, each
+    needing a Python worker — 32 tasks for a 40-row metadata listing.
+    Routing through pandas takes the Arrow conversion instead: a single
+    LocalTableScan, no Python workers at execution time. Use for catalog
+    listings and fixture relations; real data always comes from parquet.
+    """
+    import pandas as pd
+
+    names = [f.name for f in schema.fields] if isinstance(schema, T.StructType) else list(schema)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(pd.DataFrame(rows, columns=names), schema=schema)
+
+
 _shipped_pkg_sessions: set[int] = set()
 
 

@@ -229,8 +229,10 @@ def _fold_relation(actions: Iterable[dict]) -> list[dict]:
     return [state[k] for k in order]
 
 
-def compact_exact(change_log: DataFrame, seq_col: str = "seq") -> DataFrame:
-    """Exact-parity compaction via an Arrow-batched per-relation fold.
+def compact_exact(
+    change_log: DataFrame, seq_col: str = "seq", max_rename_edges: int = 100_000
+) -> DataFrame:
+    """Exact-parity compaction via an Arrow-batched sharded fold.
 
     Input columns: ``schema``, ``tbl``, ``seq``, ``kind``,
     ``key_before array<string>``, ``key_after array<string>``, and
@@ -238,10 +240,19 @@ def compact_exact(change_log: DataFrame, seq_col: str = "seq") -> DataFrame:
     cells (NULL for DELETE). Output: ≤1 net action per surviving row
     identity with the same shape.
 
-    Grouped by relation — identity-change chains can wander across keys,
-    so the fold state must see the whole relation's batch in order. That
-    matches the reference exactly (Grouper runs per batch per relation) and
-    is bounded by the micro-batch contract.
+    Sharding: the only reason the fold can't simply group by row identity
+    is identity-change chains — a rename's state wanders across keys
+    (deduplicateActions, multi_row_action.go:69-101). Renames are a tiny
+    fraction of real WAL and bounded by the micro-batch contract, so we
+    collect just the rename *edges* (key_before -> key_after), union-find
+    them into connected components on the driver, broadcast the
+    key -> component map, and fold each component — and each untouched
+    key — as its own group. Result: the shuffle is keyed by row identity
+    (same as the fast path), every executor folds in parallel, and the
+    semantics are bit-identical to a whole-relation ordered fold because
+    actions on unrelated identities never interact in the pair algebra.
+    If a pathological batch carries > ``max_rename_edges`` renames we fall
+    back to the per-relation fold rather than collect unbounded state.
     """
     out_schema = T.StructType(
         [
@@ -257,36 +268,123 @@ def compact_exact(change_log: DataFrame, seq_col: str = "seq") -> DataFrame:
 
     import json
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(seq_col, kind="mergesort")
-        actions = []
-        for row in pdf.itertuples(index=False):
-            d = row._asdict()
-            values = json.loads(d["new_values"]) if d["new_values"] else None
-            actions.append(
-                {
-                    "seq": d[seq_col],
-                    "kind": d["kind"],
-                    "key_before": list(d["key_before"]),
-                    "key_after": list(d["key_after"]),
-                    "values": values,
-                }
-            )
-        folded = _fold_relation(actions)
+    def _rows_to_actions(rows: list[dict]) -> list[dict]:
+        rows.sort(key=lambda d: d[seq_col])
+        return [
+            {
+                "seq": d[seq_col],
+                "kind": d["kind"],
+                "key_before": list(d["key_before"]),
+                "key_after": list(d["key_after"]),
+                "values": json.loads(d["new_values"]) if d["new_values"] else None,
+            }
+            for d in rows
+        ]
+
+    def _folded_to_pdf(out: list[tuple[str, str, dict]]) -> pd.DataFrame:
+        # explicit dtypes: a partition netting to ∅ yields an EMPTY frame,
+        # and pandas would type its list columns float64, which Arrow
+        # can't convert to list<string>
         return pd.DataFrame(
             {
-                "schema": [pdf["schema"].iloc[0]] * len(folded),
-                "tbl": [pdf["tbl"].iloc[0]] * len(folded),
-                "seq": [a["seq"] for a in folded],
-                "kind": [a["kind"] for a in folded],
-                "key_before": [a["key_before"] for a in folded],
-                "key_after": [a["key_after"] for a in folded],
-                "new_values": [
-                    json.dumps(a["values"]) if a["values"] is not None else None
-                    for a in folded
-                ],
+                "schema": pd.Series([s for s, _, _ in out], dtype=object),
+                "tbl": pd.Series([t for _, t, _ in out], dtype=object),
+                "seq": pd.Series([a["seq"] for _, _, a in out], dtype="int64"),
+                "kind": pd.Series([a["kind"] for _, _, a in out], dtype=object),
+                "key_before": pd.Series([a["key_before"] for _, _, a in out], dtype=object),
+                "key_after": pd.Series([a["key_after"] for _, _, a in out], dtype=object),
+                "new_values": pd.Series(
+                    [
+                        json.dumps(a["values"]) if a["values"] is not None else None
+                        for _, _, a in out
+                    ],
+                    dtype=object,
+                ),
             },
             columns=[f.name for f in out_schema.fields],
         )
 
-    return change_log.groupBy("schema", "tbl").applyInPandas(fold, out_schema)
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        # per-relation fallback path (one Arrow group per relation)
+        cols = list(pdf.columns)
+        rows = [dict(zip(cols, vals)) for vals in pdf.itertuples(index=False, name=None)]
+        folded = _fold_relation(_rows_to_actions(rows))
+        s, t = pdf["schema"].iloc[0], pdf["tbl"].iloc[0]
+        return _folded_to_pdf([(s, t, a) for a in folded])
+
+    def fold_partition(batches):
+        # one Python pass per shuffle partition: group rows in plain dicts
+        # (thousands of tiny per-key Arrow groups would each pay pandas
+        # DataFrame-construction overhead), fold each group, emit once.
+        # itertuples(name=None): namedtuples would mangle the _grp column
+        groups: dict[tuple, list[dict]] = {}
+        for pdf in batches:
+            cols = list(pdf.columns)
+            for vals in pdf.itertuples(index=False, name=None):
+                d = dict(zip(cols, vals))
+                groups.setdefault((d["schema"], d["tbl"], d["_grp"]), []).append(d)
+        out: list[tuple[str, str, dict]] = []
+        for (s, t, _g), rows in groups.items():
+            out.extend((s, t, a) for a in _fold_relation(_rows_to_actions(rows)))
+        yield _folded_to_pdf(out)
+
+    kb = F.concat_ws("\x1f", F.col("key_before"))
+    ka = F.concat_ws("\x1f", F.col("key_after"))
+    rename_edges = (
+        change_log.filter(kb != ka)
+        .select("schema", "tbl", kb.alias("b"), ka.alias("a"))
+        .distinct()
+        .limit(max_rename_edges + 1)
+        .collect()
+    )
+    if len(rename_edges) > max_rename_edges:
+        # pathological rename volume: whole-relation fold (the reference's
+        # own granularity, Grouper per batch per relation)
+        return change_log.groupBy("schema", "tbl").applyInPandas(fold, out_schema)
+
+    # union-find over rename edges -> key-connected components
+    parent: dict[tuple, tuple] = {}
+
+    def find(x: tuple) -> tuple:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in rename_edges:
+        rb = find((e["schema"], e["tbl"], e["b"]))
+        ra = find((e["schema"], e["tbl"], e["a"]))
+        if rb != ra:
+            parent[ra] = rb
+
+    if parent:
+        from ..model import local_df
+
+        comp_rows = [(k[0], k[1], k[2], "c\x1e" + "\x1f".join(find(k))) for k in list(parent)]
+        comp_schema = T.StructType(
+            [
+                T.StructField("m_schema", T.StringType()),
+                T.StructField("m_tbl", T.StringType()),
+                T.StructField("m_key", T.StringType()),
+                T.StructField("m_comp", T.StringType()),
+            ]
+        )
+        comp_df = local_df(change_log.sparkSession, comp_rows, comp_schema)
+        # every action on a chain-touched identity carries one of the
+        # component's keys as key_before (both edge endpoints are mapped)
+        joined = change_log.join(
+            F.broadcast(comp_df),
+            (F.col("schema") == F.col("m_schema"))
+            & (F.col("tbl") == F.col("m_tbl"))
+            & (kb == F.col("m_key")),
+            "left",
+        )
+        grp = F.coalesce(F.col("m_comp"), F.concat(F.lit("k\x1e"), kb))
+        sharded = joined.withColumn("_grp", grp).drop("m_schema", "m_tbl", "m_key", "m_comp")
+    else:
+        sharded = change_log.withColumn("_grp", kb)
+
+    # hash-partition by group so each component/key lands whole in one
+    # partition, then fold all of a partition's groups in ONE Python pass
+    return sharded.repartition("schema", "tbl", "_grp").mapInPandas(fold_partition, out_schema)

@@ -72,7 +72,7 @@ def introspect_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> Da
     Pure metadata: parquet footers are read on the driver (no data scan),
     exactly as the reference's introspection touches only pg catalogs.
     """
-    from ..model import read_table
+    from ..model import local_df, read_table
 
     rows = []
     for tbl in tables:
@@ -80,7 +80,8 @@ def introspect_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> Da
         pk = FIXTURE_PKS.get(tbl)
         for f in schema.fields:
             rows.append((tbl, f.name, spark_type_to_target(f.dataType), f.name == pk))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         T.StructType(
             [

@@ -26,7 +26,9 @@ def schema_as_df(spark: SparkSession, df: DataFrame, side: str) -> DataFrame:
             T.StructField("side", T.StringType()),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    from ..model import local_df
+
+    return local_df(spark, rows, schema)
 
 
 def schema_diff(left: DataFrame, right: DataFrame) -> DataFrame:

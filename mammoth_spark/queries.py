@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .model import EVENTS_KIND_SQL, KIND_DELETE, events_as_change_log, read_table
+from .model import EVENTS_KIND_SQL, KIND_DELETE, events_as_change_log, local_df, read_table
 from .operators import (
     apply_changes,
     compact_last_wins,
@@ -320,8 +320,8 @@ def schema_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("c_mktsegment", "string", "target"),
     ]
     cols = ["column_name", "column_type", "side"]
-    left = spark.createDataFrame(pg_rows, cols)
-    right = spark.createDataFrame(tgt_rows, cols)
+    left = local_df(spark, pg_rows, cols)
+    right = local_df(spark, tgt_rows, cols)
     return schema_diff(left, right)
 
 
