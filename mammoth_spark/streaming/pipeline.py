@@ -75,45 +75,55 @@ class ChangeLogPipeline:
 
     # -- the sink body (stage 3, eventSink stream.go:323-349) -------------
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        # A17: empty batches still advance the checkpoint — nothing to do
-        if batch.isEmpty():
-            return
-        # drift check (message_accumulator.go:118-122): every in-band
-        # relation column list must equal the pipeline's declared value
-        # columns; a differing Relation message aborts the stream and the
-        # supervisor re-syncs from scratch
-        declared = list(self.value_cols)
-        observed = [
-            r[0]
-            for r in batch.filter(F.col("rel_cols").isNotNull())
-            .select("rel_cols")
-            .distinct()
-            .collect()
-        ]
-        for cols in observed:
-            if list(cols) != declared:
-                raise RelationChangedError(
-                    f"schema drift: relation advertises {list(cols)}, pipeline declared {declared}"
-                )
-        # A8: fan out per relation; order preserved via seq inside compact
-        for tbl, target in self.targets.items():
-            rel_batch = batch.filter(F.col("tbl") == tbl)
-            compacted = compact_last_wins(
-                rel_batch, ["key"], self.value_cols
-            ).drop("last_seq", "n_actions")
-            # align the change key to the target's key column
-            compacted = compacted.withColumnRenamed("key", target.key_cols[0])
-            target.write(compacted)
-        # A16: track the commit watermark (the checkpoint holds the real
-        # offsets; this mirrors the reference's AtomicLSN for observability)
-        max_lsn = batch.agg(F.max("lsn")).collect()[0][0]
-        if max_lsn is not None:
-            if self.last_committed_lsn is not None and max_lsn + 1 < self.last_committed_lsn:
-                raise RuntimeError(
-                    f"LSN regression: {max_lsn + 1} < {self.last_committed_lsn}"
-                )  # lsn.go:32-45 monotonicity
-            self.last_committed_lsn = max_lsn + 1
-        self.batches_applied += 1
+        import json
+
+        # the micro-batch feeds several consumers (drift check, per-table
+        # compact, watermark) — pin it so the source isn't re-scanned per
+        # consumer (the reference holds the batch in memory, stream.go:258)
+        batch.persist()
+        try:
+            # ONE aggregation job answers emptiness, the commit watermark,
+            # and the drift check together
+            stats = batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("lsn").alias("max_lsn"),
+                F.collect_set(F.to_json("rel_cols")).alias("rels"),
+            ).collect()[0]
+            # A17: empty batches still advance the checkpoint — nothing to do
+            if stats["n"] == 0:
+                return
+            # drift check (message_accumulator.go:118-122): every in-band
+            # relation column list must equal the pipeline's declared value
+            # columns; a differing Relation message aborts the stream and
+            # the supervisor re-syncs from scratch
+            declared = list(self.value_cols)
+            for rel_json in stats["rels"]:
+                if json.loads(rel_json) != declared:
+                    raise RelationChangedError(
+                        f"schema drift: relation advertises {json.loads(rel_json)}, "
+                        f"pipeline declared {declared}"
+                    )
+            # A8: fan out per relation; order preserved via seq inside compact
+            for tbl, target in self.targets.items():
+                rel_batch = batch.filter(F.col("tbl") == tbl)
+                compacted = compact_last_wins(
+                    rel_batch, ["key"], self.value_cols
+                ).drop("last_seq", "n_actions")
+                # align the change key to the target's key column
+                compacted = compacted.withColumnRenamed("key", target.key_cols[0])
+                target.write(compacted)
+            # A16: track the commit watermark (the checkpoint holds the real
+            # offsets; this mirrors the reference's AtomicLSN for observability)
+            max_lsn = stats["max_lsn"]
+            if max_lsn is not None:
+                if self.last_committed_lsn is not None and max_lsn + 1 < self.last_committed_lsn:
+                    raise RuntimeError(
+                        f"LSN regression: {max_lsn + 1} < {self.last_committed_lsn}"
+                    )  # lsn.go:32-45 monotonicity
+                self.last_committed_lsn = max_lsn + 1
+            self.batches_applied += 1
+        finally:
+            batch.unpersist()
 
     def start(self, trigger_seconds: float | None = None, available_now: bool = False):
         reader = (
