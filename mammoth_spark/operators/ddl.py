@@ -109,6 +109,18 @@ def create_table_stmt(relation: Relation, temporary: bool = False, name_override
     return f"{kw} {quote_ident(relation.schema)}.{tbl} ({cols})"
 
 
+def create_table_stmt_from_spark_schema(
+    schema_name: str, table: str, struct: T.StructType
+) -> str:
+    """A10 over an introspected Spark schema: same DDL shape as
+    :func:`create_table_stmt` (snowflake_target.go:368-383) but driven by
+    schema-on-read instead of a declared Relation."""
+    cols = ", ".join(
+        f"{quote_ident(f.name)} {spark_type_to_target(f.dataType)}" for f in struct.fields
+    )
+    return f"CREATE TABLE {quote_ident(schema_name)}.{quote_ident(table)} ({cols})"
+
+
 def merge_statement(relation: Relation, scratch: str | None = None) -> str:
     """A14 codegen: the three-branch MERGE applying a flattened staging
     table (change_flatten layout: _IDENTITY_*, _DELETE_ROW, _IS_NULL_*,

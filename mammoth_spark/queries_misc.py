@@ -469,3 +469,154 @@ def streaming_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pipeline.run_available()
     return target.read().select(F.col("key").cast("bigint").alias("key"), "value_c")
+
+
+_DDL_TYPE_CASE = """
+CASE WHEN c.table_name = 'events' AND c.column_name = 'ts' THEN 'INT'
+     WHEN c.data_type = 'BOOLEAN' THEN 'BOOLEAN'
+     WHEN c.data_type IN ('TINYINT','SMALLINT','INTEGER','BIGINT','HUGEINT') THEN 'INT'
+     WHEN c.data_type = 'FLOAT' THEN 'FLOAT4'
+     WHEN c.data_type = 'DOUBLE' THEN 'FLOAT8'
+     WHEN c.data_type = 'DATE' THEN 'DATE'
+     WHEN c.data_type LIKE '%TIME ZONE' THEN 'TIMESTAMP_TZ'
+     WHEN c.data_type LIKE 'TIMESTAMP%' THEN 'TIMESTAMP_NTZ'
+     WHEN c.data_type LIKE '%[]' THEN 'ARRAY'
+     ELSE 'STRING' END
+"""
+
+
+@register(
+    "target_ddl",
+    oracle=f"""
+SELECT c.table_name AS tbl,
+       'CREATE TABLE "PUBLIC"."' || upper(c.table_name) || '" (' ||
+       string_agg('"' || upper(c.column_name) || '" ' || {_DDL_TYPE_CASE},
+                  ', ' ORDER BY c.ordinal_position) || ')' AS ddl
+FROM information_schema.columns c
+WHERE c.table_name IN ({", ".join(f"'{t}'" for t in ALL_TABLES)})
+GROUP BY c.table_name
+""",
+)
+def target_ddl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: CREATE TABLE codegen parity. The engine generates target DDL
+    from each fixture table's introspected schema through the type map
+    (reference createTableStmt, target/snowflake/snowflake_target.go:368-383,
+    via getSfType :675-714, quoting :615-650); DuckDB independently
+    reconstructs the identical statement text from its own catalog with the
+    same documented mapping. Pure metadata — free at any data scale."""
+    from pyspark.sql import types as T
+
+    from .model import local_df
+    from .operators.ddl import create_table_stmt_from_spark_schema
+
+    rows = []
+    for tbl in ALL_TABLES:
+        struct = read_table(spark, sf_dir, tbl).schema
+        rows.append((tbl, create_table_stmt_from_spark_schema("public", tbl, struct)))
+    return local_df(
+        spark,
+        rows,
+        T.StructType(
+            [
+                T.StructField("tbl", T.StringType(), False),
+                T.StructField("ddl", T.StringType(), False),
+            ]
+        ),
+    )
+
+
+@register(
+    "atomic_swap",
+    oracle="""
+SELECT 'v1' AS version, count(*) AS n_rows,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+FROM customer WHERE c_custkey <= 100
+UNION ALL
+SELECT 'v2' AS version, count(*) AS n_rows,
+       sum(CAST(round(c_acctbal * 200) AS BIGINT)) AS acctbal_cents
+FROM customer
+""",
+)
+def atomic_swap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: scratch-and-swap atomic publish. Backfill v1 (a subset), then a
+    full re-snapshot v2 with changed values lands in a fresh version dir and
+    the pointer is atomically swapped (reference loads <TABLE>_SCRATCH then
+    ALTER TABLE .. SWAP WITH, target/snowflake/snowflake_target.go:140-215).
+    The query reads BOTH the superseded v1 directory (still intact — readers
+    never see partial state) and the published v2 through the pointer."""
+    import tempfile
+
+    from .sources.target import ParquetMergeTarget
+
+    cust = read_table(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="swap_tgt_")
+    target = ParquetMergeTarget(spark, root, ["c_custkey"], ["c_name", "c_acctbal"])
+    target.initialize(
+        cust.filter(F.col("c_custkey") <= 100).select("c_custkey", "c_name", "c_acctbal")
+    )
+    target.initialize(
+        cust.select("c_custkey", "c_name", (F.col("c_acctbal") * 2).alias("c_acctbal"))
+    )
+    assert target.current_version() == 2
+
+    def state(df: DataFrame, version: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+        ).select(F.lit(version).alias("version"), "n_rows", "acctbal_cents")
+
+    superseded = spark.read.parquet(f"{root}/v_1")
+    return state(superseded, "v1").unionByName(state(target.read(), "v2"))
+
+
+@register(
+    "jsonl_sink",
+    oracle=f"""
+WITH change_log AS (
+  SELECT CAST(floor(event_id / 50) AS BIGINT) AS lsn,
+         event_id AS seq,
+         {EVENTS_KIND_SQL} AS kind
+  FROM events
+),
+tx AS (
+  SELECT lsn, count(*) AS n_actions, max(seq) AS max_seq,
+         sum(CASE WHEN kind = 'DELETE' THEN 1 ELSE 0 END) AS n_deletes
+  FROM change_log GROUP BY lsn
+)
+SELECT count(*) AS n_tx, sum(n_actions) AS total_actions,
+       sum(max_seq) AS sum_max_seq, sum(n_deletes) AS n_deletes
+FROM tx
+""",
+)
+def jsonl_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: the JSONL debug sink round-trip. Assembled transactions (one
+    JSON line per WalTransaction with its ordered action list — reference
+    jsonLinesSink, sync/stream/stream.go:383-433) are written with the
+    engine's sink, re-read with schema inference, and aggregated; matching
+    the oracle run directly on events proves the serialization lossless."""
+    import tempfile
+
+    log = events_as_change_log(read_table(spark, sf_dir, "events"))
+    tx = log.groupBy("lsn").agg(
+        F.sort_array(F.collect_list(F.struct("seq", "kind", "key"))).alias("actions")
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_sink_")
+    tx.write.mode("overwrite").json(out)
+    back = spark.read.json(out)
+    per_tx = back.select(
+        "lsn",
+        F.size("actions").alias("n_actions"),
+        F.expr("aggregate(actions, CAST(0 AS BIGINT), (acc, a) -> greatest(acc, a.seq))").alias(
+            "max_seq"
+        ),
+        F.expr(
+            "aggregate(actions, CAST(0 AS BIGINT),"
+            " (acc, a) -> acc + CASE WHEN a.kind = 'DELETE' THEN 1 ELSE 0 END)"
+        ).alias("n_deletes"),
+    )
+    return per_tx.agg(
+        F.count(F.lit(1)).alias("n_tx"),
+        F.sum("n_actions").cast("long").alias("total_actions"),
+        F.sum("max_seq").alias("sum_max_seq"),
+        F.sum("n_deletes").alias("n_deletes"),
+    )
