@@ -84,3 +84,30 @@ def test_events_mapping_prunes_unused_columns(spark):
     plan = _executed_plan(df)
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "event_id" in read_schema
+
+
+def test_asof_join_single_shuffle(spark):
+    # the as-of join is the union+window pattern (operators/asof.py): ONE
+    # exchange on the join key, no inequality join, no broadcast
+    df = entry_mod.queries()["asof_attribution"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("Exchange") == 1, "as-of join must shuffle exactly once"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_orders_rollup_single_pass(spark):
+    # ROLLUP expands grouping sets inside one aggregate: one Expand node,
+    # one exchange — never a union of re-scans
+    df = entry_mod.queries()["orders_rollup"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_topk_rank_filter_no_global_sort(spark):
+    # top-k per group sorts within partitions after one keyed exchange; a
+    # global ordering of the whole table must not appear
+    df = entry_mod.queries()["topk_orders_per_status"](spark, SF)
+    plan = _executed_plan(df)
+    assert "rangepartitioning" not in plan.lower(), "no global sort for per-group top-k"
+    assert plan.count("Exchange") == 1
