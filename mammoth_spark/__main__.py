@@ -1,0 +1,136 @@
+"""CLI — the reference's three entry points on Spark
+(reference cmd/mammoth/main.go:24-49):
+
+    python -m mammoth_spark run          --config cfg.yml
+    python -m mammoth_spark initconfig   [--config cfg.yml]
+    python -m mammoth_spark streamtofile --config cfg.yml --out dir
+
+``run`` is the sync pipeline (supervisor loop: backfill if the target is
+uninitialized, then the micro-batched change-log stream with
+drift-restart, reference supervisor/supervisor.go:31-83). ``streamtofile``
+is the debug capture: change log straight to JSON lines, no batching, no
+compaction, no checkpoint acks (reference supervisor.go:85-106).
+``initconfig`` writes the commented default YAML (config.go:109-119).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _spark():
+    from .plans import get_spark
+
+    return get_spark("mammoth_spark_cli")
+
+
+def cmd_initconfig(args: argparse.Namespace) -> int:
+    from .config import write_example_config
+
+    write_example_config(args.config)
+    print(f"wrote example config to {args.config}")
+    return 0
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    from pyspark.sql import types as T
+
+    from .config import load_config
+    from .sources.target import ParquetMergeTarget
+    from .streaming.pipeline import ChangeLogPipeline, run_with_restart
+
+    cfg = load_config(args.config)
+    cfg.validate()
+    spark = _spark()
+
+    value_cols = [c for c in (args.value_cols.split(",") if args.value_cols else []) if c]
+    key_col = args.key_col
+
+    def make_target(tbl: str) -> ParquetMergeTarget:
+        return ParquetMergeTarget(
+            spark, os.path.join(cfg.target.root_dir, tbl), [key_col], value_cols
+        )
+
+    targets = {t.split(".")[-1]: make_target(t.split(".")[-1]) for t in cfg.sync.tables}
+
+    def backfill() -> None:
+        # fresh snapshot into each target (A1/A11/A12); with no snapshot
+        # source configured, initialize empty — incremental changes rebuild
+        for tbl, target in targets.items():
+            if cfg.source.snapshot_dir:
+                df = spark.read.parquet(os.path.join(cfg.source.snapshot_dir, tbl))
+            else:
+                df = spark.createDataFrame(
+                    [],
+                    T.StructType(
+                        [T.StructField(key_col, T.StringType())]
+                        + [T.StructField(c, T.StringType()) for c in value_cols]
+                    ),
+                )
+            target.initialize(df)
+
+    def make_pipeline() -> ChangeLogPipeline:
+        return ChangeLogPipeline(
+            spark,
+            cfg.source.change_log_dir,
+            os.path.join(cfg.target.root_dir, "_checkpoint"),
+            targets,
+            value_cols,
+            max_files_per_trigger=max(1, cfg.sync.batch_max_items // 1000),
+        )
+
+    uninitialized = any(t.current_version() is None for t in targets.values())
+    if uninitialized:
+        backfill()
+    restarts = run_with_restart(make_pipeline, backfill)
+    print(f"pipeline drained (restarts={restarts})")
+    return 0
+
+
+def cmd_streamtofile(args: argparse.Namespace) -> int:
+    import tempfile
+
+    from .config import load_config
+    from .streaming.pipeline import plain_change_log_schema
+    from .streaming.sinks import stream_to_jsonlines
+
+    cfg = load_config(args.config)
+    spark = _spark()
+    value_cols = [c for c in (args.value_cols.split(",") if args.value_cols else []) if c]
+    stream = spark.readStream.schema(plain_change_log_schema(value_cols)).json(
+        cfg.source.change_log_dir
+    )
+    q = stream_to_jsonlines(stream, args.out, tempfile.mkdtemp(prefix="stf_ckpt_"))
+    q.awaitTermination()
+    print(f"captured change log to {args.out}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mammoth_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_init = sub.add_parser("initconfig", help="write an example YAML config")
+    p_init.add_argument("--config", default="mammoth-spark.yml")
+    p_init.set_defaults(fn=cmd_initconfig)
+
+    p_run = sub.add_parser("run", help="backfill + micro-batched CDC apply loop")
+    p_run.add_argument("--config", default="mammoth-spark.yml")
+    p_run.add_argument("--key-col", default="key")
+    p_run.add_argument("--value-cols", default="")
+    p_run.set_defaults(fn=cmd_run)
+
+    p_stf = sub.add_parser("streamtofile", help="debug: change log -> JSON lines")
+    p_stf.add_argument("--config", default="mammoth-spark.yml")
+    p_stf.add_argument("--out", required=True)
+    p_stf.add_argument("--value-cols", default="")
+    p_stf.set_defaults(fn=cmd_streamtofile)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -205,3 +205,63 @@ def topk_orders_per_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_orderkey", "o_orderstatus", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@register(
+    "streaming_hourly_rollup",
+    oracle=f"""
+SELECT CAST(floor(epoch_ns(ts) / {_HOUR_NS}.0) AS BIGINT) AS hour_idx,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_hourly_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows as a REAL Structured Streaming query:
+    file-source readStream over the events parquet, a 1-hour watermark,
+    ``groupBy(window(ts, '1 hour'), type)``, completed into a memory sink
+    with availableNow — then compared against the batch oracle. This is
+    the operator a production stream would run continuously (the watermark
+    bounds window state; late rows beyond 1 hour are dropped); batch/
+    stream result equality is Spark's unified-semantics guarantee, checked
+    here rather than assumed. countDistinct is excluded: streaming
+    aggregation forbids exact distincts (approx_count_distinct is the
+    scale path)."""
+    import uuid
+
+    ev_schema = read_table(spark, sf_dir, "events").schema  # also sets nanosAsLong
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.select(
+            F.timestamp_micros((F.col("ts").cast("bigint") / 1000).cast("long")).alias("ts_m"),
+            "event_type",
+            "value",
+        )
+        .withWatermark("ts_m", "1 hour")
+        .groupBy(F.window("ts_m", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_milli"),
+        )
+    )
+    sink = f"hourly_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.floor(F.unix_timestamp(F.col("window.start")) / 3600).cast("bigint").alias("hour_idx"),
+        "event_type",
+        "n_events",
+        "value_milli",
+    )

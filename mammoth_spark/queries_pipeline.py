@@ -399,3 +399,29 @@ def ann_topk_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_bucketed(
         read_table(spark, sf_dir, "embeddings"), n_queries=ANN_QUERIES, k=ANN_K
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH {_vec_cte()},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM vn a JOIN vn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE floor(({_DOT.format(a="a.emb", b="b.emb")} / (a.nrm * b.nrm)) * 1000000) / 1000000 >= {COSINE_T}
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+""",
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP (not just pair listing): any
+    vector with a lower-id near-duplicate partner (cosine >= t inside its
+    sign-LSH bucket) is dropped; the lowest id of each near-dup cluster
+    survives. Pairing cost is bounded by the bucket join — the same
+    candidate generation as `embedding_cosine_pairs` — and the survivor
+    set is one broadcast-able anti-join on the duplicate ids."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_bucketed(emb, threshold=COSINE_T)
+    dups = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return emb.select("vec_id").join(dups, "vec_id", "left_anti")

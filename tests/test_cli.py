@@ -1,0 +1,87 @@
+"""End-to-end CLI checks: the reference's three entry points
+(cmd/mammoth/main.go:24-49) driven through python -m mammoth_spark."""
+
+import json
+import os
+
+import yaml
+
+from mammoth_spark.__main__ import main
+from mammoth_spark.config import load_config
+
+
+def _write_changelog(tmp_path, rows):
+    src = tmp_path / "changelog"
+    src.mkdir(exist_ok=True)
+    with open(src / "batch0.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    return str(src)
+
+
+def _cfg(tmp_path, src):
+    cfg_path = tmp_path / "cfg.yml"
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(
+            {
+                "sync": {"tables": ["public.users"]},
+                "source": {"change_log_dir": src},
+                "target": {"root_dir": str(tmp_path / "target")},
+            },
+            fh,
+        )
+    return str(cfg_path)
+
+
+def test_initconfig_roundtrip(tmp_path):
+    path = str(tmp_path / "example.yml")
+    assert main(["initconfig", "--config", path]) == 0
+    cfg = load_config(path)
+    cfg.validate()  # the generated example must validate
+    assert cfg.sync.batch_max_items == 25_000
+
+
+def test_run_applies_changelog(tmp_path, spark):
+    rows = [
+        {"lsn": 1, "seq": 1, "schema": "public", "tbl": "users", "kind": "INSERT",
+         "key": "1", "rel_cols": ["v"], "v": "a"},
+        {"lsn": 1, "seq": 2, "schema": "public", "tbl": "users", "kind": "INSERT",
+         "key": "2", "rel_cols": ["v"], "v": "b"},
+        {"lsn": 2, "seq": 3, "schema": "public", "tbl": "users", "kind": "UPDATE",
+         "key": "1", "rel_cols": ["v"], "v": "a2"},
+        {"lsn": 2, "seq": 4, "schema": "public", "tbl": "users", "kind": "DELETE",
+         "key": "2", "rel_cols": ["v"], "v": None},
+    ]
+    src = _write_changelog(tmp_path, rows)
+    cfg = _cfg(tmp_path, src)
+    assert main(["run", "--config", cfg, "--key-col", "key", "--value-cols", "v"]) == 0
+    out = spark.read.parquet(
+        os.path.join(str(tmp_path / "target"), "users",
+                     f"v_{_current(tmp_path)}")
+    )
+    state = {r["key"]: r["v"] for r in out.collect()}
+    assert state == {"1": "a2"}
+
+
+def _current(tmp_path):
+    with open(os.path.join(str(tmp_path / "target"), "users", "_CURRENT")) as fh:
+        return int(fh.read().strip())
+
+
+def test_streamtofile_capture(tmp_path):
+    rows = [
+        {"lsn": 1, "seq": 1, "schema": "public", "tbl": "users", "kind": "INSERT",
+         "key": "1", "rel_cols": ["v"], "v": "a"},
+    ]
+    src = _write_changelog(tmp_path, rows)
+    cfg = _cfg(tmp_path, src)
+    out = str(tmp_path / "capture")
+    assert main(["streamtofile", "--config", cfg, "--out", out, "--value-cols", "v"]) == 0
+    captured = [
+        json.loads(line)
+        for name in os.listdir(out)
+        if name.endswith(".json")
+        for line in open(os.path.join(out, name))
+        if line.strip()
+    ]
+    assert len(captured) == 1 and captured[0]["key"] == "1"

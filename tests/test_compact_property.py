@@ -1,0 +1,130 @@
+"""Property-based checks of the compaction algebra (A9).
+
+The reference ships only 7 hand-written scenarios
+(target/common/multirowaction/multi_row_action_test.go:10-377). Here
+hypothesis generates random VALID action chains — including identity
+renames and delete-then-reinsert resurrections — and asserts two
+properties the hand-written cases can't cover:
+
+1. The component-sharded parallel fold equals the whole-relation
+   sequential fold (compact_exact's scale path vs its fallback path).
+2. The result is invariant under permutation of input row order
+   (only ``seq`` defines order — required for any distributed shuffle).
+"""
+
+import json
+import random
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mammoth_spark.model import local_df
+from mammoth_spark.operators.compact import compact_exact
+
+from pyspark.sql import types as T
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("schema", T.StringType()),
+        T.StructField("tbl", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("key_before", T.ArrayType(T.StringType())),
+        T.StructField("key_after", T.ArrayType(T.StringType())),
+        T.StructField("new_values", T.StringType()),
+    ]
+)
+
+
+def _cell(rng, allow_unchanged):
+    if allow_unchanged and rng.random() < 0.3:
+        return {"v": None, "is_null": False, "is_unchanged": True}
+    if rng.random() < 0.2:
+        return {"v": None, "is_null": True, "is_unchanged": False}
+    return {"v": str(rng.randrange(1000)), "is_null": False, "is_unchanged": False}
+
+
+def _entity_chain(rng, key_pool):
+    """One row entity's valid action list: I/U start; U may rename to a
+    fresh key; D ends or resurrects via (D,I)."""
+    actions = []
+    cur = key_pool.pop()
+    kind = rng.choice(["INSERT", "UPDATE"])
+    alive = True
+    for _ in range(rng.randrange(1, 5)):
+        if not alive:
+            # resurrection: (D,I) -> U (multi_row_action.go:139-147)
+            kind = "INSERT"
+            alive = True
+        if kind == "DELETE":
+            actions.append(("DELETE", cur, cur, None))
+            alive = False
+            if rng.random() < 0.6:
+                break
+            continue
+        new_key = cur
+        if kind == "UPDATE" and key_pool and rng.random() < 0.35:
+            new_key = key_pool.pop()  # identity rename
+        values = {"c": _cell(rng, allow_unchanged=kind == "UPDATE")}
+        actions.append((kind, cur, new_key, values))
+        cur = new_key
+        kind = rng.choice(["UPDATE", "DELETE"])
+    return actions
+
+
+def _rows(seed):
+    rng = random.Random(seed)
+    key_pool = [str(k) for k in range(100, 100 + 40)]
+    rng.shuffle(key_pool)
+    chains = [_entity_chain(rng, key_pool) for _ in range(rng.randrange(1, 8))]
+    # interleave chains preserving per-entity order, then stamp seq
+    merged = []
+    idx = [0] * len(chains)
+    while any(i < len(c) for i, c in zip(idx, chains)):
+        live = [j for j, c in enumerate(chains) if idx[j] < len(c)]
+        j = rng.choice(live)
+        merged.append(chains[j][idx[j]])
+        idx[j] += 1
+    rows = []
+    for seq, (kind, kb, ka, values) in enumerate(merged, start=1):
+        rows.append(
+            (
+                "public",
+                "users",
+                seq,
+                kind,
+                [kb],
+                [ka],
+                json.dumps(values) if values is not None else None,
+            )
+        )
+    return rows
+
+
+def _canon(df):
+    out = []
+    for r in df.collect():
+        vals = json.loads(r["new_values"]) if r["new_values"] else None
+        out.append(
+            (tuple(r["key_before"]), tuple(r["key_after"]), r["kind"], r["seq"], repr(vals))
+        )
+    return sorted(out)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_sharded_fold_equals_relation_fold_and_order_invariance(spark, seed):
+    rows = _rows(seed)
+    if not rows:
+        return
+    df = local_df(spark, rows, _SCHEMA)
+    sharded = _canon(compact_exact(df))
+    # max_rename_edges=-1 forces the whole-relation fallback fold
+    relation_level = _canon(compact_exact(df, max_rename_edges=-1))
+    assert sharded == relation_level
+    # row-order permutation must not change the result
+    shuffled = list(rows)
+    random.Random(seed + 1).shuffle(shuffled)
+    assert _canon(compact_exact(local_df(spark, shuffled, _SCHEMA))) == sharded
