@@ -265,3 +265,161 @@ def streaming_hourly_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "value_milli",
     )
+
+
+@register(
+    "cdc_apply_multikey",
+    oracle="""
+SELECT l_orderkey, l_linenumber, qty FROM (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber = 2 THEN sum(l_quantity) + 100 ELSE sum(l_quantity) END AS qty
+  FROM lineitem WHERE l_linenumber IN (1, 2, 4) GROUP BY 1, 2
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, sum(l_quantity) AS qty
+  FROM lineitem WHERE l_linenumber >= 5 GROUP BY 1, 2
+)
+""",
+)
+def cdc_apply_multikey_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 with a COMPOSITE primary key: merge on (l_orderkey,
+    l_linenumber) — the reference integration-tests multi-column-PK
+    deletes (snowflake_target_integration_test.go, multi-column PK
+    scenario); here the change batch mixes UPDATE (linenumber 2),
+    DELETE (linenumber 3) and INSERT (linenumber >= 5) against a base of
+    linenumbers 1-4, exercising every MERGE branch keyed on both columns.
+    The change side broadcasts; the target side never shuffles. The
+    synthetic lineitem repeats (orderkey, linenumber) pairs, so both sides
+    first aggregate to the unique composite key — the same compaction-
+    before-merge precondition the reference enforces."""
+    from .operators.merge import merge_upsert
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    base = li.filter(F.col("l_linenumber") <= 4)
+    changes = (
+        li.filter(F.col("l_linenumber") == 2)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.lit("UPDATE").alias("kind"),
+            (F.col("qty") + 100).alias("qty"),
+        )
+        .unionByName(
+            li.filter(F.col("l_linenumber") == 3).select(
+                "l_orderkey",
+                "l_linenumber",
+                F.lit("DELETE").alias("kind"),
+                F.lit(None).cast("double").alias("qty"),
+            )
+        )
+        .unionByName(
+            li.filter(F.col("l_linenumber") >= 5).select(
+                "l_orderkey", "l_linenumber", F.lit("INSERT").alias("kind"), "qty"
+            )
+        )
+    )
+    return merge_upsert(base, changes, ["l_orderkey", "l_linenumber"], ["qty"])
+
+
+@register(
+    "streaming_tx_assemble",
+    oracle="""
+WITH change_log AS (
+  SELECT CAST(floor(event_id / 50) AS BIGINT) AS lsn, event_id AS seq FROM events
+  WHERE CAST(floor(event_id / 50) AS BIGINT) < 400
+)
+SELECT lsn AS xid, lsn, count(*) AS n_actions,
+       min(seq) AS first_seq, max(seq) AS last_seq
+FROM change_log GROUP BY lsn
+""",
+)
+def streaming_tx_assemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 as STATEFUL streaming: transactions deliberately split across two
+    micro-batches (BEGIN + first-half DML in batch 1, rest + COMMIT in
+    batch 2, maxFilesPerTrigger=1) and assembled with
+    applyInPandasWithState — buffered state survives the batch boundary and
+    each transaction is emitted exactly once on COMMIT, the reference's
+    Accumulator contract (message_accumulator.go:42-202). The oracle
+    aggregates the same transactions directly. Bounded to one
+    reference-sized micro-batch of transactions (~20k actions,
+    config.go:49) — the property under test is cross-batch state, not
+    volume."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from .streaming.accumulator import MESSAGE_SCHEMA, assemble_transactions_stateful
+
+    log = (
+        events_as_change_log(read_table(spark, sf_dir, "events"))
+        .filter(F.col("lsn") < 400)
+        .select("lsn", "seq")
+    )
+    per_tx = Window.partitionBy("lsn")
+    bounds = log.select(
+        "lsn", "seq", F.min("seq").over(per_tx).alias("min_seq"), F.max("seq").over(per_tx).alias("max_seq")
+    )
+    dml = bounds.select(
+        F.col("lsn").alias("xid"),
+        F.col("seq"),
+        F.lit("INSERT").alias("msg_type"),
+        F.lit(None).cast("bigint").alias("lsn"),
+        F.lit("users").alias("tbl"),
+        (F.col("seq") < (F.col("min_seq") + 25)).alias("_first_half"),
+    )
+    begins = bounds.groupBy(F.col("lsn").alias("xid")).agg(F.min("seq").alias("min_seq")).select(
+        "xid",
+        (F.col("min_seq") - 1).alias("seq"),
+        F.lit("BEGIN").alias("msg_type"),
+        F.lit(None).cast("bigint").alias("lsn"),
+        F.lit("users").alias("tbl"),
+        F.lit(True).alias("_first_half"),
+    )
+    commits = bounds.groupBy(F.col("lsn").alias("xid")).agg(F.max("seq").alias("max_seq")).select(
+        "xid",
+        (F.col("max_seq") + 1).alias("seq"),
+        F.lit("COMMIT").alias("msg_type"),
+        F.col("xid").alias("lsn"),
+        F.lit("users").alias("tbl"),
+        F.lit(False).alias("_first_half"),
+    )
+    messages = dml.unionByName(begins).unionByName(commits)
+
+    # two causal groups -> two micro-batches: BEGIN + first-half DML, then
+    # second-half DML + COMMIT. coalesce(1) pins each group to exactly ONE
+    # part file (single partition), so within-group file splits — which
+    # could reorder a DML before its BEGIN — cannot occur; order across the
+    # two files is fixed by mtime.
+    src = tempfile.mkdtemp(prefix="tx_msgs_")
+    for i, first in enumerate([True, False]):
+        part_dir = tempfile.mkdtemp(prefix=f"tx_half{i}_")
+        messages.filter(F.col("_first_half") == first).drop("_first_half").coalesce(
+            1
+        ).write.mode("overwrite").json(part_dir)
+        (part,) = glob.glob(os.path.join(part_dir, "part-*.json"))
+        dst = os.path.join(src, f"batch_{i:03d}.json")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))  # deterministic batch order
+
+    stream = (
+        spark.readStream.schema(MESSAGE_SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    )
+    assembled = assemble_transactions_stateful(stream)
+    sink = f"tx_assemble_{uuid.uuid4().hex[:8]}"
+    q = (
+        assembled.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="tx_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -262,8 +262,11 @@ def csv_chunk_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     out = tempfile.mkdtemp(prefix="csv_chunks_")
-    spark.conf.set("spark.sql.files.maxRecordsPerFile", "500")
-    docs.write.mode("overwrite").option("header", True).option("escape", '"').csv(out)
+    # per-writer option, NOT the session conf — a session-level
+    # maxRecordsPerFile would leak into every later writer in the session
+    docs.write.mode("overwrite").option("maxRecordsPerFile", "500").option(
+        "header", True
+    ).option("escape", '"').csv(out)
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
