@@ -359,5 +359,6 @@ def publication_set_equality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on import
 from . import queries_analytics  # noqa: E402,F401
 from . import queries_flagged  # noqa: E402,F401
+from . import queries_joins  # noqa: E402,F401
 from . import queries_misc  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401

@@ -398,28 +398,39 @@ def streaming_tx_assemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # could reorder a DML before its BEGIN — cannot occur; order across the
     # two files is fixed by mtime.
     src = tempfile.mkdtemp(prefix="tx_msgs_")
-    for i, first in enumerate([True, False]):
-        part_dir = tempfile.mkdtemp(prefix=f"tx_half{i}_")
-        messages.filter(F.col("_first_half") == first).drop("_first_half").coalesce(
-            1
-        ).write.mode("overwrite").json(part_dir)
-        (part,) = glob.glob(os.path.join(part_dir, "part-*.json"))
-        dst = os.path.join(src, f"batch_{i:03d}.json")
-        shutil.move(part, dst)
-        os.utime(dst, (1_000_000 + i, 1_000_000 + i))  # deterministic batch order
+    messages.persist()  # both half-writes consume the same window chain
+    try:
+        for i, first in enumerate([True, False]):
+            part_dir = tempfile.mkdtemp(prefix=f"tx_half{i}_")
+            messages.filter(F.col("_first_half") == first).drop("_first_half").coalesce(
+                1
+            ).write.mode("overwrite").json(part_dir)
+            (part,) = glob.glob(os.path.join(part_dir, "part-*.json"))
+            dst = os.path.join(src, f"batch_{i:03d}.json")
+            shutil.move(part, dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))  # deterministic batch order
+    finally:
+        messages.unpersist()
 
     stream = (
         spark.readStream.schema(MESSAGE_SCHEMA).option("maxFilesPerTrigger", 1).json(src)
     )
     assembled = assemble_transactions_stateful(stream)
     sink = f"tx_assemble_{uuid.uuid4().hex[:8]}"
-    q = (
-        assembled.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="tx_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store partition count is pinned by the conf at query start; a
+    # few hundred tx keys need nowhere near the batch default of 32
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            assembled.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="tx_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink)

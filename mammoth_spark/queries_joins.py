@@ -1,0 +1,168 @@
+"""Join & scan-heavy analytics queries exercising the scale patterns the
+engine relies on: broadcast dimension joins, skew-salted joins, bucketed
+co-located joins, and wide-scan aggregation with pushdown.
+
+The reference implements no joins (SURVEY §2 Table B) — these are the
+Spark-native capabilities a user gets on top of the CDC core, expressed in
+the physical shapes that survive 100 TB: dims broadcast, facts never
+shuffle more than once, hot keys salt across reducers, and repeated
+co-located joins amortize their shuffle through bucketing.
+
+All money aggregates are per-row floored to integer cents BEFORE summing
+(`floor(x * 100)` is deterministic on identical doubles; summing floats
+is not order-stable), so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import read_table
+from .registry import register
+
+_CENTS = "CAST(floor({expr} * 100) AS BIGINT)"
+
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum({_CENTS.format(expr="l_extendedprice")}) AS sum_base_cents,
+       sum({_CENTS.format(expr="l_extendedprice * (1 - l_discount)")}) AS sum_disc_cents,
+       sum({_CENTS.format(expr="l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS sum_charge_cents
+FROM lineitem
+WHERE l_quantity < 45
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: one wide scan with the predicate
+    pushed to parquet, one hash aggregation with map-side combine. The
+    canonical 'is the scan path right' probe: at 100 TB this query is
+    IO-bound and everything else must disappear into the scan."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 45)
+    cents = lambda c: F.floor(c * 100).cast("bigint")  # noqa: E731
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+        F.sum(cents(disc)).alias("sum_disc_cents"),
+        F.sum(cents(disc * (1 + F.col("l_tax")))).alias("sum_charge_cents"),
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle=f"""
+SELECT n_name,
+       count(*) AS n_items,
+       sum({_CENTS.format(expr="l.l_extendedprice * (1 - l.l_discount)")}) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+""",
+)
+def revenue_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: the lineitem fact joins three
+    progressively smaller dimensions. Catalyst broadcasts every dim under
+    the 64 MB threshold, so the fact table streams through broadcast hash
+    joins without a single fact-side shuffle — the only exchange is the
+    final small aggregation. Exactly the plan you want when lineitem is
+    the 100 TB side."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+    )
+    revenue = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_items"), F.sum(revenue).alias("revenue_cents")
+    )
+
+
+@register(
+    "salted_join_agg",
+    oracle=f"""
+SELECT o.o_orderstatus,
+       count(*) AS n_items,
+       sum({_CENTS.format(expr="l.l_extendedprice")}) AS price_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def salted_join_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-dim join (plans/layout.salted_join): the fact side
+    spreads each key over 8 salt buckets, the dim side replicates once per
+    salt — a hot key becomes 8 parallel reducer streams instead of one
+    straggler. Result must be IDENTICAL to the plain join (the oracle):
+    salting is a physical rewrite, not a semantic one."""
+    from .plans.layout import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus"
+    )
+    joined = salted_join(li, orders, key="k", salt_buckets=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint")).alias("price_cents"),
+    )
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle=f"""
+SELECT o.o_orderstatus,
+       count(*) AS n_items,
+       sum({_CENTS.format(expr="l.l_extendedprice")}) AS price_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def bucketed_colocated_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join through bucketing: both tables are written
+    bucketed+sorted by the join key (8 buckets), so the sort-merge join
+    reads matching buckets directly — NO exchange and NO sort on either
+    side (asserted in tests/test_plans.py). This is the 'repeated joins on
+    the same key' amortization: pay the layout cost once at write time,
+    join shuffle-free forever after."""
+    for name, tbl, key, cols in [
+        ("bkt_lineitem", "lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice"]),
+        ("bkt_orders", "orders", "o_orderkey", ["o_orderkey", "o_orderstatus"]),
+    ]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            read_table(spark, sf_dir, tbl)
+            .select(*cols)
+            .write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", tempfile.mkdtemp(prefix=f"{name}_"))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    li = spark.table("bkt_lineitem")
+    orders = spark.table("bkt_orders")
+    joined = li.hint("merge").join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint")).alias("price_cents"),
+    )

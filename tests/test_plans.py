@@ -111,3 +111,30 @@ def test_topk_rank_filter_no_global_sort(spark):
     plan = _executed_plan(df)
     assert "rangepartitioning" not in plan.lower(), "no global sort for per-group top-k"
     assert plan.count("Exchange") == 1
+
+
+def test_revenue_by_nation_broadcasts_all_dims(spark):
+    # star join: all three dimensions broadcast; the fact side never
+    # shuffles for a join (the only hash exchange feeds the final agg)
+    df = entry_mod.queries()["revenue_by_nation"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_partitions_on_salt(spark):
+    # the salted join must actually shuffle on (key, salt) — a broadcast
+    # would make the salt inert
+    df = entry_mod.queries()["salted_join_agg"](spark, SF)
+    plan = _executed_plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "_salt" in plan.split("ShuffledHashJoin")[1][:200]
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    # both sides bucketed by the join key: the sort-merge join reads
+    # matching buckets directly; the only exchange feeds the final agg
+    df = entry_mod.queries()["bucketed_colocated_join"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("SortMergeJoin") == 1
+    assert plan.count("Exchange") == 1
