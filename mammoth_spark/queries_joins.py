@@ -166,3 +166,71 @@ def bucketed_colocated_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint")).alias("price_cents"),
     )
+
+
+@register(
+    "partition_pruned_scan",
+    oracle="""
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type
+""",
+)
+def partition_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning: events re-laid-out hive-partitioned by
+    event_type (the write-time clustering a 100 TB event store would use),
+    then scanned with a partition-key predicate — the plan's
+    PartitionFilters prune 3 of 5 directories before any IO (asserted in
+    tests/test_plans.py). Layout cost is paid once; every later query with
+    a type predicate reads only its slice."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="events_by_type_")
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type").isin("purchase", "signup"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_milli"),
+    )
+
+
+@register(
+    "invalid_sequence_detect",
+    oracle="""
+WITH change_log AS (
+  SELECT event_id AS seq, CAST(user_id AS BIGINT) AS key,
+         CASE WHEN event_type = 'signup' THEN 'INSERT'
+              WHEN event_type = 'error' THEN 'DELETE'
+              ELSE 'UPDATE' END AS kind
+  FROM events
+),
+with_prev AS (
+  SELECT key, seq, kind,
+         lag(kind) OVER (PARTITION BY key ORDER BY seq) AS prev_kind
+  FROM change_log
+)
+SELECT key, seq, prev_kind, kind FROM with_prev
+WHERE (prev_kind = 'INSERT' AND kind = 'INSERT')
+   OR (prev_kind = 'UPDATE' AND kind = 'INSERT')
+   OR (prev_kind = 'DELETE' AND kind = 'UPDATE')
+   OR (prev_kind = 'DELETE' AND kind = 'DELETE')
+""",
+)
+def invalid_sequence_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The invalid-pair detector (multi_row_action.go:176-179) run over the
+    RAW events mapping — which, unlike normalized-valid chains, contains
+    (I,I)/(U,I)/(D,U)/(D,D) adjacencies — returning every action pair the
+    reference's Grouper would refuse. One window pass, one shuffle on the
+    row identity; the compaction queries run the same detector implicitly
+    by normalizing first."""
+    from .model import events_as_change_log
+    from .streaming.accumulator import validate_action_sequences
+
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "key", "seq", "kind"
+    )
+    found = validate_action_sequences(log, ["key"])
+    return found.select("key", "seq", "prev_kind", "kind")

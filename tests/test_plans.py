@@ -138,3 +138,12 @@ def test_bucketed_join_is_exchange_free(spark):
     plan = _executed_plan(df)
     assert plan.count("SortMergeJoin") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_partition_pruned_scan_prunes_directories(spark):
+    # the event_type predicate must land in PartitionFilters (directory
+    # pruning), not PushedFilters (row-group filtering)
+    df = entry_mod.queries()["partition_pruned_scan"](spark, SF)
+    plan = _executed_plan(df)
+    part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_type" in part_filters
