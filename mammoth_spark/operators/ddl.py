@@ -109,6 +109,54 @@ def create_table_stmt(relation: Relation, temporary: bool = False, name_override
     return f"{kw} {quote_ident(relation.schema)}.{tbl} ({cols})"
 
 
+def staging_columns(relation: Relation) -> list[tuple[str, str]]:
+    """A13 staging layout as (name, target type) pairs — the scratch-table
+    shape the reference loads (columnDefForLoading,
+    snowflake_target.go:406-450): _IDENTITY_<pk>..., _DELETE_ROW, each
+    value column, then _IS_UNCHANGED_/_IS_NULL_ flags per column."""
+    cols: list[tuple[str, str]] = [
+        (f"_IDENTITY_{c.name}", spark_type_to_target(c.spark_type))
+        for c in relation.columns
+        if c.is_identity
+    ]
+    cols.append(("_DELETE_ROW", "BOOLEAN"))
+    for c in relation.columns:
+        cols.append((c.name, spark_type_to_target(c.spark_type)))
+    for c in relation.columns:
+        cols.append((f"_IS_UNCHANGED_{c.name}", "BOOLEAN"))
+    for c in relation.columns:
+        cols.append((f"_IS_NULL_{c.name}", "BOOLEAN"))
+    return cols
+
+
+def batch_statements(batch: list[tuple[Relation, int]]) -> list[str]:
+    """A15: the statement plan for applying one micro-batch — per table
+    [create temp scratch with the staging layout, one staged upload per
+    chunk, bulk load, MERGE], ALL tables inside one target transaction
+    (the reference wraps multi-table batches in a single Snowflake tx
+    because one PG tx can touch many tables, snowflake_target.go:283-340,
+    statement plan :346-366). ``batch`` pairs each relation with its chunk
+    count (ceil(rows / 20k), :28). Pure codegen — what a SQL-speaking
+    target would be sent; the engine executes the same semantics
+    relationally (operators/merge.py) inside foreachBatch."""
+    stmts = ["BEGIN"]
+    for relation, n_chunks in batch:
+        scratch = f"{relation.name}_SCRATCH"
+        cols = ", ".join(f"{quote_ident(n)} {t}" for n, t in staging_columns(relation))
+        stmts.append(f"CREATE TEMPORARY TABLE {quote_ident(scratch)} ({cols})")
+        for i in range(max(1, n_chunks)):
+            stmts.append(
+                f"PUT file://chunk_{i}.csv @%{quote_ident(scratch)} "
+                "auto_compress=true parallel=30"
+            )
+        stmts.append(
+            f"COPY INTO {quote_ident(scratch)} file_format = (type='CSV' skip_header=1)"
+        )
+        stmts.append(merge_statement(relation, scratch))
+    stmts.append("COMMIT")
+    return stmts
+
+
 def create_table_stmt_from_spark_schema(
     schema_name: str, table: str, struct: T.StructType
 ) -> str:

@@ -81,3 +81,53 @@ def test_merge_statement_composite_pk():
     )
     stmt = merge_statement(rel)
     assert 'ON t."A" = s."_IDENTITY_A" AND t."B" = s."_IDENTITY_B"' in stmt
+
+
+def test_batch_statements_plan():
+    from mammoth_spark.operators.ddl import batch_statements, staging_columns
+
+    items = Relation(
+        schema="public",
+        name="items",
+        columns=(Column("id", "int8", is_identity=True), Column("qty", "int4")),
+    )
+    plan = batch_statements([(USERS, 2), (items, 1)])
+    # one transaction wraps every table (snowflake_target.go:295-297)
+    assert plan[0] == "BEGIN" and plan[-1] == "COMMIT"
+    # per table: create scratch, PUT per chunk, COPY, MERGE — in order
+    users_stmts = [s for s in plan if "USERS" in s]
+    assert users_stmts[0].startswith('CREATE TEMPORARY TABLE "USERS_SCRATCH"')
+    assert sum(1 for s in users_stmts if s.startswith("PUT ")) == 2
+    assert any(s.startswith('COPY INTO "USERS_SCRATCH"') for s in users_stmts)
+    assert users_stmts[-1].startswith('MERGE INTO "PUBLIC"."USERS"')
+    # staging layout: identities first, then _DELETE_ROW, values, flags
+    names = [n for n, _ in staging_columns(USERS)]
+    assert names[0] == "_IDENTITY_id" and names[1] == "_DELETE_ROW"
+    assert "_IS_UNCHANGED_name" in names and "_IS_NULL_tags" in names
+
+
+def test_jdbc_snapshot_options():
+    from mammoth_spark.sources.jdbc import bounds_query, jdbc_snapshot_options
+
+    opts = jdbc_snapshot_options(
+        "jdbc:postgresql://db/app", "public.users", "id", 1, 1_000_000,
+        num_partitions=64, snapshot_name="00000003-0000001B-1",
+    )
+    assert opts["partitionColumn"] == "id"
+    assert opts["lowerBound"] == "1" and opts["upperBound"] == "1000000"
+    assert opts["numPartitions"] == "64"
+    assert opts["fetchsize"] == "10000"
+    # every partition pins the exported snapshot (sync_service.go:176-185)
+    assert "SET TRANSACTION SNAPSHOT '00000003-0000001B-1'" in opts["sessionInitStatement"]
+    assert bounds_query("public.users", "id") == "SELECT min(id), max(id) FROM public.users"
+
+
+def test_jdbc_snapshot_options_validation():
+    import pytest
+
+    from mammoth_spark.sources.jdbc import jdbc_snapshot_options
+
+    with pytest.raises(ValueError):
+        jdbc_snapshot_options("u", "t", "id", 10, 1)
+    with pytest.raises(ValueError):
+        jdbc_snapshot_options("u", "t", "id", 1, 10, num_partitions=0)
