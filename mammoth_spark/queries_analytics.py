@@ -434,3 +434,45 @@ def streaming_tx_assemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink)
+
+
+@register(
+    "session_window_native",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS tns FROM events
+),
+d AS (
+  SELECT user_id, tns,
+         CASE WHEN lag(tns) OVER (PARTITION BY user_id ORDER BY tns) IS NULL
+                OR tns - lag(tns) OVER (PARTITION BY user_id ORDER BY tns) > {_SESSION_GAP_NS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+s AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY tns
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM d
+)
+SELECT user_id, session_id, count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+""",
+)
+def session_window_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (30-min gap) cross-checked
+    against the portable lag+running-sum sessionization SQL — two
+    independent formulations of the same semantics. session_window is the
+    streaming-capable form (state-store backed under a watermark); the
+    oracle's window-function form is what any SQL engine can run. Session
+    ids are ordinal-by-start on both sides."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")).alias("ts_m")
+    )
+    sessions = ev.groupBy(
+        F.session_window("ts_m", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    by_start = Window.partitionBy("user_id").orderBy(F.col("w.start"))
+    return sessions.select(
+        "user_id", F.row_number().over(by_start).alias("session_id"), "n_events"
+    )
