@@ -623,3 +623,34 @@ def jsonl_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("max_seq").alias("sum_max_seq"),
         F.sum("n_deletes").alias("n_deletes"),
     )
+
+
+@register(
+    "orc_roundtrip",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_chars) AS sum_chars,
+       min(md5(text)) AS min_text_md5,
+       max(md5(text)) AS max_text_md5
+FROM documents GROUP BY source
+""",
+)
+def orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format breadth: the documents table staged as ORC (Spark's
+    second columnar native format — the reference supports only CSV,
+    SURVEY §2 Table B) and read back; aggregates over the roundtrip must
+    equal the oracle on the original parquet. Same per-source rollup as
+    csv_chunk_roundtrip, so format fidelity is isolated."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="orc_docs_")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min(F.md5("text")).alias("min_text_md5"),
+        F.max(F.md5("text")).alias("max_text_md5"),
+    )
