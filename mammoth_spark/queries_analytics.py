@@ -476,3 +476,133 @@ def session_window_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.select(
         "user_id", F.row_number().over(by_start).alias("session_id"), "n_events"
     )
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+WITH change_log AS (
+  SELECT CAST(floor(event_id / 50) AS BIGINT) AS lsn,
+         event_id AS seq,
+         CASE WHEN event_type = 'signup' THEN 'INSERT'
+              WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END AS kind,
+         CAST(user_id AS BIGINT) AS key,
+         value
+  FROM events
+),
+norm AS (
+  SELECT key, lsn, seq, value, kind AS orig_kind,
+         row_number() OVER (PARTITION BY key ORDER BY seq) AS rn,
+         count(*) OVER (PARTITION BY key) AS cnt
+  FROM change_log
+),
+valid AS (
+  SELECT key, lsn, seq, value,
+         CASE WHEN rn = 1 THEN 'INSERT'
+              WHEN rn = cnt AND orig_kind = 'DELETE' THEN 'DELETE'
+              ELSE 'UPDATE' END AS kind
+  FROM norm
+),
+agg AS (
+  SELECT key,
+         arg_max(kind, seq) AS last_kind,
+         arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) AS value
+  FROM valid GROUP BY key
+),
+live AS (
+  SELECT key, CAST(floor(value * 10) AS BIGINT) AS bucket
+  FROM agg WHERE last_kind <> 'DELETE'
+)
+SELECT bucket, count(*) AS n_rows FROM live GROUP BY bucket
+""",
+)
+def incremental_agg_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VIEW MAINTENANCE from the change log: a materialized
+    per-bucket row count is maintained across two micro-batches WITHOUT
+    recomputation — each batch is compacted, joined (broadcast) against
+    the maintained base to recover pre-image buckets, and the aggregate is
+    updated by +/- deltas (insert +1 in new bucket, delete -1 in old,
+    update moves -1/+1). The oracle recomputes the final aggregate from
+    scratch over normalized-valid chains; equality proves the delta
+    algebra. This is the CDC engine's payoff capability: downstream
+    aggregates stay fresh at micro-batch latency with work proportional
+    to the CHANGE volume, not the table size. localCheckpoint stands in
+    for the per-batch target write a production run does anyway
+    (ParquetMergeTarget); at cluster scale base and agg ARE tables."""
+    from .operators.compact import compact_last_wins
+    from .operators.merge import merge_upsert
+
+    raw = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "lsn", "seq", "key", "kind", "value"
+    )
+    # normalize to valid chains over the WHOLE log (the invariant real WAL
+    # provides; raw fixture kinds are event types, not true WAL ops)
+    w = Window.partitionBy("key").orderBy("seq")
+    wall = Window.partitionBy("key")
+    log = raw.select(
+        "lsn",
+        "seq",
+        "key",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+        "kind",
+    ).select(
+        "lsn",
+        "seq",
+        "key",
+        "value",
+        F.when(F.col("rn") == 1, F.lit("INSERT"))
+        .when((F.col("rn") == F.col("cnt")) & (F.col("kind") == "DELETE"), F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("kind"),
+    )
+    bucket_of = lambda c: F.floor(c * 10).cast("bigint")  # noqa: E731
+
+    base = None  # maintained base table: key -> value
+    agg = None  # maintained aggregate: bucket -> n_rows
+    for lo, hi in [(0, 1000), (1000, 1 << 62)]:
+        batch = log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        net = compact_last_wins(batch, ["key"], ["value"]).select("key", "kind", "value")
+        if base is None:
+            # bootstrap: first batch IS the initial state
+            base = net.filter(F.col("kind") != "DELETE").select("key", "value")
+            agg = base.groupBy(bucket_of(F.col("value")).alias("bucket")).agg(
+                F.count(F.lit(1)).alias("n_rows")
+            )
+            base = base.localCheckpoint()
+            agg = agg.localCheckpoint()
+            continue
+        # pre-image lookup: broadcast the compacted change set at the base
+        pre = net.alias("c").join(
+            base.alias("b").withColumnRenamed("value", "old_value"), on="key", how="left"
+        )
+        # delta per bucket: -1 for vacated pre-image, +1 for occupied post-image
+        minus = (
+            pre.filter(F.col("old_value").isNotNull())
+            .select(bucket_of(F.col("old_value")).alias("bucket"))
+            .groupBy("bucket")
+            .agg((-F.count(F.lit(1))).alias("d"))
+        )
+        plus = (
+            pre.filter(F.col("kind") != "DELETE")
+            .select(bucket_of(F.col("c.value")).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        deltas = minus.unionByName(plus).groupBy("bucket").agg(F.sum("d").alias("d"))
+        agg = (
+            agg.alias("a")
+            .join(F.broadcast(deltas.alias("d")), on="bucket", how="full_outer")
+            .select(
+                "bucket",
+                (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0))).alias(
+                    "n_rows"
+                ),
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        # maintain the base for the next batch's pre-image lookups
+        base = merge_upsert(base, net, ["key"], ["value"]).localCheckpoint()
+        agg = agg.localCheckpoint()
+    return agg
