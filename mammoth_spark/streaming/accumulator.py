@@ -76,6 +76,11 @@ def _assemble(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
         for row in pdf.sort_values("seq").itertuples(index=False):
             if row.msg_type == "BEGIN":
                 began = True
+            elif row.msg_type == "TRUNCATE":
+                # the reference refuses truncate outright — it cannot be
+                # expressed as keyed row changes (message_accumulator.go's
+                # truncate branch); full re-sync is the recovery
+                raise RuntimeError(f"tx {xid}: TRUNCATE is not replicable (re-sync required)")
             elif row.msg_type in _DML:
                 if not began:
                     # message_accumulator.go: DML before BEGIN is a lost-

@@ -234,3 +234,43 @@ def test_validate_action_sequences(spark):
     assert validate_action_sequences(ok, ["key"]).count() == 0
     bad = spark.createDataFrame([("a", 1, "INSERT"), ("a", 2, "INSERT")], schema)
     assert validate_action_sequences(bad, ["key"]).count() == 1
+
+
+def test_truncate_message_rejected(spark, tmp_path):
+    # TRUNCATE cannot be expressed as keyed row changes; the accumulator
+    # hard-errors like the reference's truncate branch
+    import json
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from mammoth_spark.streaming.accumulator import (
+        MESSAGE_SCHEMA,
+        assemble_transactions_stateful,
+    )
+
+    src = tmp_path / "msgs"
+    src.mkdir()
+    rows = [
+        {"xid": 1, "seq": 1, "msg_type": "BEGIN", "lsn": None, "tbl": "users"},
+        {"xid": 1, "seq": 2, "msg_type": "TRUNCATE", "lsn": None, "tbl": "users"},
+        {"xid": 1, "seq": 3, "msg_type": "COMMIT", "lsn": 10, "tbl": "users"},
+    ]
+    with open(src / "b.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(MESSAGE_SCHEMA).json(str(src))
+    q = (
+        assemble_transactions_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("trunc_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest
+
+    with pytest.raises(StreamingQueryException, match="TRUNCATE"):
+        q.awaitTermination()
+        if q.exception() is not None:
+            raise q.exception()
