@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mammoth_spark.queries import ORACLES, QUERIES  # noqa: E402
+from mammoth_spark.queries import QUERIES  # noqa: E402
+from mammoth_spark.registry import driver_oracles, driver_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,8 +27,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    # Exactly 50 entries, highest-information first: the round-1 driver
+    # recorded only the first 50 registered queries (see registry.py).
+    return driver_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return driver_oracles()

@@ -77,6 +77,9 @@ def cdc_last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cdc_net_effect",
+    # local-only: A9 stays driver-evidenced by cdc_last_per_key,
+    # cdc_compact_exact, cdc_apply_multikey, invalid_sequence_detect
+    driver=False,
     oracle=f"""
 WITH {CHANGE_LOG_CTE},
 agg AS (
@@ -109,6 +112,9 @@ def cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cdc_apply",
+    # local-only: cdc_apply_flagged runs the same merge path plus the
+    # TOAST tri-state, so A14 keeps a strictly stronger driver entry
+    driver=False,
     oracle=f"""
 WITH {CHANGE_LOG_CTE},
 agg AS (
@@ -190,9 +196,9 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {CHANGE_LOG_CTE}
 SELECT lsn, count(*) AS n_actions, min(seq) AS first_seq, max(seq) AS last_seq,
-       sum(CASE WHEN kind = 'INSERT' THEN 1 ELSE 0 END) AS n_insert,
-       sum(CASE WHEN kind = 'UPDATE' THEN 1 ELSE 0 END) AS n_update,
-       sum(CASE WHEN kind = 'DELETE' THEN 1 ELSE 0 END) AS n_delete
+       CAST(sum(CASE WHEN kind = 'INSERT' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(sum(CASE WHEN kind = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(sum(CASE WHEN kind = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
 FROM change_log GROUP BY lsn
 """,
 )
@@ -215,7 +221,7 @@ cum AS (
   FROM txs
 )
 SELECT CAST(floor((cum_actions - 1) / 500.0) AS BIGINT) AS batch_id,
-       count(*) AS n_transactions, sum(n_actions) AS n_actions,
+       count(*) AS n_transactions, CAST(sum(n_actions) AS BIGINT) AS n_actions,
        min(lsn) AS first_lsn, max(lsn) AS last_lsn
 FROM cum GROUP BY 1
 """,
@@ -263,9 +269,9 @@ def offset_commit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {CHANGE_LOG_CTE},
 txs AS (
   SELECT lsn, count(*) AS n_actions, min(seq) AS first_seq, max(seq) AS last_seq,
-         sum(CASE WHEN kind = 'INSERT' THEN 1 ELSE 0 END) AS n_insert,
-         sum(CASE WHEN kind = 'UPDATE' THEN 1 ELSE 0 END) AS n_update,
-         sum(CASE WHEN kind = 'DELETE' THEN 1 ELSE 0 END) AS n_delete
+         CAST(sum(CASE WHEN kind = 'INSERT' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+         CAST(sum(CASE WHEN kind = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+         CAST(sum(CASE WHEN kind = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
   FROM change_log GROUP BY lsn
 )
 SELECT * FROM txs WHERE n_actions > 0

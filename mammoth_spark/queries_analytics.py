@@ -46,7 +46,7 @@ SELECT CAST(floor(epoch_ns(ts) / {_HOUR_NS}.0) AS BIGINT) AS hour_idx,
        event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
 FROM events
 GROUP BY 1, 2
 """,
@@ -90,7 +90,7 @@ s AS (
 sess AS (
   SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2
 )
-SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
+SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
        max(n) AS max_session_events
 FROM sess GROUP BY user_id
 """,
@@ -166,7 +166,7 @@ def asof_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
@@ -184,6 +184,9 @@ def orders_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "topk_orders_per_status",
+    # local-only: generic window-rank pattern, no SURVEY §2 op maps to it;
+    # the rank/window machinery stays driver-checked via session queries
+    driver=False,
     oracle="""
 SELECT o_orderkey, o_orderstatus, rnk FROM (
   SELECT o_orderkey, o_orderstatus,
@@ -213,7 +216,7 @@ def topk_orders_per_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(floor(epoch_ns(ts) / {_HOUR_NS}.0) AS BIGINT) AS hour_idx,
        event_type,
        count(*) AS n_events,
-       sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
 FROM events
 GROUP BY 1, 2
 """,
@@ -451,8 +454,8 @@ d AS (
 ),
 s AS (
   SELECT user_id,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY tns
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tns
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM d
 )
 SELECT user_id, session_id, count(*) AS n_events

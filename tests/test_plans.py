@@ -5,7 +5,8 @@ side is known-small, and whole-stage codegen coverage."""
 
 import pytest
 
-import __spark_entry__ as entry_mod
+import __spark_entry__ as entry_mod  # noqa: F401
+from mammoth_spark.registry import QUERIES as ALL_QUERIES
 
 SF = "/root/testdata/sf0.001"
 
@@ -19,7 +20,7 @@ def _optimized(df):
 
 
 def test_snapshot_scan_pushdown(spark):
-    df = entry_mod.queries()["snapshot_scan"](spark, SF)
+    df = ALL_QUERIES["snapshot_scan"](spark, SF)
     plan = _executed_plan(df)
     # predicate reaches the parquet reader...
     assert "PushedFilters: [" in plan
@@ -34,13 +35,13 @@ def test_minhash_signatures_has_no_keyed_shuffle(spark):
     # the only allowed exchange is the deliberate round-robin repartition
     # that spreads CPU-bound shingling (plans/layout.py); no data-dependent
     # hashpartitioning may appear — signatures are pure per-row expressions.
-    df = entry_mod.queries()["minhash_signatures"](spark, SF)
+    df = ALL_QUERIES["minhash_signatures"](spark, SF)
     plan = _executed_plan(df)
     assert "hashpartitioning" not in plan, "narrow minhash must not key-shuffle"
 
 
 def test_simhash_has_no_keyed_shuffle(spark):
-    df = entry_mod.queries()["dedup_simhash"](spark, SF)
+    df = ALL_QUERIES["dedup_simhash"](spark, SF)
     plan = _executed_plan(df)
     assert "hashpartitioning" not in plan, "narrow simhash must not key-shuffle"
 
@@ -49,7 +50,7 @@ def test_cdc_apply_broadcasts_change_side(spark):
     # MERGE decomposes into broadcast left-outer + broadcast anti
     # (operators/merge.py): both joins broadcast the small change side and
     # the big target table must never sort-merge.
-    df = entry_mod.queries()["cdc_apply"](spark, SF)
+    df = ALL_QUERIES["cdc_apply"](spark, SF)
     plan = _executed_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
@@ -59,7 +60,7 @@ def test_cdc_last_per_key_partial_aggregates(spark):
     # max_by compaction must combine map-side (partial_max_by) so the
     # shuffle carries one row per key per task, with exactly one exchange
     # and no Window (a window would sort without partial aggregation).
-    df = entry_mod.queries()["cdc_last_per_key"](spark, SF)
+    df = ALL_QUERIES["cdc_last_per_key"](spark, SF)
     plan = _executed_plan(df)
     assert "partial_max_by" in plan
     assert "Window" not in plan
@@ -68,7 +69,7 @@ def test_cdc_last_per_key_partial_aggregates(spark):
 
 @pytest.mark.parametrize("name", ["token_count", "quality_score", "lang_id"])
 def test_text_analysis_stays_in_codegen(spark, name):
-    df = entry_mod.queries()[name](spark, SF)
+    df = ALL_QUERIES[name](spark, SF)
     plan = _executed_plan(df)
     # whole-stage codegen spans print as "*(n)" in the physical plan
     assert "*(" in plan
@@ -80,7 +81,7 @@ def test_text_analysis_stays_in_codegen(spark, name):
 def test_events_mapping_prunes_unused_columns(spark):
     # tx_assemble only needs (event_id, user_id, event_type); the scan
     # must not read text-heavy props unless referenced.
-    df = entry_mod.queries()["tx_assemble"](spark, SF)
+    df = ALL_QUERIES["tx_assemble"](spark, SF)
     plan = _executed_plan(df)
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "event_id" in read_schema
@@ -89,7 +90,7 @@ def test_events_mapping_prunes_unused_columns(spark):
 def test_asof_join_single_shuffle(spark):
     # the as-of join is the union+window pattern (operators/asof.py): ONE
     # exchange on the join key, no inequality join, no broadcast
-    df = entry_mod.queries()["asof_attribution"](spark, SF)
+    df = ALL_QUERIES["asof_attribution"](spark, SF)
     plan = _executed_plan(df)
     assert plan.count("Exchange") == 1, "as-of join must shuffle exactly once"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
@@ -98,7 +99,7 @@ def test_asof_join_single_shuffle(spark):
 def test_orders_rollup_single_pass(spark):
     # ROLLUP expands grouping sets inside one aggregate: one Expand node,
     # one exchange — never a union of re-scans
-    df = entry_mod.queries()["orders_rollup"](spark, SF)
+    df = ALL_QUERIES["orders_rollup"](spark, SF)
     plan = _executed_plan(df)
     assert plan.count("Expand") == 1
     assert plan.count("Exchange") == 1
@@ -107,7 +108,7 @@ def test_orders_rollup_single_pass(spark):
 def test_topk_rank_filter_no_global_sort(spark):
     # top-k per group sorts within partitions after one keyed exchange; a
     # global ordering of the whole table must not appear
-    df = entry_mod.queries()["topk_orders_per_status"](spark, SF)
+    df = ALL_QUERIES["topk_orders_per_status"](spark, SF)
     plan = _executed_plan(df)
     assert "rangepartitioning" not in plan.lower(), "no global sort for per-group top-k"
     assert plan.count("Exchange") == 1
@@ -116,7 +117,7 @@ def test_topk_rank_filter_no_global_sort(spark):
 def test_revenue_by_nation_broadcasts_all_dims(spark):
     # star join: all three dimensions broadcast; the fact side never
     # shuffles for a join (the only hash exchange feeds the final agg)
-    df = entry_mod.queries()["revenue_by_nation"](spark, SF)
+    df = ALL_QUERIES["revenue_by_nation"](spark, SF)
     plan = _executed_plan(df)
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
@@ -125,7 +126,7 @@ def test_revenue_by_nation_broadcasts_all_dims(spark):
 def test_salted_join_partitions_on_salt(spark):
     # the salted join must actually shuffle on (key, salt) — a broadcast
     # would make the salt inert
-    df = entry_mod.queries()["salted_join_agg"](spark, SF)
+    df = ALL_QUERIES["salted_join_agg"](spark, SF)
     plan = _executed_plan(df)
     assert "ShuffledHashJoin" in plan
     assert "_salt" in plan.split("ShuffledHashJoin")[1][:200]
@@ -134,7 +135,7 @@ def test_salted_join_partitions_on_salt(spark):
 def test_bucketed_join_is_exchange_free(spark):
     # both sides bucketed by the join key: the sort-merge join reads
     # matching buckets directly; the only exchange feeds the final agg
-    df = entry_mod.queries()["bucketed_colocated_join"](spark, SF)
+    df = ALL_QUERIES["bucketed_colocated_join"](spark, SF)
     plan = _executed_plan(df)
     assert plan.count("SortMergeJoin") == 1
     assert plan.count("Exchange") == 1
@@ -143,7 +144,7 @@ def test_bucketed_join_is_exchange_free(spark):
 def test_partition_pruned_scan_prunes_directories(spark):
     # the event_type predicate must land in PartitionFilters (directory
     # pruning), not PushedFilters (row-group filtering)
-    df = entry_mod.queries()["partition_pruned_scan"](spark, SF)
+    df = ALL_QUERIES["partition_pruned_scan"](spark, SF)
     plan = _executed_plan(df)
     part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "event_type" in part_filters
