@@ -88,15 +88,48 @@ def media_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_features")  # no oracle: mapInPandas feature extraction is
-# not SQL-expressible (md5-digest-seeded floats); driver records rows-only
+@register(
+    "media_features",
+    # The fake extractor is fully md5-deterministic, so the oracle mirrors
+    # it in pure SQL: content_hash is md5 of the utf-8 text bytes, and
+    # feat0_byte re-derives digest byte 0 from the hex string (strpos-based
+    # hex parse) — matching the byte reconstructed from the float32
+    # feature on the Spark side proves the features come from the digest.
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS content_hash
+  FROM documents
+)
+SELECT media_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes, content_hash,
+       CAST(8 AS INTEGER) AS feature_dim,
+       CAST((strpos('0123456789abcdef', substr(content_hash, 1, 1)) - 1) * 16
+            + strpos('0123456789abcdef', substr(content_hash, 2, 1)) - 1
+            AS BIGINT) AS feat0_byte
+FROM media
+""",
+)
 def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature path: binary content through Arrow-batched
     mapInPandas with the deterministic fake extractor (real codecs are
-    stubbed in this environment — see functions/multimodal.py)."""
+    stubbed in this environment — see functions/multimodal.py).
+
+    ``feat0_byte`` inverts the extractor's float mapping
+    ``f = (b/255)*2 - 1`` back to the first md5 digest byte; float32
+    round-trip error (~1e-7 relative) cannot move round() off the integer,
+    so the check is exact."""
     media = documents_as_media(read_table(spark, sf_dir, "documents"))
-    return extract_features(media).select(
-        "media_id", "media_type", "n_bytes", "content_hash", F.size("feature").alias("feature_dim")
+    feats = extract_features(media)
+    feat0 = F.element_at("feature", 1)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "content_hash",
+        F.size("feature").alias("feature_dim"),
+        F.round((feat0 + 1) / 2 * 255).cast("bigint").alias("feat0_byte"),
     )
 
 
