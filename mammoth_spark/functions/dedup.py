@@ -126,17 +126,75 @@ def _band_cols() -> list[Column]:
     return cols
 
 
+def _bounded_bucket_pairs(
+    rows: DataFrame, bucket_cols: list[str], id_col: str, max_bucket_size: int | None
+) -> DataFrame:
+    """Candidate pairs within buckets, with the per-bucket blow-up bounded.
+
+    Buckets of n rows enumerate all n(n-1)/2 pairs ONLY while
+    n <= max_bucket_size; an oversized bucket (a mega-cluster of
+    near-identical boilerplate at corpus scale — 10^6 copies would mean
+    10^12 pairs) instead emits a STAR: every member pairs with the
+    bucket's canonical (min-id) row, n-1 pairs, preserving cluster
+    connectivity (every member still reaches the canonical, so transitive
+    duplicate groups survive) while the pair count stays linear.
+
+    One window pass annotates (size, canonical) per bucket; the window's
+    hash partitioning on the bucket key is exactly the self-join's key, so
+    the annotation adds no extra exchange on the join's probe side.
+    ``max_bucket_size=None`` disables the bound (exact pair semantics).
+    """
+    if max_bucket_size is None:
+        a, b = rows.alias("a"), rows.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for c in bucket_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return (
+            a.join(b, cond)
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .distinct()
+        )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    ann = rows.select(
+        F.col(id_col),
+        *bucket_cols,
+        F.count(F.lit(1)).over(w).alias("_bn"),
+        F.min(id_col).over(w).alias("_canon"),
+    )
+    small = ann.filter(F.col("_bn") <= max_bucket_size)
+    a, b = small.alias("a"), small.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    small_pairs = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+    large_pairs = (
+        ann.filter(F.col("_bn") > max_bucket_size)
+        .filter(F.col(id_col) != F.col("_canon"))
+        .select(F.col("_canon").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return small_pairs.unionByName(large_pairs).distinct()
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.2,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
 
     Stage 1: signatures — narrow per-row expressions, no shuffle.
     Stage 2: band bucket join — docs sharing ANY band become candidates
-    (union over bands, distinct). Stage 3: exact Jaccard on shingle sets
+    (union over bands, distinct), with per-bucket pair enumeration bounded
+    by ``max_bucket_size`` (oversized buckets emit star pairs to their
+    canonical member instead of the quadratic product — see
+    ``_bounded_bucket_pairs``). Stage 3: exact Jaccard on shingle sets
     for candidates only. The all-pairs product never materializes; at
     100 TB the band keys are the partition keys and AQE handles residual
     bucket skew. The shingle frame is computed ONCE and persisted
@@ -154,17 +212,7 @@ def dedup_minhash_lsh(
             args=", ".join(f"{b}, band_{b}" for b in range(LSH_BANDS)),
         ),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    cand = _bounded_bucket_pairs(bands, ["band_idx", "band"], id_col, max_bucket_size)
     shingles = base.withColumnRenamed("sh", "shingles")
     pairs = (
         cand.join(shingles.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")

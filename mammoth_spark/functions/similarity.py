@@ -63,27 +63,40 @@ def cosine_pairs_bucketed(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.3,
+    max_bucket_size: int | None = 512,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within sign buckets."""
+    """Embedding-cosine near-duplicate pairs within sign buckets.
+
+    Pair enumeration per bucket is bounded by ``max_bucket_size``: a dense
+    embedding region whose bucket exceeds the cap emits star pairs to the
+    bucket's canonical (min-id) vector instead of the quadratic product
+    (``functions.dedup._bounded_bucket_pairs``), so one hot bucket cannot
+    blow up the join at corpus scale. Candidates then score cosine and
+    filter on the threshold as before."""
+    from .dedup import _bounded_bucket_pairs
+
     v = with_norm_and_bucket(df, emb_col).select(
         F.col(id_col), F.col(emb_col), "_norm", "_bucket"
     )
-    a, b = v.alias("a"), v.alias("b")
-    cos = dot(_as_double(F.col(f"a.{emb_col}")), _as_double(F.col(f"b.{emb_col}"))) / (
-        F.col("a._norm") * F.col("b._norm")
+    cand = _bounded_bucket_pairs(v.select(F.col(id_col), "_bucket"), ["_bucket"], id_col, max_bucket_size)
+    a = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("_emb_a"),
+        F.col("_norm").alias("_norm_a"),
+        F.col("_bucket").alias("bucket"),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("_emb_b"),
+        F.col("_norm").alias("_norm_b"),
+    )
+    cos = dot(_as_double(F.col("_emb_a")), _as_double(F.col("_emb_b"))) / (
+        F.col("_norm_a") * F.col("_norm_b")
     )
     return (
-        a.join(
-            b,
-            (F.col("a._bucket") == F.col("b._bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._bucket").alias("bucket"),
-            round6(cos).alias("cos_sim"),
-        )
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", "bucket", round6(cos).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

@@ -6,6 +6,7 @@ side is known-small, and whole-stage codegen coverage."""
 import pytest
 
 import __spark_entry__ as entry_mod  # noqa: F401
+from pyspark.sql import functions as F
 from mammoth_spark.registry import QUERIES as ALL_QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -148,3 +149,50 @@ def test_partition_pruned_scan_prunes_directories(spark):
     plan = _executed_plan(df)
     part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "event_type" in part_filters
+
+
+def test_lsh_mega_cluster_pairs_stay_linear(spark):
+    # VERDICT r1 scale caveat: a mega-cluster of near-identical docs (10^6
+    # copies at corpus scale) must NOT enumerate the quadratic per-bucket
+    # product. With 1000 identical docs the bounded path emits the 999
+    # star pairs to the canonical doc, not ~499,500.
+    from mammoth_spark.functions.dedup import dedup_minhash_lsh
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate paragraph repeated across the corpus").alias("text"),
+    )
+    pairs = dedup_minhash_lsh(docs)
+    assert pairs.count() == 999
+    assert pairs.filter((F.col("id_a") == 0) & (F.col("jaccard") == 1.0)).count() == 999
+
+
+def test_cosine_mega_bucket_pairs_stay_linear(spark):
+    # same bound for the sign-bucket cosine join: 1000 identical vectors
+    # in one bucket emit 999 star pairs, not the quadratic product
+    from mammoth_spark.functions.similarity import cosine_pairs_bucketed
+
+    vecs = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in [0.5, -0.25, 0.125, 0.75, -0.5, 0.3, -0.1, 0.2]]).alias(
+            "embedding"
+        ),
+    )
+    pairs = cosine_pairs_bucketed(vecs)
+    assert pairs.count() == 999
+    assert pairs.filter(F.col("id_a") == 0).count() == 999
+
+
+def test_small_bucket_pairs_stay_exact(spark):
+    # under the cap the bounded path must be pair-for-pair identical to
+    # the exact enumeration (the driver oracle mirrors exact semantics)
+    from mammoth_spark.functions.dedup import _bounded_bucket_pairs
+
+    rows = spark.range(40).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).alias("bucket")
+    )
+    bounded = _bounded_bucket_pairs(rows, ["bucket"], "doc_id", 64)
+    exact = _bounded_bucket_pairs(rows, ["bucket"], "doc_id", None)
+    assert bounded.exceptAll(exact).count() == 0
+    assert exact.exceptAll(bounded).count() == 0
+    assert exact.count() == 4 * (10 * 9 // 2)
