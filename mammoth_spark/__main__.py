@@ -54,36 +54,47 @@ def cmd_run(args: argparse.Namespace) -> int:
         )
 
     targets = {t.split(".")[-1]: make_target(t.split(".")[-1]) for t in cfg.sync.tables}
+    checkpoint_dir = os.path.join(cfg.target.root_dir, "_checkpoint")
 
-    def backfill() -> None:
-        # fresh snapshot into each target (A1/A11/A12); with no snapshot
-        # source configured, initialize empty — incremental changes rebuild
+    def _snapshot_df(tbl: str):
+        if cfg.source.snapshot_dir:
+            return spark.read.parquet(os.path.join(cfg.source.snapshot_dir, tbl))
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [T.StructField(key_col, T.StringType())]
+                + [T.StructField(c, T.StringType()) for c in value_cols]
+            ),
+        )
+
+    def backfill(only_uninitialized: bool = False) -> None:
+        # A full resync (drift restart, supervisor.go:31-83 drop-slot
+        # semantics) must ALSO clear the stream checkpoint: resetting a
+        # target while the checkpoint survives would mean already-processed
+        # change-log files are never replayed and their data is silently
+        # lost. Startup instead initializes ONLY uninitialized targets and
+        # keeps both the checkpoint and the already-applied state.
+        if not only_uninitialized:
+            import shutil
+
+            shutil.rmtree(checkpoint_dir, ignore_errors=True)
         for tbl, target in targets.items():
-            if cfg.source.snapshot_dir:
-                df = spark.read.parquet(os.path.join(cfg.source.snapshot_dir, tbl))
-            else:
-                df = spark.createDataFrame(
-                    [],
-                    T.StructType(
-                        [T.StructField(key_col, T.StringType())]
-                        + [T.StructField(c, T.StringType()) for c in value_cols]
-                    ),
-                )
-            target.initialize(df)
+            if only_uninitialized and target.current_version() is not None:
+                continue
+            target.initialize(_snapshot_df(tbl))
 
     def make_pipeline() -> ChangeLogPipeline:
         return ChangeLogPipeline(
             spark,
             cfg.source.change_log_dir,
-            os.path.join(cfg.target.root_dir, "_checkpoint"),
+            checkpoint_dir,
             targets,
             value_cols,
             max_files_per_trigger=max(1, cfg.sync.batch_max_items // 1000),
         )
 
-    uninitialized = any(t.current_version() is None for t in targets.values())
-    if uninitialized:
-        backfill()
+    if any(t.current_version() is None for t in targets.values()):
+        backfill(only_uninitialized=True)
     restarts = run_with_restart(make_pipeline, backfill)
     print(f"pipeline drained (restarts={restarts})")
     return 0

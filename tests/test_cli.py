@@ -85,3 +85,72 @@ def test_streamtofile_capture(tmp_path):
         if line.strip()
     ]
     assert len(captured) == 1 and captured[0]["key"] == "1"
+
+
+def _cfg_tables(tmp_path, src, tables):
+    cfg_path = tmp_path / "cfg.yml"
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(
+            {
+                "sync": {"tables": tables},
+                "source": {"change_log_dir": src},
+                "target": {"root_dir": str(tmp_path / "target")},
+            },
+            fh,
+        )
+    return str(cfg_path)
+
+
+def test_rerun_with_new_table_preserves_applied_state(tmp_path, spark):
+    # Regression (ADVICE r1): startup backfill used to re-initialize EVERY
+    # target whenever ANY was uninitialized; with the stream checkpoint
+    # still present the already-processed changelog never replayed, so the
+    # initialized table silently reset to empty. Startup must initialize
+    # only uninitialized targets.
+    rows = [
+        {"lsn": 1, "seq": 1, "schema": "public", "tbl": "users", "kind": "INSERT",
+         "key": "1", "rel_cols": ["v"], "v": "a"},
+        {"lsn": 2, "seq": 2, "schema": "public", "tbl": "users", "kind": "UPDATE",
+         "key": "1", "rel_cols": ["v"], "v": "a2"},
+    ]
+    src = _write_changelog(tmp_path, rows)
+    cfg = _cfg_tables(tmp_path, src, ["public.users"])
+    assert main(["run", "--config", cfg, "--key-col", "key", "--value-cols", "v"]) == 0
+
+    # add a second (uninitialized) table and run again: no new changelog
+    cfg = _cfg_tables(tmp_path, src, ["public.users", "public.orders"])
+    assert main(["run", "--config", cfg, "--key-col", "key", "--value-cols", "v"]) == 0
+
+    out = spark.read.parquet(
+        os.path.join(str(tmp_path / "target"), "users", f"v_{_current(tmp_path)}")
+    )
+    state = {r["key"]: r["v"] for r in out.collect()}
+    assert state == {"1": "a2"}, "initialized table lost state on rerun"
+
+
+def test_full_backfill_clears_checkpoint_and_replays(tmp_path, spark):
+    # The drift-restart backfill resets targets AND removes the stream
+    # checkpoint, so the change log replays from scratch against the fresh
+    # snapshot (the reference's drop-slot + full-resync semantics).
+    from mammoth_spark.__main__ import main as cli_main
+
+    rows = [
+        {"lsn": 1, "seq": 1, "schema": "public", "tbl": "users", "kind": "INSERT",
+         "key": "1", "rel_cols": ["v"], "v": "a"},
+    ]
+    src = _write_changelog(tmp_path, rows)
+    cfg = _cfg_tables(tmp_path, src, ["public.users"])
+    assert cli_main(["run", "--config", cfg, "--key-col", "key", "--value-cols", "v"]) == 0
+    ckpt = os.path.join(str(tmp_path / "target"), "_checkpoint")
+    assert os.path.exists(ckpt)
+
+    # simulate the supervisor's full resync: backfill() then rerun
+    import shutil
+
+    shutil.rmtree(ckpt)
+    assert cli_main(["run", "--config", cfg, "--key-col", "key", "--value-cols", "v"]) == 0
+    out = spark.read.parquet(
+        os.path.join(str(tmp_path / "target"), "users", f"v_{_current(tmp_path)}")
+    )
+    state = {r["key"]: r["v"] for r in out.collect()}
+    assert state == {"1": "a"}, "replayed changelog must rebuild the same state"
