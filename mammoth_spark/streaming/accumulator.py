@@ -121,6 +121,139 @@ def assemble_transactions_stateful(messages: DataFrame) -> DataFrame:
     )
 
 
+# ---- full row-change assembly with TOAST tri-state cells ----
+#
+# The summary assembler above proves cross-batch completion; this variant
+# carries the actual row changes — including TOAST `is_unchanged` cells —
+# so a column left unchanged by an action in micro-batch N+k still
+# inherits the value materialized by an action in micro-batch N of the
+# SAME transaction (multi_row_action.go:121-127 applied across the
+# micro-batch boundary). Cells are JSON (col -> {v, is_null,
+# is_unchanged}), the same portable encoding operators/compact.py uses.
+
+CHANGE_MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("xid", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("msg_type", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("tbl", T.StringType()),
+        T.StructField("key_before", T.ArrayType(T.StringType())),
+        T.StructField("key_after", T.ArrayType(T.StringType())),
+        T.StructField("new_values", T.StringType()),  # JSON cells; NULL for BEGIN/COMMIT/DELETE
+    ]
+)
+
+CHANGE_TX_SCHEMA = T.StructType(
+    [
+        T.StructField("xid", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("tbl", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("key_before", T.ArrayType(T.StringType())),
+        T.StructField("key_after", T.ArrayType(T.StringType())),
+        T.StructField("new_values", T.StringType()),
+    ]
+)
+
+# state buffers the RAW ordered actions (what the reference accumulator
+# holds in memory, message_accumulator.go:42-88); the fold runs at COMMIT
+CHANGE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("began", T.BooleanType()),
+        T.StructField("actions", T.ArrayType(T.StringType())),  # JSON per action
+    ]
+)
+
+
+def _assemble_changes(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    import json
+
+    from ..operators.compact import _fold_relation
+
+    (xid,) = key
+    if state.exists:
+        began, buffered = state.get
+        buffered = list(buffered)
+    else:
+        began, buffered = False, []
+
+    commit_lsn = None
+    tbl = None
+    for pdf in pdfs:
+        for row in pdf.sort_values("seq").itertuples(index=False):
+            vals = dict(zip(pdf.columns, row))
+            mt = vals["msg_type"]
+            if mt == "BEGIN":
+                began = True
+            elif mt == "TRUNCATE":
+                raise RuntimeError(f"tx {xid}: TRUNCATE is not replicable (re-sync required)")
+            elif mt in _DML:
+                if not began:
+                    raise RuntimeError(f"tx {xid}: DML before BEGIN (seq {vals['seq']})")
+                buffered.append(
+                    json.dumps(
+                        {
+                            "seq": int(vals["seq"]),
+                            "tbl": vals["tbl"],
+                            "kind": mt,
+                            "key_before": list(vals["key_before"]),
+                            "key_after": list(vals["key_after"]),
+                            # pandas renders a JSON null as None or NaN
+                            # depending on batch dtype — accept only str
+                            "values": (
+                                json.loads(vals["new_values"])
+                                if isinstance(vals["new_values"], str) and mt != "DELETE"
+                                else None
+                            ),
+                        }
+                    )
+                )
+            elif mt == "COMMIT":
+                commit_lsn = int(vals["lsn"])
+                tbl = vals["tbl"]
+
+    if commit_lsn is None:
+        state.update((began, buffered))
+        return
+
+    state.remove()
+    actions = [json.loads(a) for a in buffered]
+    actions.sort(key=lambda a: a["seq"])
+    folded = _fold_relation(actions)
+    if not folded:
+        return
+    yield pd.DataFrame(
+        [
+            {
+                "xid": xid,
+                "lsn": commit_lsn,
+                "tbl": entry.get("tbl") or tbl,
+                "kind": entry["kind"],
+                "key_before": list(entry["key_before"]),
+                "key_after": list(entry["key_after"]),
+                "new_values": (
+                    json.dumps(entry["values"]) if entry["values"] is not None else None
+                ),
+            }
+            for entry in folded
+        ]
+    )
+
+
+def assemble_changes_stateful(messages: DataFrame) -> DataFrame:
+    """Fold a decoded message stream into completed transactions' net row
+    changes, preserving TOAST ``is_unchanged`` cells across micro-batch
+    boundaries; incomplete transactions buffer in checkpointed state."""
+    return messages.groupBy("xid").applyInPandasWithState(
+        _assemble_changes,
+        outputStructType=CHANGE_TX_SCHEMA,
+        stateStructType=CHANGE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def validate_action_sequences(change_log: DataFrame, key_cols: list[str]) -> DataFrame:
     """Batch-mode invalid-pair detector: adjacent (by seq) actions per key
     matching (I,I), (U,I), (D,U) or (D,D) — the sequences the reference

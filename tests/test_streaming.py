@@ -274,3 +274,160 @@ def test_truncate_message_rejected(spark, tmp_path):
         q.awaitTermination()
         if q.exception() is not None:
             raise q.exception()
+
+
+def test_same_epoch_redelivery_is_idempotent(pipeline_env, spark, tmp_path):
+    """A15 compensation: the parquet target commits per table (no
+    cross-table transaction), so a crash between tables re-delivers the
+    same micro-batch on restart. Re-applying an epoch must leave the
+    target state unchanged — the idempotent-merge property the docstring
+    promises (reference commits all tables atomically,
+    snowflake_target.go:295-297; we compensate with idempotent MERGE)."""
+    src, target, pipeline = pipeline_env
+    write_changes(
+        src,
+        "b1.json",
+        [
+            change(1, 1, "INSERT", 5, "New Artist"),
+            change(1, 2, "UPDATE", 1, "Taylor A. Swift"),
+            change(1, 3, "DELETE", 2),
+        ],
+    )
+    pipeline.run_available()
+    applied_once = state(target)
+    assert applied_once == {"1": "Taylor A. Swift", "3": "Woody Guthrie", "5": "New Artist"}
+
+    # re-deliver the SAME batch through the sink body directly (the
+    # checkpoint would normally skip it; a mid-epoch crash replays it)
+    from mammoth_spark.streaming.pipeline import plain_change_log_schema
+
+    batch = spark.read.schema(plain_change_log_schema(["name"])).json(
+        os.path.join(src, "b1.json")
+    )
+    pipeline._apply_batch(batch, epoch_id=0)
+    assert state(target) == applied_once, "same-epoch re-delivery changed target state"
+
+
+def test_toast_unchanged_inherits_across_micro_batches(spark, tmp_path):
+    """TOAST tri-state through the STATEFUL accumulator: a column
+    materialized by an UPDATE in micro-batch 1 must survive an
+    `is_unchanged` cell in micro-batch 2 of the same transaction, and a
+    column unchanged in EVERY action must come out still-unchanged (the
+    sink then inherits the target's value)."""
+    from mammoth_spark.streaming.accumulator import (
+        CHANGE_MESSAGE_SCHEMA,
+        assemble_changes_stateful,
+    )
+
+    src = str(tmp_path / "msgs")
+    out_dir = str(tmp_path / "txout")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def cell(v=None, unchanged=False):
+        return {"v": v, "is_null": v is None and not unchanged, "is_unchanged": unchanged}
+
+    def msg(xid, seq, mt, lsn=None, key=None, vals=None):
+        return {
+            "xid": xid, "seq": seq, "msg_type": mt, "lsn": lsn, "tbl": "docs",
+            "key_before": [str(key)] if key is not None else None,
+            "key_after": [str(key)] if key is not None else None,
+            "new_values": json.dumps(vals) if vals is not None else None,
+        }
+
+    def run_cycle():
+        stream = (
+            spark.readStream.schema(CHANGE_MESSAGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = (
+            assemble_changes_stateful(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if q.exception():
+            raise q.exception()
+
+    # batch 1: BEGIN + UPDATE materializing col a, col b TOAST-unchanged
+    write_changes(
+        src,
+        "m1.json",
+        [
+            msg(9, 1, "BEGIN"),
+            msg(9, 2, "UPDATE", key=1,
+                vals={"a": cell("from-batch-1"), "b": cell(unchanged=True)}),
+        ],
+    )
+    run_cycle()
+
+    def read_done():
+        return spark.read.schema(
+            "xid long, lsn long, tbl string, kind string, "
+            "key_before array<string>, key_after array<string>, new_values string"
+        ).parquet(out_dir)
+
+    assert read_done().count() == 0  # no COMMIT yet
+
+    # batch 2 (same tx): UPDATE with a TOAST-unchanged, b materialized; COMMIT
+    write_changes(
+        src,
+        "m2.json",
+        [
+            msg(9, 3, "UPDATE", key=1,
+                vals={"a": cell(unchanged=True), "b": cell("from-batch-2")}),
+            msg(9, 4, "COMMIT", lsn=40),
+        ],
+    )
+    run_cycle()
+    rows = read_done().collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["kind"] == "UPDATE" and row["lsn"] == 40
+    vals = json.loads(row["new_values"])
+    # col a: batch-2's unchanged cell inherited batch-1's materialized value
+    assert vals["a"]["v"] == "from-batch-1" and not vals["a"]["is_unchanged"]
+    # col b: materialized by batch 2
+    assert vals["b"]["v"] == "from-batch-2"
+
+
+def test_toast_never_materialized_stays_unchanged(spark, tmp_path):
+    """A column TOAST-unchanged in every action of the transaction comes
+    out with is_unchanged=true — the merge inherits the target's value."""
+    from mammoth_spark.streaming.accumulator import (
+        CHANGE_MESSAGE_SCHEMA,
+        assemble_changes_stateful,
+    )
+
+    src = str(tmp_path / "msgs")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        {"xid": 3, "seq": 1, "msg_type": "BEGIN", "lsn": None, "tbl": "docs",
+         "key_before": None, "key_after": None, "new_values": None},
+        {"xid": 3, "seq": 2, "msg_type": "UPDATE", "lsn": None, "tbl": "docs",
+         "key_before": ["7"], "key_after": ["7"],
+         "new_values": json.dumps({"a": {"v": "x", "is_null": False, "is_unchanged": False},
+                                    "big": {"v": None, "is_null": False, "is_unchanged": True}})},
+        {"xid": 3, "seq": 3, "msg_type": "COMMIT", "lsn": 10, "tbl": "docs",
+         "key_before": None, "key_after": None, "new_values": None},
+    ]
+    write_changes(src, "b.json", rows)
+    stream = spark.readStream.schema(CHANGE_MESSAGE_SCHEMA).json(src)
+    q = (
+        assemble_changes_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("toast_stay")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("toast_stay").collect()
+    assert len(out) == 1
+    vals = json.loads(out[0]["new_values"])
+    assert vals["big"]["is_unchanged"] is True
