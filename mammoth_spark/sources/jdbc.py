@@ -8,9 +8,10 @@ path is a PARTITIONED JDBC read: split the table on its primary key into
 concurrently — one JDBC connection per task, no single-reader bottleneck.
 That is the difference between a 100 TB backfill finishing and not.
 
-The container has no live Postgres, so the option construction (the part
-that embodies the design) is a pure function with unit tests, and
-``read_snapshot_jdbc`` is the thin executable shell over it. Snapshot
+The container has no live Postgres, but the read path EXECUTES against a
+real JDBC database in tests: Spark's bundled embedded Derby serves a
+genuine driver round-trip (tests/test_jdbc_exec.py — 4-way partitioned
+read + predicate pushdown into the database). Snapshot
 consistency note: JDBC reads don't share one transaction across
 partitions; against a live source you pin consistency the way the
 reference does — export the slot's snapshot (pg_export_snapshot) and have
