@@ -129,28 +129,40 @@ def staging_columns(relation: Relation) -> list[tuple[str, str]]:
     return cols
 
 
-def batch_statements(batch: list[tuple[Relation, int]]) -> list[str]:
+# verbatim from the reference (snowflake_target.go:29)
+COPY_FILE_FORMAT = (
+    "file_format = (type = 'CSV' field_delimiter = ',' "
+    "field_optionally_enclosed_by='\"' skip_header = 1)"
+)
+
+
+def batch_statements(batch: list[Relation], batch_id: str = "0") -> list[str]:
     """A15: the statement plan for applying one micro-batch — per table
-    [create temp scratch with the staging layout, one staged upload per
-    chunk, bulk load, MERGE], ALL tables inside one target transaction
-    (the reference wraps multi-table batches in a single Snowflake tx
-    because one PG tx can touch many tables, snowflake_target.go:283-340,
-    statement plan :346-366). ``batch`` pairs each relation with its chunk
-    count (ceil(rows / 20k), :28). Pure codegen — what a SQL-speaking
-    target would be sent; the engine executes the same semantics
-    relationally (operators/merge.py) inside foreachBatch."""
+    [create-or-replace temp scratch with the staging layout, ONE staged
+    CSV upload, bulk load, MERGE], ALL tables inside one target
+    transaction (the reference wraps multi-table batches in a single
+    Snowflake tx because one PG tx can touch many tables,
+    snowflake_target.go:283-340; statement plan :346-366:
+    create-or-replace + one PUT with overwrite=true to the scratch's
+    table stage + COPY from the explicit @stage/file with the full file
+    format). ``batch_id`` stands in for the reference's per-batch uuid in
+    the staged file name (pure codegen must stay deterministic). The
+    engine executes the same semantics relationally (operators/merge.py)
+    inside foreachBatch."""
     stmts = ["BEGIN"]
-    for relation, n_chunks in batch:
+    for relation in batch:
         scratch = f"{relation.name}_SCRATCH"
+        safe = f"{relation.schema}_{relation.name}".upper()  # safeTableIdentifier (:644-646)
+        file_name = f"{safe}-{batch_id}.csv"
         cols = ", ".join(f"{quote_ident(n)} {t}" for n, t in staging_columns(relation))
-        stmts.append(f"CREATE TEMPORARY TABLE {quote_ident(scratch)} ({cols})")
-        for i in range(max(1, n_chunks)):
-            stmts.append(
-                f"PUT file://chunk_{i}.csv @%{quote_ident(scratch)} "
-                "auto_compress=true parallel=30"
-            )
+        stmts.append(f"CREATE OR REPLACE TEMPORARY TABLE {quote_ident(scratch)} ({cols})")
         stmts.append(
-            f"COPY INTO {quote_ident(scratch)} file_format = (type='CSV' skip_header=1)"
+            f"PUT file://{file_name} @%{quote_ident(scratch)} "
+            "auto_compress=true parallel=30 overwrite=true"
+        )
+        stmts.append(
+            f"COPY INTO {quote_ident(scratch)} FROM @%{quote_ident(scratch)}/{file_name} "
+            f"{COPY_FILE_FORMAT}"
         )
         stmts.append(merge_statement(relation, scratch))
     stmts.append("COMMIT")

@@ -40,9 +40,29 @@ def salted_join(
     also works for aggregations-after-join and for state-store keys. Cost:
     dim side inflates x``salt_buckets`` — use for genuinely skewed facts
     against small-to-medium dims.
+
+    Only fact-side join types are semantics-preserving: each fact row
+    lives in exactly ONE salt bucket, but each unmatched dim row appears
+    in ``salt_buckets`` replicas — a right/full outer join would emit it
+    once per salt. Those types are rejected.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
+               "left_semi", "anti", "leftanti", "left_anti", "cross"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join: join type {how!r} is not semantics-preserving "
+            "(unmatched dim rows would be replicated once per salt bucket); "
+            "use inner/left/semi/anti"
+        )
+    # salt by row hash MIXED with the physical partition id: a hot key
+    # whose rows are byte-identical would otherwise hash to one salt and
+    # re-create the very straggler the salt exists to break up
     fact_salted = fact.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+        "_salt",
+        F.pmod(
+            F.hash(*[F.col(c) for c in fact.columns]) + F.spark_partition_id(),
+            F.lit(salt_buckets),
+        ),
     )
     dim_replicated = dim.crossJoin(
         F.broadcast(

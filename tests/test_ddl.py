@@ -91,14 +91,21 @@ def test_batch_statements_plan():
         name="items",
         columns=(Column("id", "int8", is_identity=True), Column("qty", "int4")),
     )
-    plan = batch_statements([(USERS, 2), (items, 1)])
+    plan = batch_statements([USERS, items], batch_id="b7")
     # one transaction wraps every table (snowflake_target.go:295-297)
     assert plan[0] == "BEGIN" and plan[-1] == "COMMIT"
-    # per table: create scratch, PUT per chunk, COPY, MERGE — in order
+    # per table: create-or-replace scratch, ONE overwrite PUT, COPY from
+    # the explicit stage/file with the reference's file format, MERGE
+    # (statement plan snowflake_target.go:346-366)
     users_stmts = [s for s in plan if "USERS" in s]
-    assert users_stmts[0].startswith('CREATE TEMPORARY TABLE "USERS_SCRATCH"')
-    assert sum(1 for s in users_stmts if s.startswith("PUT ")) == 2
-    assert any(s.startswith('COPY INTO "USERS_SCRATCH"') for s in users_stmts)
+    assert users_stmts[0].startswith('CREATE OR REPLACE TEMPORARY TABLE "USERS_SCRATCH"')
+    puts = [s for s in users_stmts if s.startswith("PUT ")]
+    assert len(puts) == 1 and "overwrite=true" in puts[0]
+    assert "file://PUBLIC_USERS-b7.csv" in puts[0]
+    copies = [s for s in users_stmts if s.startswith('COPY INTO "USERS_SCRATCH"')]
+    assert len(copies) == 1
+    assert 'FROM @%"USERS_SCRATCH"/PUBLIC_USERS-b7.csv' in copies[0]
+    assert "field_optionally_enclosed_by='\"'" in copies[0]
     assert users_stmts[-1].startswith('MERGE INTO "PUBLIC"."USERS"')
     # staging layout: identities first, then _DELETE_ROW, values, flags
     names = [n for n, _ in staging_columns(USERS)]
