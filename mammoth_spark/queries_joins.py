@@ -197,6 +197,66 @@ def partition_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAY_NS = 86_400 * 10**9
+_JAN1_2024_NS = 1_704_067_200 * 10**9  # 2024-01-01T00:00:00Z
+
+
+@register(
+    "range_join_campaigns",
+    driver=False,  # driver contract is at its 50-entry cap; pytest-oracle-checked
+    oracle=f"""
+WITH camps AS (
+  SELECT n_nationkey AS campaign_id,
+         {_JAN1_2024_NS} + n_nationkey * {_DAY_NS} AS start_ns,
+         {_JAN1_2024_NS} + n_nationkey * {_DAY_NS} + 2 * {_DAY_NS} AS end_ns
+  FROM nation
+)
+SELECT c.campaign_id,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       CAST(sum(CAST(floor(e.value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events e
+JOIN camps c
+  ON epoch_ns(e.ts) >= c.start_ns AND epoch_ns(e.ts) < c.end_ns
+GROUP BY 1
+""",
+)
+def range_join_campaigns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Campaign attribution through the binned range join
+    (operators/rangejoin.py): 25 two-day campaign windows (derived
+    deterministically from nation so the oracle can mirror them), each
+    event attributed to EVERY campaign whose [start, end) contains its
+    timestamp — overlapping windows, so most events match twice.
+
+    The rewrite turns the interval predicate into an equi-join on 1-day
+    time bins (dims explode to ~3 bins each) — hash-joinable, AQE-
+    eligible, no BroadcastNestedLoopJoin (asserted in tests/test_plans.py).
+    At 100 TB the facts shuffle (or broadcast-probe) on the fine-grained
+    bin key instead of comparing every row against every interval."""
+    from .operators.rangejoin import range_join_binned
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.col("ts").cast("bigint").alias("ts_ns")
+    )
+    camps = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("campaign_id"),
+        (F.lit(_JAN1_2024_NS) + F.col("n_nationkey") * F.lit(_DAY_NS)).alias("start_ns"),
+        (
+            F.lit(_JAN1_2024_NS)
+            + F.col("n_nationkey") * F.lit(_DAY_NS)
+            + F.lit(2 * _DAY_NS)
+        ).alias("end_ns"),
+    )
+    joined = range_join_binned(
+        ev, camps, ts_col="ts_ns", start_col="start_ns", end_col="end_ns", bin_width=_DAY_NS
+    )
+    return joined.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_milli"),
+    )
+
+
 @register(
     "invalid_sequence_detect",
     oracle="""

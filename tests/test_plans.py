@@ -196,3 +196,51 @@ def test_small_bucket_pairs_stay_exact(spark):
     assert bounded.exceptAll(exact).count() == 0
     assert exact.exceptAll(bounded).count() == 0
     assert exact.count() == 4 * (10 * 9 // 2)
+
+
+def test_range_join_matches_naive_theta_join(spark):
+    # binned equi-join rewrite must be row-identical to the naive theta
+    # join, including interval boundaries (start inclusive, end exclusive),
+    # facts matching 0, 1, and 2+ overlapping intervals, and intervals
+    # shorter than / spanning multiple bins.
+    from mammoth_spark.operators.rangejoin import range_join_binned
+
+    facts = spark.range(0, 200).select(
+        F.col("id").alias("fact_id"), (F.col("id") * 7 % 193).alias("ts")
+    )
+    dims = spark.range(0, 30).select(
+        F.col("id").alias("dim_id"),
+        (F.col("id") * 11 % 170).alias("lo"),
+        (F.col("id") * 11 % 170 + F.col("id") % 5 * 13 + 1).alias("hi"),
+    )
+    binned = range_join_binned(
+        facts, dims, ts_col="ts", start_col="lo", end_col="hi", bin_width=16
+    ).select("fact_id", "dim_id")
+    naive = (
+        facts.join(dims, (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")))
+        .select("fact_id", "dim_id")
+    )
+    assert binned.exceptAll(naive).count() == 0
+    assert naive.exceptAll(binned).count() == 0
+    assert naive.count() > 200  # overlap actually exercised
+
+    semi = range_join_binned(
+        facts, dims, ts_col="ts", start_col="lo", end_col="hi", bin_width=16, how="left_semi"
+    )
+    assert semi.count() == naive.select("fact_id").distinct().count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        range_join_binned(facts, dims, "ts", "lo", "hi", 16, how="full_outer")
+
+
+def test_range_join_plan_is_equi_join(spark):
+    # the point of the rewrite: NO BroadcastNestedLoopJoin / cartesian
+    # product in the physical plan — the range predicate rides an
+    # equi-join on the bin key.
+    df = ALL_QUERIES["range_join_campaigns"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
