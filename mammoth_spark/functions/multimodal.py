@@ -104,6 +104,133 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("orig_hash", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_hash", T.StringType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def fake_resize_kernel(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode->resize->re-encode: output bytes
+    are the input digest cycled to the size a (width x height) thumbnail
+    would plausibly occupy (capped by the original size — resizing down
+    never grows the payload). Real pipelines plug PIL/turbojpeg via the
+    ``kernel`` parameter of resize_images; this double keeps the
+    distributed path runnable and byte-deterministic without codecs."""
+    n = min(len(content), (width * height) // 64)
+    digest = hashlib.md5(content).digest()
+    return (digest * (n // 16 + 1))[:n]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    kernel: Callable[[bytes, int, int], bytes] = fake_resize_kernel,
+) -> DataFrame:
+    """Batch image resize as Arrow-streamed ``mapInPandas``.
+
+    Only ``media_type == 'image'`` rows are resized; the filter runs
+    JVM-side BEFORE the Python stage so audio/video bytes never cross the
+    Arrow boundary. Memory per task is one record batch of binaries —
+    the shape that survives wide scans of 100 TB image corpora. The
+    metadata columns (orig_hash, dims, n_bytes) are deterministic
+    functions of the input, so the stage is oracle-checkable even though
+    the re-encoded payload itself is opaque."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            resized = content.map(
+                lambda b: kernel(b, width, height) if b is not None else None
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "orig_hash": content.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                    "width": width,
+                    "height": height,
+                    "n_bytes": resized.map(lambda b: len(b) if b is not None else 0),
+                    "content": resized,
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def fake_frame_kernel(content: bytes, frame_idx: int) -> bytes:
+    """Deterministic stand-in for a video frame grab: md5 over the
+    payload plus the frame index. Real pipelines plug libav here."""
+    return hashlib.md5(content + b":" + str(frame_idx).encode()).digest()
+
+
+def sample_frames(
+    media: DataFrame,
+    fps: float = 1.0,
+    max_frames: int = 5,
+    kernel: Callable[[bytes, int], bytes] = fake_frame_kernel,
+) -> DataFrame:
+    """Uniform frame sampling from video rows: one OUTPUT row per sampled
+    frame (``mapInPandas`` is an N:M mapping, so the explode happens
+    inside the Python stage without a separate join).
+
+    Frame count per video is ``clamp(duration_ms * fps / 1000, 1,
+    max_frames)`` and frame i sits at ``floor(i * duration_ms / n)`` ms —
+    both pure functions of the metadata, so count and timestamps are
+    oracle-checkable; the grabbed frame bytes come from the kernel.
+    Frame explosion multiplies rows, not payload bytes: each output
+    frame is a decoded thumbnail, not a copy of the source video."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_ts_ms": [],
+                "frame_hash": [],
+                "frame": [],
+            }
+            for mid, content, duration_ms in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                if content is None or duration_ms is None:
+                    continue
+                n = max(1, min(max_frames, int(duration_ms * fps / 1000)))
+                for i in range(n):
+                    frame = kernel(content, i)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * int(duration_ms) // n)
+                    out["frame_hash"].append(
+                        hashlib.md5(content + b":" + str(i).encode()).hexdigest()
+                    )
+                    out["frame"].append(frame)
+            yield pd.DataFrame(out)
+
+    videos = media.filter(F.col("media_type") == "video").select(
+        "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return videos.mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-expression metadata stats (no Python): per media_type byte
     totals and dimension aggregates — the cheap pre-pass that plans the

@@ -133,6 +133,74 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_resize",
+    driver=False,  # driver contract at its 50-entry cap; pytest-oracle-checked
+    # resize emits deterministic metadata (orig_hash, dims, byte count) so
+    # the stage is oracle-checkable; the re-encoded payload itself is
+    # opaque binary and is asserted in tests/test_functions.py instead.
+    oracle="""
+SELECT doc_id AS media_id,
+       md5(text) AS orig_hash,
+       CAST(224 AS INTEGER) AS width,
+       CAST(224 AS INTEGER) AS height,
+       CAST(least(octet_length(encode(text)), 784) AS BIGINT) AS n_bytes
+FROM documents
+WHERE doc_id % 3 = 0
+""",
+)
+def media_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize path: image rows filtered JVM-side, payloads streamed
+    through Arrow-batched mapInPandas (functions/multimodal.resize_images)
+    with the deterministic fake kernel (real codecs stubbed — container
+    has no PIL/turbojpeg). 784 = (224*224)//64, the fake thumbnail size
+    cap mirrored by the oracle."""
+    media = documents_as_media(read_table(spark, sf_dir, "documents"))
+    from .functions.multimodal import resize_images
+
+    return resize_images(media, 224, 224).select(
+        "media_id", "orig_hash", "width", "height", "n_bytes"
+    )
+
+
+@register(
+    "media_frame_sample",
+    driver=False,
+    # frame count and timestamps are pure functions of the metadata;
+    # frame_hash mirrors the fake grab kernel's md5(content || ':' || i).
+    oracle="""
+WITH vids AS (
+  SELECT doc_id AS media_id, text,
+         CAST(n_chars * 10 AS BIGINT) AS duration_ms,
+         greatest(1, least(5, CAST(floor(n_chars * 10 / 1000.0) AS BIGINT))) AS n
+  FROM documents WHERE doc_id % 3 = 2
+)
+, fr AS (
+  SELECT media_id, text, duration_ms, n,
+         unnest(generate_series(0, n - 1)) AS frame_idx
+  FROM vids
+)
+SELECT media_id,
+       frame_idx,
+       CAST(frame_idx * duration_ms // n AS BIGINT) AS frame_ts_ms,
+       md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash
+FROM fr
+""",
+)
+def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: 1 fps uniform grab capped at 5 frames per
+    video, exploded INSIDE the mapInPandas stage (N:M row mapping — no
+    join, no array explode of payload copies). The driver-checkable
+    columns are the sampling plan (count + timestamps) and the md5 frame
+    fingerprints; the frame bytes come from the stubbed grab kernel."""
+    media = documents_as_media(read_table(spark, sf_dir, "documents"))
+    from .functions.multimodal import sample_frames
+
+    return sample_frames(media, fps=1.0, max_frames=5).select(
+        "media_id", "frame_idx", "frame_ts_ms", "frame_hash"
+    )
+
+
 # ---- A2 schema introspection + A20 snapshot/stream boundary ----
 
 from .model import EVENTS_KIND_SQL  # noqa: E402

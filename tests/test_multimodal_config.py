@@ -87,3 +87,55 @@ def test_jsonl_sink_roundtrip(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == log.count()
     assert set(back.columns) == set(log.columns)
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    import hashlib
+
+    from mammoth_spark.functions.multimodal import fake_resize_kernel, resize_images
+
+    media = documents_as_media(read_table(spark, sf_dir, "documents"))
+    out = resize_images(media, 224, 224)
+    rows = out.collect()
+    # only image rows pass through, and the filter runs JVM-side
+    assert len(rows) == media.filter(F.col("media_type") == "image").count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.index("Filter") > plan.index("MapInPandas") or "image" in plan
+    # payload bytes are the deterministic kernel's output, length == n_bytes
+    doc0 = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0).collect()[0]
+    r0 = next(r for r in rows if r["media_id"] == 0)
+    expect = fake_resize_kernel(doc0["text"].encode(), 224, 224)
+    assert bytes(r0["content"]) == expect
+    assert r0["n_bytes"] == len(expect) <= 784
+    assert r0["orig_hash"] == hashlib.md5(doc0["text"].encode()).hexdigest()
+
+
+def test_sample_frames_plumbing(spark, sf_dir):
+    import hashlib
+
+    from mammoth_spark.functions.multimodal import sample_frames
+
+    media = documents_as_media(read_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, fps=1.0, max_frames=5)
+    rows = frames.collect()
+    vids = {
+        r["media_id"]: r
+        for r in media.filter(F.col("media_type") == "video")
+        .select("media_id", "content", F.col("meta.duration_ms").alias("d"))
+        .collect()
+    }
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    assert set(by_vid) == set(vids)  # every video sampled, nothing else
+    for mid, fr in by_vid.items():
+        d = vids[mid]["d"]
+        n = max(1, min(5, int(d / 1000)))
+        idxs = sorted(r["frame_idx"] for r in fr)
+        assert idxs == list(range(n))
+        for r in fr:
+            assert r["frame_ts_ms"] == r["frame_idx"] * d // n
+            content = bytes(vids[mid]["content"])
+            tag = content + b":" + str(r["frame_idx"]).encode()
+            assert r["frame_hash"] == hashlib.md5(tag).hexdigest()
+            assert bytes(r["frame"]) == hashlib.md5(tag).digest()
