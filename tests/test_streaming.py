@@ -431,3 +431,68 @@ def test_toast_never_materialized_stays_unchanged(spark, tmp_path):
     assert len(out) == 1
     vals = json.loads(out[0]["new_values"])
     assert vals["big"]["is_unchanged"] is True
+
+
+def test_watermark_drops_beyond_late_rows(spark, tmp_path):
+    """Late-data discipline for windowed streaming aggregation: a row
+    arriving LATER than the watermark delay is dropped from state; a
+    moderately late row (inside the delay) is still admitted. Two
+    availableNow passes over a file source share one checkpoint, so the
+    watermark persists across the restart exactly as it would across
+    micro-batches of a long-running job."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def event(minute, k="a"):
+        from datetime import datetime, timedelta
+
+        ts = datetime(2024, 1, 1) + timedelta(minutes=minute)
+        return {"ts": ts.strftime("%Y-%m-%dT%H:%M:%S.000Z"), "k": k}
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("k", T.StringType())]
+    )
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).json(src)
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "10 minutes"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_timestamp("window.start").alias("wstart"), "k", "n"
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # pass 1: rows in window 00:00-00:10, plus a row at 02:00 that drives
+    # the watermark to 01:30 and finalizes every window ending before it
+    write_changes(src, "b1.json", [event(0), event(5), event(120)])
+    run_pass()
+
+    # pass 2: one row at 00:05 — its window closed at 00:10, far beyond
+    # the 01:30 watermark -> MUST be dropped; one row at 01:45 — its
+    # window (01:40-01:50) ends after the watermark -> admitted; one row
+    # at 03:00 advances the watermark to 02:30 and finalizes 01:40-01:50
+    write_changes(src, "b2.json", [event(5), event(105), event(180)])
+    run_pass()
+
+    got = {
+        (r["wstart"], r["k"]): r["n"] for r in spark.read.parquet(out).collect()
+    }
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    # window 00:00-00:10 finalized with the TWO pass-1 rows only — the
+    # pass-2 straggler was beyond the watermark and left no trace
+    assert got[(base, "a")] == 2
+    # the moderately-late row was admitted and finalized by pass 2
+    assert got[(base + 105 * 60 // 600 * 600, "a")] == 1
