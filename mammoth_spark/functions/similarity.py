@@ -132,6 +132,79 @@ def ann_topk_bruteforce(
     )
 
 
+def ann_topk_multiprobe(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_queries: int = 16,
+    k: int = 5,
+    n_probe: int = 2,
+    bits: int = SIGN_BUCKET_BITS,
+) -> DataFrame:
+    """Multi-probe IVF ANN: each query probes its own sign bucket PLUS the
+    buckets reached by flipping its least-confident sign bits — the
+    components with the smallest |value|, where the sign quantizer was
+    most arbitrary. This is the classic multi-probe LSH recall fix: near
+    neighbors straddling a sign boundary live in an adjacent bucket, and
+    the flip order is exactly the probe-priority order.
+
+    Probe fan-out is ``n_probe`` buckets per query (not per corpus row):
+    the corpus is still scanned once per probed bucket via the broadcast
+    join, so at 100 TB the cost is n_probe partition-pruned scans instead
+    of a full pass — recall rises with n_probe, cost stays linear in it.
+    Each corpus vector lives in exactly ONE bucket, so probed buckets are
+    disjoint and no per-pair dedup is needed."""
+    from pyspark.sql import Window
+
+    v = with_norm_and_bucket(df, emb_col).select(
+        F.col(id_col), _as_double(F.col(emb_col)).alias("emb"), "_norm", "_bucket"
+    )
+    # (|component|, index) pairs sorted ascending — struct sort orders by
+    # abs value then index, giving a deterministic flip priority
+    conf = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.element_at(F.col("emb"), i + 1)).alias("a"),
+                    F.lit(i).alias("i"),
+                )
+                for i in range(bits)
+            ]
+        )
+    )
+    flips = F.slice(conf, 1, n_probe - 1)
+    probes = F.concat(
+        F.array(F.col("_bucket")),
+        F.transform(
+            flips,
+            lambda s: F.col("_bucket").bitwiseXOR(F.pow(F.lit(2.0), s["i"]).cast("int")),
+        ),
+    )
+    q = (
+        v.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("_norm").alias("q_norm"),
+            F.explode(probes).alias("q_probe"),
+        )
+    )
+    joined = v.join(
+        F.broadcast(q),
+        (F.col("_bucket") == F.col("q_probe")) & (F.col(id_col) != F.col("query_id")),
+    )
+    cos = dot(F.col("emb"), F.col("q_emb")) / (F.col("_norm") * F.col("q_norm"))
+    scored = joined.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), round6(cos).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def ann_topk_bucketed(
     df: DataFrame,
     emb_col: str = "embedding",

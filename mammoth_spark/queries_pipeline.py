@@ -404,6 +404,49 @@ def ann_topk_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ABS_STRUCTS = ", ".join(
+    f"{{'a': abs(emb[{i + 1}]), 'i': {i}}}" for i in range(SIGN_BUCKET_BITS)
+)
+
+
+@register(
+    "ann_topk_multiprobe",
+    driver=False,  # driver contract at its 50-entry cap; pytest-oracle-checked
+    oracle=f"""
+WITH {_vec_cte()},
+qb AS (
+  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket AS q_bucket,
+         list_sort([{_ABS_STRUCTS}])[1].i AS flip_i
+  FROM vn WHERE vec_id < {ANN_QUERIES}
+),
+probes AS (
+  SELECT query_id, q_emb, q_nrm,
+         unnest([q_bucket, xor(q_bucket, CAST(pow(2, flip_i) AS INTEGER))]) AS q_probe
+  FROM qb
+),
+scored AS (
+  SELECT p.query_id, vn.vec_id AS neighbor_id,
+         floor(({_DOT.format(a="vn.emb", b="p.q_emb")} / (vn.nrm * p.q_nrm)) * 1000000) / 1000000 AS cos_sim
+  FROM vn JOIN probes p ON vn.bucket = p.q_probe AND vn.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+""",
+)
+def ann_topk_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN (n_probe=2): probe the query's own sign bucket
+    plus the bucket flipping its least-confident sign bit — recall
+    recovery for near neighbors straddling a quantizer boundary at the
+    cost of one extra partition-pruned scan per query."""
+    from .functions.similarity import ann_topk_multiprobe
+
+    return ann_topk_multiprobe(
+        read_table(spark, sf_dir, "embeddings"), n_queries=ANN_QUERIES, k=ANN_K, n_probe=2
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""

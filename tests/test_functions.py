@@ -80,3 +80,29 @@ def test_ann_bucketed_is_subset_of_bruteforce_corpus(spark, sf_dir):
     # brute force returns exactly k rows per query
     counts = brute.groupBy("query_id").count().collect()
     assert all(r["count"] == 3 for r in counts)
+
+
+def test_multiprobe_improves_recall(spark, sf_dir):
+    """Multi-probe must dominate single-probe recall against the exact
+    brute-force baseline (probing a superset of buckets can only add
+    candidates), and on the fixture the extra probe must actually
+    recover neighbors the single bucket missed."""
+    from mammoth_spark.functions.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_bucketed,
+        ann_topk_multiprobe,
+    )
+    from mammoth_spark.model import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(ann_topk_bruteforce(emb))
+    single = pairs(ann_topk_bucketed(emb))
+    multi = pairs(ann_topk_multiprobe(emb, n_probe=2))
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    assert recall_multi >= recall_single
+    assert len(multi & exact) > len(single & exact)  # strict on the fixture
