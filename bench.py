@@ -45,6 +45,7 @@ def main() -> None:
                 "metric": "total_bench_seconds",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
             }

@@ -271,6 +271,40 @@ def streaming_hourly_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_percentiles",
+    driver=False,  # driver contract at its 50-entry cap; pytest-oracle-checked
+    oracle="""
+SELECT event_type,
+       floor(quantile_cont(value, 0.5) * 1000000) / 1000000 AS p50,
+       floor(quantile_cont(value, 0.9) * 1000000) / 1000000 AS p90,
+       floor(quantile_cont(value, 0.99) * 1000000) / 1000000 AS p99,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def value_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (type-7 quantile —
+    the same definition DuckDB's quantile_cont uses, so the oracle is
+    exact). Spark's exact `percentile` buffers each group's values on one
+    reducer; that is the CORRECTNESS baseline. At 100 TB the same query
+    swaps in `percentile_approx` (t-digest sketch: mergeable, bounded
+    memory, map-side combinable) and trades a bounded rank error for a
+    single streaming pass — sketch accuracy is asserted against this
+    exact baseline in tests/test_functions.py."""
+    from .functions.numeric import round6
+
+    ev = _events(spark, sf_dir)
+    pct = lambda p: round6(F.percentile(F.col("value"), F.lit(p)))  # noqa: E731
+    return ev.groupBy("event_type").agg(
+        pct(0.5).alias("p50"),
+        pct(0.9).alias("p90"),
+        pct(0.99).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "cdc_apply_multikey",
     oracle="""
 SELECT l_orderkey, l_linenumber, qty FROM (

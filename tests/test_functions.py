@@ -106,3 +106,35 @@ def test_multiprobe_improves_recall(spark, sf_dir):
     recall_multi = len(multi & exact) / len(exact)
     assert recall_multi >= recall_single
     assert len(multi & exact) > len(single & exact)  # strict on the fixture
+
+
+def test_percentile_sketch_close_to_exact(spark, sf_dir):
+    """percentile_approx (the 100 TB path) must land within tight rank
+    error of the exact per-group percentiles (the oracle-checked path)."""
+    from mammoth_spark.model import read_table
+    from mammoth_spark.queries import QUERIES  # sibling imports load the registry
+
+    import os
+
+    exact = {
+        r["event_type"]: r
+        for r in QUERIES["value_percentiles"](
+            spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+        ).collect()
+    }
+    ev = read_table(
+        spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"), "events"
+    )
+    approx = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        )
+        .collect()
+    }
+    for et, ex in exact.items():
+        spread = max(abs(ex["p99"]), 1.0)
+        assert abs(approx[et]["p50"] - ex["p50"]) <= 0.05 * spread
+        assert abs(approx[et]["p90"] - ex["p90"]) <= 0.05 * spread

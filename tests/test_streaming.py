@@ -496,3 +496,53 @@ def test_watermark_drops_beyond_late_rows(spark, tmp_path):
     assert got[(base, "a")] == 2
     # the moderately-late row was admitted and finalized by pass 2
     assert got[(base + 105 * 60 // 600 * 600, "a")] == 1
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps one row
+    per key while the key's first sighting is inside the watermark delay,
+    and evicts the dedup state once the watermark passes it — so the same
+    key reappearing much later is (correctly) emitted again. This is the
+    streaming face of dedup_exact: bounded state at any corpus rate."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def event(minute, k):
+        from datetime import datetime, timedelta
+
+        ts = datetime(2024, 1, 1) + timedelta(minutes=minute)
+        return {"ts": ts.strftime("%Y-%m-%dT%H:%M:%S.000Z"), "k": k}
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("k", T.StringType())]
+    )
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).json(src)
+        deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(["k"])
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # pass 1: A at 00:00, duplicate A at 00:05 (dropped), watermark driver
+    # at 02:00 -> watermark 01:30, A's dedup state (expires 00:30) evicted
+    write_changes(src, "b1.json", [event(0, "a"), event(5, "a"), event(120, "wm")])
+    run_pass()
+    # pass 2: A again at 02:10 — state was evicted, so it's a fresh row;
+    # duplicate A at 02:15 inside the delay is dropped
+    write_changes(src, "b2.json", [event(130, "a"), event(135, "a")])
+    run_pass()
+
+    rows = sorted(
+        (r["k"], r["ts"].minute + r["ts"].hour * 60)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [("a", 0), ("a", 130), ("wm", 120)]
