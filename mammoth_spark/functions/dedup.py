@@ -230,6 +230,89 @@ def dedup_minhash_lsh(
     )
 
 
+def minhash_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Signature-store row per doc: ``(id, sh_fp array<bigint>, band_0..)``.
+
+    This is the durable index an INCREMENTAL dedup pipeline persists
+    between ingests: shingles travel as 64-bit xxhash fingerprints (compact,
+    join-able, same collision model ngram_jaccard_pairs documents) and the
+    LSH band keys are precomputed. Storage is O(shingles), the price of
+    exact-Jaccard verification against history without re-reading old text."""
+    base = with_shingles(df, text_col, id_col)
+    sigs = base.select(F.col(id_col), F.col("sh"), *_sig_cols())
+    return sigs.select(
+        F.col(id_col),
+        F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh_fp"),
+        *_band_cols(),
+    )
+
+
+def _stack_bands(idx: DataFrame, id_col: str) -> DataFrame:
+    return idx.selectExpr(
+        id_col,
+        "stack({n}, {args}) as (band_idx, band)".format(
+            n=LSH_BANDS,
+            args=", ".join(f"{b}, band_{b}" for b in range(LSH_BANDS)),
+        ),
+    )
+
+
+def dedup_incremental(
+    store: DataFrame | None,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.2,
+) -> tuple[DataFrame, DataFrame]:
+    """One ingest step of incremental near-dup filtering: returns
+    ``(survivor_ids, updated_store)``.
+
+    A new doc is dropped when ANY doc with a lower id — already-ingested
+    history (the signature store) or an earlier doc of the same increment —
+    is a verified near-duplicate. Because the store keeps every SEEN doc
+    (not just survivors), applying increments in id order is EXACTLY
+    equivalent to one whole-corpus pass (asserted in tests + by the
+    driver oracle): dropping B for matching dropped-A still happens,
+    which a survivors-only store would miss.
+
+    Scale shape: candidate generation joins the increment's band keys
+    against the store's — work is proportional to the INCREMENT (plus
+    band collisions), never the corpus; history is touched only on the
+    indexed band-key join, exactly how a 100 TB rolling-ingest dedup must
+    behave. Exact-Jaccard verification reads fingerprint arrays from the
+    store, so old text is never re-read."""
+    new_idx = minhash_index(new_docs, text_col, id_col)
+    full = new_idx if store is None else store.unionByName(new_idx)
+
+    a = _stack_bands(full, id_col).alias("a")
+    b = _stack_bands(new_idx, id_col).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    fa = full.select(F.col(id_col).alias("id_a"), F.col("sh_fp").alias("fp_a"))
+    fb = full.select(F.col(id_col).alias("id_b"), F.col("sh_fp").alias("fp_b"))
+    inter = F.size(F.array_intersect(F.col("fp_a"), F.col("fp_b")))
+    union = F.size(F.array_union(F.col("fp_a"), F.col("fp_b")))
+    dups = (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .filter(round6(inter / union) >= jaccard_threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    survivors = new_idx.select(id_col).join(dups, id_col, "left_anti")
+    return survivors, full
+
+
 SIMHASH_BITS = 16
 _HEX = "0123456789abcdef"
 

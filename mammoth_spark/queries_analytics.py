@@ -304,6 +304,77 @@ def value_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "event_type_pivot",
+    driver=False,  # driver contract at its 50-entry cap; pytest-oracle-checked
+    oracle=f"""
+SELECT CAST(floor(epoch_ns(ts) / {24 * _HOUR_NS}.0) AS BIGINT) AS day_idx,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+""",
+)
+def event_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events into one column per type, one row per day. The pivot
+    VALUES are passed explicitly — without them Spark runs an extra
+    distinct-collect pass over the whole corpus just to learn the column
+    list, which at 100 TB is a full scan spent on metadata. With the list
+    pinned it is a single hash aggregation, one shuffle on day_idx."""
+    ev = _events(spark, sf_dir)
+    day = F.floor(F.col("ts_ns") / F.lit(24 * _HOUR_NS)).cast("bigint").alias("day_idx")
+    out = ev.groupBy(day).pivot("event_type", list(_EVENT_TYPES)).agg(F.count(F.lit(1)))
+    renamed = out.select(
+        "day_idx", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+    return renamed
+
+
+@register(
+    "sliding_revenue_7d",
+    driver=False,
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM orders GROUP BY 1
+)
+SELECT day_idx, day_cents,
+       CAST(sum(day_cents) OVER (ORDER BY day_idx ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rev_7d_cents
+FROM daily
+""",
+)
+def sliding_revenue_7d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue: pre-aggregate to one row per day (the
+    shuffle operates on ~days rows, never the raw fact volume), then a
+    single ordered window pass. The unpartitioned window runs on one
+    reducer — correct here because the DAILY series is tiny no matter how
+    large the fact table; the heavy lifting happened in the map-side
+    combinable day aggregation."""
+    orders = read_table(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ; date arithmetic keeps day_idx free of
+    # any session-timezone dependency on both engines
+    day = (
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx")
+    )
+    daily = orders.groupBy(day).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("day_cents")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day_idx").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day_idx",
+        F.col("day_cents").cast("bigint").alias("day_cents"),
+        F.sum("day_cents").over(w).cast("bigint").alias("rev_7d_cents"),
+    )
+
+
 @register(
     "cdc_apply_multikey",
     oracle="""

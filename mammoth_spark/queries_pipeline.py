@@ -218,7 +218,8 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(read_table(spark, sf_dir, "documents"))
 
 
-def _minhash_lsh_oracle() -> str:
+def _minhash_pairs_ctes() -> str:
+    """Shared CTE chain ending in near-dup ``pairs`` (id_a < id_b)."""
     band_exprs = ", ".join(
         "md5("
         + " || '|' || ".join(f"sig_{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
@@ -229,6 +230,10 @@ def _minhash_lsh_oracle() -> str:
         f"SELECT doc_id, {b} AS band_idx, band_{b} AS band FROM sigbands"
         for b in range(LSH_BANDS)
     )
+    jac = (
+        "floor((len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /"
+        " len(list_distinct(sa.shingles || sb.shingles))) * 1000000) / 1000000"
+    )
     return f"""
 WITH {_SHINGLES_CTE}, {_minhash_sig_sql()},
 sigbands AS (SELECT doc_id, {band_exprs} FROM sigs),
@@ -237,16 +242,19 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b, {jac} AS jaccard
+  FROM cand
+  JOIN doc_shingles sa ON sa.doc_id = id_a
+  JOIN doc_shingles sb ON sb.doc_id = id_b
+  WHERE {jac} >= {MINHASH_JACCARD_T}
 )
-SELECT id_a, id_b,
-       floor((len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
-             len(list_distinct(sa.shingles || sb.shingles))) * 1000000) / 1000000 AS jaccard
-FROM cand
-JOIN doc_shingles sa ON sa.doc_id = id_a
-JOIN doc_shingles sb ON sb.doc_id = id_b
-WHERE floor((len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
-            len(list_distinct(sa.shingles || sb.shingles))) * 1000000) / 1000000 >= {MINHASH_JACCARD_T}
 """
+
+
+def _minhash_lsh_oracle() -> str:
+    return _minhash_pairs_ctes() + "SELECT id_a, id_b, jaccard FROM pairs"
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
@@ -255,6 +263,36 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_minhash_lsh(
         read_table(spark, sf_dir, "documents"), jaccard_threshold=MINHASH_JACCARD_T
     )
+
+
+@register(
+    "dedup_incremental_minhash",
+    driver=False,  # driver contract at its 50-entry cap; pytest-oracle-checked
+    oracle=_minhash_pairs_ctes()
+    + "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM pairs)",
+)
+def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest near-dup dedup: the corpus arrives in TWO increments
+    (doc_id < 200, then the rest), each filtered against the persisted
+    signature store via functions.dedup.dedup_incremental. The store is
+    round-tripped through parquet between increments — real durable-index
+    behavior, and a lineage cut so step 2's plan doesn't replay step 1.
+    The oracle is the single-shot whole-corpus dedup: keeping every seen
+    doc in the store makes incremental == batch exactly."""
+    import tempfile
+
+    from .functions.dedup import dedup_incremental
+
+    docs = read_table(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") < 200)
+    second = docs.filter(F.col("doc_id") >= 200)
+
+    s1, store = dedup_incremental(None, first, jaccard_threshold=MINHASH_JACCARD_T)
+    store_dir = tempfile.mkdtemp(prefix="sig_store_") + "/store"
+    store.write.mode("overwrite").parquet(store_dir)
+    store = spark.read.parquet(store_dir)
+    s2, _ = dedup_incremental(store, second, jaccard_threshold=MINHASH_JACCARD_T)
+    return s1.unionByName(s2)
 
 
 def _simhash_oracle() -> str:

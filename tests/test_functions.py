@@ -138,3 +138,24 @@ def test_percentile_sketch_close_to_exact(spark, sf_dir):
         spread = max(abs(ex["p99"]), 1.0)
         assert abs(approx[et]["p50"] - ex["p50"]) <= 0.05 * spread
         assert abs(approx[et]["p90"] - ex["p90"]) <= 0.05 * spread
+
+
+def test_incremental_dedup_equals_batch(spark, sf_dir):
+    """Incremental ingest (any id-monotone split, here THREE increments)
+    must produce exactly the single-shot whole-corpus survivor set —
+    the store keeps every seen doc, so pair coverage is identical."""
+    from mammoth_spark.functions.dedup import dedup_incremental
+    from mammoth_spark.model import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch, _ = dedup_incremental(None, docs, jaccard_threshold=0.2)
+    batch_ids = {r["doc_id"] for r in batch.collect()}
+
+    inc_ids: set[int] = set()
+    store = None
+    for lo, hi in [(0, 150), (150, 300), (300, 10**9)]:
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        surv, store = dedup_incremental(store, part, jaccard_threshold=0.2)
+        inc_ids |= {r["doc_id"] for r in surv.collect()}
+    assert inc_ids == batch_ids
+    assert len(batch_ids) < docs.count()  # some near-dups actually dropped
