@@ -313,6 +313,77 @@ def dedup_incremental(
     return survivors, full
 
 
+def connected_components(
+    edges: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Distributed connected components over undirected ``(id_a, id_b)``
+    edges; returns ``(id, comp)`` with ``comp`` = min id in the component.
+
+    Algorithm: min-label propagation fused with pointer jumping
+    ("hash-to-min" family). Each round every vertex takes the min label
+    over itself and its neighbors, then follows its label one hop
+    (``comp := comp(comp)``), so labels race down star edges AND chain
+    edges — convergence is O(log diameter) rounds, not O(diameter). LSH
+    near-dup components are shallow (bounded buckets emit stars), so this
+    terminates in a handful of rounds even on a 100 TB corpus.
+
+    Scale shape per round: one shuffle join edges⋈labels + map-side
+    combinable min, one labels⋈labels pointer jump — all keyed by vertex
+    id, so AQE coalesces and the same hash partitioning is reused.
+    ``localCheckpoint`` cuts lineage each round (iterative plans otherwise
+    grow until the optimizer chokes); the fixpoint test is a single scalar
+    aggregate — sum(comp) is strictly decreasing until converged, so one
+    equal reading proves no vertex moved (labels only ever decrease).
+    """
+    # Materialize the edge list ONCE — every round joins against it, and
+    # without the cut each round would replay the upstream pair pipeline
+    # (e.g. the whole LSH candidate generation) from scratch.
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iterations):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("comp").alias("dcomp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dcomp").alias("ncomp"))
+            .withColumnRenamed("src", "id")
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id", F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp")
+        )
+        # comp is always some vertex's id (a min over ids), so the
+        # pointer-jump self-join is total: follow comp -> comp(comp)
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("jcomp")
+                ).alias("y"),
+                "comp",
+            )
+            .select(F.col("x.id").alias("id"), F.col("jcomp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        s = jumped.agg(F.sum("comp")).first()[0]
+        labels = jumped
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
 SIMHASH_BITS = 16
 _HEX = "0123456789abcdef"
 

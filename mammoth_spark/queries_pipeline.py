@@ -295,6 +295,64 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s1.unionByName(s2)
 
 
+def _clusters_oracle() -> str:
+    """Connected components via transitive closure: a recursive CTE
+    accumulates every (vertex, reachable-vertex) pair over the near-dup
+    edge set; min reachable id == the component's canonical label. Fine at
+    oracle scale (components are tiny); the Spark side is the scalable
+    log-rounds algorithm."""
+    recursive = _minhash_pairs_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        recursive
+        + """,
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(id, comp) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON r.id = e.v
+),
+assign AS (
+  SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM assign
+"""
+    )
+
+
+@register(
+    "dedup_clusters",
+    driver=False,  # driver contract at its 50-entry cap; pytest-oracle-checked
+    oracle=_clusters_oracle(),
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER canonicalization: LSH-verified pairs → connected
+    components → per-doc (cluster_id, cluster_size). This is the form a
+    corpus-dedup job actually publishes — keep one canonical doc per
+    cluster, attribute the rest — and the component step is where naive
+    designs die at 100 TB (transitive chains span buckets). The Spark
+    path is functions.dedup.connected_components: min-label propagation
+    + pointer jumping, O(log diameter) self-joins, lineage cut per round."""
+    from .functions.dedup import connected_components
+
+    pairs = dedup_minhash_lsh(
+        read_table(spark, sf_dir, "documents"), jaccard_threshold=MINHASH_JACCARD_T
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )
+
+
 def _simhash_oracle() -> str:
     bit_sums = []
     for b in range(SIMHASH_BITS):

@@ -159,3 +159,22 @@ def test_incremental_dedup_equals_batch(spark, sf_dir):
         inc_ids |= {r["doc_id"] for r in surv.collect()}
     assert inc_ids == batch_ids
     assert len(batch_ids) < docs.count()  # some near-dups actually dropped
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 60-vertex path (worst case for plain label propagation — O(n)
+    rounds without pointer jumping) plus a disjoint triangle and an
+    isolated edge: every vertex must label with its component's min id,
+    within the default round budget (log-rounds convergence)."""
+    from mammoth_spark.functions.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 160)]
+    triangle = [(500, 501), (501, 502), (500, 502)]
+    lone = [(900, 901)]
+    edges = spark.createDataFrame(chain + triangle + lone, "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == (
+        {i: 100 for i in range(100, 161)}
+        | {v: 500 for v in (500, 501, 502)}
+        | {900: 900, 901: 900}
+    )
