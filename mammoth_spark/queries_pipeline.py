@@ -567,3 +567,436 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cosine_pairs_bucketed(emb, threshold=COSINE_T)
     dups = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return emb.select("vec_id").join(dups, "vec_id", "left_anti")
+
+
+# ----------------------- deterministic splits / sampling -----------------------
+
+
+def _split_oracle() -> str:
+    from .functions.sampling import hash_bucket_sql
+
+    b = hash_bucket_sql("doc_id", 1000, salt="split")
+    return f"""
+SELECT doc_id, CAST({b} AS BIGINT) AS bucket,
+       CASE WHEN {b} < 900 THEN 'train'
+            WHEN {b} < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("train_val_split", driver=False, oracle=_split_oracle())
+def train_val_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test assignment as a pure hash of doc_id — zero
+    shuffles, reproducible across runs/partitionings/engines (the property
+    `df.sample`/`rand()` do NOT have), salted so other hash uses of the
+    same id stay independent. functions/sampling.py."""
+    from .functions.sampling import split_assign
+
+    docs = read_table(spark, sf_dir, "documents")
+    return split_assign(docs, "doc_id").select("doc_id", "bucket", "split")
+
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
+
+
+def _stratified_oracle() -> str:
+    from .functions.sampling import hash_bucket_sql
+
+    b = hash_bucket_sql("doc_id", 1000, salt="sample")
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {int(round(f * 1000))}"
+        for s, f in sorted(_SAMPLE_FRACTIONS.items())
+    )
+    return f"""
+SELECT doc_id, lang, CAST({b} AS BIGINT) AS bucket
+FROM documents
+WHERE {b} < (CASE {cases} ELSE 0 END)
+"""
+
+
+@register("stratified_sample", driver=False, oracle=_stratified_oracle())
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling (rebalance a skewed corpus): survival is
+    hash(doc_id) < quota(lang), compiled to one CASE expression — a pure
+    scan, no join/shuffle/driver lookup, deterministic at any scale.
+    functions/sampling.py::stratified_sample."""
+    from .functions.sampling import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", _SAMPLE_FRACTIONS).select(
+        "doc_id", "lang", "bucket"
+    )
+
+
+# --------------------------- benchmark contamination ---------------------------
+
+
+@register(
+    "contamination_check",
+    driver=False,
+    oracle=f"""
+WITH {{shingles}},
+eval_sh AS (
+  SELECT DISTINCT unnest(shingles) AS shingle
+  FROM doc_shingles WHERE doc_id % 97 = 0
+),
+train AS (
+  SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle
+  FROM doc_shingles WHERE doc_id % 97 <> 0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       floor(count(*) * 1000000.0 / n_shingles) / 1000000 AS contam_rate
+FROM train JOIN eval_sh USING (shingle)
+GROUP BY doc_id, n_shingles
+""".format(shingles=_SHINGLES_CTE),
+)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which training docs share word
+    shingles with the held-out eval set (doc_id % 97 == 0)? The eval
+    side's distinct shingle set is SMALL by definition (benchmarks are
+    kilobytes, corpora are terabytes), so it broadcasts; the train side
+    streams through explode -> broadcast hash join -> per-doc count with
+    map-side partial aggregation. No all-pairs doc comparison ever forms.
+    """
+    from pyspark import StorageLevel
+
+    from .functions.dedup import with_shingles
+    from .functions.numeric import round6
+
+    docs = read_table(spark, sf_dir, "documents")
+    # both the eval and train branches read the shingle frame — persist it
+    # or the CPU-bound shingling runs twice
+    sh = with_shingles(docs, "text", "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_sh = (
+        sh.filter(is_eval).select(F.explode("sh").alias("shingle")).distinct()
+    )
+    train = sh.filter(~is_eval).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("shingle")
+    )
+    hits = (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.select(
+        "doc_id",
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        round6(F.col("n_overlap") * F.lit(1.0) / F.col("n_shingles")).alias(
+            "contam_rate"
+        ),
+    )
+
+
+# ------------------------------- tf-idf terms -------------------------------
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "tfidf_top_terms",
+    driver=False,
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term,
+         ln((1.0 + (SELECT count(*) FROM documents)) / (1.0 + count(DISTINCT doc_id))) AS idf
+  FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         floor(tf.tf * idf.idf * 1000000) / 1000000 AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY floor(tf.tf * idf.idf * 1000000) / 1000000 DESC,
+                                     tf.term) AS rnk
+  FROM tf JOIN idf USING (term)
+)
+SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk
+FROM scored WHERE rnk <= {TFIDF_TOP_K}
+""",
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} characteristic terms per document by tf-idf. Shape at scale:
+    token explode -> (doc,term) count with map-side partial agg; document
+    frequency is a second agg over THAT frame (never re-reads text); idf
+    joins back on term (uniform key); the final per-doc top-k is one
+    window over doc_id. The corpus size N is a scalar agg, broadcast by
+    construction (literal in the plan would be wrong — it must come from
+    the data), not a driver-side constant."""
+    from pyspark.sql import Window
+
+    from .functions.numeric import round6
+    from .functions.text import _tokens as tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.log((1.0 + F.col("n")) / (1.0 + F.col("df"))).alias("idf"),
+        )
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id", "term", round6(F.col("tf") * F.col("idf")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "score", "rnk")
+    )
+
+
+# ----------------------------- corpus dataset card -----------------------------
+
+
+@register(
+    "corpus_report",
+    driver=False,
+    oracle=f"""
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       floor(avg(len({_SQL_TOKS})) * 1000000) / 1000000 AS avg_tokens,
+       CAST(count(*) FILTER (WHERE len({_SQL_TOKS}) < 20) AS BIGINT) AS n_short
+FROM documents
+GROUP BY source, lang
+""",
+)
+def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "dataset card" rollup a training run publishes per
+    (source, lang) cell: doc counts, token totals, length extremes, short-doc
+    counts. ONE hash aggregation over a narrow projection — tokenization is
+    computed once per row in the projection, every aggregate is map-side
+    combinable, output cardinality is #sources x #langs (tiny)."""
+    from .functions.numeric import round6
+    from .functions.text import _tokens as tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    proj = docs.select("source", "lang", "n_chars", n_tok.alias("n_tokens"))
+    return proj.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        round6(F.avg("n_tokens")).alias("avg_tokens"),
+        F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_short"),
+    )
+
+
+# ------------------------- vocabulary / budget sample -------------------------
+
+VOCAB_TOP_K = 20
+
+
+@register(
+    "vocab_topk_bigrams",
+    driver=False,
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+),
+bigrams AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM bigrams GROUP BY bigram
+ORDER BY cnt DESC, bigram LIMIT {VOCAB_TOP_K}
+""",
+)
+def vocab_topk_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-{k} bigram vocabulary (the BPE-ish "learn merges"
+    counting job). explode -> count with map-side partial agg; the global
+    top-k compiles to TakeOrderedAndProject — each partition keeps only
+    its local top-k and the driver merges k*partitions rows, so no global
+    sort of the vocabulary ever happens (asserted in test_plans)."""
+    docs = read_table(spark, sf_dir, "documents")
+    from .functions.text import _tokens
+
+    toks = docs.select(_tokens(F.col("text")).alias("t")).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                lambda x, i: F.concat(x, F.lit(" "), F.element_at(F.col("t"), i + 2)),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(VOCAB_TOP_K)
+    )
+
+
+SAMPLE_BUDGET = 100
+
+
+@register(
+    "budget_sample",
+    driver=False,
+    oracle=f"""
+SELECT doc_id, md5('budget' || CAST(doc_id AS VARCHAR)) AS tiebreak
+FROM documents
+ORDER BY tiebreak, doc_id LIMIT {SAMPLE_BUDGET}
+""",
+)
+def budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget uniform sample: the {n} docs with the smallest salted
+    hash. Equivalent to a reservoir sample but stateless and reproducible —
+    and in Spark it is TakeOrderedAndProject (per-partition top-n, driver
+    merge of n*partitions), NOT a global sort; at 100 TB that's the
+    difference between a scan and a full shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("budget"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", h.alias("tiebreak"))
+        .orderBy("tiebreak", "doc_id")
+        .limit(SAMPLE_BUDGET)
+    )
+
+
+# ----------------------------- k-means (one step) -----------------------------
+
+KMEANS_K = 8
+
+
+def _kmeans_ctes() -> str:
+    dot = _DOT.format(a="x.emb", b="c.emb")
+    return f"""
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS centroid_id, emb FROM v WHERE vec_id < {KMEANS_K}
+),
+dists AS (
+  SELECT x.vec_id, c.centroid_id,
+         {_DOT.format(a="x.emb", b="x.emb")} - 2 * {dot}
+           + {_DOT.format(a="c.emb", b="c.emb")} AS d2
+  FROM v x CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, centroid_id, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+  FROM dists
+)
+"""
+
+
+@register(
+    "kmeans_assign",
+    driver=False,
+    oracle=f"""
+WITH {_kmeans_ctes()}
+SELECT vec_id, centroid_id, floor(d2 * 1000000) / 1000000 AS d2
+FROM assigned WHERE rn = 1
+""",
+)
+def kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the inner step of k-means / IVF coarse
+    quantization): K={k} seed centroids (vec_id < K — deterministic
+    seeding) broadcast to every executor; each vector scores K distances
+    JVM-side via zip_with/aggregate and keeps the argmin with one
+    min(struct(d2, id)) aggregation — no window, no shuffle of the K x N
+    cross product beyond the per-vector fold."""
+    from .functions.numeric import round6
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = v.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        (dot(F.col("emb"), F.col("emb")) - 2 * dot(F.col("emb"), F.col("cemb"))
+         + dot(F.col("cemb"), F.col("cemb"))).alias("d2"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "centroid_id")).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        F.col("m.centroid_id").alias("centroid_id"),
+        round6(F.col("m.d2")).alias("d2"),
+    )
+
+
+@register(
+    "kmeans_step",
+    driver=False,
+    oracle=f"""
+WITH {_kmeans_ctes()},
+best AS (SELECT vec_id, centroid_id FROM assigned WHERE rn = 1)
+SELECT b.centroid_id, CAST(i AS BIGINT) AS dim,
+       floor(avg(v.emb[i]) * 1000000) / 1000000 AS c_val
+FROM best b JOIN v USING (vec_id) CROSS JOIN generate_series(1, 64) t(i)
+GROUP BY b.centroid_id, i
+""",
+)
+def kmeans_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration: assign (broadcast argmin, as
+    kmeans_assign) then recompute centroids as per-dimension means,
+    emitted long-form (centroid, dim, value). posexplode turns the mean
+    of 64-dim vectors into a map-side-combinable scalar aggregation on
+    (centroid, dim) — the classic distributed k-means update, one shuffle
+    of K x 64 partial sums per partition regardless of corpus size. The
+    full algorithm loops this query driver-side (iterative, hence no
+    single-SQL form for the loop itself)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = v.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        (dot(F.col("emb"), F.col("emb")) - 2 * dot(F.col("emb"), F.col("cemb"))
+         + dot(F.col("cemb"), F.col("cemb"))).alias("d2"),
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "centroid_id")).alias("m"))
+        .select("vec_id", F.col("m.centroid_id").alias("centroid_id"))
+    )
+    from .functions.numeric import round6
+
+    dims = best.join(v, "vec_id").select(
+        "centroid_id", F.posexplode("emb").alias("pos", "val")
+    )
+    return dims.groupBy("centroid_id", (F.col("pos") + 1).cast("bigint").alias("dim")).agg(
+        round6(F.avg("val")).alias("c_val")
+    )

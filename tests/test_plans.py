@@ -244,3 +244,44 @@ def test_range_join_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_split_and_sample_are_pure_scans(spark):
+    # deterministic hash splitting/sampling must stay a narrow projection:
+    # any exchange would mean the assignment depends on data movement
+    for name in ("train_val_split", "stratified_sample"):
+        plan = _executed_plan(ALL_QUERIES[name](spark, SF))
+        assert "Exchange" not in plan, f"{name} must be shuffle-free"
+        assert "*(" in plan  # stays inside whole-stage codegen
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    # the eval shingle set is the small side by definition; the train
+    # stream must probe it via broadcast, never shuffle on shingle
+    plan = _executed_plan(ALL_QUERIES["contamination_check"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_partial_aggregates(spark):
+    # (doc,term) counting must map-side combine before the shuffle
+    plan = _executed_plan(ALL_QUERIES["tfidf_top_terms"](spark, SF))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row corpus-size N join
+
+
+def test_topk_queries_avoid_global_sort(spark):
+    # global top-k must compile to TakeOrderedAndProject (per-partition
+    # top-k + driver merge), never a full sort-shuffle of the corpus
+    for name in ("vocab_topk_bigrams", "budget_sample"):
+        plan = _executed_plan(ALL_QUERIES[name](spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "rangepartitioning" not in plan, f"{name} must not globally sort"
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    # K centroids are broadcast; the N x K scoring never shuffles the
+    # vector side, and the argmin is a partial-aggregable min(struct)
+    plan = _executed_plan(ALL_QUERIES["kmeans_assign"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
