@@ -1000,3 +1000,231 @@ def kmeans_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dims.groupBy("centroid_id", (F.col("pos") + 1).cast("bigint").alias("dim")).agg(
         round6(F.avg("val")).alias("c_val")
     )
+
+
+# --------------------------- quality-quantile filter ---------------------------
+
+QUALITY_CUT = 0.2
+
+
+def _quality_filter_oracle() -> str:
+    # reuse the quality CTE chain, then threshold at the exact p20
+    base = _quality_oracle().strip()
+    return f"""
+WITH q AS ({base}),
+thr AS (SELECT quantile_cont(quality, {QUALITY_CUT}) AS thr FROM q)
+SELECT doc_id, quality FROM q, thr WHERE quality >= thr
+"""
+
+
+@register("quality_filter", driver=False, oracle=_quality_filter_oracle())
+def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop the bottom-{p}% quality documents. Two passes, NO global sort:
+    pass 1 reduces the score column to one exact-percentile scalar (at
+    100 TB: percentile_approx — mergeable t-digest sketch, same plan
+    shape); pass 2 re-scans and filters against the broadcast scalar.
+    The naive rank/ntile formulation would globally sort the corpus."""
+    from .functions.text import quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    thr = q.agg(F.percentile(F.col("quality"), F.lit(QUALITY_CUT)).alias("thr"))
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("thr"))
+        .select("doc_id", "quality")
+    )
+
+
+# --------------------------- product quantization ---------------------------
+
+PQ_SUBSPACES = 8
+PQ_SUBDIM = 8  # 64 dims / 8 subspaces
+PQ_CODEBOOK = 4  # centroids per subspace (vec_id < 4 seed the codebook)
+
+
+def _pq_oracle() -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), x -> (x[1] - x[2]) * (x[1] - x[2])),"
+        " (acc, v) -> acc + v)"
+    )
+    d2 = dot.format(a="x.subvec", b="c.subvec")
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+subs AS (
+  SELECT vec_id, m AS sub, emb[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS subvec
+  FROM v CROSS JOIN generate_series(0, {PQ_SUBSPACES - 1}) t(m)
+),
+codebook AS (
+  SELECT vec_id AS cid, sub, subvec FROM subs WHERE vec_id < {PQ_CODEBOOK}
+),
+scored AS (
+  SELECT x.vec_id, x.sub, c.cid, {d2} AS d2,
+         row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY {d2}, c.cid) AS rn
+  FROM subs x JOIN codebook c USING (sub)
+)
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code,
+       floor(d2 * 1000000) / 1000000 AS d2
+FROM scored WHERE rn = 1
+"""
+
+
+def _pq_subs(v: DataFrame) -> DataFrame:
+    """Explode (vec_id, emb) into one row per (vec_id, sub, subvec)."""
+    return v.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("emb"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for m in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("sub", "subvec"),
+    )
+
+
+def _sq_dist(a, b):
+    """Sequential-fold squared L2 — summation order matches DuckDB's
+    list_reduce, so the doubles are bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(subs: DataFrame) -> DataFrame:
+    """Nearest-codebook-entry per (vec_id, sub): broadcast the codebook
+    (PQ_SUBSPACES x PQ_CODEBOOK rows), argmin via one min(struct) agg."""
+    codebook = subs.filter(F.col("vec_id") < PQ_CODEBOOK).select(
+        F.col("vec_id").alias("cid"), "sub", F.col("subvec").alias("cvec")
+    )
+    scored = subs.join(F.broadcast(codebook), "sub").select(
+        "vec_id", "sub", "cid", _sq_dist(F.col("subvec"), F.col("cvec")).alias("d2")
+    )
+    return scored.groupBy("vec_id", "sub").agg(F.min(F.struct("d2", "cid")).alias("m"))
+
+
+@register("pq_codes", driver=False, oracle=_pq_oracle())
+def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: each 64-dim vector splits into
+    {M} 8-dim subvectors, each assigned its nearest codebook entry
+    (codebook seeded deterministically from vec_id < {C}). This is the
+    compression step that makes billion-vector ANN fit in memory
+    (64 floats -> {M} small codes). Shape: subvector explode is narrow;
+    the codebook (M x C rows) broadcasts; argmin is one min(struct)
+    partial agg keyed (vec_id, sub) — no shuffle of the vector corpus."""
+    from .functions.numeric import round6
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    best = _pq_assign(_pq_subs(v))
+    return best.select(
+        "vec_id",
+        F.col("sub").cast("bigint").alias("sub"),
+        F.col("m.cid").cast("bigint").alias("code"),
+        round6(F.col("m.d2")).alias("d2"),
+    )
+
+
+def _pq_adc_oracle() -> str:
+    d2 = (
+        "list_reduce(list_transform(list_zip({a}, {b}), x -> (x[1] - x[2]) * (x[1] - x[2])),"
+        " (acc, v) -> acc + v)"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+subs AS (
+  SELECT vec_id, m AS sub, emb[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS subvec
+  FROM v CROSS JOIN generate_series(0, {PQ_SUBSPACES - 1}) t(m)
+),
+codebook AS (
+  SELECT vec_id AS cid, sub, subvec FROM subs WHERE vec_id < {PQ_CODEBOOK}
+),
+codes AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT x.vec_id, x.sub, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id, x.sub
+                              ORDER BY {d2.format(a="x.subvec", b="c.subvec")}, c.cid) AS rn
+    FROM subs x JOIN codebook c USING (sub)
+  ) WHERE rn = 1
+),
+dtable AS (
+  SELECT q.vec_id AS query_id, c.sub, c.cid,
+         CAST(floor({d2.format(a="q.subvec", b="c.subvec")} * 1000000) AS BIGINT) AS d2_micro
+  FROM subs q JOIN codebook c USING (sub)
+  WHERE q.vec_id < {ANN_QUERIES}
+),
+adc AS (
+  SELECT d.query_id, x.vec_id AS neighbor_id,
+         CAST(sum(d.d2_micro) AS BIGINT) AS adc_d2_micro
+  FROM codes x JOIN dtable d ON d.sub = x.sub AND d.cid = x.code
+  WHERE x.vec_id <> d.query_id
+  GROUP BY d.query_id, x.vec_id
+)
+SELECT query_id, neighbor_id, adc_d2_micro, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_d2_micro, neighbor_id) AS INT) AS rank
+  FROM adc
+) WHERE rank <= {ANN_K}
+"""
+
+
+@register("ann_topk_pq", driver=False, oracle=_pq_adc_oracle())
+def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k — how billion-vector ANN
+    actually runs: vectors live ONLY as 8 small codes; each query
+    precomputes a distance table to every codebook entry (Q x M x C rows —
+    broadcast), and scoring a database vector is 8 integer table lookups
+    + a sum, never touching the original floats. Distances are in
+    integer micro-units so the per-sub sum is exact and order-independent
+    (float summation order would differ between engines and executors).
+    Production then re-ranks the top candidates exactly; recall vs the
+    exact top-k is asserted in tests/test_functions.py."""
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    subs = _pq_subs(v)
+    codes = _pq_assign(subs).select("vec_id", "sub", F.col("m.cid").alias("code"))
+    codebook = subs.filter(F.col("vec_id") < PQ_CODEBOOK).select(
+        F.col("vec_id").alias("cid"), "sub", F.col("subvec").alias("cvec")
+    )
+    dtable = (
+        subs.filter(F.col("vec_id") < ANN_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "cid",
+            F.floor(_sq_dist(F.col("subvec"), F.col("cvec")) * 1000000)
+            .cast("bigint")
+            .alias("d2_micro"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(dtable),
+            (codes["sub"] == dtable["sub"]) & (codes["code"] == dtable["cid"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2_micro").cast("bigint").alias("adc_d2_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2_micro", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_d2_micro",
+            "rank",
+        )
+    )

@@ -178,3 +178,25 @@ def test_connected_components_chain_and_clique(spark):
         | {v: 500 for v in (500, 501, 502)}
         | {900: 900, 901: 900}
     )
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    """PQ-ADC is an approximation: with a tiny 4-entry codebook it still
+    must put a decent fraction of the true (euclidean-ish) neighbors in
+    its top-k. We compare against exact cosine top-k — normalized-ish
+    synthetic embeddings make the orderings comparable — and require
+    overlap well above random (k/N ~ 1%)."""
+    import __spark_entry__  # noqa: F401 — populates the registry
+    from mammoth_spark.registry import QUERIES
+
+    exact = QUERIES["ann_topk"](spark, sf_dir).collect()
+    approx = QUERIES["ann_topk_pq"](spark, sf_dir).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(ap) == set(ex)
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) > 0.05  # >> random (~1%)

@@ -285,3 +285,25 @@ def test_kmeans_broadcasts_centroids(spark):
     plan = _executed_plan(ALL_QUERIES["kmeans_assign"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_quality_filter_no_global_sort(spark):
+    # percentile-threshold filtering must be scan+agg, never rank/ntile
+    # (which would globally sort the corpus)
+    plan = _executed_plan(ALL_QUERIES["quality_filter"](spark, SF))
+    assert "rangepartitioning" not in plan and "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # scalar threshold broadcast
+
+
+def test_pq_codes_broadcasts_codebook(spark):
+    plan = _executed_plan(ALL_QUERIES["pq_codes"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_pq_adc_broadcasts_distance_table(spark):
+    # ADC scoring must join codes against a broadcast distance table and
+    # never shuffle the code corpus on the lookup key
+    plan = _executed_plan(ALL_QUERIES["ann_topk_pq"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
