@@ -1228,3 +1228,67 @@ def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "streaming_dedup_ingest",
+    driver=False,
+    oracle=_minhash_pairs_ctes()
+    + "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM pairs)",
+)
+def streaming_dedup_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rolling-ingest dedup as a REAL Structured Streaming pipeline:
+    documents arrive as files (readStream, maxFilesPerTrigger=1, mtimes
+    forced so arrival order == id order), and every micro-batch runs one
+    `dedup_incremental` step inside foreachBatch — candidate work ∝ the
+    batch, survivors appended to the output table, and the signature
+    store re-published as a NEW versioned directory per epoch (the
+    atomic-swap pattern: readers of v(n-1) are never overwritten, and a
+    crashed epoch leaves the previous version intact). End state must
+    equal the single-shot whole-corpus dedup — the same oracle as
+    `dedup_incremental_minhash`, now proven through the streaming path."""
+    import glob
+    import os
+    import tempfile
+
+    from .functions.dedup import dedup_incremental
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(base, "src")
+    for i, (lo, hi) in enumerate([(0, 150), (150, 300), (300, 1 << 60)]):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        pdir = os.path.join(base, f"stage{i}")
+        part.coalesce(1).write.parquet(pdir)
+        (pq,) = glob.glob(pdir + "/*.parquet")
+        os.makedirs(src, exist_ok=True)
+        dst = os.path.join(src, f"ingest_{i}.parquet")
+        os.rename(pq, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))  # arrival order = id order
+
+    surv_dir = os.path.join(base, "survivors")
+
+    def _latest_store(s):
+        versions = sorted(glob.glob(os.path.join(base, "store_v*")))
+        return s.read.parquet(versions[-1]) if versions else None
+
+    def _step(batch_df, epoch_id):
+        s = batch_df.sparkSession
+        store = _latest_store(s)
+        surv, new_store = dedup_incremental(
+            store, batch_df, jaccard_threshold=MINHASH_JACCARD_T
+        )
+        new_store.write.parquet(os.path.join(base, f"store_v{epoch_id:06d}"))
+        surv.write.mode("append").parquet(surv_dir)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_step)
+        .option("checkpointLocation", os.path.join(base, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(surv_dir)
