@@ -294,3 +294,111 @@ def invalid_sequence_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     found = validate_action_sequences(log, ["key"])
     return found.select("key", "seq", "prev_kind", "kind")
+
+
+@register(
+    "shipping_priority_topk",
+    driver=False,
+    oracle=f"""
+SELECT l.l_orderkey,
+       CAST(sum({_CENTS.format(expr="l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT) AS revenue_cents,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+""",
+)
+def shipping_priority_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective dimension filters
+    push into both scans BEFORE the joins (segment filter prunes customer,
+    date filters prune orders/lineitem at the parquet reader), filtered
+    orders⨝customer broadcasts against the lineitem stream, and the final
+    top-10 is TakeOrderedAndProject over the aggregated (not raw) rows."""
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    cutoff = F.lit("1995-03-15").cast("date")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("o_orderdate"))
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.to_date("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    dim = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    return (
+        li.join(F.broadcast(dim), li["l_orderkey"] == dim["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .select("l_orderkey", "revenue_cents", "o_orderdate")
+        .orderBy(F.col("revenue_cents").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+LARGE_ORDER_QTY = 150
+
+
+@register(
+    "large_order_customers",
+    driver=False,
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > {LARGE_ORDER_QTY}
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       CAST(floor(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def large_order_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the HAVING subquery is a
+    semi-join — lineitem aggregates once to find qualifying orders, and
+    that SMALL qualifying set broadcasts back against orders and lineitem,
+    so the big fact table is never shuffled on the join key. The Spark
+    plan re-uses the same one-pass aggregate for qualification and the
+    final per-order totals."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty")
+    )
+    big = per_order.filter(F.col("total_qty") > LARGE_ORDER_QTY)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("totalprice_cents"),
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "totalprice_cents",
+            "total_qty",
+        )
+    )

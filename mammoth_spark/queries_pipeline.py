@@ -1292,3 +1292,84 @@ def streaming_dedup_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(surv_dir)
+
+
+@register(
+    "dedup_exact_normalized",
+    driver=False,
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+  FROM documents
+)
+SELECT content_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       min(doc_id) AS canonical_id, max(doc_id) AS max_id
+FROM norm GROUP BY content_hash
+""",
+)
+def dedup_exact_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER canonical text normalization (lowercase, collapse
+    whitespace, trim) — catches the re-hosted/re-wrapped copies raw-hash
+    dedup misses. Normalization is a pure per-row expression chain, so the
+    cost over plain dedup_exact is zero extra shuffles; the md5 key stays
+    uniform (no skew). DuckDB's regexp_replace needs the 'g' flag to match
+    Spark's replace-all default — a documented parity trap."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        docs.select("doc_id", F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+SKEW_TOP_N = 10
+
+
+@register(
+    "key_skew_report",
+    driver=False,
+    oracle=f"""
+WITH counts AS (
+  SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM counts)
+SELECT key, CAST(n AS BIGINT) AS n,
+       floor(n * 1000000.0 / total) / 1000000 AS share,
+       CAST(n_keys AS BIGINT) AS n_keys
+FROM counts, tot
+ORDER BY n DESC, key LIMIT {SKEW_TOP_N}
+""",
+)
+def key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight skew diagnostic for any join/agg key: top-N heaviest
+    keys with their share of total rows (feeds the decision to salt — see
+    plans/layout.salted_join). One partial-agg shuffle on the key, a
+    broadcast scalar for the total, TakeOrderedAndProject for the top-N;
+    output is N rows no matter the corpus size."""
+    orders = read_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            F.col("n").cast("bigint").alias("n"),
+            (F.floor(F.col("n") * 1000000.0 / F.col("total")) / 1000000.0).alias(
+                "share"
+            ),
+            "n_keys",
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(SKEW_TOP_N)
+    )
