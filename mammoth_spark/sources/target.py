@@ -91,6 +91,58 @@ class ParquetMergeTarget:
         self._publish(v)
         return v
 
+    # -- maintenance / time travel ---------------------------------------
+    def versions(self) -> list[int]:
+        """All retained version numbers, ascending."""
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith("v_"):
+                try:
+                    out.append(int(name[2:]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: read a retained historical version. Immutable
+        version directories make this free — the same property that makes
+        the publish atomic (readers of v(n-1) are never disturbed by the
+        v(n) writer) also gives audit/rollback reads, exactly as in
+        manifest-pointer table formats."""
+        d = self._version_dir(version)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"version {version} not retained in {self.root}")
+        return self.spark.read.parquet(d)
+
+    def compact_files(self, target_files: int = 1) -> int:
+        """Small-file maintenance: rewrite the CURRENT version into
+        ``target_files`` files as a NEW version and swap the pointer.
+        Micro-batch MERGE writers accrete many small files (each epoch
+        rewrites with the write parallelism of the merge); at scale the
+        read cost is dominated by file-open overhead until a compaction
+        pass like this runs. Data is byte-identical — only layout changes
+        — and history stays readable."""
+        df = self.read().coalesce(target_files)
+        v = (self.current_version() or 0) + 1
+        df.write.mode("overwrite").parquet(self._version_dir(v))
+        self._publish(v)
+        return v
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Retention: drop all but the newest ``keep_last`` versions
+        (never the current). Returns the versions removed. The pointer
+        file is the commit record, so removal order doesn't matter —
+        readers resolving the pointer never see a half-deleted current
+        version."""
+        import shutil
+
+        vs = self.versions()
+        cur = self.current_version()
+        victims = [v for v in vs[:-keep_last] if v != cur] if keep_last > 0 else []
+        for v in victims:
+            shutil.rmtree(self._version_dir(v))
+        return victims
+
     def verify(self, relation: Relation) -> bool:
         """A18: schema verification against the expected relation."""
         current = self.read().schema

@@ -546,3 +546,44 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert rows == [("a", 0), ("a", 130), ("wm", 120)]
+
+
+def test_target_time_travel_compact_vacuum(spark, tmp_path):
+    """Versioned-target maintenance: immutable version dirs give time
+    travel; compact_files rewrites layout (not data) as a new version;
+    vacuum drops history but never the current version."""
+    from mammoth_spark.model import local_df
+
+    root = str(tmp_path / "tt_target")
+    target = ParquetMergeTarget(spark, root, ["key"], ["name"])
+    target.initialize(
+        local_df(spark, [("1", "a"), ("2", "b")], ["key", "name"])
+    )
+    v1_rows = sorted(tuple(r) for r in target.read().collect())
+
+    upd = local_df(
+        spark, [("2", "B", "UPDATE"), ("3", "c", "INSERT")], ["key", "name", "kind"]
+    )
+    target.write(upd)
+    assert target.versions() == [1, 2]
+    # time travel: v1 still shows the pre-merge state
+    assert sorted(tuple(r) for r in target.read_version(1).collect()) == v1_rows
+    cur = sorted(tuple(r) for r in target.read().collect())
+    assert cur == [("1", "a"), ("2", "B"), ("3", "c")]
+
+    # compaction: same data, fewer files, new version
+    import glob
+
+    before = len(glob.glob(root + "/v_2/*.parquet"))
+    v3 = target.compact_files(target_files=1)
+    assert v3 == 3 and target.current_version() == 3
+    after = len(glob.glob(root + "/v_3/*.parquet"))
+    assert after == 1 and after <= before
+    assert sorted(tuple(r) for r in target.read().collect()) == cur
+
+    # vacuum: keep last 2 -> v1 gone, current intact and readable
+    assert target.vacuum(keep_last=2) == [1]
+    assert target.versions() == [2, 3]
+    with pytest.raises(FileNotFoundError):
+        target.read_version(1)
+    assert sorted(tuple(r) for r in target.read().collect()) == cur
