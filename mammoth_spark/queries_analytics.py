@@ -714,3 +714,86 @@ def incremental_agg_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame
         base = merge_upsert(base, net, ["key"], ["value"]).localCheckpoint()
         agg = agg.localCheckpoint()
     return agg
+
+
+@register(
+    "stream_stream_attribution",
+    driver=False,
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+)
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       v.ts_us AS view_ts_us, p.ts_us AS purchase_ts_us
+FROM ev v JOIN ev p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts_us >= v.ts_us AND p.ts_us <= v.ts_us + 3600000000
+""",
+)
+def stream_stream_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join — the Structured Streaming operator whose
+    state discipline matters most at scale: views and purchases arrive as
+    two unbounded streams; the time-range predicate (purchase within 1 h
+    of the view) plus watermarks on BOTH sides is what lets Spark evict
+    buffered rows instead of holding both streams forever. Timestamps
+    ride as exact integer-division micros (`ts div 1000` — float division
+    of epoch-nanos loses precision past 2^53). Result must equal the
+    batch join, which is the oracle."""
+    import uuid
+
+    ev_schema = read_table(spark, sf_dir, "events").schema  # sets nanosAsLong
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    base = stream.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("CAST(ts AS BIGINT) div 1000").alias("ts_us"),
+        F.timestamp_micros(F.expr("CAST(ts AS BIGINT) div 1000")).alias("ts_m"),
+    )
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts_us").alias("view_ts_us"),
+            F.col("ts_m").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.col("ts_m").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("interval 1 hour")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts_us",
+        "purchase_ts_us",
+    )
+    sink = f"ss_attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

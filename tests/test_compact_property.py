@@ -128,3 +128,59 @@ def test_sharded_fold_equals_relation_fold_and_order_invariance(spark, seed):
     shuffled = list(rows)
     random.Random(seed + 1).shuffle(shuffled)
     assert _canon(compact_exact(local_df(spark, shuffled, _SCHEMA))) == sharded
+
+
+# ---------------------------------------------------------------------------
+# connected_components (dedup_clusters' engine) vs a naive union-find
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed log-rounds algorithm must produce EXACTLY the
+    min-id component labeling of a sequential union-find, for arbitrary
+    graphs (cycles, self-parallel edges, disconnected chunks)."""
+    from mammoth_spark.functions.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+
+    df = local_df(
+        spark,
+        [(int(a), int(b)) for a, b in edges],
+        T.StructType(
+            [
+                T.StructField("id_a", T.LongType()),
+                T.StructField("id_b", T.LongType()),
+            ]
+        ),
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == expected
