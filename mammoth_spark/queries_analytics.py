@@ -797,3 +797,58 @@ def stream_stream_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "user_rolling_features",
+    driver=False,
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id,
+         CAST(floor(epoch_ns(ts) / {24 * _HOUR_NS}.0) AS BIGINT) AS day_idx,
+         count(*) AS n,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day_idx,
+       CAST(n AS BIGINT) AS n_events,
+       v_milli,
+       CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+       CAST(sum(v_milli) OVER w AS BIGINT) AS v_milli_7d,
+       CAST(count(*) OVER w AS BIGINT) AS active_days_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day_idx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def user_rolling_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-7-day behavior features (the feature-engineering
+    workhorse): pre-aggregate to (user, day) FIRST — the rolling window
+    then runs over the small daily series with a RANGE frame (value-based,
+    so gaps in activity are handled without densifying), partitioned by
+    user. The raw event volume is touched exactly once, in a map-side
+    combinable aggregation; the window shuffle moves only user-day rows."""
+    ev = _events(spark, sf_dir)
+    day = F.floor(F.col("ts_ns") / F.lit(24 * _HOUR_NS)).cast("bigint").alias("day_idx")
+    daily = ev.groupBy("user_id", day).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("v_milli"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day_idx",
+        "n_events",
+        "v_milli",
+        F.sum("n_events").over(w).cast("bigint").alias("n_7d"),
+        F.sum("v_milli").over(w).cast("bigint").alias("v_milli_7d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("active_days_7d"),
+    )

@@ -756,3 +756,75 @@ def orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("text")).alias("min_text_md5"),
         F.max(F.md5("text")).alias("max_text_md5"),
     )
+
+
+@register(
+    "constraint_check",
+    driver=False,
+    oracle="""
+SELECT 'orders_fk_customer' AS constraint_name,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'orders_pk_unique',
+       CAST((SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       CAST((SELECT count(*) FROM orders WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+            AS BIGINT)
+""",
+)
+def constraint_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the dbt-test / Deequ shape): FK
+    containment as ANTI-joins (true dimensions broadcast; fact-to-fact
+    containment shuffles on the pruned key column only), PK uniqueness as
+    one partial-agg group-count, and a null/range predicate as a pure
+    scan. Each check
+    reduces to ONE scalar; the union of scalars is the audit report a
+    pipeline asserts on before publishing a batch (the reference's
+    schema_verify generalized to row-level invariants)."""
+    from .model import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    fk_cust = (
+        orders.select("o_custkey")
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .select(F.lit("orders_fk_customer").alias("constraint_name"), "n_violations")
+    )
+    pk_dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .select(F.lit("orders_pk_unique").alias("constraint_name"), "n_violations")
+    )
+    # orders is itself a fact table — its keyset is NOT broadcastable at
+    # scale, so this anti-join is left to Catalyst/AQE (shuffled anti-join
+    # on a uniform key; both sides prune to the single key column)
+    okeys = orders.select("o_orderkey")
+    fk_li = (
+        li.join(okeys, li["l_orderkey"] == okeys["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .select(F.lit("lineitem_fk_orders").alias("constraint_name"), "n_violations")
+    )
+    price = (
+        orders.filter(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .select(
+            F.lit("orders_totalprice_positive").alias("constraint_name"),
+            "n_violations",
+        )
+    )
+    return fk_cust.unionByName(pk_dup).unionByName(fk_li).unionByName(price)

@@ -1373,3 +1373,153 @@ def key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "key")
         .limit(SKEW_TOP_N)
     )
+
+
+# --------------------------- repetition / PII signals ---------------------------
+
+
+@register(
+    "repetition_ratio",
+    driver=False,
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bigrams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(bigrams) > 0
+            THEN floor((1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams)) * 1000000) / 1000000
+            ELSE 0.0 END AS rep_ratio
+FROM g
+""",
+)
+def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher-style boilerplate signal):
+    1 - distinct/total bigrams. Generated text and templated spam repeat
+    n-grams; this is the cheap per-row screen that runs before any
+    pairwise dedup. Pure narrow expressions — array transforms JVM-side,
+    zero shuffles at any corpus size."""
+    from .functions.text import _tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda x, i: F.concat(x, F.lit(" "), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = docs.select("doc_id", bigrams.alias("bigrams"))
+    n = F.size("bigrams").cast("bigint")
+    nd = F.size(F.array_distinct("bigrams")).cast("bigint")
+    return out.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        nd.alias("n_distinct"),
+        F.when(
+            n > 0, F.floor((1.0 - nd * F.lit(1.0) / n) * 1000000) / 1000000
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+
+
+@register(
+    "pii_scan",
+    driver=False,
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash
+FROM documents
+""",
+)
+def pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pre-screening: count email/phone patterns per doc and hash the
+    redacted text (the hash proves the redaction transform is
+    deterministic without shipping the text through the comparison).
+    Regex extraction/replacement is JVM-side codegen — the whole scan is
+    one narrow pass; at 100 TB this is purely scan-bound. DuckDB needs
+    the 'g' flag to mirror Spark's replace-all default."""
+    docs = read_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+PIPELINE_QUALITY_MIN = 0.5
+
+
+def _pipeline_e2e_oracle() -> str:
+    from .functions.sampling import hash_bucket_sql
+
+    b = hash_bucket_sql("q.doc_id", 1000, salt="split")
+    return f"""
+WITH qchain AS ({_quality_oracle().strip()}),
+canon AS (
+  SELECT min(doc_id) AS doc_id FROM (
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+    FROM documents
+  ) GROUP BY h
+)
+SELECT q.doc_id, q.quality, CAST({b} AS BIGINT) AS bucket,
+       CASE WHEN {b} < 900 THEN 'train'
+            WHEN {b} < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM qchain q JOIN canon USING (doc_id)
+WHERE q.quality >= {PIPELINE_QUALITY_MIN}
+"""
+
+
+@register("pipeline_e2e", driver=False, oracle=_pipeline_e2e_oracle())
+def pipeline_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators COMPOSED as one pipeline — normalize-dedup (keep the
+    min-id copy), quality gate, deterministic train/val/test assignment —
+    exactly the preprocessing chain a training corpus runs, and the plan
+    stays a single DAG Catalyst optimizes end-to-end (the dedup agg is the
+    only shuffle; quality scoring and splitting fuse into the surrounding
+    projections). Every stage is the same operator the standalone queries
+    verify; this entry proves they compose without semantic drift."""
+    from .functions.sampling import split_assign
+    from .functions.text import quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    canon = (
+        docs.select("doc_id", F.md5(norm).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    q = quality_score(docs).select("doc_id", "quality")
+    surv = q.join(canon, "doc_id").filter(F.col("quality") >= PIPELINE_QUALITY_MIN)
+    return split_assign(surv, "doc_id").select("doc_id", "quality", "bucket", "split")
