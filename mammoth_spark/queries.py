@@ -364,6 +364,7 @@ def publication_set_equality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search) and the tri-state CDC surface — registration happens
 # on import
 from . import queries_analytics  # noqa: E402,F401
+from . import queries_corpus  # noqa: E402,F401
 from . import queries_flagged  # noqa: E402,F401
 from . import queries_joins  # noqa: E402,F401
 from . import queries_misc  # noqa: E402,F401
