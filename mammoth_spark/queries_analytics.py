@@ -788,14 +788,22 @@ def stream_stream_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts_us",
     )
     sink = f"ss_attr_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # stream-stream join state partitions = shuffle partitions at query
+    # start; both state stores here hold a bounded hour of per-user rows,
+    # so 8 partitions beats paying 32 state-store instantiations per batch
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink)
 
 

@@ -1281,16 +1281,23 @@ def streaming_dedup_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_store.write.parquet(os.path.join(base, f"store_v{epoch_id:06d}"))
         surv.write.mode("append").parquet(surv_dir)
 
-    q = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(_step)
-        .option("checkpointLocation", os.path.join(base, "_chk"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # per-epoch joins touch a few hundred keys; 8 shuffle partitions
+    # beats paying 32 tasks per stage per epoch (restored after)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_step)
+            .option("checkpointLocation", os.path.join(base, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(surv_dir)
 
 
@@ -1411,15 +1418,21 @@ def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import _tokens
 
     docs = read_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    # materialize the token array ONCE per row before the bigram lambda:
+    # referencing the raw _tokens(...) expression inside transform would
+    # inline regexp_extract_all per element (O(tokens x text) regex work,
+    # measured 6.8s -> ~1s at sf0.1)
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     bigrams = F.when(
         F.size(toks) >= 2,
-        F.transform(
+        F.zip_with(
             F.slice(toks, 1, F.size(toks) - 1),
-            lambda x, i: F.concat(x, F.lit(" "), F.element_at(toks, i + 2)),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = docs.select("doc_id", bigrams.alias("bigrams"))
+    out = toked.select("doc_id", bigrams.alias("bigrams"))
     n = F.size("bigrams").cast("bigint")
     nd = F.size(F.array_distinct("bigrams")).cast("bigint")
     return out.select(
