@@ -160,18 +160,20 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = read_table(spark, sf_dir, "documents")
     per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
-    tot = per_lang.agg(F.sum("n_total").cast("bigint").alias("corpus_n"))
     w_expr = None
     for k, v in sorted(MIX_WEIGHTS.items()):
         cond = F.col("lang") == k
         w_expr = F.when(cond, v) if w_expr is None else w_expr.when(cond, v)
     w_expr = w_expr.otherwise(F.lit(0))
+    # corpus total via an unpartitioned window over the per-lang frame
+    # (a handful of rows): ONE corpus count scan, not two — Catalyst does
+    # not dedupe a per_lang subplan referenced from two branches
+    corpus_n = F.sum("n_total").over(Window.partitionBy()).cast("bigint")
     cuts = (
-        per_lang.crossJoin(F.broadcast(tot))
-        .select(
+        per_lang.select(
             "lang",
             "n_total",
-            F.floor(F.col("corpus_n") * MIX_BUDGET_PM * w_expr / 1000000.0)
+            F.floor(corpus_n * MIX_BUDGET_PM * w_expr / 1000000.0)
             .cast("bigint")
             .alias("desired_n"),
         )
@@ -185,6 +187,10 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # cuts feeds BOTH the selection broadcast and the final audit join;
+    # materialize the handful of rows once or the corpus-count scan runs
+    # once per consumer (Catalyst does not dedupe the shared subplan)
+    cuts = cuts.localCheckpoint(eager=True)
     sampled = (
         docs.select("doc_id", "lang", hash_bucket(F.col("doc_id"), _MIX_BUCKETS, "mix"))
         .join(F.broadcast(cuts.select("lang", "cut")), "lang")
@@ -193,7 +199,7 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
     )
     return (
-        cuts.join(sampled, "lang", "left")
+        cuts.join(F.broadcast(sampled), "lang", "left")
         .select(
             "lang",
             "n_total",
@@ -296,20 +302,26 @@ def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    stats = per.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df"),
-        F.sum("tf").cast("bigint").alias("tf_total"),
-    )
+    # stats AND capped postings in ONE pass over the term-ranked frame:
+    # collect_list skips the nulls the rn<=K guard produces, so per-term
+    # collected state is bounded at K while df/tf_total see every row —
+    # and the final groupBy(term) reuses the window's hashpartitioning
+    # (a separate stats-branch would re-aggregate the whole exploded
+    # corpus; Catalyst does not dedupe the shared subplan)
     w = Window.partitionBy("term").orderBy("doc_id")
-    topk = (
-        per.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= IDX_POSTINGS_K)
-        .groupBy("term")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
-    )
+    ranked = per.withColumn("rn", F.row_number().over(w))
     return (
-        stats.filter(F.col("df") >= IDX_MIN_DF)
-        .join(topk, "term")
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") <= IDX_POSTINGS_K, F.col("doc_id"))
+                )
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= IDX_MIN_DF)
         .select("term", "df", "tf_total", "postings")
     )
 

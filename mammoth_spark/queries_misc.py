@@ -828,3 +828,49 @@ def constraint_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fk_cust.unionByName(pk_dup).unionByName(fk_li).unionByName(price)
+
+
+# --------------------------- JSON schema-on-read ---------------------------
+
+
+@register(
+    "json_props_rollup",
+    driver=False,
+    oracle="""
+WITH ext AS (
+  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         user_id, CAST(floor(value * 1000000) AS BIGINT) AS value_us
+  FROM events
+)
+SELECT CAST(floor(k / 10) AS BIGINT) AS k_decile,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(value_us) AS BIGINT) AS value_us_sum,
+       min(k) AS k_min, max(k) AS k_max
+FROM ext GROUP BY 1
+""",
+)
+def json_props_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over a semi-structured JSON column: extract typed
+    fields from `events.props` with a JSON path and aggregate — the
+    everyday "the upstream app logs a JSON blob" query, and the sibling
+    of A21's PG-array→JSON conversion (reference
+    target/common/arraytojson/arraytojson.go — both turn an opaque
+    text payload into queryable structure). `get_json_object` is a
+    JVM-codegen expression: the extraction rides the scan (no UDF, no
+    shuffle), so at 100 TB this costs one narrow pass plus a 10-key
+    partial agg. Floats enter the sum as floored micro-units per the
+    integer-sum parity discipline."""
+    ev = read_table(spark, sf_dir, "events")
+    ext = ev.select(
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+        "user_id",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("value_us"),
+    )
+    return ext.groupBy(F.floor(F.col("k") / 10).cast("bigint").alias("k_decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("value_us").cast("bigint").alias("value_us_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )

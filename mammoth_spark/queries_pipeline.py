@@ -353,7 +353,9 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle() -> str:
+def _simhash_ctes() -> str:
+    """CTE chain ending in sh(doc_id, simhash, n_tokens) — shared by the
+    per-doc simhash oracle and the banded-pairs oracle."""
     bit_sums = []
     for b in range(SIMHASH_BITS):
         pos = b // 4 + 1
@@ -373,15 +375,83 @@ WITH ex AS (
 agg AS (
   SELECT doc_id, {", ".join(bit_sums)}, count(*) AS n_tokens
   FROM ex GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash, n_tokens FROM agg
 )
-SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash, n_tokens FROM agg
 """
+
+
+def _simhash_oracle() -> str:
+    return _simhash_ctes() + "SELECT doc_id, simhash, n_tokens FROM sh"
 
 
 @register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document over distinct tokens."""
     return dedup_simhash(read_table(spark, sf_dir, "documents"))
+
+
+SIMHASH_HAM_T = 1
+
+
+@register(
+    "simhash_band_pairs",
+    driver=False,
+    oracle=_simhash_ctes()
+    + f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id
+ AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_T}
+""",
+)
+def simhash_band_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance via BIT-BAND LSH — the
+    bit-vector complement of the minhash band join. The 16-bit simhash
+    splits into two 8-bit half-bands; by pigeonhole, any pair within
+    Hamming distance 1 is identical in at least one half, so the band
+    equi-join is recall-COMPLETE for the threshold (the oracle is the
+    brute-force all-pairs join, which the banded plan must reproduce
+    exactly). Candidates then verify `bit_count(a XOR b) <= t` — one
+    JVM instruction per pair.
+
+    Scale shape: the all-pairs product never materializes — only docs
+    sharing a half-band bucket meet. Candidate generation goes through
+    `_bounded_bucket_pairs`, whose star-canonicalization cap bounds any
+    mega-bucket; the cap is OFF here (`max_bucket_size=None`) because a
+    16-bit fixture-scale simhash is deliberately coarse (dense buckets),
+    and capping would trade the exact-pairs semantics the oracle checks.
+    At production widths (64-bit simhash, 4x16-bit bands) buckets are
+    sparse and the same cap=64 used by the minhash path applies.
+    Simhash itself is zero-shuffle narrow arithmetic."""
+    from .functions.dedup import _bounded_bucket_pairs
+
+    sh = dedup_simhash(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "simhash"
+    )
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.shiftright(F.col("simhash"), 8).alias("half_hi"),
+        (F.col("simhash") % 256).alias("half_lo"),
+    ).selectExpr("doc_id", "simhash", "stack(2, 0, half_hi, 1, half_lo) as (band_idx, band)")
+    cand = _bounded_bucket_pairs(
+        bands.select("doc_id", "band_idx", "band"),
+        ["band_idx", "band"],
+        "doc_id",
+        max_bucket_size=None,
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAM_T)
+    )
 
 
 @register(

@@ -307,3 +307,53 @@ def test_ann_pq_adc_broadcasts_distance_table(spark):
     plan = _executed_plan(ALL_QUERIES["ann_topk_pq"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    # packing = ONE running-sum window per shard: exactly one keyed
+    # exchange (on shard), no join, no extra sort beyond the window's
+    df = ALL_QUERIES["pack_sequences"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("hashpartitioning") == 1, "packing must shuffle once (shard)"
+    assert "Join" not in plan
+
+
+def test_mixture_sample_corpus_side_never_shuffles_rows(spark):
+    # the rate map is a tiny broadcast; the corpus-side selection must be
+    # a broadcast join + scan, never a key-shuffle of the documents frame,
+    # and the corpus is scanned at most twice (counts pass + selection
+    # pass; the checkpointed cuts frame must not re-trigger scans)
+    df = ALL_QUERIES["mixture_sample"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") <= 2
+
+
+def test_domain_cap_two_level_bounds_partition_state(spark):
+    # two window passes: the salted local top-N then the per-source global
+    # top-N over <= N*salts survivors — both present, and the local one
+    # partitions by (source, salt) so no single domain owns a partition
+    df = ALL_QUERIES["domain_cap"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+    assert "salt" in plan
+
+
+def test_inverted_index_reuses_term_exchange(spark):
+    # stats and capped postings come from ONE pass: exactly two exchanges
+    # ((term,doc_id) tf agg, then term window whose partitioning the final
+    # agg reuses) and ONE corpus scan — a separate stats branch would
+    # re-explode and re-aggregate the corpus
+    df = ALL_QUERIES["inverted_index"](spark, SF)
+    plan = _executed_plan(df)
+    n = plan.count("hashpartitioning")
+    assert n <= 2, f"inverted index shuffled {n} times; exchange not reused"
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_shard_manifest_partial_aggregates(spark):
+    # K-key manifest agg must map-side combine (partial_ before final)
+    df = ALL_QUERIES["shard_manifest"](spark, SF)
+    plan = _executed_plan(df)
+    assert "partial_count" in plan or "partial_sum" in plan
