@@ -372,3 +372,223 @@ def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# --------------------------- bigram LM scoring ---------------------------
+
+LM_VOCAB_K = 500  # model pruned to the K most frequent tokens
+_MICRO = 1000000
+
+
+def _lm_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+uni AS (
+  SELECT t.term, CAST(count(*) AS BIGINT) AS c1 FROM
+    (SELECT unnest(toks) AS term FROM tok) t
+  GROUP BY t.term
+),
+vocab AS (
+  SELECT term, c1 FROM uni ORDER BY c1 DESC, term LIMIT {LM_VOCAB_K}
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM tok, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+  WHERE len(toks) >= 2
+),
+model AS (
+  SELECT b.w1, b.w2, CAST(floor(count(*) * {_MICRO}.0 / any_value(v1.c1)) AS BIGINT) AS microprob
+  FROM bg b JOIN vocab v1 ON b.w1 = v1.term JOIN vocab v2 ON b.w2 = v2.term
+  GROUP BY b.w1, b.w2
+),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_scored, CAST(sum(m.microprob) AS BIGINT) AS sum_microprob
+  FROM bg b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+  GROUP BY b.doc_id
+),
+per_doc AS (
+  SELECT doc_id, CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams FROM tok
+)
+SELECT p.doc_id, p.n_bigrams,
+       CAST(coalesce(s.n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(CASE WHEN coalesce(s.n_scored, 0) > 0
+                 THEN floor(s.sum_microprob * 1.0 / s.n_scored) ELSE 0 END AS BIGINT) AS mean_microprob
+FROM per_doc p LEFT JOIN scored s ON p.doc_id = s.doc_id
+"""
+
+
+@register("lm_score", driver=False, oracle=_lm_oracle())
+def lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring (the CCNet/KenLM-filter shape):
+    train a bigram model on the corpus, score every document by its mean
+    bigram conditional probability, flag low-scoring docs as gibberish/
+    boilerplate candidates. The model is PRUNED to the top-K vocabulary —
+    that is what makes it a broadcastable, fixed-size artifact at 100 TB
+    (an unpruned bigram table is itself corpus-sized and would force a
+    fact-to-fact shuffle join per scoring pass; CCNet ships a fixed LM
+    for the same reason). OOV bigrams are simply unscored (n_scored vs
+    n_bigrams exposes coverage).
+
+    Parity note: scores are integer micro-probabilities
+    (floor(1e6 * c(w1,w2)/c(w1))), not log-probs — JVM and DuckDB `ln`
+    are not guaranteed to round identically at the ulp, and floored
+    integer ratios are exact on both engines while ranking docs the
+    same way for the filter's purpose."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    terms = tok.select(F.explode("toks").alias("term"))
+    uni = terms.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    vocab = uni.orderBy(F.col("c1").desc(), "term").limit(LM_VOCAB_K)
+    bg = (
+        tok.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    v1 = F.broadcast(vocab.select(F.col("term").alias("w1"), F.col("c1")))
+    v2 = F.broadcast(vocab.select(F.col("term").alias("w2")))
+    model = (
+        bg.join(v1, "w1")
+        .join(v2, "w2")
+        .groupBy("w1", "w2")
+        .agg(
+            F.floor(F.count(F.lit(1)) * float(_MICRO) / F.any_value("c1"))
+            .cast("bigint")
+            .alias("microprob")
+        )
+    )
+    scored = (
+        bg.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("microprob").cast("bigint").alias("sum_microprob"),
+        )
+    )
+    per_doc = tok.select(
+        "doc_id",
+        F.greatest(F.size("toks") - 1, F.lit(0)).cast("bigint").alias("n_bigrams"),
+    )
+    return per_doc.join(scored, "doc_id", "left").select(
+        "doc_id",
+        "n_bigrams",
+        F.coalesce("n_scored", F.lit(0)).cast("bigint").alias("n_scored"),
+        F.when(
+            F.coalesce("n_scored", F.lit(0)) > 0,
+            F.floor(F.col("sum_microprob") * 1.0 / F.col("n_scored")),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("mean_microprob"),
+    )
+
+
+# --------------------------- document chunking ---------------------------
+
+CHUNK_CHARS = 400
+CHUNK_STRIDE = 300  # 100-char overlap between consecutive chunks
+
+
+@register(
+    "doc_chunks",
+    driver=False,
+    oracle=f"""
+WITH n AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         CAST(floor((greatest(length(text), 1) - 1) / {CHUNK_STRIDE}) AS BIGINT) + 1 AS n_chunks
+  FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {CHUNK_STRIDE} AS BIGINT) AS start,
+       CAST(length(substr(text, i * {CHUNK_STRIDE} + 1, {CHUNK_CHARS})) AS BIGINT) AS chunk_len,
+       md5(substr(text, i * {CHUNK_STRIDE} + 1, {CHUNK_CHARS})) AS chunk_hash
+FROM n, unnest(generate_series(0, n_chunks - 1)) AS s(i)
+""",
+)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width document chunking (the RAG-indexing /
+    long-doc-training split): every doc explodes into ceil stride-spaced
+    windows with {CHUNK_CHARS - CHUNK_STRIDE}-char overlap. A pure
+    narrow transform — sequence+posexplode+substring ride the scan with
+    zero shuffles at any corpus size; output rows ~= corpus_chars /
+    stride. Chunk text travels as md5 in this audit query (the real
+    writer emits the substring itself identically)."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_chunks = (
+        F.floor((F.greatest(F.length("text"), F.lit(1)) - 1) / CHUNK_STRIDE).cast(
+            "bigint"
+        )
+        + 1
+    )
+    exploded = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.substring(
+        F.col("text"), (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"), CHUNK_CHARS
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.col("chunk_idx") * CHUNK_STRIDE).cast("bigint").alias("start"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_hash"),
+    )
+
+
+# --------------------------- column profiling ---------------------------
+
+
+@register(
+    "table_profile",
+    driver=False,
+    oracle="""
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(o_totalprice) AS BIGINT) AS price_nonnull,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+         CAST(floor(min(o_totalprice) * 100) AS BIGINT) AS price_min_cents,
+         CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS price_max_cents,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_sum_cents,
+         min(o_orderdate) AS orderdate_min, max(o_orderdate) AS orderdate_max
+  FROM orders
+)
+SELECT * FROM s
+""",
+)
+def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling (the dbt/Deequ `profile` shape): row
+    count, per-column null counts, distinct cardinalities, ranges, and
+    integer-cents sums, all fused into a SINGLE aggregate — one scan,
+    one partial-agg reduce, no matter how many stats ride along. The
+    distinct counts are exact here (count(DISTINCT ..) expands to one
+    extra Expand pass inside the same agg); at 100 TB swap in
+    approx_count_distinct (HLL) per column — same single-scan shape,
+    constant memory — which the cross-check test pins against the exact
+    values at fixture scale."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("o_totalprice").cast("bigint").alias("price_nonnull"),
+        F.countDistinct("o_custkey").cast("bigint").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("status_distinct"),
+        F.floor(F.min("o_totalprice") * 100).cast("bigint").alias("price_min_cents"),
+        F.floor(F.max("o_totalprice") * 100).cast("bigint").alias("price_max_cents"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("price_sum_cents"),
+        F.min("o_orderdate").alias("orderdate_min"),
+        F.max("o_orderdate").alias("orderdate_max"),
+    )

@@ -357,3 +357,37 @@ def test_shard_manifest_partial_aggregates(spark):
     df = ALL_QUERIES["shard_manifest"](spark, SF)
     plan = _executed_plan(df)
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_lm_score_broadcasts_model(spark):
+    # the pruned bigram model and vocab are broadcast; the corpus-side
+    # scoring join must never sort-merge (a fact-to-fact shuffle join is
+    # exactly what vocab pruning exists to avoid)
+    df = ALL_QUERIES["lm_score"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_doc_chunks_is_pure_scan(spark):
+    # chunking = sequence + explode + substring: zero shuffles
+    df = ALL_QUERIES["doc_chunks"](spark, SF)
+    plan = _executed_plan(df)
+    assert "hashpartitioning" not in plan
+    assert "Exchange" not in plan or "SinglePartition" not in plan
+
+
+def test_table_profile_single_scan_and_approx_agrees(spark):
+    # the profile is ONE scan/aggregate; and the HLL variant recommended
+    # for 100 TB stays within its error bound of the exact counts
+    df = ALL_QUERIES["table_profile"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("FileScan parquet") == 1
+    from mammoth_spark.model import read_table
+
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    exact, approx = orders.agg(
+        F.countDistinct("o_custkey").alias("e"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("a"),
+    ).first()[0:2]
+    assert abs(approx - exact) <= 0.05 * exact
