@@ -83,6 +83,51 @@ EVENTS_KIND_SQL = (
 EVENTS_LSN_DIVISOR = 50
 
 
+def ts_ns_expr(col: Column, dtype: T.DataType) -> Column:
+    """Epoch-nanoseconds BIGINT from a fixture timestamp column.
+
+    The driver fixtures have carried the ``ts``/date columns as either
+    TIMESTAMP(NANOS) parquet (readable only as epoch-nanos longs) or, in
+    the current generation, ``timestamp[us]`` (surfacing as TIMESTAMP_NTZ
+    under Spark 4's NTZ inference, or TIMESTAMP if inference is off).
+    Dispatch on the actual type so every query works under any fixture
+    generation and ANY caller-owned SparkSession:
+
+    - LongType: already epoch nanos.
+    - TIMESTAMP_NTZ: wall-clock micros since epoch via ``timestamp_diff``
+      (NO session-timezone dependence — a cast through TIMESTAMP would
+      shift by the caller's zone) × 1000. Matches DuckDB ``epoch_ns`` on
+      the same naive column exactly.
+    - TIMESTAMP: ``unix_micros`` × 1000 (UTC-internal, tz-free).
+    """
+    if isinstance(dtype, T.LongType):
+        return col.cast("bigint")
+    if isinstance(dtype, T.TimestampNTZType):
+        zero = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        return (F.timestamp_diff("MICROSECOND", zero, col) * F.lit(1000)).cast("bigint")
+    return (F.unix_micros(col) * F.lit(1000)).cast("bigint")
+
+
+def ts_us_expr(col: Column, dtype: T.DataType) -> Column:
+    """Epoch-microseconds BIGINT (truncating) from a fixture timestamp.
+
+    The long (epoch-nanos) path truncates through DECIMAL integer
+    division — float division of ~1.7e18 nanos loses precision past 2^53
+    BEFORE dividing, so ``floor(col / 1000)`` over doubles is wrong.
+    """
+    if isinstance(dtype, T.LongType):
+        return F.floor(col.cast("decimal(38,0)") / F.lit(1000)).cast("bigint")
+    if isinstance(dtype, T.TimestampNTZType):
+        zero = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        return F.timestamp_diff("MICROSECOND", zero, col).cast("bigint")
+    return F.unix_micros(col).cast("bigint")
+
+
+def ts_ns_col(df: DataFrame, name: str = "ts") -> Column:
+    """``ts_ns_expr`` dispatched on ``df``'s actual column type."""
+    return ts_ns_expr(F.col(name), df.schema[name].dataType)
+
+
 def kind_column(event_type: Column) -> Column:
     return (
         F.when(event_type == "signup", F.lit(KIND_INSERT))
@@ -107,9 +152,9 @@ def events_as_change_log(events: DataFrame) -> DataFrame:
         F.col("user_id").cast("bigint").alias("key"),
         F.col("value"),
         F.col("props"),
-        # ts arrives as epoch-nanos (nanosAsLong); keep integral for
-        # engine-internal ordering, convert at the edge when rendering
-        F.col("ts").cast("bigint").alias("ts_ns"),
+        # engine-internal event time is epoch-nanos BIGINT regardless of
+        # how the fixture surfaces ts (long / TIMESTAMP_NTZ / TIMESTAMP)
+        ts_ns_col(events).alias("ts_ns"),
     )
 
 
@@ -168,10 +213,11 @@ def ensure_worker_imports(spark: SparkSession) -> None:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver fixture table (TESTDATA.md).
 
-    The fixture parquet carries TIMESTAMP(NANOS) columns, which Spark only
-    reads with the nanosAsLong legacy conf (epoch-nanos longs). Set it here
-    so the engine works under ANY caller-owned SparkSession, not just the
-    tuned one from plans.session.
+    Timestamp columns are consumed through ``ts_ns_expr``/``ts_us_expr``,
+    which dispatch on the surfaced type — the fixtures have shipped as
+    TIMESTAMP(NANOS) (long under nanosAsLong) and as timestamp[us]
+    (TIMESTAMP_NTZ) across generations. The legacy conf is still set for
+    older-generation fixtures; current Spark ignores it for micro columns.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ensure_worker_imports(spark)

@@ -8,12 +8,12 @@ analytics engine, and each is expressed in the shape that scales:
 single-shuffle window plans, ROLLUP in one pass instead of unioned
 re-scans, rank-filter top-k instead of global sorts.
 
-``events.ts`` arrives as parquet TIMESTAMP(NANOS), read engine-side as
-epoch-nanos longs (``ts_ns``); DuckDB reads the same column at micro
-precision. Every query therefore compares only quantities invariant under
+``events.ts`` is normalized engine-side to epoch-nanos longs (``ts_ns``,
+see ``model.ts_ns_expr`` — robust to the fixture surfacing ts as long,
+TIMESTAMP_NTZ, or TIMESTAMP); DuckDB reads the same column via
+``epoch_ns``. Every query compares only quantities invariant under
 sub-microsecond truncation (hour buckets, per-user ordering — (user_id,
-ts) is unique at micro precision — and integer-floored values), never raw
-nanosecond values.
+ts) is unique at micro precision — and integer-floored values).
 """
 
 from __future__ import annotations
@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .model import events_as_change_log, read_table
+from .model import events_as_change_log, read_table, ts_ns_col, ts_us_expr
 from .registry import register
 
 _HOUR_NS = 3_600_000_000_000
@@ -35,7 +35,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
-        F.col("ts").cast("bigint").alias("ts_ns"),
+        ts_ns_col(ev).alias("ts_ns"),
     )
 
 
@@ -234,7 +234,7 @@ def streaming_hourly_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path)."""
     import uuid
 
-    ev_schema = read_table(spark, sf_dir, "events").schema  # also sets nanosAsLong
+    ev_schema = read_table(spark, sf_dir, "events").schema
     stream = (
         spark.readStream.schema(ev_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -242,7 +242,7 @@ def streaming_hourly_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = (
         stream.select(
-            F.timestamp_micros((F.col("ts").cast("bigint") / 1000).cast("long")).alias("ts_m"),
+            F.timestamp_micros(ts_us_expr(F.col("ts"), ev_schema["ts"].dataType)).alias("ts_m"),
             "event_type",
             "value",
         )
@@ -575,7 +575,10 @@ def session_window_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's window-function form is what any SQL engine can run. Session
     ids are ordinal-by-start on both sides."""
     ev = _events(spark, sf_dir).select(
-        "user_id", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")).alias("ts_m")
+        "user_id",
+        F.timestamp_micros(
+            F.floor(F.col("ts_ns").cast("decimal(38,0)") / F.lit(1000)).cast("bigint")
+        ).alias("ts_m"),
     )
     sessions = ev.groupBy(
         F.session_window("ts_m", "30 minutes").alias("w"), "user_id"
@@ -742,18 +745,19 @@ def stream_stream_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch join, which is the oracle."""
     import uuid
 
-    ev_schema = read_table(spark, sf_dir, "events").schema  # sets nanosAsLong
+    ev_schema = read_table(spark, sf_dir, "events").schema
     stream = (
         spark.readStream.schema(ev_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    ts_us = ts_us_expr(F.col("ts"), ev_schema["ts"].dataType)
     base = stream.select(
         "event_id",
         "user_id",
         "event_type",
-        F.expr("CAST(ts AS BIGINT) div 1000").alias("ts_us"),
-        F.timestamp_micros(F.expr("CAST(ts AS BIGINT) div 1000")).alias("ts_m"),
+        ts_us.alias("ts_us"),
+        F.timestamp_micros(ts_us).alias("ts_m"),
     )
     views = (
         base.filter(F.col("event_type") == "view")

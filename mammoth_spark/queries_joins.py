@@ -20,7 +20,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .model import read_table
+from .model import read_table, ts_ns_col
 from .registry import register
 
 _CENTS = "CAST(floor({expr} * 100) AS BIGINT)"
@@ -235,9 +235,8 @@ def range_join_campaigns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin key instead of comparing every row against every interval."""
     from .operators.rangejoin import range_join_binned
 
-    ev = read_table(spark, sf_dir, "events").select(
-        "user_id", "value", F.col("ts").cast("bigint").alias("ts_ns")
-    )
+    ev_raw = read_table(spark, sf_dir, "events")
+    ev = ev_raw.select("user_id", "value", ts_ns_col(ev_raw).alias("ts_ns"))
     camps = read_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("campaign_id"),
         (F.lit(_JAN1_2024_NS) + F.col("n_nationkey") * F.lit(_DAY_NS)).alias("start_ns"),

@@ -223,9 +223,8 @@ ALL_TABLES = [
 ]
 
 # DuckDB side of the type map: its DESCRIBE types -> the engine's target
-# types, mirroring spark_type_to_target. events.ts is TIMESTAMP(NANOS)
-# parquet, which this engine reads as epoch-nanos INT (nanosAsLong) — the
-# one deliberate divergence, encoded explicitly on both sides.
+# types, mirroring spark_type_to_target. The fixture's naive timestamp[us]
+# columns surface as TIMESTAMP_NTZ on both engines — no special cases.
 _DUCK_TYPE_CASE = """
 CASE WHEN column_type LIKE '%[]' THEN 'ARRAY'
      WHEN column_type = 'BOOLEAN' THEN 'BOOLEAN'
@@ -255,13 +254,8 @@ _PKS = {
 def _introspect_oracle() -> str:
     branches = []
     for t in ALL_TABLES:
-        ts_fix = (
-            "CASE WHEN column_name = 'ts' THEN 'INT' ELSE " + _DUCK_TYPE_CASE + " END"
-            if t == "events"
-            else _DUCK_TYPE_CASE
-        )
         branches.append(
-            f"SELECT '{t}' AS tbl, column_name, {ts_fix} AS target_type, "
+            f"SELECT '{t}' AS tbl, column_name, {_DUCK_TYPE_CASE} AS target_type, "
             f"column_name = '{_PKS[t]}' AS is_identity FROM (DESCRIBE {t})"
         )
     return " UNION ALL ".join(branches)
@@ -576,8 +570,7 @@ def streaming_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DDL_TYPE_CASE = """
-CASE WHEN c.table_name = 'events' AND c.column_name = 'ts' THEN 'INT'
-     WHEN c.data_type = 'BOOLEAN' THEN 'BOOLEAN'
+CASE WHEN c.data_type = 'BOOLEAN' THEN 'BOOLEAN'
      WHEN c.data_type IN ('TINYINT','SMALLINT','INTEGER','BIGINT','HUGEINT') THEN 'INT'
      WHEN c.data_type = 'FLOAT' THEN 'FLOAT4'
      WHEN c.data_type = 'DOUBLE' THEN 'FLOAT8'
