@@ -30,12 +30,21 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     QUERIES["cdc_last_per_key"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    import gc
+
     timings: dict[str, float] = {}
     t_total = time.perf_counter()
     for name, fn in sorted(QUERIES.items()):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # Inter-query hygiene, OUTSIDE the timed region: drop the SQL
+        # cache and collect py4j handles so localCheckpoint blocks from
+        # iterative queries are released. Without this, block-manager and
+        # heap state accumulate across 96 queries and late-alphabet
+        # queries measure the session's garbage, not their own plan.
+        spark.catalog.clearCache()
+        gc.collect()
     total = round(time.perf_counter() - t_total, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

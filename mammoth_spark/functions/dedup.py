@@ -350,6 +350,15 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
+    # Size the iteration to the EDGE count, not the session default: the
+    # verified near-dup edge set is orders of magnitude smaller than the
+    # corpus, and every round otherwise pays (shuffle partitions × rounds)
+    # empty-task scheduling overhead. ~1M edges per partition keeps tasks
+    # dense locally and scales the same way on a cluster (a 10^10-edge run
+    # gets 10^4 partitions).
+    n_edges = sym.count()
+    parts = max(1, min(sym.rdd.getNumPartitions(), int(n_edges // 1_000_000) + 1))
+    sym = sym.repartition(parts, "src").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)

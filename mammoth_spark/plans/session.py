@@ -30,8 +30,9 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.session.timeZone": "UTC",
-    # fixture parquet carries TIMESTAMP(NANOS); read as epoch-nanos longs
-    # (Spark has no nanos timestamp) and convert explicitly where needed
+    # honored only by older Sparks for TIMESTAMP(NANOS) fixtures; current
+    # fixtures are timestamp[us] and event-time goes through
+    # model.ts_ns_expr, which dispatches on the surfaced type
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
