@@ -592,3 +592,171 @@ def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("orderdate_min"),
         F.max("o_orderdate").alias("orderdate_max"),
     )
+
+
+# ------------------- mergeable-sketch cardinality -------------------
+
+HLL_SHARDS = 8
+
+
+@register(
+    "hll_shard_merge",
+    driver=False,
+    oracle="""
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS hll_within_2pct
+FROM events
+""",
+)
+def hll_shard_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch cardinality, the 100 TB distinct-count pattern:
+    each shard builds an HLL sketch of its users (hll_sketch_agg, a
+    map-side-combinable partial), the tiny binary sketches are unioned
+    (hll_union_agg) and estimated — a two-level tree aggregation whose
+    cross-shard traffic is KB of sketch state instead of the key stream
+    that exact countDistinct's Expand pass shuffles. The estimate is
+    deterministic for fixed input (Datasketches is seedless-stable), so
+    the published check — estimate within 2% of exact — is a stable fact
+    the oracle pins as a literal; the exact count rides along and is
+    value-checked against DuckDB. Swap-in guidance for the profile
+    operator lives in table_profile's docstring; this is the mechanism.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    shards = ev.withColumn(
+        "shard", F.pmod(F.xxhash64("user_id"), F.lit(HLL_SHARDS)).cast("int")
+    )
+    partials = shards.groupBy("shard").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("shard_exact"),
+    )
+    merged = partials.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.sum("shard_exact").alias("n_users_exact"),  # shards partition users: sum = global
+    )
+    return merged.select(
+        F.col("n_users_exact").cast("bigint").alias("n_users_exact"),
+        (
+            F.abs(F.col("est") - F.col("n_users_exact"))
+            <= 0.02 * F.col("n_users_exact")
+        ).alias("hll_within_2pct"),
+    )
+
+
+# ----------------------- screening funnel report -----------------------
+
+_FUNNEL_MIN_CHARS = 60
+_FUNNEL_MIN_TOKS = 12
+_FUNNEL_MAX_REP = 700  # max repeated-bigram share, in milli-units
+_EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+def _funnel_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT text, n_chars, {_SQL_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT text, n_chars, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bigrams
+  FROM t
+),
+base AS (
+  SELECT n_chars >= {_FUNNEL_MIN_CHARS} AS p_len,
+         len(toks) >= {_FUNNEL_MIN_TOKS} AS p_tok,
+         (CASE WHEN len(bigrams) > 0
+               THEN CAST(floor(1000.0 * (1.0 -
+                      len(list_distinct(bigrams)) * 1.0 / len(bigrams))) AS BIGINT)
+               ELSE 1000 END) <= {_FUNNEL_MAX_REP} AS p_rep,
+         NOT regexp_matches(text, '{_EMAIL_RX}') AS p_pii
+  FROM g
+),
+agg AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN p_len THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN p_len AND p_tok THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN p_len AND p_tok AND p_rep THEN 1 ELSE 0 END) AS n3,
+         sum(CASE WHEN p_len AND p_tok AND p_rep AND p_pii THEN 1 ELSE 0 END) AS n4
+  FROM base
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'min_length' AS screen, CAST(n0 AS BIGINT) AS n_in,
+         CAST(n1 AS BIGINT) AS n_out FROM agg
+  UNION ALL SELECT 2, 'min_tokens', CAST(n1 AS BIGINT), CAST(n2 AS BIGINT) FROM agg
+  UNION ALL SELECT 3, 'repetition', CAST(n2 AS BIGINT), CAST(n3 AS BIGINT) FROM agg
+  UNION ALL SELECT 4, 'pii_email', CAST(n3 AS BIGINT), CAST(n4 AS BIGINT) FROM agg
+)
+"""
+
+
+@register("filter_funnel", driver=False, oracle=_funnel_oracle())
+def filter_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screening-funnel report: the dataset-card artifact every corpus
+    release publishes — how many documents each screen (length, token
+    floor, repetition, PII) rejects, cumulatively staged in filter order.
+    All four predicates are narrow JVM expressions evaluated in ONE scan
+    and reduced in ONE partial-aggregate row; the per-stage rows are
+    unpivoted from that single row with stack(), so the plan reads the
+    100 TB corpus exactly once, no matter how many screens ride along.
+    Predicate parity with the standalone screens: length/token floors
+    (token_stats), repeated-bigram share (repetition_ratio), email
+    pattern (pii_scan)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "text", "n_chars", _tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rep_milli = F.when(
+        F.size(toks) >= 2,
+        F.floor(
+            1000.0
+            * (
+                1.0
+                - F.size(F.array_distinct(bigrams)).cast("double")
+                / (F.size(toks) - 1)
+            )
+        ).cast("bigint"),
+    ).otherwise(F.lit(1000))
+    flags = toked.select(
+        (F.col("n_chars") >= _FUNNEL_MIN_CHARS).alias("p_len"),
+        (F.size(toks) >= _FUNNEL_MIN_TOKS).alias("p_tok"),
+        (rep_milli <= _FUNNEL_MAX_REP).alias("p_rep"),
+        (~F.col("text").rlike(_EMAIL_RX)).alias("p_pii"),
+    )
+    one = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(F.col("p_len"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("p_len") & F.col("p_tok"), 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(F.col("p_len") & F.col("p_tok") & F.col("p_rep"), 1).otherwise(0)
+        ).alias("n3"),
+        F.sum(
+            F.when(
+                F.col("p_len") & F.col("p_tok") & F.col("p_rep") & F.col("p_pii"), 1
+            ).otherwise(0)
+        ).alias("n4"),
+    )
+    return one.select(
+        F.expr(
+            "stack(4, "
+            "1, 'min_length', n0, n1, "
+            "2, 'min_tokens', n1, n2, "
+            "3, 'repetition', n2, n3, "
+            "4, 'pii_email', n3, n4) AS (stage, screen, n_in, n_out)"
+        )
+    ).select(
+        F.col("stage").cast("int").alias("stage"),
+        "screen",
+        F.col("n_in").cast("bigint").alias("n_in"),
+        F.col("n_out").cast("bigint").alias("n_out"),
+    )

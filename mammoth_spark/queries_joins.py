@@ -401,3 +401,117 @@ def large_order_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# --------------------------- data layout: Z-order ---------------------------
+
+_Z_BITS = 10  # 10 bits per dimension -> 20-bit z-value, 2^4 coarse buckets
+
+
+def _z_interleave_sql(xcol: str, ycol: str) -> str:
+    """Bit-interleave SQL valid in BOTH Spark SQL and DuckDB (only &, <<,
+    >> and + — no dialect-specific xor). x occupies even bits, y odd."""
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"((({xcol} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({ycol} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_X = f"(user_id % {1 << _Z_BITS})"
+_Z_Y_NS = 3_600_000_000_000  # hour buckets on the time axis
+
+
+@register(
+    "zorder_layout",
+    driver=False,
+    oracle=f"""
+WITH zsrc AS (
+  SELECT {_Z_X} AS zx,
+         (CAST(floor(epoch_ns(ts) / {_Z_Y_NS}.0) AS BIGINT) % {1 << _Z_BITS}) AS zy
+  FROM events
+),
+zval AS (
+  SELECT zx, zy, {_z_interleave_sql("zx", "zy")} AS z FROM zsrc
+)
+SELECT CAST(z >> {2 * _Z_BITS - 4} AS BIGINT) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(zx) AS BIGINT) AS x_min, CAST(max(zx) AS BIGINT) AS x_max,
+       CAST(min(zy) AS BIGINT) AS y_min, CAST(max(zy) AS BIGINT) AS y_max
+FROM zval GROUP BY 1
+""",
+)
+def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout assignment over (user, hour): the
+    multi-dimensional clustering step behind Delta/Iceberg OPTIMIZE
+    ZORDER. Interleaving the two keys' bits makes file-level min/max
+    stats selective on BOTH dimensions at once, so a 100 TB table can
+    skip files for either predicate — range-partitioning by z-value is
+    then an ordinary repartitionByRange before the write. The z-value is
+    pure bit arithmetic riding the scan (no UDF, no shuffle); the query
+    publishes per-coarse-bucket row counts and per-dimension bounds —
+    the locality evidence a layout job would log. Verified byte-equal
+    against DuckDB running the identical interleave formula.
+    """
+    from .model import ts_ns_col
+
+    ev = read_table(spark, sf_dir, "events")
+    zsrc = ev.select(
+        (F.col("user_id") % (1 << _Z_BITS)).alias("zx"),
+        (F.floor(ts_ns_col(ev) / F.lit(_Z_Y_NS)).cast("bigint") % (1 << _Z_BITS)).alias(
+            "zy"
+        ),
+    )
+    zval = zsrc.select("zx", "zy", F.expr(_z_interleave_sql("zx", "zy")).alias("z"))
+    return zval.groupBy(
+        F.shiftright(F.col("z"), 2 * _Z_BITS - 4).cast("bigint").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("zx").cast("bigint").alias("x_min"),
+        F.max("zx").cast("bigint").alias("x_max"),
+        F.min("zy").cast("bigint").alias("y_min"),
+        F.max("zy").cast("bigint").alias("y_max"),
+    )
+
+
+# ----------------- AQE runtime (bloom) filter join ------------------
+
+
+@register(
+    "runtime_filtered_join",
+    driver=False,
+    oracle=f"""
+SELECT s.s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum({_CENTS.format(expr="l.l_extendedprice")}) AS BIGINT) AS price_cents
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_acctbal > 9000
+GROUP BY s.s_nationkey
+""",
+)
+def runtime_filtered_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dimension fact join via shuffle join + AQE runtime
+    bloom filter (spark.sql.optimizer.runtime.bloomFilter.enabled): the
+    selective supplier filter builds a bloom filter that is pushed into
+    the lineitem scan as might_contain(l_suppkey), so the fact side
+    drops non-matching rows BEFORE the exchange — at 100 TB that is the
+    difference between shuffling the whole fact table and shuffling the
+    ~matching fraction. The shuffle-join HINT (not a session conf — a
+    conf flip restored in a finally block is already gone when the lazy
+    plan is optimized) models the case where the dim is too big to
+    broadcast, which is exactly when the runtime filter pays; the
+    injected filter is asserted in tests/test_plans.py."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey", "s_nationkey")
+    )
+    joined = li.join(supp.hint("shuffle_hash"), li["l_suppkey"] == supp["s_suppkey"])
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("price_cents"),
+    )

@@ -391,3 +391,30 @@ def test_table_profile_single_scan_and_approx_agrees(spark):
         F.approx_count_distinct("o_custkey", 0.02).alias("a"),
     ).first()[0:2]
     assert abs(approx - exact) <= 0.05 * exact
+
+
+def test_runtime_bloom_filter_reaches_fact_side(spark):
+    """runtime_filtered_join's contract: with broadcast off, the selective
+    supplier predicate must inject a bloom filter (might_contain) on the
+    lineitem side, so the fact table is pre-filtered before its exchange.
+    The size thresholds are lowered because the production defaults
+    (10 GB application-side scan) are tuned for clusters, not fixtures —
+    the assertion is about the plan shape, which is size-independent."""
+    overrides = {
+        # production default 10 GB: the fact side must be scan-heavy
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # InjectRuntimeFilter only fires for probably-shuffle joins: at
+        # fixture scale everything is broadcastable by size, so model the
+        # too-big-to-broadcast dim by disabling size-based broadcast
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        df = ALL_QUERIES["runtime_filtered_join"](spark, SF)
+        plan = _optimized(df)
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
