@@ -904,3 +904,80 @@ def grouping_sets_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
     )
+
+
+# ----------------------- ordered conversion funnel -----------------------
+
+
+@register(
+    "conversion_funnel",
+    driver=False,
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type AS et, epoch_ns(ts) AS tns FROM events
+),
+s AS (
+  SELECT user_id, min(CASE WHEN et = 'signup' THEN tns END) AS t_signup
+  FROM e GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.tns) AS t_click
+  FROM e JOIN s ON e.user_id = s.user_id
+  WHERE e.et = 'click' AND e.tns > s.t_signup
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.tns) AS t_purchase
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.et = 'purchase' AND e.tns > c.t_click
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM s WHERE t_signup IS NOT NULL) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after
+""",
+)
+def conversion_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED conversion funnel (signup -> first later click -> first
+    later purchase): the product-analytics staple where stage N must
+    happen strictly AFTER stage N-1, not merely co-occur. Three per-user
+    conditional min-aggregations chained through broadcast joins — the
+    per-stage user sets only shrink, so every join after the first
+    broadcasts a diminishing key list against the (100 TB) event stream;
+    no window sort, no per-user event array materialization."""
+    ev = _events(spark, sf_dir)
+    s = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts_ns"))).alias(
+                "t_signup"
+            )
+        )
+        .filter(F.col("t_signup").isNotNull())
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts_ns") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts_ns") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_purchase"))
+    )
+    counts = [
+        s.agg(F.count(F.lit(1)).cast("bigint").alias("n")).withColumn("_k", F.lit(1)),
+        c.agg(F.count(F.lit(1)).cast("bigint").alias("n")).withColumn("_k", F.lit(1)),
+        p.agg(F.count(F.lit(1)).cast("bigint").alias("n")).withColumn("_k", F.lit(1)),
+    ]
+    return (
+        counts[0]
+        .select(F.col("n").alias("n_signup"), "_k")
+        .join(counts[1].select(F.col("n").alias("n_click_after"), "_k"), "_k")
+        .join(counts[2].select(F.col("n").alias("n_purchase_after"), "_k"), "_k")
+        .drop("_k")
+    )

@@ -867,3 +867,76 @@ def json_props_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("k_min"),
         F.max("k").alias("k_max"),
     )
+
+
+# ------------------- merge-on-read target (MOR twin of A12-A15) -------------------
+
+
+@register(
+    "merge_on_read_equiv",
+    driver=False,
+    oracle="""
+WITH change_log AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_type = 'signup' THEN 'INSERT'
+              WHEN event_type = 'error' THEN 'DELETE'
+              ELSE 'UPDATE' END AS kind,
+         CAST(user_id AS BIGINT) AS key,
+         value
+  FROM events
+),
+agg AS (
+  SELECT key,
+         arg_max(kind, seq) AS last_kind,
+         arg_max(CAST(floor(value * 1000) AS BIGINT),
+                 CASE WHEN kind <> 'DELETE' THEN seq END) AS value_milli
+  FROM change_log GROUP BY key
+)
+SELECT key, value_milli FROM agg WHERE last_kind <> 'DELETE'
+""",
+)
+def merge_on_read_equiv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-READ application of the change log: base from the first
+    third of the stream, two appended delta batches for the rest
+    (sources/target.ParquetMorTarget — the Iceberg/Hudi-shaped twin of
+    the copy-on-write ParquetMergeTarget). Writes cost ∝ batch (the
+    table is never rewritten); the read reconciles base ∪ deltas with
+    ONE keyed max_by reduction, dropping DELETE tombstones — including
+    the net-nothing chains compact_for_mor keeps as tombstones precisely
+    so they shadow older base rows. Final state must equal the one-shot
+    whole-log net effect (the oracle), which is also what the COW target
+    produces from the same batches (tests/test_merge.py pins the
+    COW==MOR equivalence)."""
+    import tempfile
+
+    from .sources.target import ParquetMorTarget, compact_for_mor
+
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "seq",
+        "key",
+        "kind",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("value_milli"),
+    )
+    bounds = log.agg(
+        F.min("seq").alias("lo"), F.max("seq").alias("hi")
+    ).first()
+    cut1 = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 3
+    cut2 = bounds["lo"] + 2 * (bounds["hi"] - bounds["lo"]) // 3
+
+    target = ParquetMorTarget(
+        spark, tempfile.mkdtemp(prefix="mor_tgt_"), ["key"], ["value_milli"]
+    )
+    from .operators.compact import compact_last_wins
+
+    batch0 = compact_last_wins(
+        log.filter(F.col("seq") <= cut1), ["key"], ["value_milli"]
+    )
+    target.initialize(
+        batch0.filter(F.col("kind") != "DELETE").select("key", "value_milli")
+    )
+    for lo, hi in [(cut1, cut2), (cut2, None)]:
+        batch = log.filter(F.col("seq") > lo)
+        if hi is not None:
+            batch = batch.filter(F.col("seq") <= hi)
+        target.write_delta(compact_for_mor(batch, ["key"], ["value_milli"]))
+    return target.read()

@@ -1606,3 +1606,50 @@ def pipeline_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quality_score(docs).select("doc_id", "quality")
     surv = q.join(canon, "doc_id").filter(F.col("quality") >= PIPELINE_QUALITY_MIN)
     return split_assign(surv, "doc_id").select("doc_id", "quality", "bucket", "split")
+
+
+# --------------------------- feature hashing ---------------------------
+
+FEATURE_HASH_DIM = 64
+
+
+def _feature_hashing_oracle() -> str:
+    from .functions.sampling import hash_bucket_sql
+
+    idx = hash_bucket_sql("tok", FEATURE_HASH_DIM, salt="feat")
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+)
+SELECT doc_id,
+       CAST({idx} AS BIGINT) AS feature_idx,
+       CAST(count(*) AS BIGINT) AS feature_count
+FROM ex GROUP BY 1, 2
+"""
+
+
+@register("feature_hashing", driver=False, oracle=_feature_hashing_oracle())
+def feature_hashing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Vowpal-Wabbit / sklearn
+    HashingVectorizer shape): token -> md5 bucket in a fixed D=64 space,
+    long-form (doc, feature_idx, count) sparse vectors. No vocabulary
+    pass, no dictionary broadcast, no driver state — the property that
+    lets featurization run in ONE narrow pass over 100 TB while a
+    vocab-fit pipeline needs a global term index first. The only shuffle
+    is the (doc, idx) count agg, map-side combinable by construction.
+    Bucket function is the shared deterministic md5 helper
+    (functions/sampling.hash_bucket), mirrored nibble-for-nibble in the
+    DuckDB oracle."""
+    from .functions.sampling import hash_bucket
+    from .functions.text import _tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    return ex.groupBy(
+        "doc_id",
+        hash_bucket(F.col("tok"), FEATURE_HASH_DIM, salt="feat")
+        .cast("bigint")
+        .alias("feature_idx"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("feature_count"))

@@ -150,3 +150,174 @@ class ParquetMergeTarget:
         return [(f.name, f.dataType) for f in current.fields] == [
             (f.name, f.dataType) for f in expected.fields
         ]
+
+
+def compact_for_mor(
+    change_log: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    seq_col: str = "seq",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Per-batch compaction that KEEPS delete markers (merge-on-read form).
+
+    ``compact_last_wins`` drops keys whose chain nets to nothing
+    ((INSERT, DELETE) inside one batch) because a copy-on-write MERGE has
+    no older state to cancel. A merge-on-read delta, by contrast, SHADOWS
+    whatever older base/delta rows exist, so a net-nothing chain must
+    still emit a DELETE tombstone — otherwise a row the batch created and
+    destroyed would resurrect the base's version of that key at read
+    time. Tombstones for never-existing keys resolve to absent anyway, so
+    keeping them is always safe and never wrong.
+    """
+    from pyspark.sql import functions as F
+
+    seq, kind = F.col(seq_col), F.col(kind_col)
+    carries_values = kind != "DELETE"
+    aggs = [
+        F.max_by(kind, seq).alias("_last_kind"),
+        F.max(seq).alias("last_seq"),
+    ] + [F.max_by(F.col(c), F.when(carries_values, seq)).alias(c) for c in value_cols]
+    out = change_log.groupBy(*key_cols).agg(*aggs)
+    return out.select(
+        *key_cols,
+        F.when(F.col("_last_kind") == "DELETE", F.lit("DELETE"))
+        .otherwise(F.lit("UPSERT"))
+        .alias("kind"),
+        "last_seq",
+        *value_cols,
+    )
+
+
+class ParquetMorTarget:
+    """Merge-on-READ twin of ParquetMergeTarget (Iceberg/Hudi MOR shape).
+
+    ParquetMergeTarget is copy-on-write: every micro-batch rewrites the
+    whole table, so write cost ∝ table size — the right trade when reads
+    dominate. At 100 TB with a high-velocity change stream the opposite
+    trade wins: ``write_delta`` appends ONLY the compacted batch (cost ∝
+    batch), and ``read`` reconciles base ∪ deltas by latest-sequence-wins
+    per key, dropping DELETE tombstones — one extra keyed reduction at
+    read time. ``compact`` folds the reconciled state into a fresh base
+    (the OPTIMIZE / minor-compaction pass) so read cost stays bounded;
+    the manifest JSON is swapped with the same write-then-rename publish
+    as the COW target (readers never see a torn state).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, key_cols: list[str], value_cols: list[str]):
+        self.spark = spark
+        self.root = root
+        self.key_cols = key_cols
+        self.value_cols = value_cols
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_MANIFEST")
+
+    def _manifest(self) -> dict:
+        import json
+
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"base": None, "deltas": 0}
+
+    def _publish(self, manifest: dict) -> None:
+        import json
+
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_MANIFEST.")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)
+
+    def _base_dir(self, v: int) -> str:
+        return os.path.join(self.root, f"base_v{v}")
+
+    def _delta_dir(self, base_v: int, i: int) -> str:
+        return os.path.join(self.root, f"delta_{base_v}_{i}")
+
+    def initialize(self, df: DataFrame) -> None:
+        m = self._manifest()
+        v = 0 if m["base"] is None else m["base"] + 1
+        df.write.mode("overwrite").parquet(self._base_dir(v))
+        self._publish({"base": v, "deltas": 0})
+
+    def write_delta(self, compacted: DataFrame) -> int:
+        """Append one compacted batch (kind UPSERT|DELETE + last_seq).
+        Cost ∝ batch size — the table is never rewritten."""
+        m = self._manifest()
+        if m["base"] is None:
+            raise FileNotFoundError(f"MOR target {self.root} not initialized")
+        i = m["deltas"]
+        compacted.select(
+            *self.key_cols, "kind", "last_seq", *self.value_cols
+        ).write.mode("overwrite").parquet(self._delta_dir(m["base"], i))
+        self._publish({"base": m["base"], "deltas": i + 1})
+        return i + 1
+
+    def read(self) -> DataFrame:
+        """Reconcile base ∪ deltas: per key the highest last_seq wins
+        (base rows rank below every delta via last_seq = -1), DELETE
+        tombstones drop out. ONE keyed reduction (max_by of the full row
+        struct) — the read-side price of O(batch) writes; AQE handles the
+        skew, and compact() amortizes it away."""
+        from pyspark.sql import functions as F
+
+        m = self._manifest()
+        if m["base"] is None:
+            raise FileNotFoundError(f"MOR target {self.root} not initialized")
+        base = self.spark.read.parquet(self._base_dir(m["base"])).select(
+            *self.key_cols,
+            F.lit("UPSERT").alias("kind"),
+            F.lit(-1).cast("bigint").alias("last_seq"),
+            *self.value_cols,
+        )
+        parts = [base]
+        for i in range(m["deltas"]):
+            parts.append(
+                self.spark.read.parquet(self._delta_dir(m["base"], i)).select(
+                    *self.key_cols, "kind", F.col("last_seq").cast("bigint"), *self.value_cols
+                )
+            )
+        allrows = parts[0]
+        for p in parts[1:]:
+            allrows = allrows.unionByName(p)
+        payload = F.struct("last_seq", "kind", *self.value_cols)
+        won = allrows.groupBy(*self.key_cols).agg(
+            F.max_by(payload, F.col("last_seq")).alias("_w")
+        )
+        return won.filter(F.col("_w.kind") != "DELETE").select(
+            *self.key_cols, *[F.col(f"_w.{c}").alias(c) for c in self.value_cols]
+        )
+
+    def compact(self) -> int:
+        """Fold deltas into a fresh base (OPTIMIZE): one reconciling read,
+        one base write, manifest swap; old base+deltas become garbage for
+        vacuum. Write cost returns to ∝ table, but on an operator-chosen
+        schedule instead of every micro-batch."""
+        m = self._manifest()
+        state = self.read()
+        v = m["base"] + 1
+        state.write.mode("overwrite").parquet(self._base_dir(v))
+        self._publish({"base": v, "deltas": 0})
+        return v
+
+    def vacuum(self) -> list[str]:
+        """Drop every base/delta directory not reachable from the current
+        manifest. Pointer-file commit means removal order is safe."""
+        import shutil
+
+        m = self._manifest()
+        keep = {os.path.basename(self._base_dir(m["base"]))} | {
+            os.path.basename(self._delta_dir(m["base"], i)) for i in range(m["deltas"])
+        }
+        victims = []
+        for name in os.listdir(self.root):
+            full = os.path.join(self.root, name)
+            if os.path.isdir(full) and (name.startswith("base_v") or name.startswith("delta_")):
+                if name not in keep:
+                    victims.append(name)
+                    shutil.rmtree(full)
+        return sorted(victims)

@@ -166,3 +166,90 @@ def test_composite_pk_merge(spark):
         for r in merge_upsert(target, changes, ["k1", "k2"], ["val"]).collect()
     }
     assert out == {("a", "1"): "new", ("a", "2"): "keep", ("b", "9"): "fresh"}
+
+
+def test_mor_equals_cow_and_survives_compact(spark, sf_dir, tmp_path):
+    """Merge-on-read vs copy-on-write equivalence: the same three change
+    batches applied through ParquetMorTarget (append deltas, reconcile at
+    read) and ParquetMergeTarget (rewrite per batch) must produce the
+    same final state; compact() + vacuum() must not change it while
+    making the layout delta-free."""
+    from pyspark.sql import functions as F
+
+    from mammoth_spark.model import events_as_change_log, read_table
+    from mammoth_spark.operators.compact import compact_last_wins
+    from mammoth_spark.sources.target import (
+        ParquetMergeTarget,
+        ParquetMorTarget,
+        compact_for_mor,
+    )
+
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "seq", "key", "kind", F.floor(F.col("value") * 1000).cast("bigint").alias("vm")
+    )
+    b = log.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+    cut1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    cut2 = b["lo"] + 2 * (b["hi"] - b["lo"]) // 3
+    batches = [
+        log.filter(F.col("seq") <= cut1),
+        log.filter((F.col("seq") > cut1) & (F.col("seq") <= cut2)),
+        log.filter(F.col("seq") > cut2),
+    ]
+
+    base0 = compact_last_wins(batches[0], ["key"], ["vm"])
+    init = base0.filter(F.col("kind") != "DELETE").select("key", "vm")
+
+    cow = ParquetMergeTarget(spark, str(tmp_path / "cow"), ["key"], ["vm"])
+    cow.initialize(init)
+    for batch in batches[1:]:
+        cow.write(compact_last_wins(batch, ["key"], ["vm"]))
+
+    mor = ParquetMorTarget(spark, str(tmp_path / "mor"), ["key"], ["vm"])
+    mor.initialize(init)
+    for batch in batches[1:]:
+        mor.write_delta(compact_for_mor(batch, ["key"], ["vm"]))
+
+    as_dict = lambda df: {r["key"]: r["vm"] for r in df.collect()}  # noqa: E731
+    cow_state, mor_state = as_dict(cow.read()), as_dict(mor.read())
+    assert mor_state == cow_state and len(mor_state) > 0
+
+    assert mor._manifest()["deltas"] == 2
+    mor.compact()
+    assert mor._manifest()["deltas"] == 0
+    removed = mor.vacuum()
+    assert any(n.startswith("delta_") for n in removed)
+    assert as_dict(mor.read()) == cow_state
+
+
+def test_mor_net_nothing_chain_still_tombstones(spark, tmp_path):
+    """compact_for_mor must keep (INSERT, DELETE)-net-nothing chains as
+    DELETE tombstones: the batch's chain has to shadow an OLDER base row
+    (compact_last_wins would drop it — correct for COW MERGE, wrong for
+    a MOR delta)."""
+    from pyspark.sql import types as T
+
+    from mammoth_spark.model import local_df
+    from mammoth_spark.sources.target import ParquetMorTarget, compact_for_mor
+
+    schema_log = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("key", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("vm", T.LongType()),
+        ]
+    )
+    schema_base = T.StructType(
+        [T.StructField("key", T.LongType()), T.StructField("vm", T.LongType())]
+    )
+    mor = ParquetMorTarget(spark, str(tmp_path / "m"), ["key"], ["vm"])
+    mor.initialize(local_df(spark, [(1, 10), (2, 20)], schema_base))
+    # key 1: re-created then destroyed inside the delta -> must vanish
+    batch = local_df(
+        spark,
+        [(100, 1, "INSERT", 11), (101, 1, "DELETE", None), (102, 2, "UPDATE", 21)],
+        schema_log,
+    )
+    mor.write_delta(compact_for_mor(batch, ["key"], ["vm"]))
+    state = {r["key"]: r["vm"] for r in mor.read().collect()}
+    assert state == {2: 21}
