@@ -10,6 +10,7 @@ Spark/DuckDB), regexp_extract_all, standard string ops.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (pandas-UDF type hints)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -126,3 +127,37 @@ def doc_fingerprint(
         F.array_min(grams).alias("fingerprint"),
         F.length(text).alias("n_chars"),
     )
+
+
+def _normalize_unicode_batch(s: "pd.Series") -> "pd.Series":
+    """NFC + casefold + whitespace-collapse, one Arrow batch at a time."""
+    import re
+    import unicodedata
+
+    ws = re.compile(r"\s+")
+    return s.map(
+        lambda t: None
+        if t is None
+        else ws.sub(" ", unicodedata.normalize("NFC", t).lower()).strip()
+    )
+
+
+def normalize_unicode(col: Column) -> Column:
+    """NFC + casefold + whitespace-collapse canonicalization as an
+    Arrow-batched pandas UDF.
+
+    Unicode normalization is the one text canonicalization step with no
+    JVM expression (Spark has no NFC builtin), so this is a justified
+    Python hop — same disposition as the PG array parser
+    (functions/arrays.py): Arrow batches, never row-at-a-time. At 100 TB
+    it is a narrow map riding the scan; everything downstream (hash,
+    dedup) stays JVM-side. DuckDB's independent ``nfc_normalize`` +
+    ``lower`` is the oracle (ASCII fixture text is a fixed point; the
+    non-ASCII behavior is pinned by tests/test_functions.py with
+    composed-vs-decomposed fixtures).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    fn = pandas_udf(_normalize_unicode_batch, T.StringType())
+    return fn(col)

@@ -1653,3 +1653,43 @@ def feature_hashing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("feature_idx"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("feature_count"))
+
+
+# --------------------- Unicode-canonical exact dedup ---------------------
+
+
+@register(
+    "dedup_unicode_normalized",
+    driver=False,
+    oracle="""
+WITH canon AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id, h FROM canon GROUP BY h)
+SELECT c.doc_id, c.h AS canon_hash,
+       c.doc_id IN (SELECT doc_id FROM keep) AS is_canonical
+FROM canon c
+""",
+)
+def dedup_unicode_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup under UNICODE canonicalization (NFC + casefold + ws
+    collapse): 'Café' composed and decomposed, or differing whitespace
+    runs, hash identically. The normalization is the package's one other
+    justified pandas-UDF hop (no NFC expression exists JVM-side — see
+    functions/text.normalize_unicode); the dedup itself is the standard
+    min-id-per-hash groupBy, one shuffle on the 16-byte digest. DuckDB's
+    independent nfc_normalize pins the canonicalization."""
+    from .functions.text import normalize_unicode
+
+    docs = read_table(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id", F.md5(normalize_unicode(F.col("text"))).alias("canon_hash")
+    )
+    from pyspark.sql import Window
+
+    w_min = F.min("doc_id").over(Window.partitionBy("canon_hash"))
+    return canon.select(
+        "doc_id", "canon_hash", (F.col("doc_id") == w_min).alias("is_canonical")
+    )

@@ -200,3 +200,46 @@ def test_pq_adc_recall_vs_exact(spark, sf_dir):
     assert set(ap) == set(ex)
     recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) > 0.05  # >> random (~1%)
+
+
+def test_unicode_normalization_composed_equals_decomposed(spark):
+    """normalize_unicode must canonicalize what byte-level dedup cannot:
+    NFC-composed vs decomposed accents, case, and whitespace runs all
+    collapse to one canonical form; distinct texts stay distinct."""
+    from pyspark.sql import types as T
+
+    from mammoth_spark.functions.text import normalize_unicode
+    from mammoth_spark.model import local_df
+
+    composed = "Café au lait"  # é as U+00E9
+    decomposed = "Café au lait"  # e + combining acute
+    rows = [
+        (0, composed),
+        (1, decomposed),
+        (2, "  CAFÉ   AU \t LAIT "),  # case + whitespace runs
+        (3, "Café au fait"),  # genuinely different
+        (4, None),
+    ]
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    out = {
+        r["id"]: r["norm"]
+        for r in local_df(spark, rows, schema)
+        .select("id", normalize_unicode(F.col("text")).alias("norm"))
+        .collect()
+    }
+    assert out[0] == out[1] == out[2] == "café au lait"
+    assert out[3] == "café au fait" != out[0]
+    assert out[4] is None
+    # parity with the DuckDB oracle formula on the same strings
+    import duckdb
+
+    duck = {
+        i: duckdb.sql(
+            f"SELECT trim(regexp_replace(lower(nfc_normalize(?)), '\\s+', ' ', 'g'))",
+            params=[t],
+        ).fetchone()[0]
+        for i, t in rows[:4]
+    }
+    assert duck == {i: out[i] for i in range(4)}

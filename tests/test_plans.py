@@ -418,3 +418,56 @@ def test_runtime_bloom_filter_reaches_fact_side(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_feature_hashing_single_shuffle(spark):
+    """Hashing-trick featurization must be one narrow pass + ONE keyed
+    aggregation exchange — no vocabulary join, no second shuffle."""
+    df = ALL_QUERIES["feature_hashing"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_zorder_value_rides_the_scan(spark):
+    """The Morton interleave must be scan-side arithmetic: the only
+    exchange is the final per-bucket aggregation, and no UDF appears."""
+    df = ALL_QUERIES["zorder_layout"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mor_read_is_one_keyed_reduction(spark, tmp_path):
+    """ParquetMorTarget.read: reconciling base + N deltas costs ONE keyed
+    exchange (the max_by reduction), independent of delta count."""
+    from pyspark.sql import functions as F
+
+    from mammoth_spark.model import events_as_change_log, read_table
+    from mammoth_spark.operators.compact import compact_last_wins
+    from mammoth_spark.sources.target import ParquetMorTarget, compact_for_mor
+
+    log = events_as_change_log(read_table(spark, SF, "events")).select(
+        "seq", "key", "kind", F.floor(F.col("value") * 1000).cast("bigint").alias("vm")
+    )
+    mor = ParquetMorTarget(spark, str(tmp_path / "mor"), ["key"], ["vm"])
+    first = compact_last_wins(log.filter(F.col("seq") < 300), ["key"], ["vm"])
+    mor.initialize(first.filter(F.col("kind") != "DELETE").select("key", "vm"))
+    for lo, hi in [(300, 600), (600, 10**9)]:
+        mor.write_delta(
+            compact_for_mor(
+                log.filter((F.col("seq") >= lo) & (F.col("seq") < hi)), ["key"], ["vm"]
+            )
+        )
+    plan = _executed_plan(mor.read())
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_conversion_funnel_broadcasts_shrinking_stages(spark):
+    """Each funnel stage joins the (shrinking) prior-stage user set as a
+    broadcast — the 100 TB event stream must never hash-shuffle for a
+    join (only for its own per-user aggregations)."""
+    df = ALL_QUERIES["conversion_funnel"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
