@@ -981,3 +981,58 @@ def conversion_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts[2].select(F.col("n").alias("n_purchase_after"), "_k"), "_k")
         .drop("_k")
     )
+
+
+# ------------------- stream-static broadcast enrichment -------------------
+
+
+@register(
+    "streaming_enrich_static",
+    driver=False,
+    oracle="""
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events e
+JOIN nation n ON (e.user_id % 25) = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def streaming_enrich_static_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the CDC-downstream staple the
+    other streaming queries don't cover (stream_stream_attribution is
+    stream-stream; the pipelines join inside foreachBatch). The event
+    stream joins a slowly-changing dimension snapshot; Spark broadcasts
+    the static side into every micro-batch, so the stream NEVER shuffles
+    for the join and no state store is involved (unlike stream-stream).
+    The per-micro-batch re-resolve of the static relation is exactly how
+    a dimension refresh propagates without restarting the query. Result
+    must equal the batch join (the oracle) — unified-semantics checked,
+    not assumed."""
+    import uuid
+
+    ev_schema = read_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = stream.select(
+        (F.col("user_id") % 25).alias("nk"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+    ).join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("vm").cast("bigint").alias("value_milli"),
+    )
+    sink = f"enrich_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("n_name", "n_events", "value_milli")

@@ -1,0 +1,79 @@
+"""transformWithStateInPandas operators (Spark 4's arbitrary-state API).
+
+The stateful accumulator (streaming/accumulator.py) uses
+``applyInPandasWithState`` — the 3.x-era API where each group owns ONE
+opaque state tuple. ``transformWithStateInPandas`` is its successor:
+named typed state variables (value/list/map), timers, and TTL, managed
+by the state store per key. RunningTotalsProcessor is the minimal
+production shape — a per-key running aggregate that survives micro-batch
+boundaries — kept deliberately small so the API mechanics (init handle,
+state round-trip, per-batch emission) are the thing under test.
+
+Scale: state lives in the executor-local state store keyed by the
+grouping column, exactly like the accumulator; the stream shuffles once
+on the key and each micro-batch touches only the keys it contains.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+TOTALS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("vm", T.LongType()),
+    ]
+)
+
+TOTALS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_milli", T.LongType()),
+    ]
+)
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-key running (count, milli-value sum) across micro-batches.
+
+    Emits the UPDATED running totals for every key seen in the current
+    micro-batch; the final emission per key (max n_events — n is
+    monotone) is the whole-stream total, which is what the oracle pins.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", TOTALS_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, vm = 0, 0
+        if self._totals.exists():
+            n, vm = self._totals.get()
+        for pdf in rows:
+            n += len(pdf)
+            vm += int(pdf["vm"].sum())
+        self._totals.update((n, vm))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_milli": [vm]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf on the PYTHONPATH
+    (the state-server protocol is protobuf-framed). The build container
+    does not ship it, so the operator is gated — the processor above is
+    the real implementation, exercised wherever protobuf exists."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

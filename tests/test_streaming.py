@@ -587,3 +587,65 @@ def test_target_time_travel_compact_vacuum(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         target.read_version(1)
     assert sorted(tuple(r) for r in target.read().collect()) == cur
+
+
+def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
+    """Spark 4's transformWithStateInPandas (streaming/tws.py): per-user
+    ValueState running totals must survive micro-batch boundaries
+    (maxFilesPerTrigger=1 over a 3-file source) and the final per-key
+    emission must equal the batch totals. Gated: the TWS state protocol
+    needs google.protobuf, which this container may not ship."""
+    import uuid
+
+    import pytest
+
+    from mammoth_spark.model import read_table
+    from mammoth_spark.streaming.tws import (
+        TOTALS_OUTPUT_SCHEMA,
+        RunningTotalsProcessor,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf absent: transformWithState runtime unavailable")
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.col("value") * 1000).cast("bigint").alias("vm")
+    )
+    src = str(tmp_path / "tws_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id bigint, vm bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=TOTALS_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+    sink = f"tws_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = {
+        r["user_id"]: (r["n_events"], r["value_milli"])
+        for r in spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "value_milli"), F.col("n_events")).alias("f"))
+        .select("user_id", "f.n_events", "f.value_milli")
+        .collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], r["vm"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vm").alias("vm"))
+        .collect()
+    }
+    assert final == expected
