@@ -33,11 +33,15 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t_total = time.perf_counter()
     for name, fn in sorted(QUERIES.items()):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # one bad query must not lose the whole run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         # Inter-query hygiene, OUTSIDE the timed region: drop the SQL
         # cache and collect py4j handles so localCheckpoint blocks from
         # iterative queries are released. Without this, block-manager and
@@ -56,6 +60,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": timings,
+                **({"errors": errors} if errors else {}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
             }
         )

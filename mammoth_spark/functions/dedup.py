@@ -358,7 +358,10 @@ def connected_components(
     # gets 10^4 partitions).
     n_edges = sym.count()
     parts = max(1, min(sym.rdd.getNumPartitions(), int(n_edges // 1_000_000) + 1))
-    sym = sym.repartition(parts, "src").localCheckpoint(eager=True)
+    # partition by DST — the per-round join key — so EnsureRequirements
+    # reuses this layout every iteration and the edge list is never
+    # re-shuffled inside the loop (only the small labels side moves)
+    sym = sym.repartition(parts, "dst").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)

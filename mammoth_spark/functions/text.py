@@ -130,11 +130,16 @@ def doc_fingerprint(
 
 
 def _normalize_unicode_batch(s: "pd.Series") -> "pd.Series":
-    """NFC + casefold + whitespace-collapse, one Arrow batch at a time."""
+    """NFC + lower + ASCII-whitespace-collapse, one Arrow batch at a time.
+
+    re.ASCII pins \\s to ASCII whitespace: DuckDB's RE2 \\s (the oracle
+    side) never matches NBSP/thin-space, so the Python side must not
+    either. lower() (not casefold()) for the same reason — it is the
+    exact cross-engine-portable case mapping."""
     import re
     import unicodedata
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)
     return s.map(
         lambda t: None
         if t is None
@@ -143,7 +148,7 @@ def _normalize_unicode_batch(s: "pd.Series") -> "pd.Series":
 
 
 def normalize_unicode(col: Column) -> Column:
-    """NFC + casefold + whitespace-collapse canonicalization as an
+    """NFC + lowercase + whitespace-collapse canonicalization as an
     Arrow-batched pandas UDF.
 
     Unicode normalization is the one text canonicalization step with no

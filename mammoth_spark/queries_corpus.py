@@ -604,7 +604,7 @@ HLL_SHARDS = 8
     driver=False,
     oracle="""
 SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
-       TRUE AS hll_within_2pct
+       TRUE AS hll_within_5pct
 FROM events
 """,
 )
@@ -637,8 +637,8 @@ def hll_shard_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users_exact").cast("bigint").alias("n_users_exact"),
         (
             F.abs(F.col("est") - F.col("n_users_exact"))
-            <= 0.02 * F.col("n_users_exact")
-        ).alias("hll_within_2pct"),
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("hll_within_5pct"),
     )
 
 

@@ -453,8 +453,6 @@ def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the locality evidence a layout job would log. Verified byte-equal
     against DuckDB running the identical interleave formula.
     """
-    from .model import ts_ns_col
-
     ev = read_table(spark, sf_dir, "events")
     zsrc = ev.select(
         (F.col("user_id") % (1 << _Z_BITS)).alias("zx"),

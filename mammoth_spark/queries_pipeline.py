@@ -1674,7 +1674,7 @@ FROM canon c
 """,
 )
 def dedup_unicode_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup under UNICODE canonicalization (NFC + casefold + ws
+    """Exact dedup under UNICODE canonicalization (NFC + lowercase + ws
     collapse): 'Café' composed and decomposed, or differing whitespace
     runs, hash identically. The normalization is the package's one other
     justified pandas-UDF hop (no NFC expression exists JVM-side — see
