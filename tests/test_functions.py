@@ -232,6 +232,16 @@ def test_unicode_normalization_composed_equals_decomposed(spark):
     assert out[0] == out[1] == out[2] == "café au lait"
     assert out[3] == "café au fait" != out[0]
     assert out[4] is None
+    # NBSP/thin-space must NOT collapse: both engines' \s is pinned to
+    # ASCII (re.ASCII on the Python side, RE2 semantics on DuckDB's), so
+    # Unicode spaces pass through — divergence here was a real bug
+    nb = "caf\u00e9\u00a0au\u2009lait"
+    row = (
+        local_df(spark, [(9, nb)], schema)
+        .select(normalize_unicode(F.col("text")).alias("norm"))
+        .first()
+    )
+    assert row["norm"] == nb  # already lowercase; unicode spaces kept
     # parity with the DuckDB oracle formula on the same strings
     import duckdb
 
