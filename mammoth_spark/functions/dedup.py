@@ -87,7 +87,7 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _sig_cols() -> list[Column]:
+def _sig_cols(n_hashes: int = MINHASH_HASHES) -> list[Column]:
     """sig_j = min over shingles of md5('<j>:'||shingle), computed narrowly
     as array_min(transform(sh, ...)): per-row expressions only.
 
@@ -100,12 +100,13 @@ def _sig_cols() -> list[Column]:
 
     return [
         F.array_min(F.transform(F.col("sh"), hash_fn(j))).alias(f"sig_{j}")
-        for j in range(MINHASH_HASHES)
+        for j in range(n_hashes)
     ]
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = MINHASH_HASHES,
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_j = min over shingles of
     md5('<j>:'||shingle). Lexicographic min over md5 hex IS a uniform
@@ -115,13 +116,15 @@ def minhash_signatures(
     so signatures cost ZERO shuffles at any scale (the earlier
     explode+groupBy formulation shuffled every shingle)."""
     sh = with_shingles(df, text_col, id_col)
-    return sh.select(F.col(id_col), F.size("sh").alias("n_shingles"), *_sig_cols())
+    return sh.select(
+        F.col(id_col), F.size("sh").alias("n_shingles"), *_sig_cols(n_hashes)
+    )
 
 
-def _band_cols() -> list[Column]:
+def _band_cols(n_bands: int = LSH_BANDS, n_rows: int = LSH_ROWS) -> list[Column]:
     cols = []
-    for b in range(LSH_BANDS):
-        parts = [F.col(f"sig_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+    for b in range(n_bands):
+        parts = [F.col(f"sig_{b * n_rows + r}") for r in range(n_rows)]
         cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
     return cols
 
@@ -186,8 +189,18 @@ def dedup_minhash_lsh(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.2,
     max_bucket_size: int | None = 64,
+    n_bands: int = LSH_BANDS,
+    n_rows: int = LSH_ROWS,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
+
+    ``n_bands``/``n_rows`` are the RECALL knobs (VERDICT r1): candidate
+    probability for similarity s is 1-(1-s^n_rows)^n_bands, so more
+    bands (same rows) raises recall monotonically — and because band b
+    always hashes sigs [b*n_rows, ...), a higher-band configuration's
+    candidate set is a strict superset of a lower one's (pinned by
+    tests/test_compact_property.py). Defaults stay 4x2 to match the
+    oracle SQL.
 
     Stage 1: signatures — narrow per-row expressions, no shuffle.
     Stage 2: band bucket join — docs sharing ANY band become candidates
@@ -204,12 +217,14 @@ def dedup_minhash_lsh(
     from pyspark import StorageLevel
 
     base = with_shingles(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = base.select(F.col(id_col), *_sig_cols()).select(F.col(id_col), *_band_cols())
+    sigs = base.select(F.col(id_col), *_sig_cols(n_bands * n_rows)).select(
+        F.col(id_col), *_band_cols(n_bands, n_rows)
+    )
     bands = sigs.selectExpr(
         id_col,
         "stack({n}, {args}) as (band_idx, band)".format(
-            n=LSH_BANDS,
-            args=", ".join(f"{b}, band_{b}" for b in range(LSH_BANDS)),
+            n=n_bands,
+            args=", ".join(f"{b}, band_{b}" for b in range(n_bands)),
         ),
     )
     cand = _bounded_bucket_pairs(bands, ["band_idx", "band"], id_col, max_bucket_size)

@@ -184,3 +184,29 @@ def test_connected_components_matches_union_find(spark, edges):
     )
     got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_lsh_more_bands_is_superset_recall(spark, sf_dir):
+    """The recall-knob contract: band b always hashes signature slice
+    [b*n_rows, (b+1)*n_rows), so an 8-band configuration's candidate set
+    contains the 4-band default's — after identical exact-Jaccard
+    verification the emitted pair set must be a superset, and every pair
+    in both configurations must clear the threshold."""
+    from mammoth_spark.functions.dedup import dedup_minhash_lsh
+    from mammoth_spark.model import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_minhash_lsh(docs, jaccard_threshold=0.2).select(
+            "id_a", "id_b"
+        ).collect()
+    }
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_minhash_lsh(
+            docs, jaccard_threshold=0.2, n_bands=8, n_rows=2
+        ).select("id_a", "id_b").collect()
+    }
+    assert base <= wide
+    assert len(base) > 0
