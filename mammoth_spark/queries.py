@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .model import EVENTS_KIND_SQL, KIND_DELETE, events_as_change_log, local_df, read_table
@@ -369,3 +369,55 @@ from . import queries_flagged  # noqa: E402,F401
 from . import queries_joins  # noqa: E402,F401
 from . import queries_misc  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
+
+
+@register(
+    "scd2_history",
+    driver=False,
+    oracle=f"""
+WITH {CHANGE_LOG_CTE},
+vers AS (
+  SELECT key, seq,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli,
+         kind,
+         lead(seq) OVER (PARTITION BY key ORDER BY seq) AS next_seq,
+         lead(kind) OVER (PARTITION BY key ORDER BY seq) AS next_kind
+  FROM change_log
+)
+SELECT key,
+       value_milli,
+       seq AS valid_from_seq,
+       next_seq AS valid_to_seq,
+       next_seq IS NULL AS is_current
+FROM vers
+WHERE kind <> 'DELETE'
+""",
+)
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 history from the change log: the
+    warehouse twin of last-wins MERGE (A14 keeps only the latest row;
+    SCD2 keeps EVERY version with its validity interval). Each
+    non-DELETE action opens a version at its seq; the key's next action
+    closes it (DELETE closes without opening — the interval algebra
+    falls out of one lead() pass). ONE shuffle on the key serves the
+    whole derivation, and because versions only ever append, at 100 TB
+    this runs incrementally: a new batch only (re)writes the affected
+    keys' open intervals, the same touch-set as the merge itself.
+    as-of queries over the result are `operators/asof.py` on
+    valid_from_seq."""
+    log = events_as_change_log(read_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("key").orderBy("seq")
+    vers = log.select(
+        "key",
+        "seq",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("value_milli"),
+        "kind",
+        F.lead("seq").over(w).alias("next_seq"),
+    )
+    return vers.filter(F.col("kind") != "DELETE").select(
+        "key",
+        "value_milli",
+        F.col("seq").alias("valid_from_seq"),
+        F.col("next_seq").alias("valid_to_seq"),
+        F.col("next_seq").isNull().alias("is_current"),
+    )
