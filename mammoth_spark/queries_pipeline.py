@@ -1693,3 +1693,110 @@ def dedup_unicode_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.select(
         "doc_id", "canon_hash", (F.col("doc_id") == w_min).alias("is_canonical")
     )
+
+
+# ----------------------- embedding normalization -----------------------
+
+MATRYOSHKA_DIM = 4
+
+
+@register(
+    "embedding_normalize",
+    driver=False,
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, emb,
+         sqrt(list_sum(list_transform(emb, x -> x * x))) AS l2
+  FROM e
+),
+u AS (
+  SELECT vec_id, l2,
+         list_transform(emb, x -> x / l2) AS unit,
+         list_transform(emb[1:{MATRYOSHKA_DIM}], x -> CAST(x AS DOUBLE)) AS head
+  FROM n WHERE l2 > 0
+)
+SELECT vec_id,
+       floor(l2 * 1000000) / 1000000 AS l2_norm,
+       floor(list_sum(list_transform(unit, x -> x * x)) * 1000) / 1000 AS unit_sq,
+       floor(sqrt(list_sum(list_transform(head, x -> x * x))) / l2 * 1000000) / 1000000
+         AS head_mass
+FROM u
+""",
+)
+def embedding_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-normalization + matryoshka head-mass audit: unit
+    vectors are what cosine retrieval actually indexes, and head_mass
+    (the norm fraction in the first MATRYOSHKA_DIM=4 dims) is the signal
+    for matryoshka-style dimension truncation — how much of the vector
+    survives the cheap prefix. All array lambdas are JVM higher-order
+    functions riding the scan (zero shuffles, zero UDFs) at any corpus
+    size. unit_sq must floor to 1.0 exactly — the normalization check
+    rides along for free."""
+    from .functions.numeric import round6
+    from .functions.similarity import norm as l2_norm
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    n = emb.select("vec_id", "emb", l2_norm(F.col("emb")).alias("l2")).filter(
+        F.col("l2") > 0
+    )
+    unit = F.transform(F.col("emb"), lambda x: x / F.col("l2"))
+    head = F.slice(F.col("emb"), 1, MATRYOSHKA_DIM)
+    unit_sq = F.aggregate(
+        F.transform(unit, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    head_l2 = F.sqrt(
+        F.aggregate(F.transform(head, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return n.select(
+        "vec_id",
+        round6(F.col("l2")).alias("l2_norm"),
+        (F.floor(unit_sq * 1000) / 1000).alias("unit_sq"),
+        round6(head_l2 / F.col("l2")).alias("head_mass"),
+    )
+
+
+# --------------------------- value histogram ---------------------------
+
+_HIST_WIDTH = 50.0  # fixed-width buckets over `value`
+
+
+@register(
+    "value_histogram",
+    driver=False,
+    oracle=f"""
+SELECT event_type,
+       CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(min(value) * 1000000) / 1000000 AS lo,
+       floor(max(value) * 1000000) / 1000000 AS hi
+FROM events
+GROUP BY 1, 2
+""",
+)
+def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group: ONE hash aggregation keyed by
+    (group, floor(value/width)) — the dashboard/profiling primitive. At
+    100 TB the combine is map-side (bucket count is bounded by the value
+    range, not the row count) and no sort or window appears; contrast
+    with ntile/percentile histograms which need a global ordering.
+    Min/max per bucket ride along so the renderer gets exact bucket
+    support without a second scan."""
+    from .functions.numeric import round6
+
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(_HIST_WIDTH)).cast("bigint").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        round6(F.min("value")).alias("lo"),
+        round6(F.max("value")).alias("hi"),
+    )
