@@ -1036,3 +1036,67 @@ def streaming_enrich_static_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink).select("n_name", "n_events", "value_milli")
+
+
+# ----------------- streaming dedup within watermark -----------------
+
+
+@register(
+    "streaming_dedup_watermark",
+    driver=False,
+    oracle="""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type
+FROM events
+""",
+)
+def streaming_dedup_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT dedup via dropDuplicatesWithinWatermark: the
+    at-least-once-ingest companion (Kafka redelivery, retried file
+    lands twice) — the source dir holds TWO copies of the event file
+    and the operator must emit each event_id once. Unlike plain
+    dropDuplicates, the watermark BOUNDS the key state: ids older than
+    the delay are evicted, so state is O(events-per-window), not
+    O(stream-lifetime) — the only formulation that survives an unbounded
+    100 TB stream. The cross-batch + late-arrival behavior is pinned
+    separately in tests/test_streaming.py; result equals SELECT DISTINCT
+    (the oracle) because duplicates are exact copies."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev_schema = read_table(spark, sf_dir, "events").schema
+    src = tempfile.mkdtemp(prefix="dupsrc_")
+    for i in range(2):
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/copy_{i}.parquet")
+
+    stream = spark.readStream.schema(ev_schema).parquet(src)
+    # watermarks need TIMESTAMP (NTZ is rejected); epoch-based conversion
+    with_ts = stream.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros(ts_us_expr(F.col("ts"), ev_schema["ts"].dataType)).alias(
+            "ts_m"
+        ),
+    )
+    deduped = (
+        with_ts.withWatermark("ts_m", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    sink = f"dedup_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("event_id").cast("bigint"),
+        F.col("user_id").cast("bigint"),
+        "event_type",
+    )

@@ -760,3 +760,83 @@ def filter_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_in").cast("bigint").alias("n_in"),
         F.col("n_out").cast("bigint").alias("n_out"),
     )
+
+
+# ----------------------- vocabulary OOV coverage -----------------------
+
+VOCAB_K = 100
+
+
+@register(
+    "vocab_oov_rate",
+    driver=False,
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+),
+cnt AS (
+  SELECT term, count(*) AS n FROM tok GROUP BY term
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rnk FROM cnt
+  ) WHERE rnk <= {VOCAB_K}
+),
+vlist AS (SELECT list(term) AS v FROM vocab),
+per_doc AS (
+  SELECT d.doc_id,
+         {_SQL_TOKS} AS toks,
+         len({_SQL_TOKS}) AS n_tokens
+  FROM documents d
+)
+SELECT p.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks, t -> NOT list_contains(vl.v, t))) AS BIGINT) AS n_oov,
+       CASE WHEN n_tokens > 0
+            THEN floor(len(list_filter(toks, t -> NOT list_contains(vl.v, t)))
+                       * 1000000.0 / n_tokens) / 1000000
+            ELSE 0.0 END AS oov_rate
+FROM per_doc p, vlist vl
+""",
+)
+def vocab_oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-K unigram vocabulary — the tokenizer-planning metric (how much
+    of each doc a K-entry vocab covers). Two-phase, both scale-shaped:
+    (1) the vocab is ONE (term) count agg + a top-K over the aggregated
+    term set (row_number on counts, deterministic count-desc/term-asc
+    tie-break — sorting terms, not tokens); (2) the K-entry vocab array
+    is broadcast as a one-row literal relation and each doc's tokens are
+    screened with array expressions riding the scan — no token-level
+    join, no second corpus shuffle. K=100 here; at a real 100 TB corpus
+    K=vocab-size and the same plan holds (the broadcast array is KB-MB).
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    rnk = F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("term")))
+    vocab = cnt.select("term", rnk.alias("rnk")).filter(F.col("rnk") <= VOCAB_K)
+    vlist = vocab.agg(F.collect_list("term").alias("v"))  # one row, K terms
+
+    per_doc = docs.select(
+        "doc_id",
+        _tokens(F.col("text")).alias("toks"),
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    joined = per_doc.crossJoin(F.broadcast(vlist))
+    n_oov = F.size(
+        F.filter(F.col("toks"), lambda t: ~F.array_contains(F.col("v"), t))
+    ).cast("bigint")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        n_oov.alias("n_oov"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(n_oov * 1000000.0 / F.col("n_tokens")) / 1000000,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("oov_rate"),
+    )
