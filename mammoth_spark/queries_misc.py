@@ -940,3 +940,73 @@ def merge_on_read_equiv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch = batch.filter(F.col("seq") <= hi)
         target.write_delta(compact_for_mor(batch, ["key"], ["value_milli"]))
     return target.read()
+
+
+# ------------------- corrupt-record quarantine ingest -------------------
+
+
+@register(
+    "json_corrupt_quarantine",
+    driver=False,
+    # the staged file is DERIVED deterministically from events: one valid
+    # JSON line per event, plus one malformed line for every event_id
+    # divisible by 10 — so the oracle computes the expected triage counts
+    # straight from the table, independent of any JSON reader.
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(sum(CAST(user_id AS BIGINT)) AS BIGINT) AS user_id_sum
+FROM events
+""",
+)
+def json_corrupt_quarantine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read ingest with ROW-LEVEL error quarantine: malformed
+    records land in a _corrupt column (PERMISSIVE +
+    columnNameOfCorruptRecord) instead of failing the job or being
+    silently dropped — the production JSON-ingest posture at 100 TB,
+    where some fraction of upstream lines is ALWAYS broken and a DROPPED
+    row is invisible data loss. The staged file interleaves one valid
+    line per event with a malformed line per event_id%10==0; the query
+    triages in ONE pass (valid count, quarantined count, and a value
+    checksum over the valid rows) and the oracle derives the same
+    counts from the events table itself, so the triage math is checked
+    engine-independently."""
+    import os
+    import tempfile
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    valid = ev.select(
+        F.concat(
+            F.lit('{"event_id": '),
+            F.col("event_id").cast("string"),
+            F.lit(', "user_id": '),
+            F.col("user_id").cast("string"),
+            F.lit("}"),
+        ).alias("line")
+    )
+    broken = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.concat(
+            F.lit('{"event_id": '), F.col("event_id").cast("string"), F.lit(", BROKEN")
+        ).alias("line")
+    )
+    src = os.path.join(tempfile.mkdtemp(prefix="quarantine_"), "lines")
+    valid.unionByName(broken).coalesce(4).write.mode("overwrite").text(src)
+
+    schema = "event_id bigint, user_id bigint, _corrupt string"
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(src)
+    )
+    return parsed.agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_valid"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("user_id")).otherwise(0))
+        .cast("bigint")
+        .alias("user_id_sum"),
+    )

@@ -471,3 +471,16 @@ def test_conversion_funnel_broadcasts_shrinking_stages(spark):
     plan = _executed_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_vocab_oov_broadcasts_vocab_not_tokens(spark):
+    """The OOV screen must broadcast the K-entry vocab array and screen
+    tokens with array expressions — a token-level (exploded) join of the
+    corpus against the vocab would shuffle every token."""
+    df = ALL_QUERIES["vocab_oov_rate"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the corpus-side scan feeds the broadcast join directly; the only
+    # keyed exchanges belong to the vocab build (term agg + top-K)
+    assert plan.count("Exchange hashpartitioning") <= 1
