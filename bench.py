@@ -52,19 +52,26 @@ def main() -> None:
     total = round(time.perf_counter() - t_total, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_seconds",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "queries": timings,
-                **({"errors": errors} if errors else {}),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_bench_seconds",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "queries": timings,
+            **({"errors": errors} if errors else {}),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+        }
     )
+    print(line)
+    # Also persist to a file: the driver captures stdout's tail and has
+    # truncated the line mid-map before (BENCH_r02 lost the A-G range of
+    # per-query timings) — the file copy is the lossless record.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # stdout already carried the result
 
 
 if __name__ == "__main__":

@@ -7,9 +7,18 @@
 - ``ann_topk_bruteforce`` — exact top-k neighbors for a (small) query
   set: broadcast the queries, one pass over the corpus, per-query top-k
   via window. The baseline every approximate method is judged against.
-- ``ann_topk_bucketed`` — the IVF-style scale path: queries only probe
-  their own sign-bucket (and the corpus is pre-partitioned by bucket, so
-  a probe is a partition-pruned scan, not a full pass).
+- ``ann_topk_bucketed`` — IVF-style bucket restriction as a pure
+  DataFrame formulation: queries only probe their own sign-bucket, but
+  the corpus is NOT physically laid out, so the probe is a broadcast
+  join over a full scan (right semantics, no pruning — fine when the
+  corpus is already in memory or small).
+- ``build_ivf_index`` + ``ann_topk_ivf`` — the 100 TB scale path: the
+  index build writes the corpus as parquet physically partitioned by
+  ``_bucket`` with norms precomputed; a probe then joins the broadcast
+  query set on the partition column, and dynamic partition pruning
+  (DPP) turns the corpus scan into reads of ONLY the probed buckets —
+  asserted in tests/test_plans.py via the scan's
+  ``dynamicpruningexpression`` PartitionFilter.
 
 Dot products are F.zip_with + F.aggregate over array<double> — JVM
 higher-order functions, sequential summation (bit-identical to the DuckDB
@@ -212,9 +221,13 @@ def ann_topk_bucketed(
     n_queries: int = 16,
     k: int = 5,
 ) -> DataFrame:
-    """IVF-style ANN: probe only the query's sign bucket. Same output
-    shape as the brute-force baseline; recall < 1 by design — the tradeoff
-    that makes 100 TB-scale search a partition-pruned scan."""
+    """IVF-style ANN, logical formulation: probe only the query's sign
+    bucket. Same output shape as the brute-force baseline; recall < 1 by
+    design. NOTE: this version does not lay the corpus out physically —
+    the probe is a broadcast join over a full scan, so it restricts the
+    pairs compared, not the bytes read. For the scan-pruned scale path
+    use build_ivf_index + ann_topk_ivf (identical results, DPP-pruned
+    scan)."""
     from pyspark.sql import Window
 
     v = with_norm_and_bucket(df, emb_col).select(
@@ -231,6 +244,69 @@ def ann_topk_bucketed(
         (F.col("_bucket") == F.col("q_bucket")) & (F.col(id_col) != F.col("query_id")),
     )
     cos = dot(F.col("emb"), F.col("q_emb")) / (F.col("_norm") * F.col("q_norm"))
+    scored = joined.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), round6(cos).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    index_dir: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """IVF index build: write the corpus as parquet physically
+    partitioned by the sign-bucket coarse quantizer, norms precomputed.
+
+    This is the materialization step every real IVF system has (the
+    "train + add" phase): pay one full pass + shuffle-free partitioned
+    write up front so every later probe reads only its bucket's files.
+    At 100 TB with 2^bits buckets the layout also bounds file sizes per
+    bucket directory, and the write is append-friendly — new vectors
+    land in their bucket partition without touching the rest."""
+    v = with_norm_and_bucket(df, emb_col).select(
+        F.col(id_col), F.col(emb_col), "_norm", "_bucket"
+    )
+    v.write.partitionBy("_bucket").mode("overwrite").parquet(index_dir)
+
+
+def ann_topk_ivf(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a built IVF index: join the broadcast query set on the
+    partition column so dynamic partition pruning (DPP) restricts the
+    index scan to the probed buckets — the executed plan's index-side
+    FileScan carries ``PartitionFilters: [... dynamicpruningexpression
+    (_bucket IN ...)]``, i.e. only the probed buckets' files are read.
+    No driver-side bucket collection: the pruning subquery is planned by
+    Spark from the broadcast side, so the same plan serves 16 or 10^6
+    queries. ``queries`` must carry (query_id, q_emb, q_norm, q_bucket).
+
+    Results are identical to ann_topk_bucketed on the same corpus; the
+    difference is purely physical (bytes read per probe)."""
+    from pyspark.sql import Window
+
+    idx = spark.read.parquet(index_dir)
+    v = idx.select(
+        F.col(id_col), _as_double(F.col("embedding")).alias("emb"), "_norm", "_bucket"
+    )
+    joined = v.join(
+        F.broadcast(queries),
+        (F.col("_bucket") == F.col("q_bucket")) & (F.col(id_col) != F.col("query_id")),
+    )
+    cos = dot(F.col("emb"), _as_double(F.col("q_emb"))) / (
+        F.col("_norm") * F.col("q_norm")
+    )
     scored = joined.select(
         "query_id", F.col(id_col).alias("neighbor_id"), round6(cos).alias("cos_sim")
     )

@@ -130,20 +130,36 @@ def doc_fingerprint(
 
 
 def _normalize_unicode_batch(s: "pd.Series") -> "pd.Series":
-    """NFC + lower + ASCII-whitespace-collapse, one Arrow batch at a time.
+    """NFC + lower + RE2-whitespace-collapse, one Arrow batch at a time.
 
-    re.ASCII pins \\s to ASCII whitespace: DuckDB's RE2 \\s (the oracle
-    side) never matches NBSP/thin-space, so the Python side must not
-    either. lower() (not casefold()) for the same reason — it is the
+    Two classes are pinned to the DuckDB oracle's EXACT semantics
+    (measured, not assumed — tests/test_functions.py):
+
+    * collapse class = RE2's ``\\s`` = ``[ \\t\\n\\f\\r ]``. Python's
+      ``\\s`` — even under re.ASCII — additionally matches ``\\x0b``
+      (vertical tab), which RE2's does not, so the class is spelled out.
+    * strip class = DuckDB ``trim()``'s set = Unicode category Zs
+      (space separators: space, NBSP, ogham mark, en/em/thin/… spaces,
+      narrow NBSP, math space, ideographic space) — NOT ``\\t``/``\\x0b``
+      and NOT every ``str.isspace()`` char, so bare ``str.strip()`` is
+      wrong on both sides.
+
+    Either divergence breaks cross-engine hash parity on data-dependent
+    input. lower() (not casefold()) for the same reason — it is the
     exact cross-engine-portable case mapping."""
     import re
     import unicodedata
 
-    ws = re.compile(r"\s+", re.ASCII)
+    ws = re.compile(r"[ \t\n\f\r]+")
+    zs = (
+        " \xa0\u1680"
+        + "".join(chr(c) for c in range(0x2000, 0x200B))
+        + "\u202f\u205f\u3000"
+    )
     return s.map(
         lambda t: None
         if t is None
-        else ws.sub(" ", unicodedata.normalize("NFC", t).lower()).strip()
+        else ws.sub(" ", unicodedata.normalize("NFC", t).lower()).strip(zs)
     )
 
 

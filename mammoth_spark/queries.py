@@ -380,8 +380,7 @@ vers AS (
   SELECT key, seq,
          CAST(floor(value * 1000) AS BIGINT) AS value_milli,
          kind,
-         lead(seq) OVER (PARTITION BY key ORDER BY seq) AS next_seq,
-         lead(kind) OVER (PARTITION BY key ORDER BY seq) AS next_kind
+         lead(seq) OVER (PARTITION BY key ORDER BY seq) AS next_seq
   FROM change_log
 )
 SELECT key,

@@ -941,10 +941,13 @@ def conversion_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDERED conversion funnel (signup -> first later click -> first
     later purchase): the product-analytics staple where stage N must
     happen strictly AFTER stage N-1, not merely co-occur. Three per-user
-    conditional min-aggregations chained through broadcast joins — the
-    per-stage user sets only shrink, so every join after the first
-    broadcasts a diminishing key list against the (100 TB) event stream;
-    no window sort, no per-user event array materialization."""
+    conditional min-aggregations chained through joins. The stage-1 set
+    (every user with a signup) is proportional to the user population,
+    so its join strategy is left to the optimizer (AQE picks broadcast
+    only when the measured size allows — an unconditional hint here
+    could OOM the driver at 100 TB); the later stages only shrink, so
+    the c-side join keeps an explicit broadcast. No window sort, no
+    per-user event array materialization."""
     ev = _events(spark, sf_dir)
     s = (
         ev.groupBy("user_id")
@@ -957,7 +960,7 @@ def conversion_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s), "user_id")
+        .join(s, "user_id")
         .filter(F.col("ts_ns") > F.col("t_signup"))
         .groupBy("user_id")
         .agg(F.min("ts_ns").alias("t_click"))

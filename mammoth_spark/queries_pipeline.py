@@ -564,10 +564,33 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """,
 )
 def ann_topk_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: probe only the query's sign bucket."""
-    return ann_topk_bucketed(
-        read_table(spark, sf_dir, "embeddings"), n_queries=ANN_QUERIES, k=ANN_K
+    """IVF ANN with a REAL physical index: build_ivf_index lays the
+    corpus out as parquet partitioned by sign bucket (the IVF "add"
+    phase), then the probe joins the broadcast query set on the
+    partition column and dynamic partition pruning restricts the scan
+    to the probed buckets — the index-side FileScan carries a
+    dynamicpruningexpression PartitionFilter (asserted in
+    tests/test_plans.py). Results are identical to the logical
+    bucket-restricted formulation (ann_topk_bucketed), which remains
+    available for corpora not worth indexing."""
+    import tempfile
+
+    from .functions.similarity import ann_topk_ivf, build_ivf_index, with_norm_and_bucket
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(emb, index_dir)
+    q = (
+        with_norm_and_bucket(emb)
+        .filter(F.col("vec_id") < ANN_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("_norm").alias("q_norm"),
+            F.col("_bucket").alias("q_bucket"),
+        )
     )
+    return ann_topk_ivf(spark, index_dir, q, k=ANN_K)
 
 
 _ABS_STRUCTS = ", ".join(

@@ -242,14 +242,30 @@ def test_unicode_normalization_composed_equals_decomposed(spark):
         .first()
     )
     assert row["norm"] == nb  # already lowercase; unicode spaces kept
-    # parity with the DuckDB oracle formula on the same strings
+    # parity with the DuckDB oracle formula on the same strings, PLUS the
+    # two RE2-vs-Python divergence edges that were latent bugs (ADVICE r2):
+    # leading/trailing NBSP (str.strip() would eat it; DuckDB trim keeps
+    # it) and embedded \x0b (Python's re.ASCII \s collapses it; RE2's \s
+    # is [ \t\n\f\r] and keeps it).
+    edge_rows = rows[:4] + [
+        (5, " padded with nbsp "),
+        (6, "vertical\x0btab"),
+        (7, "   mixed edge   "),
+        (8, "\x0b\x0bleading vtab"),
+    ]
     import duckdb
 
+    out2 = {
+        r["id"]: r["norm"]
+        for r in local_df(spark, edge_rows, schema)
+        .select("id", normalize_unicode(F.col("text")).alias("norm"))
+        .collect()
+    }
     duck = {
         i: duckdb.sql(
-            f"SELECT trim(regexp_replace(lower(nfc_normalize(?)), '\\s+', ' ', 'g'))",
+            "SELECT trim(regexp_replace(lower(nfc_normalize(?)), '\\s+', ' ', 'g'))",
             params=[t],
         ).fetchone()[0]
-        for i, t in rows[:4]
+        for i, t in edge_rows
     }
-    assert duck == {i: out[i] for i in range(4)}
+    assert duck == out2

@@ -464,9 +464,12 @@ def test_mor_read_is_one_keyed_reduction(spark, tmp_path):
 
 
 def test_conversion_funnel_broadcasts_shrinking_stages(spark):
-    """Each funnel stage joins the (shrinking) prior-stage user set as a
-    broadcast — the 100 TB event stream must never hash-shuffle for a
-    join (only for its own per-user aggregations)."""
+    """Funnel joins resolve to broadcasts at test scale: stage 1's set is
+    optimizer-chosen (no hint — it is proportional to the user
+    population, so a forced broadcast could OOM at 100 TB; AQE decides
+    from measured size), the shrinking later stages are hinted. The
+    event stream itself must never hash-shuffle for a join (only for
+    its own per-user aggregations)."""
     df = ALL_QUERIES["conversion_funnel"](spark, SF)
     plan = _executed_plan(df)
     assert "BroadcastHashJoin" in plan
@@ -476,7 +479,10 @@ def test_conversion_funnel_broadcasts_shrinking_stages(spark):
 def test_vocab_oov_broadcasts_vocab_not_tokens(spark):
     """The OOV screen must broadcast the K-entry vocab array and screen
     tokens with array expressions — a token-level (exploded) join of the
-    corpus against the vocab would shuffle every token."""
+    corpus against the vocab would shuffle every token. The vocab build
+    must be a distributed top-K (TakeOrderedAndProject: per-partition
+    heaps + driver merge), NOT a row_number() over an unpartitioned
+    window, which funnels every distinct term through one task."""
     df = ALL_QUERIES["vocab_oov_rate"](spark, SF)
     plan = _executed_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
@@ -484,3 +490,34 @@ def test_vocab_oov_broadcasts_vocab_not_tokens(spark):
     # the corpus-side scan feeds the broadcast join directly; the only
     # keyed exchanges belong to the vocab build (term agg + top-K)
     assert plan.count("Exchange hashpartitioning") <= 1
+    # top-K is per-partition heaps + merge, never a global one-task sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan and "row_number" not in plan
+
+
+def test_vocab_oov_large_probes_with_broadcast_hash_join(spark):
+    """The vocab-scale variant replaces the O(K)-per-token array screen
+    with a broadcast HASH join probe: exploded tokens never shuffle for
+    the join (broadcast side is the K-row vocab), the vocab build is the
+    same TakeOrderedAndProject top-K, and the only token-bearing
+    exchange is the per-doc partial-agg'd count."""
+    df = ALL_QUERIES["vocab_oov_rate_large"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_ann_ivf_index_probe_is_partition_pruned(spark):
+    """The IVF probe must READ only the probed buckets: the index-side
+    FileScan of the bucket-partitioned parquet must carry a
+    dynamicpruningexpression PartitionFilter on _bucket (DPP from the
+    broadcast query side), proving the round-2 docstring claim
+    physically — bytes read scale with probed buckets, not corpus size."""
+    df = ALL_QUERIES["ann_topk_bucketed"](spark, SF)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+    assert "ivf_index_" in plan  # probing the physical index, not the raw table
+    assert "SortMergeJoin" not in plan
