@@ -235,6 +235,7 @@ def micro_batch_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "group_by_relation",
+    driver=False,  # r3 rotation: A8 evidenced by wal_batch_pipeline
     oracle=f"""
 WITH {CHANGE_LOG_CTE}
 SELECT schema, tbl, count(*) AS n_actions, count(DISTINCT lsn) AS n_transactions,
@@ -250,6 +251,7 @@ def group_by_relation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "offset_commit",
+    driver=False,  # r3 rotation: A16 evidenced by wal_batch_pipeline
     oracle=f"""
 WITH {CHANGE_LOG_CTE}
 SELECT max(lsn) + 1 AS committed_lsn, max(seq) AS committed_seq,
@@ -265,6 +267,7 @@ def offset_commit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "empty_tx_filter",
+    driver=False,  # r3 rotation: A7 evidenced by wal_batch_pipeline
     oracle=f"""
 WITH {CHANGE_LOG_CTE},
 txs AS (
@@ -281,6 +284,93 @@ def empty_tx_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: drop keepalive-only transactions before the sink."""
     log = events_as_change_log(read_table(spark, sf_dir, "events"))
     return empty_tx_filter(tx_assemble(log))
+
+
+@register(
+    "wal_batch_pipeline",
+    oracle="""
+WITH msgs AS (
+  SELECT CAST(floor(event_id / 3) AS BIGINT) AS lsn,
+         event_id AS seq,
+         CASE WHEN event_type = 'signup' THEN 'INSERT'
+              WHEN event_type = 'error' THEN 'DELETE'
+              WHEN event_type IN ('click', 'purchase') THEN 'UPDATE' END AS kind,
+         CASE WHEN event_type IN ('signup', 'error') THEN 'users'
+              WHEN event_type IN ('click', 'purchase') THEN 'user_metrics' END AS tbl
+  FROM events
+),
+txs AS (SELECT lsn, count(kind) AS n_actions FROM msgs GROUP BY lsn),
+rel AS (
+  SELECT 'public' AS schema, tbl, count(*) AS n_actions,
+         count(DISTINCT lsn) AS n_transactions,
+         min(seq) AS first_seq, max(seq) AS last_seq
+  FROM msgs WHERE kind IS NOT NULL GROUP BY tbl
+),
+stats AS (
+  SELECT max(lsn) + 1 AS committed_lsn, max(seq) AS committed_seq,
+         count(*) AS acked_actions
+  FROM msgs
+),
+txc AS (
+  SELECT CAST(sum(CASE WHEN n_actions > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nonempty_tx,
+         count(*) AS n_tx_total
+  FROM txs
+)
+SELECT rel.*, stats.*, txc.n_nonempty_tx, txc.n_tx_total,
+       txc.n_tx_total - txc.n_nonempty_tx AS n_empty_tx
+FROM rel, stats, txc
+""",
+)
+def wal_batch_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite batch pipeline: decode -> assemble -> drop empties ->
+    group by relation -> commit offset, in ONE plan (A5+A7+A8+A16).
+
+    Models the reference's full per-batch path (sync/stream/stream.go:
+    255-345): protocol messages that produce no row action ('view' events
+    here stand in for Relation/Type/Origin messages) still flow through
+    assembly, so transactions whose 3-message window is all noise become
+    EMPTY and are dropped by A7 — yet their LSNs still advance the
+    committed cursor (A16 aggregates over ALL messages, not just sink
+    actions). Two published relations ('users' for identity changes,
+    'user_metrics' for activity updates) exercise A8's per-relation
+    partitioning.
+
+    Plan shape at 100 TB: one scan feeding two hash aggregations (both
+    map-side combinable); the offset/empty-count sides are 1-row
+    aggregates broadcast onto the 2-row relation summary — no shuffle of
+    the big side beyond the two keyed aggs."""
+    ev = read_table(spark, sf_dir, "events")
+    noise_free_kind = (
+        F.when(ev.event_type == "signup", F.lit("INSERT"))
+        .when(ev.event_type == "error", F.lit("DELETE"))
+        .when(ev.event_type.isin("click", "purchase"), F.lit("UPDATE"))
+    )
+    msgs = ev.select(
+        F.floor(ev.event_id / F.lit(3)).cast("long").alias("lsn"),
+        ev.event_id.alias("seq"),
+        noise_free_kind.alias("kind"),
+        F.when(ev.event_type.isin("signup", "error"), F.lit("users"))
+        .when(ev.event_type.isin("click", "purchase"), F.lit("user_metrics"))
+        .alias("tbl"),
+    )
+    # A5 assembly at message level: per-tx count of *sink* actions
+    txs = msgs.groupBy("lsn").agg(F.count("kind").alias("n_actions"))
+    nonempty_cnt = empty_tx_filter(txs).agg(  # A7
+        F.count(F.lit(1)).alias("n_nonempty_tx")
+    )
+    total_cnt = txs.agg(F.count(F.lit(1)).alias("n_tx_total"))
+    actions = msgs.filter(F.col("kind").isNotNull()).withColumn(
+        "schema", F.lit("public")
+    )
+    rel = group_by_relation(actions)  # A8
+    stats = (
+        offset_commit(msgs)  # A16: empty txs still advance the cursor
+        .crossJoin(nonempty_cnt)
+        .crossJoin(total_cnt)
+        .withColumn("n_empty_tx", F.col("n_tx_total") - F.col("n_nonempty_tx"))
+    )
+    return rel.crossJoin(F.broadcast(stats))
 
 
 @register(
@@ -373,7 +463,6 @@ from . import queries_pipeline  # noqa: E402,F401
 
 @register(
     "scd2_history",
-    driver=False,
     oracle=f"""
 WITH {CHANGE_LOG_CTE},
 vers AS (

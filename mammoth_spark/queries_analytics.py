@@ -41,6 +41,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_hourly_rollup",
+    driver=False,  # r3 rotation: rollup evidenced by orders_rollup/incremental_agg
     oracle=f"""
 SELECT CAST(floor(epoch_ns(ts) / {_HOUR_NS}.0) AS BIGINT) AS hour_idx,
        event_type,
@@ -70,6 +71,7 @@ def event_hourly_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_sessionization",
+    driver=False,  # r3 rotation: sessionization evidenced by session_window_native
     oracle=f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events
@@ -212,6 +214,7 @@ def topk_orders_per_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_hourly_rollup",
+    driver=False,  # r3 rotation: streaming evidenced by 4 other stream entries
     oracle=f"""
 SELECT CAST(floor(epoch_ns(ts) / {_HOUR_NS}.0) AS BIGINT) AS hour_idx,
        event_type,
@@ -377,6 +380,7 @@ def sliding_revenue_7d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cdc_apply_multikey",
+    driver=False,  # r3 rotation: A9 evidenced by cdc_last_per_key/cdc_compact_exact
     oracle="""
 SELECT l_orderkey, l_linenumber, qty FROM (
   SELECT l_orderkey, l_linenumber,
@@ -871,7 +875,6 @@ def user_rolling_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "grouping_sets_agg",
-    driver=False,
     oracle="""
 SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN NULL ELSE l_returnflag END AS l_returnflag,
        CASE WHEN GROUPING(l_linestatus) = 1 THEN NULL ELSE l_linestatus END AS l_linestatus,
@@ -1046,7 +1049,6 @@ def streaming_enrich_static_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_dedup_watermark",
-    driver=False,
     oracle="""
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,

@@ -601,7 +601,6 @@ HLL_SHARDS = 8
 
 @register(
     "hll_shard_merge",
-    driver=False,
     oracle="""
 SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
        TRUE AS hll_within_5pct

@@ -128,6 +128,7 @@ def salted_join_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bucketed_colocated_join",
+    driver=False,  # r3 rotation: co-location evidenced by runtime_filtered_join
     oracle=f"""
 SELECT o.o_orderstatus,
        count(*) AS n_items,
@@ -170,6 +171,7 @@ def bucketed_colocated_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "partition_pruned_scan",
+    driver=False,  # r3 rotation: pruning evidenced by ann_topk_bucketed DPP
     oracle="""
 SELECT event_type, count(*) AS n_events,
        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
@@ -258,6 +260,7 @@ def range_join_campaigns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "invalid_sequence_detect",
+    driver=False,  # r3 rotation: A9 validation dupe
     oracle="""
 WITH change_log AS (
   SELECT event_id AS seq, CAST(user_id AS BIGINT) AS key,
@@ -477,7 +480,6 @@ def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "runtime_filtered_join",
-    driver=False,
     oracle=f"""
 SELECT s.s_nationkey,
        CAST(count(*) AS BIGINT) AS n_items,

@@ -55,6 +55,7 @@ def pg_array_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_stats",
+    driver=False,  # r3 rotation: media family evidenced by media_features
     oracle="""
 WITH media AS (
   SELECT doc_id AS media_id,
@@ -624,6 +625,7 @@ def target_ddl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "atomic_swap",
+    driver=False,  # r3 rotation: A12 evidenced by snapshot_incremental_equiv
     oracle="""
 SELECT 'v1' AS version, count(*) AS n_rows,
        CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
@@ -722,6 +724,7 @@ def jsonl_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orc_roundtrip",
+    driver=False,  # r3 rotation: format trivia; CSV roundtrip stays
     oracle="""
 SELECT source,
        count(*) AS n_docs,
@@ -874,7 +877,6 @@ def json_props_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "merge_on_read_equiv",
-    driver=False,
     oracle="""
 WITH change_log AS (
   SELECT event_id AS seq,
@@ -947,7 +949,6 @@ def merge_on_read_equiv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_corrupt_quarantine",
-    driver=False,
     # the staged file is DERIVED deterministically from events: one valid
     # JSON line per event, plus one malformed line for every event_id
     # divisible by 10 — so the oracle computes the expected triage counts

@@ -267,7 +267,6 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_incremental_minhash",
-    driver=False,  # driver contract at its 50-entry cap; pytest-oracle-checked
     oracle=_minhash_pairs_ctes()
     + "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM pairs)",
 )
@@ -328,7 +327,6 @@ FROM assign
 
 @register(
     "dedup_clusters",
-    driver=False,  # driver contract at its 50-entry cap; pytest-oracle-checked
     oracle=_clusters_oracle(),
 )
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1325,7 +1323,6 @@ def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_dedup_ingest",
-    driver=False,
     oracle=_minhash_pairs_ctes()
     + "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM pairs)",
 )
@@ -1606,7 +1603,7 @@ WHERE q.quality >= {PIPELINE_QUALITY_MIN}
 """
 
 
-@register("pipeline_e2e", driver=False, oracle=_pipeline_e2e_oracle())
+@register("pipeline_e2e", oracle=_pipeline_e2e_oracle())
 def pipeline_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operators COMPOSED as one pipeline — normalize-dedup (keep the
     min-id copy), quality gate, deterministic train/val/test assignment —
@@ -1793,7 +1790,6 @@ _HIST_WIDTH = 50.0  # fixed-width buckets over `value`
 
 @register(
     "value_histogram",
-    driver=False,
     oracle=f"""
 SELECT event_type,
        CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bucket,

@@ -30,6 +30,21 @@ DRIVER_PRIORITY: list[str] = [
     "cdc_last_per_key",
     "cdc_compact_exact",
     "streaming_cdc_apply",
+    # round-3 rotation: round-2 operators promoted into the 50-entry
+    # contract (previously parity-checked locally only)
+    "dedup_incremental_minhash",
+    "dedup_clusters",
+    "streaming_dedup_ingest",
+    "streaming_dedup_watermark",
+    "merge_on_read_equiv",
+    "grouping_sets_agg",
+    "scd2_history",
+    "runtime_filtered_join",
+    "hll_shard_merge",
+    "value_histogram",
+    "json_corrupt_quarantine",
+    "pipeline_e2e",
+    "wal_batch_pipeline",
     "embedding_cosine_pairs",
     "ann_topk",
     "ann_topk_bucketed",

@@ -327,3 +327,144 @@ def decode_to_change_messages(wal_payloads, seq_start: int = 1):
         seq += 1
         if isinstance(msg, Commit):
             xid = None
+
+# --------------------------------------------------------------------------
+# Replication copy-data framing (the layer ABOVE the pgoutput payload).
+#
+# The reference receives pgproto3.CopyData messages and dispatches on the
+# first byte: 'w' XLogData (carrying a pgoutput payload), 'k' primary
+# keepalive (sync/stream/stream.go:174-244); it acknowledges progress with
+# StandbyStatusUpdate ('r') frames carrying the committed LSN — immediately
+# when the primary requests a reply, every 10 s otherwise, and also while
+# the downstream pipeline is blocked (stream.go:110-129,154-163). Formats
+# per the public PostgreSQL docs ("Streaming Replication Protocol" §55.4):
+#
+#     XLogData            'w' wal_start:i64 server_wal_end:i64
+#                             server_time:i64(µs since 2000-01-01) payload…
+#     PrimaryKeepalive    'k' server_wal_end:i64 server_time:i64
+#                             reply_requested:i8
+#     StandbyStatusUpdate 'r' wal_write:i64 wal_flush:i64 wal_apply:i64
+#                             client_time:i64 reply_requested:i8
+#
+# Timestamps use the PostgreSQL epoch (2000-01-01); helpers convert.
+
+PG_EPOCH_OFFSET_US = 946_684_800_000_000  # 2000-01-01 minus 1970-01-01, µs
+
+XLOG_DATA_BYTE = b"w"
+PRIMARY_KEEPALIVE_BYTE = b"k"
+STANDBY_STATUS_UPDATE_BYTE = b"r"
+
+
+@dataclass
+class XLogData:
+    """One WAL data frame: framing header + opaque pgoutput payload."""
+
+    wal_start: int
+    server_wal_end: int
+    server_time_us: int  # µs since 2000-01-01
+    payload: bytes
+
+
+@dataclass
+class PrimaryKeepalive:
+    """Primary status frame; ``reply_requested`` demands an immediate ack."""
+
+    server_wal_end: int
+    server_time_us: int
+    reply_requested: bool
+
+
+def pg_time_to_unix_us(pg_us: int) -> int:
+    return pg_us + PG_EPOCH_OFFSET_US
+
+
+def unix_us_to_pg_time(unix_us: int) -> int:
+    return unix_us - PG_EPOCH_OFFSET_US
+
+
+def parse_copy_data(data: bytes) -> "XLogData | PrimaryKeepalive":
+    """Decode one replication copy-data frame ('w' or 'k').
+
+    Mirrors the reference's dispatch (stream.go:174-210): anything else is
+    a protocol error at this layer — pgproto3 would have surfaced it as a
+    different backend message type."""
+    if not data:
+        raise PgOutputError("empty copy-data frame")
+    tag, r = data[:1], _Reader(data[1:])
+    if tag == XLOG_DATA_BYTE:
+        wal_start, server_wal_end, server_time = r.i64(), r.i64(), r.i64()
+        payload = r.data[r.pos :]
+        if not payload:
+            raise PgOutputError("XLogData frame with empty payload")
+        return XLogData(wal_start, server_wal_end, server_time, bytes(payload))
+    if tag == PRIMARY_KEEPALIVE_BYTE:
+        out = PrimaryKeepalive(r.i64(), r.i64(), r.i8() != 0)
+        if not r.done():
+            raise PgOutputError("trailing bytes after keepalive frame")
+        return out
+    raise PgOutputError(f"unknown copy-data tag {tag!r}")
+
+
+def encode_xlog_data(msg: XLogData) -> bytes:
+    return (
+        XLOG_DATA_BYTE
+        + struct.pack(">qqq", msg.wal_start, msg.server_wal_end, msg.server_time_us)
+        + msg.payload
+    )
+
+
+def encode_primary_keepalive(msg: PrimaryKeepalive) -> bytes:
+    return PRIMARY_KEEPALIVE_BYTE + struct.pack(
+        ">qqb", msg.server_wal_end, msg.server_time_us, 1 if msg.reply_requested else 0
+    )
+
+
+def encode_standby_status_update(
+    wal_write: int,
+    wal_flush: int = 0,
+    wal_apply: int = 0,
+    client_time_us: int = 0,
+    reply_requested: bool = False,
+) -> bytes:
+    """Encode the 'r' ack frame. Like pglogrepl.SendStandbyStatusUpdate
+    (the API the reference calls with only WALWritePosition set,
+    stream.go:112-129), zero flush/apply positions default to the write
+    position — the reference acks all three cursors at committed LSN."""
+    if wal_flush == 0:
+        wal_flush = wal_write
+    if wal_apply == 0:
+        wal_apply = wal_write
+    return STANDBY_STATUS_UPDATE_BYTE + struct.pack(
+        ">qqqqb",
+        wal_write,
+        wal_flush,
+        wal_apply,
+        client_time_us,
+        1 if reply_requested else 0,
+    )
+
+
+def frame_stream(copy_data_frames, committed_read, ack_every: int = 0):
+    """Drive the copy-data framing the way the reference's eventSource
+    does (stream.go:144-248): XLogData frames hand their payload to the
+    pgoutput decoder; keepalives emit an EMPTY transaction at the server
+    WAL end (so the committed cursor can advance past changes on
+    unpublished tables, stream.go:189-201) and — when the primary requests
+    a reply — an immediate StandbyStatusUpdate ack at the committed LSN.
+
+    Yields ("payload", bytes) | ("empty_tx", lsn) | ("ack", bytes).
+    ``committed_read`` is the committed-LSN register (a callable, like the
+    reference's s.committed.Read). ``ack_every`` > 0 additionally acks
+    after every N frames — the deadline-driven periodic status update
+    (stream.go:154-163) re-expressed for a pull model with no wall clock.
+    """
+    for n, frame in enumerate(copy_data_frames, start=1):
+        msg = parse_copy_data(frame)
+        if isinstance(msg, XLogData):
+            yield ("payload", msg.payload)
+        else:
+            yield ("empty_tx", msg.server_wal_end)
+            if msg.reply_requested:
+                yield ("ack", encode_standby_status_update(committed_read()))
+        if ack_every and n % ack_every == 0:
+            yield ("ack", encode_standby_status_update(committed_read()))

@@ -102,9 +102,11 @@ def test_driver_contract_size():
     queries early, and keep local-only queries oracle-checked here."""
     exported = list(entry_mod.queries().keys())
     assert len(exported) <= 50, f"{len(exported)} driver queries exceed the observed cap"
-    for name in ["embedding_cosine_pairs", "ann_topk", "ann_topk_bucketed",
+    for name in ["dedup_incremental_minhash", "streaming_dedup_ingest",
+                 "merge_on_read_equiv", "pipeline_e2e", "wal_batch_pipeline",
+                 "embedding_cosine_pairs", "ann_topk", "ann_topk_bucketed",
                  "dedup_embedding_cosine"]:
-        assert name in exported[:12], f"{name} must sit early in driver order"
+        assert name in exported[:22], f"{name} must sit early in driver order"
     for name in LOCAL_ONLY:
         assert name in QUERIES and name not in exported
 

@@ -232,3 +232,174 @@ def test_decoded_stream_assembles_end_to_end(spark, tmp_path):
     vals = json.loads(row["new_values"])
     assert vals["a"]["v"] == "y"
     assert vals["big"]["v"] == "blob0" and not vals["big"]["is_unchanged"]
+
+
+# ------------------- copy-data framing (stream.go:87-201) -------------------
+
+from mammoth_spark.sources.pgoutput import (  # noqa: E402
+    PG_EPOCH_OFFSET_US,
+    PrimaryKeepalive,
+    XLogData,
+    encode_primary_keepalive,
+    encode_standby_status_update,
+    encode_xlog_data,
+    frame_stream,
+    parse_copy_data,
+    pg_time_to_unix_us,
+    unix_us_to_pg_time,
+)
+
+
+def test_parse_xlog_data_golden_bytes():
+    # 'w' wal_start=10 server_wal_end=11 server_time=0 + pinned Begin payload
+    frame = bytes.fromhex(
+        "77"
+        "000000000000000a"
+        "000000000000000b"
+        "0000000000000000"
+        "42000000000000000a000000000000000000000b85"
+    )
+    msg = parse_copy_data(frame)
+    assert msg == XLogData(
+        wal_start=10,
+        server_wal_end=11,
+        server_time_us=0,
+        payload=bytes.fromhex("42000000000000000a000000000000000000000b85"),
+    )
+    assert parse_message(msg.payload) == Begin(final_lsn=10, commit_ts=0, xid=2949)
+    assert encode_xlog_data(msg) == frame
+
+
+def test_parse_keepalive_golden_bytes():
+    # 'k' server_wal_end=16 server_time=1 reply_requested=1
+    frame = bytes.fromhex("6b" "0000000000000010" "0000000000000001" "01")
+    msg = parse_copy_data(frame)
+    assert msg == PrimaryKeepalive(server_wal_end=16, server_time_us=1, reply_requested=True)
+    assert encode_primary_keepalive(msg) == frame
+    quiet = parse_copy_data(bytes.fromhex("6b" "0000000000000010" "0000000000000001" "00"))
+    assert quiet.reply_requested is False
+
+
+def test_standby_status_update_golden_bytes():
+    # 'r' write=11 flush=11 apply=11 client_time=5 reply=0 — flush/apply
+    # default to the write position, like pglogrepl.SendStandbyStatusUpdate
+    # called with only WALWritePosition (stream.go:112-129)
+    assert encode_standby_status_update(11, client_time_us=5) == bytes.fromhex(
+        "72"
+        "000000000000000b"
+        "000000000000000b"
+        "000000000000000b"
+        "0000000000000005"
+        "00"
+    )
+    explicit = encode_standby_status_update(
+        11, wal_flush=9, wal_apply=8, client_time_us=5, reply_requested=True
+    )
+    assert explicit == bytes.fromhex(
+        "72"
+        "000000000000000b"
+        "0000000000000009"
+        "0000000000000008"
+        "0000000000000005"
+        "01"
+    )
+
+
+def test_pg_epoch_conversion():
+    assert pg_time_to_unix_us(0) == PG_EPOCH_OFFSET_US  # 2000-01-01T00:00:00Z
+    assert unix_us_to_pg_time(pg_time_to_unix_us(123456)) == 123456
+
+
+def test_parse_copy_data_errors():
+    with pytest.raises(PgOutputError):
+        parse_copy_data(b"")
+    with pytest.raises(PgOutputError):
+        parse_copy_data(b"q" + b"\x00" * 17)  # unknown tag
+    with pytest.raises(PgOutputError):  # keepalive with trailing junk
+        parse_copy_data(b"k" + b"\x00" * 17 + b"\x00")
+    with pytest.raises(PgOutputError):  # XLogData with no payload
+        parse_copy_data(b"w" + b"\x00" * 24)
+
+
+def test_frame_stream_keepalive_semantics():
+    """Keepalives yield an empty transaction at ServerWALEnd (the cursor
+    must advance past unpublished-table churn, stream.go:189-201) and an
+    immediate ack at the committed LSN when a reply is requested."""
+    committed = {"lsn": 42}
+    frames = [
+        encode_xlog_data(XLogData(10, 11, 0, enc_begin(10, 0, 1))),
+        encode_primary_keepalive(PrimaryKeepalive(99, 0, reply_requested=False)),
+        encode_primary_keepalive(PrimaryKeepalive(120, 0, reply_requested=True)),
+    ]
+    events = list(frame_stream(frames, lambda: committed["lsn"]))
+    kinds = [k for k, _ in events]
+    assert kinds == ["payload", "empty_tx", "empty_tx", "ack"]
+    assert events[0][1] == enc_begin(10, 0, 1)
+    assert events[1][1] == 99 and events[2][1] == 120
+    # the ack carries the committed register, not the keepalive's WAL end
+    assert events[3][1] == encode_standby_status_update(42)
+
+
+def test_frame_stream_periodic_ack():
+    frames = [
+        encode_xlog_data(XLogData(i, i + 1, 0, enc_begin(i, 0, 1))) for i in range(4)
+    ]
+    events = list(frame_stream(frames, lambda: 7, ack_every=2))
+    kinds = [k for k, _ in events]
+    assert kinds == ["payload", "payload", "ack", "payload", "payload", "ack"]
+    assert all(v == encode_standby_status_update(7) for k, v in events if k == "ack")
+
+
+def test_copy_data_frames_assemble_end_to_end(spark, tmp_path):
+    """COPY bytes -> framing -> pgoutput decode -> stateful assembly: the
+    complete wire path the reference runs (stream.go:174-248), including a
+    reply-requested keepalive mid-stream that must ack without disturbing
+    transaction assembly."""
+    from mammoth_spark.streaming.accumulator import (
+        CHANGE_MESSAGE_SCHEMA,
+        assemble_changes_stateful,
+    )
+
+    payloads = [
+        enc_begin(10, 0, 42),
+        enc_relation(1000, "s", "docs", [(1, "id"), (0, "a")]),
+        enc_insert(1000, ["7", "x"]),
+    ]
+    tail = [enc_update(1000, ["7", "y"]), enc_commit(10, 11, 0)]
+    frames = [encode_xlog_data(XLogData(10, 11, 0, p)) for p in payloads]
+    frames.append(encode_primary_keepalive(PrimaryKeepalive(11, 0, reply_requested=True)))
+    frames += [encode_xlog_data(XLogData(10, 11, 0, p)) for p in tail]
+
+    acks, wal_payloads, empty_lsns = [], [], []
+    for kind, value in frame_stream(frames, lambda: 10):
+        if kind == "payload":
+            wal_payloads.append(value)
+        elif kind == "ack":
+            acks.append(value)
+        else:
+            empty_lsns.append(value)
+    assert acks == [encode_standby_status_update(10)]
+    assert empty_lsns == [11]
+
+    rows = list(decode_to_change_messages(wal_payloads))
+    src = tmp_path / "wire"
+    src.mkdir()
+    with open(src / "b.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(CHANGE_MESSAGE_SCHEMA).json(str(src))
+    q = (
+        assemble_changes_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("frame_e2e")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("frame_e2e").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["kind"] == "INSERT" and row["key_after"] == ["7"]
+    assert json.loads(row["new_values"])["a"]["v"] == "y"
