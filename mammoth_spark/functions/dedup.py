@@ -19,6 +19,8 @@ programmatically with the same constants).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -274,15 +276,90 @@ def _stack_bands(idx: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+# Partition count of the durable signature store's band index. Band keys
+# hash-route to band=<bucket> directories, so an epoch's probe join reads
+# ONLY the history files whose bucket appears in the increment — file-level
+# pruning instead of a full store scan (parquet PartitionFilters,
+# asserted in tests/test_plans.py). 64 at test scale; at 100 TB this is
+# the knob that sizes per-epoch history I/O (buckets >> increment band
+# cardinality → most history untouched).
+N_STORE_BUCKETS = 64
+
+
+@dataclass
+class SigStore:
+    """Durable incremental-dedup index, two datasets:
+
+    - ``bands``: ``(doc_id, band_idx, band, band_bucket)`` — the LSH probe
+      index, stacked one row per (doc, band) and laid out on disk
+      partitioned by ``band_bucket = pmod(band, N_STORE_BUCKETS)``;
+    - ``fps``: ``(doc_id, sh_fp array<bigint>)`` — shingle fingerprints
+      for exact-Jaccard verification of candidate pairs.
+
+    Published as append-only per-epoch DELTA directories (LSM-style):
+    each ingest writes O(increment) new files instead of republishing the
+    whole store, and a crashed epoch's overwrite is idempotent."""
+
+    bands: DataFrame
+    fps: DataFrame
+
+
+def _delta_of(idx: DataFrame, id_col: str) -> SigStore:
+    # band keys are md5 hex strings — route via xxhash64 so the bucket is
+    # uniform regardless of the band-key representation
+    bands = _stack_bands(idx, id_col).withColumn(
+        "band_bucket",
+        F.pmod(F.xxhash64(F.col("band")), F.lit(N_STORE_BUCKETS)).cast("int"),
+    )
+    return SigStore(bands=bands, fps=idx.select(F.col(id_col), F.col("sh_fp")))
+
+
+def sig_store_union(a: SigStore, b: SigStore) -> SigStore:
+    return SigStore(a.bands.unionByName(b.bands), a.fps.unionByName(b.fps))
+
+
+def write_sig_store(delta: SigStore, path: str) -> None:
+    """Persist one epoch's delta: band rows land under
+    ``<path>/bands/band_bucket=<k>/`` (the pruning layout), fingerprints
+    under ``<path>/fps/``. Overwrite mode keeps epoch retries idempotent."""
+    delta.bands.write.mode("overwrite").partitionBy("band_bucket").parquet(
+        path + "/bands"
+    )
+    delta.fps.write.mode("overwrite").parquet(path + "/fps")
+
+
+def read_sig_store(spark, delta_paths) -> SigStore | None:
+    """Open the union of all published deltas. Each root keeps its
+    ``band_bucket`` partition discovery, so a bucket filter prunes files
+    across every delta."""
+    from functools import reduce
+
+    paths = sorted(delta_paths)
+    if not paths:
+        return None
+    # each delta is its own partitioned root (multi-root discovery
+    # conflicts otherwise); the bucket filter pushes through the union
+    # into every per-delta scan, so pruning covers all history
+    bands = reduce(
+        DataFrame.unionByName, [spark.read.parquet(p + "/bands") for p in paths]
+    )
+    return SigStore(
+        bands=bands,
+        fps=spark.read.parquet(*[p + "/fps" for p in paths]),
+    )
+
+
 def dedup_incremental(
-    store: DataFrame | None,
+    store: SigStore | None,
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.2,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, SigStore]:
     """One ingest step of incremental near-dup filtering: returns
-    ``(survivor_ids, updated_store)``.
+    ``(survivor_ids, delta)`` — the delta is the increment's OWN index
+    rows, which the caller appends to the store (``write_sig_store`` for
+    durable deltas, ``sig_store_union`` for in-memory chaining).
 
     A new doc is dropped when ANY doc with a lower id — already-ingested
     history (the signature store) or an earlier doc of the same increment —
@@ -293,21 +370,33 @@ def dedup_incremental(
     which a survivors-only store would miss.
 
     Scale shape: candidate generation joins the increment's band keys
-    against the store's — work is proportional to the INCREMENT (plus
-    band collisions), never the corpus; history is touched only on the
-    indexed band-key join, exactly how a 100 TB rolling-ingest dedup must
-    behave. Exact-Jaccard verification reads fingerprint arrays from the
-    store, so old text is never re-read."""
+    against the store's, and the history side is first FILTERED to the
+    increment's band buckets — on the partitioned store layout that is
+    file-level partition pruning, so per-epoch history I/O is bounded by
+    the buckets the increment actually probes, never the corpus (the
+    bucket list is ≤ N_STORE_BUCKETS values, a bounded driver-side
+    collect). Join-key equality implies bucket equality, so the pruning
+    is lossless. Exact-Jaccard verification reads fingerprint arrays from
+    the store, so old text is never re-read."""
     # the signature computation (shingling + minhash) feeds four branches
-    # (store union, band join, fingerprint lookup, survivor anti-join) and
-    # both of the caller's writes — materialize it once instead of paying
-    # the regex/shingle pass per consumer (measured ~40% of epoch time in
+    # (delta, band join, fingerprint lookup, survivor anti-join) and the
+    # caller's writes — materialize it once instead of paying the
+    # regex/shingle pass per consumer (measured ~40% of epoch time in
     # the streaming wrapper)
     new_idx = minhash_index(new_docs, text_col, id_col).localCheckpoint(eager=True)
-    full = new_idx if store is None else store.unionByName(new_idx)
+    delta = _delta_of(new_idx, id_col)
+    if store is None:
+        probe_bands, all_fps = delta.bands, delta.fps
+    else:
+        buckets = [
+            r[0] for r in delta.bands.select("band_bucket").distinct().collect()
+        ]
+        hist_bands = store.bands.filter(F.col("band_bucket").isin(buckets))
+        probe_bands = hist_bands.unionByName(delta.bands)
+        all_fps = store.fps.unionByName(delta.fps)
 
-    a = _stack_bands(full, id_col).alias("a")
-    b = _stack_bands(new_idx, id_col).alias("b")
+    a = probe_bands.alias("a")
+    b = delta.bands.alias("b")
     cand = (
         a.join(
             b,
@@ -318,8 +407,8 @@ def dedup_incremental(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    fa = full.select(F.col(id_col).alias("id_a"), F.col("sh_fp").alias("fp_a"))
-    fb = full.select(F.col(id_col).alias("id_b"), F.col("sh_fp").alias("fp_b"))
+    fa = all_fps.select(F.col(id_col).alias("id_a"), F.col("sh_fp").alias("fp_a"))
+    fb = all_fps.select(F.col(id_col).alias("id_b"), F.col("sh_fp").alias("fp_b"))
     inter = F.size(F.array_intersect(F.col("fp_a"), F.col("fp_b")))
     union = F.size(F.array_union(F.col("fp_a"), F.col("fp_b")))
     dups = (
@@ -330,7 +419,7 @@ def dedup_incremental(
         .distinct()
     )
     survivors = new_idx.select(id_col).join(dups, id_col, "left_anti")
-    return survivors, full
+    return survivors, delta
 
 
 def connected_components(

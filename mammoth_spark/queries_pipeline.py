@@ -275,21 +275,23 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id < 200, then the rest), each filtered against the persisted
     signature store via functions.dedup.dedup_incremental. The store is
     round-tripped through parquet between increments — real durable-index
-    behavior, and a lineage cut so step 2's plan doesn't replay step 1.
-    The oracle is the single-shot whole-corpus dedup: keeping every seen
-    doc in the store makes incremental == batch exactly."""
+    behavior (band rows land under ``bands/band_bucket=<k>/`` so the
+    second increment's probe join PRUNES history partitions), and a
+    lineage cut so step 2's plan doesn't replay step 1. The oracle is the
+    single-shot whole-corpus dedup: keeping every seen doc in the store
+    makes incremental == batch exactly."""
     import tempfile
 
-    from .functions.dedup import dedup_incremental
+    from .functions.dedup import dedup_incremental, read_sig_store, write_sig_store
 
     docs = read_table(spark, sf_dir, "documents")
     first = docs.filter(F.col("doc_id") < 200)
     second = docs.filter(F.col("doc_id") >= 200)
 
-    s1, store = dedup_incremental(None, first, jaccard_threshold=MINHASH_JACCARD_T)
-    store_dir = tempfile.mkdtemp(prefix="sig_store_") + "/store"
-    store.write.mode("overwrite").parquet(store_dir)
-    store = spark.read.parquet(store_dir)
+    s1, delta1 = dedup_incremental(None, first, jaccard_threshold=MINHASH_JACCARD_T)
+    store_dir = tempfile.mkdtemp(prefix="sig_store_")
+    write_sig_store(delta1, store_dir + "/delta_000000")
+    store = read_sig_store(spark, [store_dir + "/delta_000000"])
     s2, _ = dedup_incremental(store, second, jaccard_threshold=MINHASH_JACCARD_T)
     return s1.unionByName(s2)
 
@@ -1332,16 +1334,19 @@ def streaming_dedup_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     forced so arrival order == id order), and every micro-batch runs one
     `dedup_incremental` step inside foreachBatch — candidate work ∝ the
     batch, survivors appended to the output table, and the signature
-    store re-published as a NEW versioned directory per epoch (the
-    atomic-swap pattern: readers of v(n-1) are never overwritten, and a
-    crashed epoch leaves the previous version intact). End state must
-    equal the single-shot whole-corpus dedup — the same oracle as
+    store growing by an append-only DELTA directory per epoch (LSM-style:
+    the epoch writes O(batch) files, never a full-store republish; a
+    crashed epoch's delta overwrite is idempotent, and earlier deltas are
+    never touched). Delta band rows are partitioned by ``band_bucket``,
+    so each epoch's probe join file-prunes ALL prior deltas down to the
+    buckets the batch actually hashes into. End state must equal the
+    single-shot whole-corpus dedup — the same oracle as
     `dedup_incremental_minhash`, now proven through the streaming path."""
     import glob
     import os
     import tempfile
 
-    from .functions.dedup import dedup_incremental
+    from .functions.dedup import dedup_incremental, read_sig_store, write_sig_store
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="stream_dedup_")
@@ -1358,17 +1363,13 @@ def streaming_dedup_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     surv_dir = os.path.join(base, "survivors")
 
-    def _latest_store(s):
-        versions = sorted(glob.glob(os.path.join(base, "store_v*")))
-        return s.read.parquet(versions[-1]) if versions else None
-
     def _step(batch_df, epoch_id):
         s = batch_df.sparkSession
-        store = _latest_store(s)
-        surv, new_store = dedup_incremental(
+        store = read_sig_store(s, glob.glob(os.path.join(base, "delta_e*")))
+        surv, delta = dedup_incremental(
             store, batch_df, jaccard_threshold=MINHASH_JACCARD_T
         )
-        new_store.write.parquet(os.path.join(base, f"store_v{epoch_id:06d}"))
+        write_sig_store(delta, os.path.join(base, f"delta_e{epoch_id:06d}"))
         surv.write.mode("append").parquet(surv_dir)
 
     # per-epoch joins touch a few hundred keys; 8 shuffle partitions

@@ -69,11 +69,17 @@ class RunningTotalsProcessor(StatefulProcessor):
 def tws_available() -> bool:
     """transformWithStateInPandas needs google.protobuf on the PYTHONPATH
     (the state-server protocol is protobuf-framed). The build container
-    does not ship it, so the operator is gated — the processor above is
-    the real implementation, exercised wherever protobuf exists."""
+    does not ship the PyPI package, so this first tries the shim that
+    materializes the gcloud-vendored pure-Python runtime
+    (mammoth_spark/protobuf_shim.py) — including exporting PYTHONPATH so
+    Spark's Python workers can import it too."""
+    from ..protobuf_shim import ensure_protobuf
+
+    if not ensure_protobuf():
+        return False
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
 
         return True
-    except ImportError:
+    except Exception:
         return False

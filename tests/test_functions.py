@@ -144,7 +144,7 @@ def test_incremental_dedup_equals_batch(spark, sf_dir):
     """Incremental ingest (any id-monotone split, here THREE increments)
     must produce exactly the single-shot whole-corpus survivor set —
     the store keeps every seen doc, so pair coverage is identical."""
-    from mammoth_spark.functions.dedup import dedup_incremental
+    from mammoth_spark.functions.dedup import dedup_incremental, sig_store_union
     from mammoth_spark.model import read_table
 
     docs = read_table(spark, sf_dir, "documents")
@@ -155,7 +155,8 @@ def test_incremental_dedup_equals_batch(spark, sf_dir):
     store = None
     for lo, hi in [(0, 150), (150, 300), (300, 10**9)]:
         part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        surv, store = dedup_incremental(store, part, jaccard_threshold=0.2)
+        surv, delta = dedup_incremental(store, part, jaccard_threshold=0.2)
+        store = delta if store is None else sig_store_union(store, delta)
         inc_ids |= {r["doc_id"] for r in surv.collect()}
     assert inc_ids == batch_ids
     assert len(batch_ids) < docs.count()  # some near-dups actually dropped

@@ -521,3 +521,53 @@ def test_ann_ivf_index_probe_is_partition_pruned(spark):
     assert "dynamicpruningexpression" in plan
     assert "ivf_index_" in plan  # probing the physical index, not the raw table
     assert "SortMergeJoin" not in plan
+
+
+def test_sig_store_band_partition_pruning(spark, tmp_path):
+    """The incremental-dedup signature store is published partitioned by
+    band_bucket; an epoch's probe must file-prune history to the buckets
+    its increment hashes into (functions/dedup.py: dedup_incremental).
+    Asserted physically: the bucket filter lands in PartitionFilters and
+    strictly shrinks the file set."""
+    from mammoth_spark.functions.dedup import (
+        dedup_incremental,
+        read_sig_store,
+        write_sig_store,
+    )
+    from mammoth_spark.model import read_table
+
+    docs = read_table(spark, SF, "documents")
+    first = docs.filter(F.col("doc_id") < 200)
+    # a deliberately tiny increment: 5 docs x 4 bands <= 20 of 64 buckets
+    second = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 205))
+
+    _, delta1 = dedup_incremental(None, first, jaccard_threshold=0.2)
+    write_sig_store(delta1, str(tmp_path / "delta0"))
+    store = read_sig_store(spark, [str(tmp_path / "delta0")])
+
+    all_files = set(store.bands.inputFiles())
+    assert len(all_files) > 10  # enough partitions for pruning to matter
+
+    surv, _ = dedup_incremental(store, second, jaccard_threshold=0.2)
+    plan = _executed_plan(surv)
+    part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "band_bucket" in part_filters, "probe must prune on the store layout"
+
+    # pruning strictly shrinks the history scan (mirror the probe's filter)
+    buckets = [
+        r[0]
+        for r in dedup_incremental(None, second, jaccard_threshold=0.2)[1]
+        .bands.select("band_bucket")
+        .distinct()
+        .collect()
+    ]
+    # inputFiles() lists the relation pre-pruning; input_file_name() at
+    # execution time reflects the files the pruned scan actually read
+    pruned = {
+        r[0]
+        for r in store.bands.filter(F.col("band_bucket").isin(buckets))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert pruned and len(pruned) < len(all_files)
