@@ -609,6 +609,17 @@ def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
     if not tws_available():
         pytest.skip("google.protobuf absent: transformWithState runtime unavailable")
 
+    # TWS keeps each named state variable in its own column family, which
+    # the default HDFS-backed provider rejects — RocksDB is the
+    # production provider for transformWithState
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", F.floor(F.col("value") * 1000).cast("bigint").alias("vm")
     )
@@ -626,14 +637,22 @@ def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
         timeMode="none",
     )
     sink = f"tws_totals_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
     final = {
         r["user_id"]: (r["n_events"], r["value_milli"])
         for r in spark.table(sink)
