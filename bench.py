@@ -21,6 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # export the protobuf shim path BEFORE the session JVM launches so
+    # Python workers inherit it — streaming_tws_totals needs it
+    from mammoth_spark.protobuf_shim import ensure_protobuf
+
+    ensure_protobuf()
     from mammoth_spark.plans import get_spark
     from mammoth_spark.queries import QUERIES
 
@@ -42,6 +47,10 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # one bad query must not lose the whole run
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        except BaseException as exc:  # pytest.skip from an env-gated query
+            if type(exc).__name__ != "Skipped":
+                raise
+            errors[name] = f"skipped: {exc}"[:300]
         # Inter-query hygiene, OUTSIDE the timed region: drop the SQL
         # cache and collect py4j handles so localCheckpoint blocks from
         # iterative queries are released. Without this, block-manager and

@@ -52,6 +52,7 @@ change_log AS (
 
 @register(
     "cdc_last_per_key",
+    driver=False,
     oracle=f"""
 WITH {CHANGE_LOG_CTE}
 SELECT key, kind, value, props, seq AS last_seq FROM (
@@ -455,6 +456,7 @@ def publication_set_equality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on import
 from . import queries_analytics  # noqa: E402,F401
 from . import queries_corpus  # noqa: E402,F401
+from . import queries_curation  # noqa: E402,F401
 from . import queries_flagged  # noqa: E402,F401
 from . import queries_joins  # noqa: E402,F401
 from . import queries_misc  # noqa: E402,F401

@@ -1044,6 +1044,105 @@ def streaming_enrich_static_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select("n_name", "n_events", "value_milli")
 
 
+# ----------------- transformWithState running totals -----------------
+
+
+@register(
+    "streaming_tws_totals",
+    # local-only: the TWS worker protocol needs the protobuf shim on
+    # PYTHONPATH BEFORE the session JVM launches (tests/conftest.py does
+    # this); the driver harness builds its session first, so this entry
+    # stays out of the driver contract and is parity-checked locally.
+    driver=False,
+    oracle="""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events GROUP BY user_id
+""",
+)
+def streaming_tws_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` (streaming/tws.py): per-key
+    running totals held in a named ValueState column family across
+    micro-batches (maxFilesPerTrigger=1 over a 3-file source), final
+    per-key emission equal to the batch aggregate (the oracle). This is
+    the arbitrary-stateful-processor successor to
+    applyInPandasWithState — named typed state, timers, TTL — and the
+    registered proof that the engine's custom stateful operators run on
+    the modern API, not only the 3.x one.
+
+    Scale shape: the stream shuffles ONCE on the key; each micro-batch
+    touches only the keys it contains, and state lives in the
+    executor-local RocksDB store (TWS keeps each state variable in its
+    own column family, which the default HDFS provider rejects)."""
+    import tempfile
+    import uuid
+
+    import pytest
+
+    from .streaming.tws import (
+        TOTALS_OUTPUT_SCHEMA,
+        RunningTotalsProcessor,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf absent: transformWithState unavailable")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = read_table(spark, sf_dir, "events").select(
+            "user_id", F.floor(F.col("value") * 1000).cast("bigint").alias("vm")
+        )
+        src = tempfile.mkdtemp(prefix="tws_src_")
+        ev.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id bigint, vm bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=TOTALS_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+        sink = f"tws_totals_q_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    # append mode emits the running totals per key per batch; the final
+    # state is the largest n_events emission for each key
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "value_milli"), F.col("n_events")
+            ).alias("f")
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("f.n_events").alias("n_events"),
+            F.col("f.value_milli").alias("value_milli"),
+        )
+    )
+
+
 # ----------------- streaming dedup within watermark -----------------
 
 

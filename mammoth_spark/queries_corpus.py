@@ -419,23 +419,10 @@ FROM per_doc p LEFT JOIN scored s ON p.doc_id = s.doc_id
 """
 
 
-@register("lm_score", driver=False, oracle=_lm_oracle())
-def lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-statistics quality scoring (the CCNet/KenLM-filter shape):
-    train a bigram model on the corpus, score every document by its mean
-    bigram conditional probability, flag low-scoring docs as gibberish/
-    boilerplate candidates. The model is PRUNED to the top-K vocabulary —
-    that is what makes it a broadcastable, fixed-size artifact at 100 TB
-    (an unpruned bigram table is itself corpus-sized and would force a
-    fact-to-fact shuffle join per scoring pass; CCNet ships a fixed LM
-    for the same reason). OOV bigrams are simply unscored (n_scored vs
-    n_bigrams exposes coverage).
-
-    Parity note: scores are integer micro-probabilities
-    (floor(1e6 * c(w1,w2)/c(w1))), not log-probs — JVM and DuckDB `ln`
-    are not guaranteed to round identically at the ulp, and floored
-    integer ratios are exact on both engines while ranking docs the
-    same way for the filter's purpose."""
+def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM scores (doc_id, n_bigrams, n_scored,
+    mean_microprob) — the shared engine behind lm_score and
+    perplexity_buckets."""
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     terms = tok.select(F.explode("toks").alias("term"))
@@ -490,6 +477,235 @@ def lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("mean_microprob"),
+    )
+
+
+@register("lm_score", driver=False, oracle=_lm_oracle())
+def lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring (the CCNet/KenLM-filter shape):
+    train a bigram model on the corpus, score every document by its mean
+    bigram conditional probability, flag low-scoring docs as gibberish/
+    boilerplate candidates. The model is PRUNED to the top-K vocabulary —
+    that is what makes it a broadcastable, fixed-size artifact at 100 TB
+    (an unpruned bigram table is itself corpus-sized and would force a
+    fact-to-fact shuffle join per scoring pass; CCNet ships a fixed LM
+    for the same reason). OOV bigrams are simply unscored (n_scored vs
+    n_bigrams exposes coverage).
+
+    Parity note: scores are integer micro-probabilities
+    (floor(1e6 * c(w1,w2)/c(w1))), not log-probs — JVM and DuckDB `ln`
+    are not guaranteed to round identically at the ulp, and floored
+    integer ratios are exact on both engines while ranking docs the
+    same way for the filter's purpose."""
+    return _lm_scored(spark, sf_dir)
+
+
+# ------------------- perplexity bucketing (CCNet-style) -------------------
+
+
+@register(
+    "perplexity_buckets",
+    oracle=f"""
+WITH lm AS ({_lm_oracle()}),
+thr AS (
+  SELECT quantile_cont(mean_microprob, 0.25) AS p25,
+         quantile_cont(mean_microprob, 0.75) AS p75
+  FROM lm
+)
+SELECT doc_id, mean_microprob,
+       CASE WHEN mean_microprob >= thr.p75 THEN 'head'
+            WHEN mean_microprob >= thr.p25 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lm, thr
+""",
+)
+def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity partitioning: score every doc with the
+    corpus bigram LM (lm_score), then split the corpus into head /
+    middle / tail buckets at the p75/p25 score quantiles (higher mean
+    bigram probability = more in-distribution = "head"). Downstream,
+    the head trains, the middle is sampled, the tail is audited —
+    the standard CCNet curriculum cut.
+
+    Scale shape: pass 1 reduces the per-doc score column to TWO scalar
+    quantiles (at 100 TB: percentile_approx — a mergeable t-digest — in
+    place of the exact percentile; same plan shape); pass 2 re-scans and
+    labels against the broadcast thresholds. No global sort, no window:
+    the naive ntile(3) formulation would sort the whole corpus through
+    one partition. Quantiles 0.25/0.75 are exactly-representable binary
+    fractions and both engines interpolate at rank (n-1)*p over exact
+    integer scores, so the cut is reproducible cross-engine."""
+    lm = _lm_scored(spark, sf_dir)
+    thr = lm.agg(
+        F.expr("percentile(mean_microprob, array(0.25, 0.75))").alias("q")
+    ).select(F.col("q")[0].alias("p25"), F.col("q")[1].alias("p75"))
+    return lm.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "mean_microprob",
+        F.when(F.col("mean_microprob") >= F.col("p75"), F.lit("head"))
+        .when(F.col("mean_microprob") >= F.col("p25"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+# --------------------------- BM25 retrieval ---------------------------
+
+BM25_TERMS = ("spark", "join", "window")
+BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         sum(dl) * 1.0 / count(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) u
+  WHERE term IN ({terms})
+  GROUP BY doc_id, term
+),
+docfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(1000000.0
+              * ((2 * s.n_docs - 2 * f.df + 1.0) / (2 * f.df + 1.0))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS BIGINT)
+           AS term_score
+  FROM tf
+  JOIN docfreq f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+),
+total AS (
+  SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score_micro FROM total
+ORDER BY score_micro DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+@register("bm25_topk", oracle=_bm25_oracle())
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (k1=1.2, b=0.75) for a fixed query-term set
+    over the corpus — the inspection/eval-retrieval companion to
+    inverted_index ("show me the strongest docs for these terms").
+
+    Scale shape: the corpus-wide work is two narrow passes — per-doc
+    lengths (a projection) and the term-filtered explode (the IN-list
+    filter runs BEFORE any shuffle, so only postings of the query terms
+    ever leave the scan). df and the corpus stats are tiny aggregates
+    broadcast to the scorer; the final top-k is orderBy().limit() =
+    TakeOrderedAndProject (per-partition heaps + driver merge of
+    k*partitions rows), never a global sort. Scores are integer
+    micro-BM25: the idf ratio ((N-df+0.5)/(df+0.5)) is computed as the
+    exact integer rational (2N-2df+1)/(2df+1) so the floored score is
+    bit-identical cross-engine (same reason lm_score avoids ln)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    dl = tok.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                1000000.0
+                * ((2 * F.col("n_docs") - 2 * F.col("df") + 1.0) / (2 * F.col("df") + 1.0))
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+            )
+            .cast("bigint")
+            .alias("term_score"),
+        )
+    )
+    total = scored.groupBy("doc_id").agg(
+        F.sum("term_score").cast("bigint").alias("score_micro")
+    )
+    return total.orderBy(F.col("score_micro").desc(), "doc_id").limit(BM25_TOPK)
+
+
+# ------------------- hashed linear quality classifier -------------------
+
+QW_BUCKETS = 4096  # hashed feature space (fastText-style)
+QW_MULT = 2654435761  # Knuth multiplicative constant: bucket -> weight
+QW_MOD = 2001  # weights land in [-1000, 1000] micro-units
+
+
+def _classifier_oracle() -> str:
+    w = f"((({hash_bucket_sql('x', QW_BUCKETS, 'qw')}) * {QW_MULT}) % {QW_MOD}) - 1000"
+    return f"""
+WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN len(toks) > 0
+              THEN floor(list_sum(list_transform(toks, x -> {w})) * 1000000.0 / len(toks))
+              ELSE 0 END AS BIGINT) AS score_micro
+  FROM tk
+)
+SELECT doc_id, n_tokens, score_micro, score_micro >= 0 AS keep FROM s
+"""
+
+
+@register("classifier_score", oracle=_classifier_oracle())
+def classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring (the fastText-filter shape used
+    by GPT-3/LLaMA-style web curation): each token hashes into a fixed
+    feature space, a deterministic weight table maps bucket -> integer
+    weight, and the doc score is the mean token weight; keep = score>=0.
+    Here the "trained" weight table is a pure hash of the bucket id (a
+    stand-in for real learned weights, which would arrive as a 4096-entry
+    broadcast map — same plan either way).
+
+    Scale shape: the entire operator is ONE narrow projection — the
+    token transform, weight lookup, and mean run inside
+    transform()/aggregate() higher-order expressions per row, JVM-side,
+    with NO explode, NO shuffle, and no Python. This is the cheapest
+    possible formulation of per-doc model scoring: at 100 TB it is
+    exactly one scan. Integer weights keep the floored mean
+    bit-identical cross-engine."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def w(t):
+        return (hash_bucket(t, QW_BUCKETS, "qw") * QW_MULT) % QW_MOD - 1000
+
+    sum_w = F.aggregate(
+        F.transform(toks, w), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    n = F.size(toks)
+    score = (
+        F.when(n > 0, F.floor(sum_w * 1000000.0 / n))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        score.alias("score_micro"),
+        (score >= 0).alias("keep"),
     )
 
 

@@ -1,0 +1,217 @@
+"""Corpus-curation operators over duplicated spans and deterministic
+global ordering — the remaining pieces of a web-scale training-data
+pipeline (alongside queries_corpus.py's assembly and queries_pipeline.py's
+dedup/sampling families).
+
+- ``dup_span_stats`` — cross-document duplicated-span detection at the
+  token n-gram level (the substring-dedup signal of Lee et al. 2022,
+  "Deduplicating Training Data Makes Language Models Better",
+  arXiv:2107.06499): memorization risk comes from SPANS repeated across
+  documents, not only whole-document clones.
+- ``corpus_shuffle`` — a deterministic global training-order shuffle:
+  every document gets a reproducible (shard, position, global position)
+  independent of cluster size or partition layout — the manifest a data
+  loader consumes.
+
+Determinism discipline matches functions/sampling.py: order and
+assignment are pure functions of stable ids (md5), never rand() or
+partition order, mirroring the reference's reproducible snapshot-export
+semantics (/root/reference/sync/service/sync_service.go:159-221).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.sampling import hash_bucket, hash_bucket_sql
+from .functions.text import _tokens
+from .queries_corpus import _SQL_TOKS
+from .model import read_table
+from .registry import register
+
+# ----------------------- duplicated-span statistics -----------------------
+
+SPAN_N = 4  # n-gram span width (tokens)
+
+
+def _dup_span_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(toks[i:i+{SPAN_N - 1}], ' ') AS gram
+  FROM tok, unnest(generate_series(1, len(toks) - {SPAN_N - 1})) s(i)
+),
+gd AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+dup AS (SELECT g.doc_id, g.pos FROM g JOIN gd USING (gram)),
+cov AS (
+  SELECT doc_id, CAST(count(DISTINCT pos + o) AS BIGINT) AS n_dup_tokens
+  FROM dup, unnest(generate_series(0, {SPAN_N - 1})) t(o)
+  GROUP BY doc_id
+),
+dg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams FROM dup GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(greatest(len(toks) - {SPAN_N - 1}, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(dg.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(cov.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
+FROM tok t LEFT JOIN dg USING (doc_id) LEFT JOIN cov USING (doc_id)
+"""
+
+
+@register("dup_span_stats", oracle=_dup_span_oracle())
+def dup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span statistics (Lee et al. 2022,
+    arXiv:2107.06499): for every document, how many of its token
+    {n}-grams also occur in at least one OTHER document, and how many
+    token positions those duplicated spans cover (exact union of the
+    overlapping [i, i+n) intervals via distinct covered indices). The
+    per-doc dup-token fraction is the filter signal: a doc that is 80%
+    duplicated spans is boilerplate even if no whole-doc hash matches.
+
+    Scale shape: grams explode once and shuffle ONCE on the gram key;
+    the cross-doc aggregate and the dup-gram join reuse that same
+    hash partitioning (asserted in tests/test_plans.py — one exchange
+    on gram, not two). Coverage union explodes only the DUPLICATED
+    positions (a small fraction of the corpus) by a constant factor n.
+    At 100 TB the gram key would be xxhash64(gram) to shrink shuffle
+    width — kept as the raw string here so the DuckDB oracle groups on
+    an identical key (64-bit hashing would be engine-specific);
+    fingerprinting is the same one-line change as dedup.py's shingles."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    g = (
+        tok.filter(F.size("toks") >= SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (SPAN_N - 1)),
+                    lambda i: F.struct(
+                        i.cast("bigint").alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("toks"), i, F.lit(SPAN_N))
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.gram")
+    )
+    gd = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup = g.join(gd, "gram").select("doc_id", "pos")
+    cov = (
+        dup.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SPAN_N - 1))
+            ).alias("tokidx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tokidx").cast("bigint").alias("n_dup_tokens"))
+    )
+    dg = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_grams")
+    )
+    base = tok.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.greatest(F.size("toks") - (SPAN_N - 1), F.lit(0))
+        .cast("bigint")
+        .alias("n_grams"),
+    )
+    return (
+        base.join(dg, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("bigint").alias("n_dup_tokens"),
+        )
+    )
+
+
+# ----------------------- deterministic corpus shuffle -----------------------
+
+SHUF_SHARDS = 16
+
+
+def _corpus_shuffle_oracle() -> str:
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         CAST({hash_bucket_sql("doc_id", SHUF_SHARDS, "shufshard")} AS BIGINT) AS shard,
+         md5('shufpos' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+p AS (
+  SELECT doc_id, shard,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+  FROM a
+),
+sizes AS (SELECT shard, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY shard),
+offs AS (
+  SELECT shard,
+         CAST(coalesce(sum(n) OVER (ORDER BY shard
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM sizes
+)
+SELECT p.doc_id, p.shard, p.pos, p.pos + o.off AS global_pos
+FROM p JOIN offs o USING (shard)
+"""
+
+
+@register("corpus_shuffle", oracle=_corpus_shuffle_oracle())
+def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: each document gets a
+    shard (salted hash of doc_id), a position within the shard (rank of
+    an independent salted hash), and its global position in the
+    shard-major concatenation — the exact manifest a training data
+    loader reads sequentially for a reproducible epoch. Changing the
+    salt is "reshuffle for epoch 2" with zero data movement.
+
+    Scale shape: a true global sort by random key (the naive shuffle)
+    is the single most expensive operation you can run at 100 TB. Here
+    the only per-row wide op is ONE rank window per shard — shard count
+    is the parallelism/memory knob (16 here, ~100k at scale so each
+    shard sorts an executor-sized slice). The shard-offset table is
+    shards-rows tiny: its running sum is a single-partition window over
+    16 rows, then a broadcast join back. Hash-derived order also means
+    the manifest is identical under ANY input partitioning — the
+    reproducibility contract of the reference's snapshot export."""
+    docs = read_table(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), SHUF_SHARDS, "shufshard")
+        .cast("bigint")
+        .alias("shard"),
+        F.md5(F.concat(F.lit("shufpos"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    p = a.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+    sizes = p.groupBy("shard").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_off = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "shard",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).cast("bigint").alias("off"),
+    )
+    return p.join(F.broadcast(offs), "shard").select(
+        "doc_id", "shard", "pos", (F.col("pos") + F.col("off")).alias("global_pos")
+    )

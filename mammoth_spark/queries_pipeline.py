@@ -58,6 +58,7 @@ _SQL_TOKS = f"regexp_extract_all(text, '{TOKEN_REGEX}')"
 
 @register(
     "token_count",
+    driver=False,
     oracle=f"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
@@ -145,6 +146,7 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprint",
+    driver=False,
     oracle=f"""
 SELECT doc_id,
        list_min(list_transform(
@@ -386,7 +388,7 @@ def _simhash_oracle() -> str:
     return _simhash_ctes() + "SELECT doc_id, simhash, n_tokens FROM sh"
 
 
-@register("dedup_simhash", oracle=_simhash_oracle())
+@register("dedup_simhash", driver=False, oracle=_simhash_oracle())
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document over distinct tokens."""
     return dedup_simhash(read_table(spark, sf_dir, "documents"))
@@ -456,6 +458,7 @@ def simhash_band_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_pairs",
+    driver=False,
     oracle=f"""
 WITH {_SHINGLES_CTE},
 docs AS (
@@ -508,6 +511,7 @@ vn AS (SELECT vec_id, emb, bucket, sqrt({dot_self}) AS nrm FROM v)
 
 @register(
     "embedding_cosine_pairs",
+    driver=False,
     oracle=f"""
 WITH {_vec_cte()}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
@@ -999,6 +1003,45 @@ assigned AS (
 """
 
 
+def _vectors_and_seeds(spark: SparkSession, sf_dir: str):
+    """(vectors, seed-centroids) pair shared by the k-means family."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = v.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    return v, cent
+
+
+def _dot_cols(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _assign_nearest(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """argmin-d2 centroid assignment: broadcast the K centroids, score
+    K distances per vector JVM-side, keep the argmin via one
+    min(struct(d2, id)) aggregation — no window, no K x N shuffle."""
+    dot = _dot_cols
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        (dot(F.col("emb"), F.col("emb")) - 2 * dot(F.col("emb"), F.col("cemb"))
+         + dot(F.col("cemb"), F.col("cemb"))).alias("d2"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "centroid_id")).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        F.col("m.centroid_id").alias("centroid_id"),
+        F.col("m.d2").alias("d2"),
+    )
+
+
 @register(
     "kmeans_assign",
     driver=False,
@@ -1017,29 +1060,10 @@ def kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product beyond the per-vector fold."""
     from .functions.numeric import round6
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    cent = v.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
-    )
-    dot = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    scored = v.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "centroid_id",
-        (dot(F.col("emb"), F.col("emb")) - 2 * dot(F.col("emb"), F.col("cemb"))
-         + dot(F.col("cemb"), F.col("cemb"))).alias("d2"),
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.min(F.struct("d2", "centroid_id")).alias("m")
-    )
+    v, cent = _vectors_and_seeds(spark, sf_dir)
+    best = _assign_nearest(v, cent)
     return best.select(
-        "vec_id",
-        F.col("m.centroid_id").alias("centroid_id"),
-        round6(F.col("m.d2")).alias("d2"),
+        "vec_id", "centroid_id", round6(F.col("d2")).alias("d2")
     )
 
 
@@ -1064,27 +1088,8 @@ def kmeans_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     of K x 64 partial sums per partition regardless of corpus size. The
     full algorithm loops this query driver-side (iterative, hence no
     single-SQL form for the loop itself)."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    cent = v.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
-    )
-    dot = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    scored = v.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "centroid_id",
-        (dot(F.col("emb"), F.col("emb")) - 2 * dot(F.col("emb"), F.col("cemb"))
-         + dot(F.col("cemb"), F.col("cemb"))).alias("d2"),
-    )
-    best = (
-        scored.groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "centroid_id")).alias("m"))
-        .select("vec_id", F.col("m.centroid_id").alias("centroid_id"))
-    )
+    v, cent = _vectors_and_seeds(spark, sf_dir)
+    best = _assign_nearest(v, cent).select("vec_id", "centroid_id")
     from .functions.numeric import round6
 
     dims = best.join(v, "vec_id").select(
@@ -1092,6 +1097,92 @@ def kmeans_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dims.groupBy("centroid_id", (F.col("pos") + 1).cast("bigint").alias("dim")).agg(
         round6(F.avg("val")).alias("c_val")
+    )
+
+
+# ----------------------- semantic dedup (SemDeDup) -----------------------
+
+SEMDEDUP_TAU = 0.3
+
+
+def _semdedup_oracle() -> str:
+    cos = (
+        f"{_DOT.format(a='va.emb', b='vb.emb')}"
+        f" / (sqrt({_DOT.format(a='va.emb', b='va.emb')})"
+        f" * sqrt({_DOT.format(a='vb.emb', b='vb.emb')}))"
+    )
+    return f"""
+WITH {_kmeans_ctes()},
+best AS (SELECT vec_id, centroid_id FROM assigned WHERE rn = 1),
+sim AS (
+  SELECT b.vec_id AS dup_id
+  FROM best a JOIN best b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE {cos} >= {SEMDEDUP_TAU}
+),
+dups AS (SELECT DISTINCT dup_id AS vec_id FROM sim)
+SELECT b.vec_id, b.centroid_id, (d.vec_id IS NOT NULL) AS is_dup
+FROM best b LEFT JOIN dups d USING (vec_id)
+"""
+
+
+@register("semdedup_prune", oracle=_semdedup_oracle())
+def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings (k-means assignment to K
+    seed centroids) and then comparing pairs ONLY within a cluster —
+    a vector is a semantic duplicate if some lower-id vector in its
+    cluster has cosine similarity >= tau. Survivors (is_dup = false)
+    keep one representative per near-duplicate neighborhood; the
+    lowest-id representative rule makes the prune deterministic under
+    any execution order.
+
+    Scale shape: the clustering IS the blocking — the all-pairs product
+    never forms; pairs only materialize inside a cluster after ONE
+    shuffle of (vec_id, centroid_id, emb) keyed on centroid_id. Per-
+    cluster pairwise cost is O(c^2): the paper's design scales K with
+    corpus size (K ~ N/5000) so c stays bounded; K=8 here only because
+    the fixture is 500 vectors. The centroid scoring pass is the same
+    broadcast argmin as kmeans_assign (no window, no N x K shuffle)."""
+    v, cent = _vectors_and_seeds(spark, sf_dir)
+    best = _assign_nearest(v, cent).select("vec_id", "centroid_id")
+    dot = _dot_cols
+    # norms computed ONCE per vector before the pairing (the oracle's
+    # per-pair sqrt(dot(a,a)) reduces to the same doubles) — the O(c^2)
+    # pair stage then does one dot product per pair, not three
+    withemb = best.join(v, "vec_id").select(
+        "vec_id",
+        "centroid_id",
+        "emb",
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm"),
+    )
+    a = withemb.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = withemb.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = dot(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    dups = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cos >= SEMDEDUP_TAU)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return best.join(dups, "vec_id", "left").select(
+        "vec_id", "centroid_id", F.col("_dup").isNotNull().alias("is_dup")
     )
 
 

@@ -27,9 +27,17 @@ LOCAL_ONLY: set[str] = set()
 # entries, so the highest-information queries must never sit at the tail.
 DRIVER_PRIORITY: list[str] = [
     "cdc_apply_flagged",
-    "cdc_last_per_key",
     "cdc_compact_exact",
     "streaming_cdc_apply",
+    # round-3 additions: retrieval, curation, and semantic-dedup
+    # operators new this round (each replaces a demoted redundant
+    # confirmation of an already-evidenced operator)
+    "bm25_topk",
+    "semdedup_prune",
+    "dup_span_stats",
+    "perplexity_buckets",
+    "classifier_score",
+    "corpus_shuffle",
     # round-3 rotation: round-2 operators promoted into the 50-entry
     # contract (previously parity-checked locally only)
     "dedup_incremental_minhash",
@@ -45,7 +53,6 @@ DRIVER_PRIORITY: list[str] = [
     "json_corrupt_quarantine",
     "pipeline_e2e",
     "wal_batch_pipeline",
-    "embedding_cosine_pairs",
     "ann_topk",
     "ann_topk_bucketed",
     "dedup_embedding_cosine",

@@ -104,9 +104,11 @@ def test_driver_contract_size():
     assert len(exported) <= 50, f"{len(exported)} driver queries exceed the observed cap"
     for name in ["dedup_incremental_minhash", "streaming_dedup_ingest",
                  "merge_on_read_equiv", "pipeline_e2e", "wal_batch_pipeline",
-                 "embedding_cosine_pairs", "ann_topk", "ann_topk_bucketed",
-                 "dedup_embedding_cosine"]:
-        assert name in exported[:22], f"{name} must sit early in driver order"
+                 "ann_topk", "ann_topk_bucketed", "dedup_embedding_cosine",
+                 # round-3 additions must also be recorded by the driver
+                 "bm25_topk", "semdedup_prune", "dup_span_stats",
+                 "perplexity_buckets", "classifier_score", "corpus_shuffle"]:
+        assert name in exported[:28], f"{name} must sit early in driver order"
     for name in LOCAL_ONLY:
         assert name in QUERIES and name not in exported
 

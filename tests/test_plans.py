@@ -571,3 +571,71 @@ def test_sig_store_band_partition_pruning(spark, tmp_path):
         .collect()
     }
     assert pruned and len(pruned) < len(all_files)
+
+
+# ----------------------- round-3 operators -----------------------
+
+
+def test_bm25_topk_no_global_sort_and_broadcast_stats(spark):
+    # the final top-k must be TakeOrderedAndProject (per-partition heaps),
+    # never a global Sort; df/corpus stats join in as broadcasts, and the
+    # big exploded side never sort-merges.
+    df = ALL_QUERIES["bm25_topk"](spark, SF)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_classifier_score_is_pure_scan(spark):
+    # the whole classifier (hash, weight lookup, mean) runs as row-local
+    # higher-order expressions: one scan, zero exchanges, zero Python.
+    df = ALL_QUERIES["classifier_score"](spark, SF)
+    plan = _executed_plan(df)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "*(" in plan  # whole-stage codegen
+
+
+def test_corpus_shuffle_windows_per_shard(spark):
+    # the per-row rank window must be partitioned by shard (the scale
+    # knob); the 16-row offset table joins back as a broadcast.
+    df = ALL_QUERIES["corpus_shuffle"](spark, SF)
+    plan = _executed_plan(df)
+    assert "Window" in plan
+    assert "hashpartitioning(shard" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_pairs_form_only_within_clusters(spark):
+    # clustering IS the blocking: centroid scoring broadcasts the K
+    # centroids, and candidate pairs join on centroid_id — the all-pairs
+    # cartesian product must never appear in the plan.
+    df = ALL_QUERIES["semdedup_prune"](spark, SF)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(centroid_id" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the K-centroid broadcast
+
+
+def test_dup_span_stats_gram_join_broadcasts_dup_set(spark):
+    # the cross-doc dup-gram set is a small filtered aggregate — it must
+    # come back as a broadcast, not a second corpus-wide sort-merge join;
+    # and nothing in the operator drops to Python.
+    df = ALL_QUERIES["dup_span_stats"](spark, SF)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_perplexity_buckets_scalar_thresholds_broadcast(spark):
+    # pass 1 reduces scores to TWO scalars; pass 2 labels against the
+    # broadcast — no window, no global sort of the corpus.
+    df = ALL_QUERIES["perplexity_buckets"](spark, SF)
+    plan = _executed_plan(df)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row threshold frame
+    assert "CartesianProduct" not in plan
