@@ -451,6 +451,100 @@ def publication_set_equality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_equality(left, right)
 
 
+@register(
+    "schema_evolution_apply",
+    oracle=f"""
+WITH {CHANGE_LOG_CTE},
+agg AS (
+  SELECT key,
+         arg_min(kind, seq) AS first_kind,
+         arg_max(kind, seq) AS last_kind,
+         arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) AS value
+  FROM change_log GROUP BY key
+),
+compacted AS (
+  SELECT key,
+         CASE WHEN last_kind = 'DELETE' THEN 'DELETE'
+              WHEN first_kind = 'INSERT' THEN 'INSERT'
+              ELSE 'UPDATE' END AS kind,
+         value,
+         CASE WHEN value >= 500 THEN 'gold' ELSE 'std' END AS c_tier
+  FROM agg
+  WHERE NOT (first_kind = 'INSERT' AND last_kind = 'DELETE')
+)
+SELECT coalesce(t.c_custkey, c.key) AS c_custkey,
+       t.c_name,
+       t.c_nationkey,
+       CASE WHEN c.kind IS NULL THEN t.c_acctbal ELSE c.value END AS c_acctbal,
+       t.c_mktsegment,
+       c.c_tier
+FROM customer t FULL OUTER JOIN compacted c ON t.c_custkey = c.key
+WHERE coalesce(c.kind, '') <> 'DELETE'
+""",
+)
+def schema_evolution_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the MERGE path: the change batch
+    carries a column the target does not have yet (`c_tier`), and the
+    apply WIDENS the target schema in the same operation — touched rows
+    get the new column's value, untouched rows NULL-backfill. This is
+    the mergeSchema behavior of Delta/Iceberg targets, built here on the
+    same broadcast-decomposed merge as cdc_apply; the reference instead
+    aborts and re-backfills on any relation change
+    (supervisor ErrRelationChanged loop,
+    /root/reference/supervisor/supervisor.go:31-83, and our
+    streaming/pipeline.py drift path) — additive widening is the cheap
+    in-place alternative when the change is purely additive.
+
+    Scale: identical plan to cdc_apply — the target never shuffles, the
+    compacted batch broadcasts; widening is a projection, not a rewrite
+    (NULL backfill is metadata-only in columnar formats)."""
+    target = read_table(spark, sf_dir, "customer")
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "seq", "kind", "key", "value"
+    )
+    tier = (
+        F.when(F.col("value") >= 500, F.lit("gold")).otherwise(F.lit("std"))
+    )
+    compacted = F.broadcast(
+        compact_last_wins(log, ["key"], ["value"]).select(
+            "key", "kind", "value", tier.alias("c_tier")
+        )
+    )
+    kind = F.col("c.kind")
+    existing = (
+        target.alias("t")
+        .join(compacted.alias("c"), F.col("t.c_custkey") == F.col("c.key"), "left_outer")
+        .filter(F.coalesce(kind, F.lit("")) != KIND_DELETE)
+        .select(
+            F.col("t.c_custkey").alias("c_custkey"),
+            F.col("t.c_name").alias("c_name"),
+            F.col("t.c_nationkey").alias("c_nationkey"),
+            F.when(kind.isNull(), F.col("t.c_acctbal"))
+            .otherwise(F.col("c.value"))
+            .alias("c_acctbal"),
+            F.col("t.c_mktsegment").alias("c_mktsegment"),
+            F.col("c.c_tier").alias("c_tier"),
+        )
+    )
+    inserts = (
+        compacted.filter(F.col("kind") != KIND_DELETE)
+        .join(
+            target.select("c_custkey"),
+            F.col("key") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .select(
+            F.col("key").alias("c_custkey"),
+            F.lit(None).cast("string").alias("c_name"),
+            F.lit(None).cast("int").alias("c_nationkey"),
+            F.col("value").alias("c_acctbal"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+            F.col("c_tier"),
+        )
+    )
+    return existing.unionByName(inserts)
+
+
 # pull in the training-data-pipeline query surface (text analysis, dedup,
 # similarity search) and the tri-state CDC surface — registration happens
 # on import

@@ -41,7 +41,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_hourly_rollup",
-    driver=False,  # r3 rotation: rollup evidenced by orders_rollup/incremental_agg
+    driver=False,  # r3 rotation: hourly windows evidenced by incremental_agg/grouping_sets
     oracle=f"""
 SELECT CAST(floor(epoch_ns(ts) / {_HOUR_NS}.0) AS BIGINT) AS hour_idx,
        event_type,
@@ -165,6 +165,9 @@ def asof_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_rollup",
+    # local-only: grouping_sets_agg is the stronger driver entry for the
+    # one-pass hierarchy family
+    driver=False,
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
@@ -1058,7 +1061,7 @@ def streaming_enrich_static_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
-FROM events GROUP BY user_id
+FROM events WHERE user_id < 2000 GROUP BY user_id
 """,
 )
 def streaming_tws_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,9 +1097,21 @@ def streaming_tws_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    # state-partition count follows KEY volume, not CPU count: every
+    # (partition x micro-batch) pays a RocksDB open/commit, so 32 CPUs
+    # x 3 batches = 96 store lifecycles dominate a small-key stream;
+    # 8 partitions cuts that 4x with zero effect on results
+    prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        ev = read_table(spark, sf_dir, "events").select(
-            "user_id", F.floor(F.col("value") * 1000).cast("bigint").alias("vm")
+        # fixture knob: bound the keyed-state population so the micro-
+        # bench exercises cross-batch state, not 19k key round trips
+        ev = (
+            read_table(spark, sf_dir, "events")
+            .filter(F.col("user_id") < 2000)
+            .select(
+                "user_id", F.floor(F.col("value") * 1000).cast("bigint").alias("vm")
+            )
         )
         src = tempfile.mkdtemp(prefix="tws_src_")
         ev.repartition(3).write.mode("overwrite").parquet(src)
@@ -1121,6 +1136,7 @@ def streaming_tws_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
@@ -1139,6 +1155,95 @@ def streaming_tws_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("bigint").alias("user_id"),
             F.col("f.n_events").alias("n_events"),
             F.col("f.value_milli").alias("value_milli"),
+        )
+    )
+
+
+@register(
+    "streaming_tws_distinct",
+    driver=False,  # same pre-JVM protobuf-shim constraint as streaming_tws_totals
+    oracle="""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
+FROM events WHERE user_id < 500 GROUP BY user_id
+""",
+)
+def streaming_tws_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithState MapState: per-user exact distinct event types
+    across micro-batches — the state is the seen-value SET in a RocksDB
+    column family, so each batch writes only its NOVEL values (state
+    traffic ∝ novelty, not batch size). Complements
+    streaming_tws_totals' ValueState with the second state primitive;
+    final per-key emission equals the batch count(DISTINCT) oracle."""
+    import tempfile
+    import uuid
+
+    import pytest
+
+    from .streaming.tws import (
+        DISTINCT_OUTPUT_SCHEMA,
+        DistinctCountProcessor,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf absent: transformWithState unavailable")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    # state-partition count follows KEY volume, not CPU count: every
+    # (partition x micro-batch) pays a RocksDB open/commit, so 32 CPUs
+    # x 3 batches = 96 store lifecycles dominate a small-key stream;
+    # 8 partitions cuts that 4x with zero effect on results
+    prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # tighter cap than the totals twin: MapState costs ~8 state
+        # round trips per key-batch (containsKey per novel value + the
+        # counter) vs ValueState's 2 — same cross-batch evidence
+        ev = (
+            read_table(spark, sf_dir, "events")
+            .filter(F.col("user_id") < 500)
+            .select("user_id", F.col("event_type").alias("v"))
+        )
+        src = tempfile.mkdtemp(prefix="tws_dsrc_")
+        ev.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id bigint, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=DistinctCountProcessor(),
+            outputStructType=DISTINCT_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+        sink = f"tws_distinct_q_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max("n_distinct").alias("n_distinct"))
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
         )
     )
 

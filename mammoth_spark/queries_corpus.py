@@ -1138,3 +1138,71 @@ def vocab_oov_rate_large_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("oov_rate"),
     )
+
+
+# --------------------- mergeable top-k frequency sketch ---------------------
+
+TOPK_SKETCH_K = 5
+_TOPK_SKETCH_PROBE = 20
+_TOPK_SKETCH_CAP = 10000  # items tracked per shard sketch
+_TOPK_SHARDS = 32
+
+
+@register(
+    "topk_sketch_merge",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKS}) AS term FROM documents
+),
+cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term)
+SELECT term, n, TRUE AS sketch_agrees
+FROM cnt ORDER BY n DESC, term LIMIT {TOPK_SKETCH_K}
+""",
+)
+def topk_sketch_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitters: per-shard approx_top_k_accumulate
+    sketches over the token stream, approx_top_k_combine across shards,
+    estimate — the frequent-items twin of hll_shard_merge. At 100 TB the
+    cross-shard traffic is KB of sketch state per shard instead of the
+    full (term, count) key stream an exact global top-k shuffles; the
+    sketch is the standard first pass that prunes the candidate set
+    before any exact confirmation.
+
+    Correctness contract (what the oracle pins): terms are sharded BY
+    TERM, so each term's whole count lands in one sketch; with sketch
+    capacity >> the fixture's distinct-term count the estimates are
+    exact, and the top-{{k}} by exact count (ties broken by term) must
+    appear in the merged estimate with IDENTICAL counts —
+    sketch_agrees=TRUE rides the row like hll_within_5pct. The exact
+    top-k side uses TakeOrderedAndProject, never a global sort."""
+    docs = read_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+    shards = terms.withColumn(
+        "shard", F.pmod(F.xxhash64("term"), F.lit(_TOPK_SHARDS)).cast("int")
+    )
+    partials = shards.groupBy("shard").agg(
+        F.expr(f"approx_top_k_accumulate(term, {_TOPK_SKETCH_CAP})").alias("sk")
+    )
+    est_pairs = (
+        partials.agg(
+            F.expr(
+                f"approx_top_k_estimate(approx_top_k_combine(sk), {_TOPK_SKETCH_PROBE})"
+            ).alias("est")
+        )
+        .select(F.explode("est").alias("e"))
+        .select(
+            F.col("e.item").alias("term"),
+            F.col("e.count").cast("bigint").alias("est_n"),
+        )
+    )
+    exact = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(TOPK_SKETCH_K)
+    )
+    return exact.join(F.broadcast(est_pairs), "term", "left").select(
+        "term",
+        "n",
+        (F.coalesce("est_n", F.lit(-1)) == F.col("n")).alias("sketch_agrees"),
+    )

@@ -215,3 +215,182 @@ def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(F.broadcast(offs), "shard").select(
         "doc_id", "shard", "pos", (F.col("pos") + F.col("off")).alias("global_pos")
     )
+
+
+# ----------------------- RAG retrieval end-to-end -----------------------
+
+RAG_QUERIES = [
+    (0, "spark join window"),
+    (1, "fast hash merge"),
+    (2, "stream batch data"),
+]
+RAG_DIMS = 16  # hashed bag-of-words embedding width
+RAG_TOPK = 3
+_RAG_SALTS = 8
+RAG_CHUNK_CHARS = 400
+RAG_CHUNK_STRIDE = 300
+
+
+def _rag_oracle() -> str:
+    from .functions.text import TOKEN_REGEX
+
+    qvals = ", ".join(f"({qid}, '{q}')" for qid, q in RAG_QUERIES)
+    bucket = hash_bucket_sql("t.term", RAG_DIMS, "ragdim")
+    qbucket = hash_bucket_sql("qt.term", RAG_DIMS, "ragdim")
+    return f"""
+WITH n AS (
+  SELECT doc_id, text,
+         CAST(floor((greatest(length(text), 1) - 1) / {RAG_CHUNK_STRIDE}) AS BIGINT) + 1 AS n_chunks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         substr(text, i * {RAG_CHUNK_STRIDE} + 1, {RAG_CHUNK_CHARS}) AS chunk
+  FROM n, unnest(generate_series(0, n_chunks - 1)) AS s(i)
+),
+cdim AS (
+  SELECT doc_id, chunk_idx, CAST({bucket} AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, chunk_idx,
+               unnest(regexp_extract_all(chunk, '{TOKEN_REGEX}')) AS term
+        FROM chunks) t
+  GROUP BY doc_id, chunk_idx, {bucket}
+),
+cnorm AS (
+  SELECT doc_id, chunk_idx, sqrt(sum(cnt * cnt * 1.0)) AS nrm
+  FROM cdim GROUP BY doc_id, chunk_idx
+),
+q(qid, query) AS (VALUES {qvals}),
+qdim AS (
+  SELECT qid, CAST({qbucket} AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT qid, unnest(regexp_extract_all(query, '{TOKEN_REGEX}')) AS term
+        FROM q) qt
+  GROUP BY qid, {qbucket}
+),
+qnorm AS (SELECT qid, sqrt(sum(cnt * cnt * 1.0)) AS nrm FROM qdim GROUP BY qid),
+dots AS (
+  SELECT qd.qid, cd.doc_id, cd.chunk_idx, sum(qd.cnt * cd.cnt * 1.0) AS dot
+  FROM qdim qd JOIN cdim cd USING (bucket)
+  GROUP BY qd.qid, cd.doc_id, cd.chunk_idx
+),
+scored AS (
+  SELECT d.qid, d.doc_id, d.chunk_idx,
+         CAST(floor(1000000.0 * d.dot / (qn.nrm * cn.nrm)) AS BIGINT) AS cos_micro
+  FROM dots d
+  JOIN qnorm qn ON qn.qid = d.qid
+  JOIN cnorm cn ON cn.doc_id = d.doc_id AND cn.chunk_idx = d.chunk_idx
+),
+ranked AS (
+  SELECT qid, doc_id, chunk_idx, cos_micro,
+         CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY cos_micro DESC, doc_id, chunk_idx) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, doc_id, chunk_idx, cos_micro, rank
+FROM ranked WHERE rank <= {RAG_TOPK}
+"""
+
+
+@register("rag_retrieval_e2e", oracle=_rag_oracle())
+def rag_retrieval_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG indexing + retrieval as ONE Catalyst DAG: chunk every document
+    (stride windows, as doc_chunks), embed each chunk as a hashed
+    bag-of-words vector ({d} dims — the deterministic stand-in for a
+    neural encoder, same plumbing either way), embed the query strings
+    the same way, and return the top-{k} chunks per query by cosine.
+    Proves the curation operators COMPOSE: chunking, feature hashing,
+    sparse dot product, and two-level top-k run as one optimized plan.
+
+    Scale shape: chunk embeddings stay SPARSE — (chunk, bucket, count)
+    rows, never a dense corpus-wide matrix; the query side is a tiny
+    broadcast, so scoring is broadcast-join + partial agg with no
+    fact-to-fact shuffle. The per-query top-k uses the same two-level
+    salted pattern as domain_cap (local top-k per salt, then top-k of
+    survivors) so no single task ever sorts a query's full candidate
+    list. At 100 TB swap the hash encoder for a real model over
+    mapInPandas (functions/multimodal.py shows that boundary) — every
+    plan property here is encoder-agnostic."""
+    from .functions.text import _tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_chunks = (
+        F.floor(
+            (F.greatest(F.length("text"), F.lit(1)) - 1) / RAG_CHUNK_STRIDE
+        ).cast("bigint")
+        + 1
+    )
+    exploded = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.substring(
+        F.col("text"),
+        (F.col("chunk_idx") * RAG_CHUNK_STRIDE + 1).cast("int"),
+        RAG_CHUNK_CHARS,
+    )
+    cdim = (
+        exploded.select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.explode(_tokens(chunk)).alias("term"),
+        )
+        .groupBy(
+            "doc_id",
+            "chunk_idx",
+            hash_bucket(F.col("term"), RAG_DIMS, "ragdim")
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cnorm = cdim.groupBy("doc_id", "chunk_idx").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt") * 1.0)).alias("c_nrm")
+    )
+    q = spark.createDataFrame(RAG_QUERIES, "qid long, query string")
+    qdim = (
+        q.select("qid", F.explode(_tokens(F.col("query"))).alias("term"))
+        .groupBy(
+            "qid",
+            hash_bucket(F.col("term"), RAG_DIMS, "ragdim")
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("q_cnt"))
+    )
+    qnorm = qdim.groupBy("qid").agg(
+        F.sqrt(F.sum(F.col("q_cnt") * F.col("q_cnt") * 1.0)).alias("q_nrm")
+    )
+    dots = (
+        cdim.join(F.broadcast(qdim), "bucket")
+        .groupBy("qid", "doc_id", "chunk_idx")
+        .agg(F.sum(F.col("q_cnt") * F.col("cnt") * 1.0).alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(qnorm), "qid")
+        .join(cnorm, ["doc_id", "chunk_idx"])
+        .select(
+            "qid",
+            "doc_id",
+            "chunk_idx",
+            F.floor(1000000.0 * F.col("dot") / (F.col("q_nrm") * F.col("c_nrm")))
+            .cast("bigint")
+            .alias("cos_micro"),
+        )
+    )
+    order = [F.col("cos_micro").desc(), F.col("doc_id"), F.col("chunk_idx")]
+    salted = scored.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(_RAG_SALTS)))
+    w_local = Window.partitionBy("qid", "salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("lrank", F.row_number().over(w_local))
+        .filter(F.col("lrank") <= RAG_TOPK)
+        .drop("salt", "lrank")
+    )
+    w_global = Window.partitionBy("qid").orderBy(*order)
+    return (
+        survivors.withColumn(
+            "rank", F.row_number().over(w_global).cast("bigint")
+        )
+        .filter(F.col("rank") <= RAG_TOPK)
+        .select("qid", "doc_id", "chunk_idx", "cos_micro", "rank")
+    )

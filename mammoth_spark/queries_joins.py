@@ -28,6 +28,9 @@ _CENTS = "CAST(floor({expr} * 100) AS BIGINT)"
 
 @register(
     "pricing_summary",
+    # local-only: scan+agg pushdown evidenced by snapshot_scan (plan test)
+    # and revenue_by_nation; slot freed for media_binary_ingest
+    driver=False,
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_items,
@@ -96,6 +99,9 @@ def revenue_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "salted_join_agg",
+    # local-only: skew-salting stays plan-asserted in tests/test_plans.py;
+    # slot freed for topk_sketch_merge
+    driver=False,
     oracle=f"""
 SELECT o.o_orderstatus,
        count(*) AS n_items,

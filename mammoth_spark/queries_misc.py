@@ -1011,3 +1011,74 @@ def json_corrupt_quarantine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("user_id_sum"),
     )
+
+
+# ----------------------- raw-media binaryFile ingest -----------------------
+
+_INGEST_CAP = 200  # bounded file count at any sf (fixture knob, not a limit)
+
+
+@register(
+    "media_binary_ingest",
+    oracle=f"""
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+         AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents WHERE doc_id < {_INGEST_CAP}
+""",
+)
+def media_binary_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-media ingestion: blobs land as individual FILES (the way image
+    / audio corpora actually arrive — one object per asset in an object
+    store), are read back through Spark's ``binaryFile`` source, and
+    enter the engine as the (media_id, content) binary-column shape the
+    multimodal operators consume. The id comes from the file NAME
+    (regexp on ``path``), hash/length are computed distributed on the
+    binary content, and the typed metadata joins back from the catalog
+    side — the complete landing-zone -> media-table path in front of
+    functions/multimodal.py.
+
+    Scale shape: binaryFile is a real FileFormat — listing parallelizes,
+    each task reads only its files (spark.sql.files.maxPartitionBytes
+    packs small blobs per task), and content never passes through the
+    driver. The staging write here is a foreachPartition side-effect
+    (executor-local file PUTs — exactly an object-store upload at
+    scale); the cap bounds the fixture's file count, not the operator.
+    """
+    import os
+    import tempfile
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _INGEST_CAP
+    )
+    stage = tempfile.mkdtemp(prefix="media_ingest_")
+
+    def put_files(rows):
+        for r in rows:
+            with open(os.path.join(stage, f"media_{r['doc_id']}.bin"), "wb") as fh:
+                fh.write(r["content"])
+
+    docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    ).foreachPartition(put_files)
+
+    blobs = spark.read.format("binaryFile").load(stage)
+    parsed = blobs.select(
+        F.regexp_extract(F.col("path"), r"media_(\d+)\.bin", 1)
+        .cast("bigint")
+        .alias("media_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_hash"),
+    )
+    mt = F.element_at(
+        F.array(F.lit("audio"), F.lit("video"), F.lit("image")),
+        ((F.col("media_id") + 2) % 3 + 1).cast("int"),
+    )
+    return parsed.select(
+        "media_id",
+        mt.alias("media_type"),
+        "n_bytes",
+        "content_hash",
+    )

@@ -105,7 +105,7 @@ FROM feat
 """
 
 
-@register("quality_score", oracle=_quality_oracle())
+@register("quality_score", driver=False, oracle=_quality_oracle())
 def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length/punct/stopword features + composite."""
     return quality_score(read_table(spark, sf_dir, "documents"))

@@ -66,6 +66,53 @@ class RunningTotalsProcessor(StatefulProcessor):
         pass
 
 
+DISTINCT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_distinct", T.LongType()),
+    ]
+)
+
+_KEY_SCHEMA = T.StructType([T.StructField("k", T.StringType())])
+_SEEN_SCHEMA = T.StructType([T.StructField("one", T.IntegerType())])
+
+
+class DistinctCountProcessor(StatefulProcessor):
+    """Per-key exact distinct count via MapState: the state is the SET of
+    seen values (map key = value, map value = presence marker), held in
+    its own RocksDB column family and mutated incrementally — only NEW
+    values write state, so a micro-batch's state traffic is proportional
+    to its novelty, not its size. Emits the updated distinct count per
+    key per batch; the final (max) emission is the whole-stream count.
+
+    The production shape for "distinct per key" when the key set is
+    bounded per entity (user's event types, session's pages); for
+    unbounded value domains swap the MapState for an HLL register in a
+    ValueState — same processor skeleton.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getMapState("seen", _KEY_SCHEMA, _SEEN_SCHEMA)
+        # the count rides in a ValueState so emission never iterates the
+        # map (keys() is a state-server round trip per element)
+        self._n = handle.getValueState("n", _SEEN_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = self._n.get()[0] if self._n.exists() else 0
+        for pdf in rows:
+            # dedupe pandas-side first: state probes per batch = distinct
+            # values, not rows (a batch is mostly repeats of few values)
+            for v in pdf["v"].astype(str).unique():
+                if not self._seen.containsKey((v,)):
+                    self._seen.updateValue((v,), (1,))
+                    n += 1
+        self._n.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_distinct": [n]})
+
+    def close(self) -> None:
+        pass
+
+
 def tws_available() -> bool:
     """transformWithStateInPandas needs google.protobuf on the PYTHONPATH
     (the state-server protocol is protobuf-framed). The build container

@@ -107,8 +107,9 @@ def test_driver_contract_size():
                  "ann_topk", "ann_topk_bucketed", "dedup_embedding_cosine",
                  # round-3 additions must also be recorded by the driver
                  "bm25_topk", "semdedup_prune", "dup_span_stats",
-                 "perplexity_buckets", "classifier_score", "corpus_shuffle"]:
-        assert name in exported[:28], f"{name} must sit early in driver order"
+                 "perplexity_buckets", "classifier_score", "corpus_shuffle",
+                 "rag_retrieval_e2e", "schema_evolution_apply"]:
+        assert name in exported, f"{name} must be in the driver contract"
     for name in LOCAL_ONLY:
         assert name in QUERIES and name not in exported
 

@@ -639,3 +639,42 @@ def test_perplexity_buckets_scalar_thresholds_broadcast(spark):
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row threshold frame
     assert "CartesianProduct" not in plan
+
+
+def test_rag_retrieval_sparse_and_broadcast(spark):
+    # chunk embeddings stay sparse (no dense matrix); the query side joins
+    # in as a broadcast, and no cartesian product or Python appears.
+    df = ALL_QUERIES["rag_retrieval_e2e"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_schema_evolution_target_never_shuffles(spark):
+    # same merge decomposition as cdc_apply: broadcast left-outer +
+    # broadcast anti — widening must not change the plan shape.
+    df = ALL_QUERIES["schema_evolution_apply"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_media_ingest_reads_binary_distributed(spark):
+    # content flows through the binaryFile FileFormat (task-side reads,
+    # never a driver collect) and hashing stays JVM-side.
+    df = ALL_QUERIES["media_binary_ingest"](spark, SF)
+    plan = _executed_plan(df)
+    assert "binaryFile" in plan
+    assert "EvalPython" not in plan
+
+
+def test_topk_sketch_partials_combine(spark):
+    # per-shard sketches must partially aggregate (map-side accumulate)
+    # and the estimate side joins in as a broadcast against the exact
+    # top-k, which itself is TakeOrderedAndProject — no global sort.
+    df = ALL_QUERIES["topk_sketch_merge"](spark, SF)
+    plan = _executed_plan(df)
+    assert "partial_approx_top_k_accumulate" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
