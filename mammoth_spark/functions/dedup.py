@@ -283,7 +283,13 @@ def _stack_bands(idx: DataFrame, id_col: str) -> DataFrame:
 # asserted in tests/test_plans.py). 64 at test scale; at 100 TB this is
 # the knob that sizes per-epoch history I/O (buckets >> increment band
 # cardinality → most history untouched).
-N_STORE_BUCKETS = 64
+# Partition fan-out of the persisted signature store. The knob trades
+# per-epoch write/commit overhead (each epoch touches up to this many
+# partition dirs) against probe-time pruning granularity; at fixture
+# scale 16 keeps the partitioned-commit cost negligible, at 100 TB the
+# store would use thousands (a delta's file count stays ∝ its bucket
+# fan-out either way — write_sig_store clusters one file per bucket).
+N_STORE_BUCKETS = 16
 
 
 @dataclass
@@ -322,10 +328,14 @@ def write_sig_store(delta: SigStore, path: str) -> None:
     """Persist one epoch's delta: band rows land under
     ``<path>/bands/band_bucket=<k>/`` (the pruning layout), fingerprints
     under ``<path>/fps/``. Overwrite mode keeps epoch retries idempotent."""
-    delta.bands.write.mode("overwrite").partitionBy("band_bucket").parquet(
-        path + "/bands"
-    )
-    delta.fps.write.mode("overwrite").parquet(path + "/fps")
+    # cluster by the partition column first: ONE file per touched bucket
+    # instead of (tasks x buckets) shards — an epoch's delta file count
+    # is bounded by its bucket fan-out, and later probes list/footread
+    # far fewer files per pruned bucket
+    delta.bands.repartition("band_bucket").write.mode("overwrite").partitionBy(
+        "band_bucket"
+    ).parquet(path + "/bands")
+    delta.fps.coalesce(1).write.mode("overwrite").parquet(path + "/fps")
 
 
 def read_sig_store(spark, delta_paths) -> SigStore | None:

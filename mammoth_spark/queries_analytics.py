@@ -727,6 +727,111 @@ def incremental_agg_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "incremental_join_maintenance",
+    oracle="""
+WITH change_log AS (
+  SELECT CAST(floor(event_id / 50) AS BIGINT) AS lsn,
+         event_id AS seq,
+         CASE WHEN event_type = 'signup' THEN 'INSERT'
+              WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END AS kind,
+         CAST(user_id AS BIGINT) AS key,
+         value
+  FROM events
+),
+agg AS (
+  SELECT key,
+         arg_min(kind, seq) AS first_kind,
+         arg_max(kind, seq) AS last_kind,
+         arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) AS value
+  FROM change_log GROUP BY key
+),
+compacted AS (
+  SELECT key,
+         CASE WHEN last_kind = 'DELETE' THEN 'DELETE'
+              WHEN first_kind = 'INSERT' THEN 'INSERT'
+              ELSE 'UPDATE' END AS kind,
+         value
+  FROM agg
+  WHERE NOT (first_kind = 'INSERT' AND last_kind = 'DELETE')
+),
+dim AS (
+  SELECT coalesce(t.c_custkey, c.key) AS c_custkey,
+         CASE WHEN c.kind IS NULL THEN t.c_acctbal ELSE c.value END AS bal
+  FROM customer t FULL OUTER JOIN compacted c ON t.c_custkey = c.key
+  WHERE coalesce(c.kind, '') <> 'DELETE'
+)
+SELECT o.o_orderkey, d.c_custkey,
+       CAST(floor(d.bal * 1000) AS BIGINT) AS acctbal_milli
+FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+""",
+)
+def incremental_join_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view — the delta
+    rule of incremental view maintenance applied to enrichment joins:
+    V = orders ⋈ customer is kept fresh under a customer change stream
+    WITHOUT re-joining the fact table. Per batch, the compacted change
+    set broadcasts; the view drops rows whose dimension key was touched
+    (broadcast anti-join — the big view never shuffles) and re-derives
+    ONLY those keys' rows by joining the fact against the broadcast
+    change set. Work per batch ∝ change volume x fan-out of the touched
+    keys, never ∝ |V| or |orders| — the join-view counterpart of
+    incremental_agg_maintenance, and together they are the full IVM
+    delta algebra (dL ⋈ R refresh + group-delta fold). The oracle
+    recomputes orders ⋈ (customer after all changes) from scratch;
+    equality across two sequential micro-batches proves the rule.
+
+    The fact-side probe here scans orders per batch (fixture-sized); at
+    100 TB the fact is bucketed/z-ordered by the join key so the probe
+    prunes to the touched keys' files — same plan shape either way."""
+    from .operators.compact import compact_last_wins
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").cast("bigint").alias("o_custkey")
+    )
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "lsn", "seq", "key", "kind", "value"
+    )
+    milli = lambda c: F.floor(c * 1000).cast("bigint")  # noqa: E731
+
+    view = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey", "c_custkey", F.col("bal").alias("bal"))
+    view = view.localCheckpoint()
+
+    for lo, hi in [(0, 1000), (1000, 1 << 62)]:
+        batch = log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        net = compact_last_wins(batch, ["key"], ["value"]).select(
+            "key", "kind", "value"
+        )
+        view = maintain_join_view(view, orders, net).localCheckpoint()
+    return view.select("o_orderkey", "c_custkey", milli(F.col("bal")).alias("acctbal_milli"))
+
+
+def maintain_join_view(view: DataFrame, orders: DataFrame, net: DataFrame) -> DataFrame:
+    """One IVM batch for V = orders ⋈ customer: drop touched keys' rows
+    (broadcast anti-join) + re-derive them from the fact against the
+    broadcast change set. Exposed for the plan assertion in
+    tests/test_plans.py — the checkpointed loop hides per-batch plans."""
+    net = F.broadcast(net)
+    kept = view.join(
+        net.select("key"), view["c_custkey"] == F.col("key"), "left_anti"
+    )
+    refreshed = orders.join(
+        net.filter(F.col("kind") != "DELETE"),
+        orders["o_custkey"] == F.col("key"),
+    ).select(
+        "o_orderkey",
+        F.col("key").alias("c_custkey"),
+        F.col("value").alias("bal"),
+    )
+    return kept.unionByName(refreshed)
+
+
+@register(
     "stream_stream_attribution",
     driver=False,
     oracle="""

@@ -1082,3 +1082,118 @@ def media_binary_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "content_hash",
     )
+
+
+# ----------------------- snapshot diff (version audit) -----------------------
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+WITH change_log AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_type = 'signup' THEN 'INSERT'
+              WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END AS kind,
+         CAST(user_id AS BIGINT) AS key,
+         value
+  FROM events
+),
+agg AS (
+  SELECT key,
+         arg_min(kind, seq) AS first_kind,
+         arg_max(kind, seq) AS last_kind,
+         arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) AS value
+  FROM change_log GROUP BY key
+),
+compacted AS (
+  SELECT key,
+         CASE WHEN last_kind = 'DELETE' THEN 'DELETE'
+              WHEN first_kind = 'INSERT' THEN 'INSERT'
+              ELSE 'UPDATE' END AS kind,
+         value
+  FROM agg
+  WHERE NOT (first_kind = 'INSERT' AND last_kind = 'DELETE')
+),
+newv AS (
+  SELECT coalesce(t.c_custkey, c.key) AS key,
+         CASE WHEN c.kind IS NULL THEN t.c_acctbal ELSE c.value END AS bal
+  FROM customer t FULL OUTER JOIN compacted c ON t.c_custkey = c.key
+  WHERE coalesce(c.kind, '') <> 'DELETE'
+),
+oldv AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
+joined AS (
+  SELECT coalesce(o.key, n.key) AS key,
+         CAST(floor(o.bal * 1000) AS BIGINT) AS old_milli,
+         CAST(floor(n.bal * 1000) AS BIGINT) AS new_milli,
+         CASE WHEN o.key IS NULL THEN 'added'
+              WHEN n.key IS NULL THEN 'removed'
+              WHEN floor(o.bal * 1000) <> floor(n.bal * 1000) THEN 'changed'
+              ELSE 'same' END AS change_kind
+  FROM oldv o FULL OUTER JOIN newv n ON o.key = n.key
+)
+SELECT key, change_kind, old_milli, new_milli
+FROM joined WHERE change_kind <> 'same'
+""",
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff (the Delta/Iceberg time-travel audit: "what
+    changed between snapshot v0 and v1?"): full-outer join of two table
+    versions on the key, classifying every key as added / removed /
+    changed, with before/after values; unchanged rows are dropped so the
+    output is change-volume sized. v1 here is v0 + the applied change
+    log, so the diff must exactly reconstruct the compacted change set —
+    which is what the oracle (an independent derivation) checks.
+
+    Scale shape: a version diff irreducibly reads both snapshots once —
+    the plan is ONE key-partitioned sort-merge join of two scans with
+    the 'same' filter applied before anything else consumes the result
+    (at 100 TB both sides are key-bucketed table versions, so the SMJ
+    needs no exchange at all; with column-level zone maps unchanged
+    FILES prune out before the scan — the layout work zorder_layout /
+    bucketed_colocated_join demonstrate)."""
+    from .operators.compact import compact_last_wins
+
+    old = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("key"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "seq", "kind", "key", "value"
+    )
+    net = F.broadcast(
+        compact_last_wins(log, ["key"], ["value"]).select("key", "kind", "value")
+    )
+    # v1 = v0 with the change set applied (broadcast-decomposed merge:
+    # the snapshot never shuffles to BUILD the new version...)
+    kept = (
+        old.alias("t")
+        .join(net.alias("c"), F.col("t.key") == F.col("c.key"), "left_outer")
+        .filter(F.coalesce(F.col("c.kind"), F.lit("")) != "DELETE")
+        .select(
+            F.col("t.key").alias("key"),
+            F.when(F.col("c.kind").isNull(), F.col("t.bal"))
+            .otherwise(F.col("c.value"))
+            .alias("bal"),
+        )
+    )
+    inserts = (
+        net.filter(F.col("kind") != "DELETE")
+        .join(old.select("key"), "key", "left_anti")
+        .select("key", F.col("value").alias("bal"))
+    )
+    new = kept.unionByName(inserts)
+    milli = lambda c: F.floor(c * 1000).cast("bigint")  # noqa: E731
+    # ...the DIFF itself is the irreducible two-snapshot full-outer join
+    o = old.select(F.col("key"), milli(F.col("bal")).alias("old_milli"))
+    n = new.select(F.col("key"), milli(F.col("bal")).alias("new_milli"))
+    joined = o.join(n, "key", "full_outer").select(
+        "key",
+        F.when(F.col("old_milli").isNull(), F.lit("added"))
+        .when(F.col("new_milli").isNull(), F.lit("removed"))
+        .when(F.col("old_milli") != F.col("new_milli"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+        .alias("change_kind"),
+        "old_milli",
+        "new_milli",
+    )
+    return joined.filter(F.col("change_kind") != "same")

@@ -138,7 +138,7 @@ FROM scored
 """
 
 
-@register("lang_id", oracle=_lang_id_oracle())
+@register("lang_id", driver=False, oracle=_lang_id_oracle())
 def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by stopword-profile voting (n-gram heuristic)."""
     return lang_id(read_table(spark, sf_dir, "documents"))
@@ -1882,6 +1882,9 @@ _HIST_WIDTH = 50.0  # fixed-width buckets over `value`
 
 @register(
     "value_histogram",
+    # local-only since r3: slot freed for the IVM/diff pair; the histogram
+    # plan stays asserted in tests/test_plans.py
+    driver=False,
     oracle=f"""
 SELECT event_type,
        CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bucket,

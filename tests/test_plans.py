@@ -678,3 +678,50 @@ def test_topk_sketch_partials_combine(spark):
     assert "partial_approx_top_k_accumulate" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_incremental_join_view_never_shuffles(spark):
+    # per-batch maintenance: touched keys broadcast into both the
+    # anti-join (drop) and the fact probe (refresh) — the maintained
+    # view and the fact table must never sort-merge. The registered query
+    # checkpoints between batches (plans hidden), so assert on one
+    # maintenance step directly.
+    from mammoth_spark.model import events_as_change_log, read_table
+    from mammoth_spark.operators.compact import compact_last_wins
+    from mammoth_spark.queries_analytics import maintain_join_view
+
+    cust = read_table(spark, SF, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    orders = read_table(spark, SF, "orders").select(
+        "o_orderkey", F.col("o_custkey").cast("bigint").alias("o_custkey")
+    )
+    view = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "c_custkey", "bal"
+    )
+    log = events_as_change_log(read_table(spark, SF, "events")).select(
+        "seq", "kind", "key", "value"
+    )
+    # materialize the compacted change set (its own groupBy is change-
+    # volume-sized) so the plan shows ONLY the maintenance step
+    net = (
+        compact_last_wins(log, ["key"], ["value"])
+        .select("key", "kind", "value")
+        .localCheckpoint()
+    )
+    plan = _executed_plan(maintain_join_view(view, orders, net))
+    assert "BroadcastHashJoin" in plan
+    # neither the view nor the fact side may shuffle for the maintenance
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_snapshot_diff_single_version_join(spark):
+    # building v1 uses broadcast merge decomposition; the diff itself is
+    # one key-join of the two versions with the 'same' filter applied
+    # in the same stage (no second pass over the join output).
+    df = ALL_QUERIES["snapshot_diff"](spark, SF)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
