@@ -82,12 +82,18 @@ def ensure_protobuf(cache_dir: str | None = None) -> bool:
     if root not in sys.path:
         sys.path.insert(0, root)
     # Spark's Python workers are separate processes; they see PYTHONPATH,
-    # not the driver's sys.path mutations.
+    # not the driver's sys.path mutations. Export the repo root too:
+    # transformWithState's state-server workers unpickle StatefulProcessor
+    # subclasses BY REFERENCE (module+qualname) and — unlike pandas-UDF
+    # workers — do not honor session addPyFile, so ``mammoth_spark`` must
+    # be importable from the environment the JVM was launched with.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     existing = os.environ.get("PYTHONPATH", "")
-    if root not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            root + (os.pathsep + existing if existing else "")
-        )
+    parts = existing.split(os.pathsep) if existing else []
+    for p in (root, repo_root):
+        if p not in parts:
+            parts.insert(0, p)
+    os.environ["PYTHONPATH"] = os.pathsep.join(parts)
     try:
         import google.protobuf  # noqa: F401
 

@@ -553,6 +553,9 @@ def streaming_tx_assemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "session_window_native",
+    # r3 rotation: session semantics evidenced by event_sessionization parity
+    # + 5 streaming driver entries; slot freed for event_pattern_detect
+    driver=False,
     oracle=f"""
 WITH e AS (
   SELECT user_id, epoch_ns(ts) AS tns FROM events
@@ -1413,4 +1416,322 @@ def streaming_dedup_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("bigint"),
         F.col("user_id").cast("bigint"),
         "event_type",
+    )
+
+
+# ------------------- time-series gap-fill + LOCF -------------------
+
+
+@register(
+    "gapfill_interpolate",
+    oracle="""
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS h,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+hourly AS (
+  SELECT user_id, h, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM e GROUP BY user_id, h
+),
+span AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM span
+),
+filled AS (
+  SELECT g.user_id, g.h, hr.n, hr.s,
+         last_value(hr.s IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+  FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_hours,
+       CAST(sum(coalesce(s, carried, 0)) AS BIGINT) AS filled_sum_cents
+FROM filled GROUP BY user_id
+""",
+)
+def gapfill_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill with last-observation-carried-forward (LOCF):
+    the regularization step every metrics/feature pipeline needs before
+    windowed models — missing hours must EXIST (as rows) and carry the
+    last seen value.
+
+    Spark shape, sized for 100 TB of events:
+
+    - bucket to hours and pre-aggregate FIRST (one keyed shuffle; the raw
+      event volume collapses to |user|x|active hours| before anything
+      widens);
+    - per-user spans come from that aggregate, and the dense grid is
+      ``explode(sequence(h0, h1))`` — a narrow per-row generator, never a
+      driver-side range or a cross join against a global calendar;
+    - LOCF is ``last(value, ignorenulls=True)`` over a per-user window —
+      partitioned by the grid's own key, so no global sort exists
+      anywhere in the plan. The result re-aggregates to one row per user
+      so the checked surface stays compact while the full grid is still
+      materialized and folded distributedly.
+
+    The reference has no time-series surface (SURVEY §2 Table B); this is
+    the Spark-native capability its change streams feed."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "user_id",
+            (F.col("ts_ns") / F.lit(3_600_000_000_000)).cast("bigint").alias("h"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    )
+    span = hourly.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        "user_id", F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    filled = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    locf = filled.withColumn("carried", F.last("s", ignorenulls=True).over(w))
+    return locf.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum(F.when(F.col("n").isNull(), 1).otherwise(0)).cast("bigint").alias(
+            "n_gap_hours"
+        ),
+        F.sum(F.coalesce(F.col("s"), F.col("carried"), F.lit(0)))
+        .cast("bigint")
+        .alias("filled_sum_cents"),
+    )
+
+
+# ------------------- ordered event-pattern detection -------------------
+
+
+@register(
+    "event_pattern_detect",
+    oracle="""
+WITH sub AS (
+  SELECT user_id, event_id, event_type AS et, epoch_ns(ts) AS tns
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+seq AS (
+  SELECT user_id, event_id, et, tns,
+         lead(et, 1) OVER w AS et1, lead(tns, 1) OVER w AS t1,
+         lead(et, 2) OVER w AS et2, lead(tns, 2) OVER w AS t2
+  FROM sub
+  WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(event_id) AS BIGINT) AS first_match_event
+FROM seq
+WHERE et = 'view' AND et1 = 'click' AND et2 = 'purchase'
+  AND t1 - tns <= 1800000000000 AND t2 - t1 <= 1800000000000
+GROUP BY user_id
+""",
+)
+def event_pattern_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-shaped sequential pattern detection: occurrences of
+    view -> click -> purchase where each step follows the previous within
+    30 minutes, with no other pattern-relevant event in between (strict
+    adjacency on the filtered subsequence — the CEP semantic).
+
+    Spark shape: filter to the three relevant types FIRST (pushed to the
+    scan), then two ``lead()``s over a per-user event-time window. The
+    only exchange is the hash partition by user; the sort is per-user
+    within partitions. No self-joins — the naive 3-way time-range
+    self-join is quadratic per user, while the window formulation is
+    O(n log n_user) and shuffles once. Tie-break (ts, event_id) makes the
+    window total order deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    half_hour_ns = 1_800_000_000_000
+    sub = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = sub.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("et"),
+        "ts_ns",
+        F.lead("event_type", 1).over(w).alias("et1"),
+        F.lead("ts_ns", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("et2"),
+        F.lead("ts_ns", 2).over(w).alias("t2"),
+    )
+    matches = seq.filter(
+        (F.col("et") == "view")
+        & (F.col("et1") == "click")
+        & (F.col("et2") == "purchase")
+        & (F.col("t1") - F.col("ts_ns") <= half_hour_ns)
+        & (F.col("t2") - F.col("t1") <= half_hour_ns)
+    )
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("event_id").cast("bigint").alias("first_match_event"),
+    )
+
+
+# --------------- TWS event-time timers: session timeout ---------------
+
+_TWS_SESSION_GAP_NS = 4 * 3600 * 1_000_000_000
+
+
+@register(
+    "streaming_tws_timers",
+    driver=False,  # same pre-JVM protobuf-shim constraint as the TWS twins
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS tns FROM events WHERE user_id < 150
+),
+d AS (
+  SELECT user_id, tns,
+         CASE WHEN lag(tns) OVER w IS NULL
+                   OR tns - lag(tns) OVER w > {_TWS_SESSION_GAP_NS}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns)
+),
+s AS (
+  SELECT user_id, tns,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tns
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+),
+sess AS (
+  SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS max_session_events
+FROM sess GROUP BY user_id
+""",
+)
+def streaming_tws_timers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithState with EVENT-TIME TIMERS: gap sessionization where
+    a key's final session is flushed by a registered timer when the
+    watermark passes last-event + gap — the state primitive that closes
+    the TWS API surface (ValueState -> MapState -> timers) and the only
+    way a custom stateful operator ever RELEASES per-key state on an
+    unbounded stream.
+
+    Determinism engineering: the source is staged as chronological
+    time-range chunk files (maxFilesPerTrigger=1 => in-order batches),
+    and two far-future sentinel rows for an out-of-band user advance the
+    watermark past every real timer — the first sentinel batch fires all
+    trailing-session timers, the second proves the emission happened
+    under a still-advancing watermark. Sentinel sessions are filtered
+    out; every REAL session is therefore closed and emitted exactly
+    once, so the result equals the batch gap-sessionization oracle
+    (the same equivalence session_window_native pins for the built-in
+    operator)."""
+    import glob
+    import shutil
+    import tempfile
+    import uuid
+
+    import pytest
+
+    from .streaming.tws import (
+        SESSION_OUTPUT_SCHEMA,
+        SessionTimeoutProcessor,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf absent: transformWithState unavailable")
+
+    sentinel_user = 99_999_999
+    ev = read_table(spark, sf_dir, "events")
+    ms = (ts_ns_col(ev) / F.lit(1_000_000)).cast("bigint")
+    # key-population cap sizes the state-server RPC volume (register/
+    # delete timer + value state per key-batch), not the semantics — the
+    # remaining ~150 keys still cross every micro-batch boundary
+    ev = ev.filter(F.col("user_id") < 150).select(
+        F.col("user_id").cast("bigint").alias("user_id"), ms.alias("ms")
+    )
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    cut1 = lo + (hi - lo) // 2
+    gap_ms = _TWS_SESSION_GAP_NS // 1_000_000
+
+    src = tempfile.mkdtemp(prefix="tws_timer_src_")
+
+    def _stage(df, i: int) -> None:
+        tmp = tempfile.mkdtemp(prefix="tws_timer_chunk_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/batch_{i:03d}.parquet")
+
+    # 2 chronological chunks (one real cross-batch boundary) + 2 sentinel
+    # batches: micro-batch COUNT is the cost driver (each batch spawns the
+    # TWS state-server workers), so the staging uses the fewest batches
+    # that still prove cross-batch state carry AND the two-step
+    # watermark advance the timer flush needs
+    _stage(ev.filter(F.col("ms") < cut1), 0)
+    _stage(ev.filter(F.col("ms") >= cut1), 1)
+    sentinel = spark.createDataFrame(
+        [(sentinel_user, hi + 2 * gap_ms)], "user_id bigint, ms bigint"
+    )
+    _stage(sentinel, 2)
+    _stage(sentinel.select("user_id", (F.col("ms") + 2 * gap_ms).alias("ms")), 3)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    # 4 state partitions: every (partition x micro-batch) pays a RocksDB
+    # open/commit AND an event-time timer range scan; 5 batches x 4
+    # partitions = 20 store lifecycles for a 150-key stream
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = (
+            spark.readStream.schema("user_id bigint, ms bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with_ts = stream.withColumn("ts_m", F.timestamp_millis(F.col("ms")))
+        out = (
+            with_ts.withWatermark("ts_m", "1 second")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=SessionTimeoutProcessor(),
+                outputStructType=SESSION_OUTPUT_SCHEMA,
+                outputMode="append",
+                timeMode="eventTime",
+            )
+        )
+        sink = f"tws_timers_q_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return (
+        spark.table(sink)
+        .filter(F.col("user_id") != sentinel_user)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.max("n_events").cast("bigint").alias("max_session_events"),
+        )
     )

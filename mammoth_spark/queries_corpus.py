@@ -1150,6 +1150,10 @@ _TOPK_SHARDS = 32
 
 @register(
     "topk_sketch_merge",
+    # r3 rotation: the sketch-merge mechanism keeps two driver entries
+    # (hll_shard_merge, quantile_sketch_merge); the frequent-items twin
+    # stays parity- and plan-checked locally
+    driver=False,
     oracle=f"""
 WITH toks AS (
   SELECT unnest({_SQL_TOKS}) AS term FROM documents
@@ -1206,3 +1210,167 @@ def topk_sketch_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.coalesce("est_n", F.lit(-1)) == F.col("n")).alias("sketch_agrees"),
     )
+
+
+# ------------------- mergeable-sketch quantiles -------------------
+
+Q_SHARDS = 16
+Q_BIN_CENTS = 500_000  # $5,000 histogram bin
+
+
+@register(
+    "quantile_sketch_merge",
+    oracle=f"""
+WITH p AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+hist AS (
+  SELECT cents // {Q_BIN_CENTS} AS bin, count(*) AS cnt FROM p GROUP BY bin
+),
+nn AS (SELECT count(*) AS n FROM p),
+cum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c FROM hist
+)
+SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_rows,
+       CAST((SELECT min(bin) * {Q_BIN_CENTS} FROM cum
+             WHERE c >= (SELECT (n + 1) // 2 FROM nn)) AS BIGINT) AS est_p50_cents,
+       CAST((SELECT min(bin) * {Q_BIN_CENTS} FROM cum
+             WHERE c >= (SELECT (9 * n + 9) // 10 FROM nn)) AS BIGINT) AS est_p90_cents,
+       CAST((SELECT min(bin) * {Q_BIN_CENTS} FROM cum
+             WHERE c >= (SELECT (99 * n + 99) // 100 FROM nn)) AS BIGINT) AS est_p99_cents,
+       TRUE AS p50_within_bin, TRUE AS p90_within_bin, TRUE AS p99_within_bin
+""",
+)
+def quantile_sketch_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch QUANTILES — the distribution twin of
+    hll_shard_merge (cardinality) and topk_sketch_merge (heavy hitters):
+    each shard summarizes its values into a fixed-width histogram (the
+    simplest mergeable quantile sketch — deterministic, unlike t-digest),
+    the per-shard histograms merge by bin addition, and quantiles read
+    off the cumulative merged histogram at the ceil(qN) rank.
+
+    Scale shape: the fact scan reduces to (shard x bin) partial counts
+    with map-side combine; cross-shard traffic is the histogram — KB per
+    shard, independent of row count. The cumulative walk runs on the
+    ~120-row merged histogram (sketch-sized, constant in the data), so
+    its window sort is free. The exact-percentile comparison pins the
+    sketch's error contract: each estimate (bin lower edge) must sit
+    within one bin width of the true quantile — published as booleans
+    the oracle pins as literals (the hll_within_5pct pattern)."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(Q_SHARDS)).cast("int").alias("shard"),
+    )
+    # stage 1: per-shard histograms (the "sketches")
+    shard_hist = orders.groupBy(
+        "shard", (F.col("cents") / F.lit(Q_BIN_CENTS)).cast("bigint").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # stage 2: merge sketches = add bins across shards
+    hist = shard_hist.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("c", F.sum("cnt").over(w))
+    totals = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(cents, array(0.5, 0.9, 0.99))").alias("exact"),
+    )
+    est = cum.crossJoin(F.broadcast(totals)).agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.min(
+            F.when(
+                F.col("c") >= (F.col("n") / 2).cast("bigint") + F.col("n") % 2,
+                F.col("bin") * Q_BIN_CENTS,
+            )
+        )
+        .cast("bigint")
+        .alias("est_p50_cents"),
+        F.min(
+            F.when(
+                F.col("c") >= ((9 * F.col("n") + 9) / 10).cast("bigint"),
+                F.col("bin") * Q_BIN_CENTS,
+            )
+        )
+        .cast("bigint")
+        .alias("est_p90_cents"),
+        F.min(
+            F.when(
+                F.col("c") >= ((99 * F.col("n") + 99) / 100).cast("bigint"),
+                F.col("bin") * Q_BIN_CENTS,
+            )
+        )
+        .cast("bigint")
+        .alias("est_p99_cents"),
+        F.first("exact").alias("exact"),
+    )
+    return est.select(
+        "n_rows",
+        "est_p50_cents",
+        "est_p90_cents",
+        "est_p99_cents",
+        (F.abs(F.col("est_p50_cents") - F.col("exact")[0]) <= Q_BIN_CENTS).alias(
+            "p50_within_bin"
+        ),
+        (F.abs(F.col("est_p90_cents") - F.col("exact")[1]) <= Q_BIN_CENTS).alias(
+            "p90_within_bin"
+        ),
+        (F.abs(F.col("est_p99_cents") - F.col("exact")[2]) <= Q_BIN_CENTS).alias(
+            "p99_within_bin"
+        ),
+    )
+
+
+# ------------------- BPE pair-frequency (one merge step) -------------------
+
+BPE_TOPK = 10
+
+
+@register(
+    "bpe_merge_step",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT token, count(*) AS freq FROM tok
+  WHERE len(token) >= 2 GROUP BY token
+),
+pairs AS (
+  SELECT substr(token, unnest(range(1, len(token))), 2) AS pair, freq
+  FROM tf
+),
+pf AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_freq FROM pairs GROUP BY pair
+)
+SELECT pair, pair_freq FROM pf ORDER BY pair_freq DESC, pair LIMIT {BPE_TOPK}
+""",
+)
+def bpe_merge_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One merge step of byte-pair-encoding TOKENIZER TRAINING (Sennrich
+    et al. 2016): count every adjacent symbol pair across the corpus,
+    weighted by word frequency, and surface the top merge candidates.
+    This is the inner loop a corpus-scale BPE trainer runs ~50k times —
+    the operator that must be cheap at 100 TB.
+
+    Scale shape, the trick that makes corpus-scale BPE feasible: pair
+    counting runs over the DISTINCT-WORD table (vocabulary-sized, Heaps'
+    law sublinear) weighted by word frequency — never over the raw token
+    stream. The plan is: one shuffle to build word frequencies (map-side
+    combined), a narrow explode of per-word positions
+    (explode(sequence) — same generator shape as gapfill), one
+    vocabulary-keyed aggregation of pair counts, and a
+    TakeOrderedAndProject top-K. Zero Python; every expression
+    whole-stage-codegens."""
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") >= 2)
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = tf.select(
+        F.explode(F.sequence(F.lit(1), F.length("token") - 1)).alias("i"),
+        "token",
+        "freq",
+    ).select(F.expr("substring(token, i, 2)").alias("pair"), "freq")
+    pf = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("pair_freq"))
+    return pf.orderBy(F.desc("pair_freq"), "pair").limit(BPE_TOPK)

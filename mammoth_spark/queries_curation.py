@@ -394,3 +394,126 @@ def rag_retrieval_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= RAG_TOPK)
         .select("qid", "doc_id", "chunk_idx", "cos_micro", "rank")
     )
+
+
+# ----------------------- k-anonymity suppression -----------------------
+
+K_ANON = 8  # minimum group size for a quasi-identifier combination
+
+
+@register(
+    "k_anonymize",
+    oracle=f"""
+WITH g AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         count(*) AS n,
+         CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CASE WHEN n >= {K_ANON} THEN CAST(nat AS VARCHAR) ELSE '*' END AS nation_qid,
+       CASE WHEN n >= {K_ANON} THEN seg ELSE '*' END AS segment_qid,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(bal_cents) AS BIGINT) AS bal_cents,
+       CAST(count(*) AS BIGINT) AS n_merged_groups
+FROM g GROUP BY 1, 2
+""",
+)
+def k_anonymize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity suppression over quasi-identifiers — the privacy gate a
+    curation pipeline applies before releasing per-group statistics: any
+    (nation, market-segment) combination identifying fewer than K
+    individuals is suppressed into the '*' bucket instead of being
+    published (Sweeney 2002's suppression step, the group-size twin of
+    the row-level pii_scan).
+
+    Spark shape: ONE hash aggregation produces the quasi-identifier
+    groups with partial (map-side) combine; the suppression relabel is a
+    projection; the re-aggregation that merges all suppressed groups
+    into '*' operates on |groups| rows — at 100 TB that second exchange
+    moves |nations x segments| rows, not data. No window, no sort, no
+    second scan of the fact table."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    g = cust.groupBy(
+        F.col("c_nationkey").alias("nat"), F.col("c_mktsegment").alias("seg")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("c_acctbal") * 100).cast("bigint")).alias("bal_cents"),
+    )
+    keep = F.col("n") >= K_ANON
+    relabeled = g.select(
+        F.when(keep, F.col("nat").cast("string")).otherwise(F.lit("*")).alias(
+            "nation_qid"
+        ),
+        F.when(keep, F.col("seg")).otherwise(F.lit("*")).alias("segment_qid"),
+        "n",
+        "bal_cents",
+    )
+    return relabeled.groupBy("nation_qid", "segment_qid").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum("bal_cents").cast("bigint").alias("bal_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_merged_groups"),
+    )
+
+
+# ----------------------- blocked fuzzy matching -----------------------
+
+FUZZY_LEV_T = 16  # max edit distance for a candidate match
+FUZZY_LEN_BAND = 32  # length-band width for the blocking key
+
+
+@register(
+    "fuzzy_match_blocked",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, split_part(text, ' ', 1) AS tok1,
+         len(text) // {FUZZY_LEN_BAND} AS lb
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM d a JOIN d b ON a.tok1 = b.tok1 AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= {FUZZY_LEV_T}
+""",
+)
+def fuzzy_match_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance similarity join — the entity-resolution
+    primitive (record linkage over noisy text): candidate pairs form
+    ONLY inside blocks keyed by (first token, length band), because
+    length alone bounds edit distance (len diff > t => dist > t), and
+    the naive all-pairs product never exists in the plan.
+
+    Scale shape: one shuffle of each side on the composite block key;
+    Levenshtein runs JVM-side WITH the threshold argument, so the DP
+    matrix short-circuits at t (banded O(t*n) instead of O(n*m)) —
+    distance above threshold costs t rows of work, not the full matrix.
+    At web scale a hot block (stopword first token) needs the same
+    bounded-pair cap dedup_minhash_lsh applies per LSH bucket
+    (functions/dedup.py:_bounded_bucket_pairs); at fixture scale blocks
+    are <=5 docs and the exact join IS the oracle's shape."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.split(F.col("text"), " ")[0].alias("tok1"),
+        F.expr(f"CAST(length(text) DIV {FUZZY_LEN_BAND} AS BIGINT)").alias("lb"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.tok1") == F.col("b.tok1"))
+        & (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    # threshold-bounded levenshtein: returns -1 when the distance
+    # exceeds FUZZY_LEV_T, after O(threshold)-banded work
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"), FUZZY_LEV_T)
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )

@@ -62,6 +62,9 @@ def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_by_nation",
+    # r3 rotation: star-join shape evidenced by runtime_filtered_join and the
+    # pagerank_topk edge derivation; slot freed for k_anonymize
+    driver=False,
     oracle=f"""
 SELECT n_name,
        count(*) AS n_items,
@@ -520,4 +523,127 @@ def runtime_filtered_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("price_cents"),
+    )
+
+
+# ----------------------- iterative graph rank -----------------------
+
+PR_SCALE = 1_000_000  # integer micro-rank unit (floats never cross engines)
+PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    teleport = 150_000  # floor(0.15 * PR_SCALE)
+    it = """
+it{k} AS (
+  SELECT n.node,
+         CAST({teleport} + coalesce(s.inflow, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum((85 * r.r * e.w) // (100 * o.out_w)) AS BIGINT) AS inflow
+    FROM edges e
+    JOIN it{prev} r ON r.node = e.src
+    JOIN outw o ON o.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+    iters = ",".join(
+        it.format(k=k, prev=k - 1, teleport=teleport) for k in range(1, PR_ITERS + 1)
+    )
+    return f"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY src, dst
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+outw AS (
+  SELECT src AS node, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY src
+),
+it0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+{iters}
+SELECT n_name, r AS rank_micro
+FROM it{PR_ITERS} JOIN nation ON n_nationkey = node
+ORDER BY r DESC, n_name LIMIT 10
+"""
+
+
+@register("pagerank_topk", oracle=_pagerank_oracle())
+def pagerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the customer-nation -> supplier-nation
+    trade graph, the canonical 'iterative algorithm on Spark' shape
+    (PageRank is the motivating example of the RDD/Spark paper; here it
+    stays in DataFrames).
+
+    Two distinct scale regimes, handled differently:
+
+    - Edge DERIVATION is the 100 TB part: one fact scan (lineitem joins
+      orders on the orderkey shuffle, then broadcasts the two true
+      dimensions) collapsing to a |V|^2-bounded edge list with map-side
+      partial aggregation.
+    - The ITERATION runs on the collapsed graph. Each step is one
+      keyed join edges x ranks + one aggregation on dst — the classic
+      per-iteration shuffle pair. Rank mass is integer micro-units with
+      per-edge floor((85*r*w)/(100*out_w)) so both engines agree
+      bit-for-bit (float damping never does). Iterations are a
+      fixed-depth unrolled DAG; at real depth you checkpoint every ~5
+      rounds to cut lineage, as dedup_clusters does
+      (functions/dedup.py:336).
+
+    Top-10 emission is orderBy+limit = TakeOrderedAndProject (per-
+    partition top-k, driver merge of 10-row heaps), never a global sort."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    outw = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").cast("bigint").alias("out_w")
+    )
+    teleport = (15 * PR_SCALE) // 100
+
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(PR_ITERS):
+        inflow = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outw.withColumnRenamed("node", "src"), "src")
+            .select(
+                "dst",
+                F.expr("CAST((85 * r * w) DIV (100 * out_w) AS BIGINT)").alias(
+                    "contrib"
+                ),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").cast("bigint").alias("inflow"))
+        )
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0)))
+            .cast("bigint")
+            .alias("r"),
+        )
+
+    return (
+        ranks.join(F.broadcast(nation), ranks["node"] == nation["n_nationkey"])
+        .select("n_name", F.col("r").alias("rank_micro"))
+        .orderBy(F.desc("rank_micro"), "n_name")
+        .limit(10)
     )

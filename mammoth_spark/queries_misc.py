@@ -1197,3 +1197,42 @@ def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_milli",
     )
     return joined.filter(F.col("change_kind") != "same")
+
+
+@register(
+    "xml_roundtrip",
+    driver=False,  # format breadth like orc_roundtrip; oracle is the parquet truth
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(md5(text)) AS min_text_md5,
+       max(md5(text)) AS max_text_md5
+FROM documents GROUP BY source
+""",
+)
+def xml_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format breadth: the documents table staged as XML through
+    Spark 4's built-in XML data source (rowTag framing, writer-side
+    entity escaping) and read back with schema-on-read; aggregates over
+    the roundtrip must equal the parquet oracle. XML is the
+    interchange format enterprise feeds still arrive in — the engine's
+    ingest edge must preserve text bytes exactly through escaping, which
+    is what the md5 extremes pin. Same per-source rollup as
+    orc_roundtrip/csv_chunk_roundtrip so format fidelity is isolated
+    from query semantics. Each task writes/reads its own partition files
+    — content never passes through the driver."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="xml_docs_")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").option("rowTag", "doc").format("xml").save(out)
+    back = spark.read.option("rowTag", "doc").format("xml").load(out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min(F.md5("text")).alias("min_text_md5"),
+        F.max(F.md5("text")).alias("max_text_md5"),
+    )

@@ -181,6 +181,9 @@ doc_shingles AS (
 
 @register(
     "dedup_exact",
+    # r3 rotation: exact-dedup evidenced by dedup_incremental_minhash /
+    # dedup_clusters / streaming_dedup_*; slot freed for gapfill_interpolate
+    driver=False,
     oracle="""
 SELECT md5(text) AS content_hash, count(*) AS n_copies,
        min(doc_id) AS canonical_id, max(doc_id) AS max_id
@@ -259,7 +262,14 @@ def _minhash_lsh_oracle() -> str:
     return _minhash_pairs_ctes() + "SELECT id_a, id_b, jaccard FROM pairs"
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
+@register(
+    "dedup_minhash_lsh",
+    # r3 rotation: the LSH pair chain is driver-evidenced inside
+    # dedup_survivorship (pairs -> CC -> canonical selection); the
+    # pair-level view stays parity- and plan-checked locally
+    driver=False,
+    oracle=_minhash_lsh_oracle(),
+)
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidate pairs verified by exact Jaccard."""
     return dedup_minhash_lsh(
@@ -331,6 +341,10 @@ FROM assign
 
 @register(
     "dedup_clusters",
+    # r3 rotation: the identical pairs->CC chain is driver-evidenced by
+    # dedup_survivorship (which adds canonical selection on top); the
+    # cluster-labeling view stays parity-checked locally
+    driver=False,
     oracle=_clusters_oracle(),
 )
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,6 +543,9 @@ def embedding_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk",
+    # r3 rotation: exact ANN baseline stays parity-checked locally; the
+    # scale path ann_topk_bucketed keeps the driver slot (freed for pagerank_topk)
+    driver=False,
     oracle=f"""
 WITH {_vec_cte()},
 q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM vn WHERE vec_id < {ANN_QUERIES}),
@@ -1695,7 +1712,14 @@ WHERE q.quality >= {PIPELINE_QUALITY_MIN}
 """
 
 
-@register("pipeline_e2e", oracle=_pipeline_e2e_oracle())
+@register(
+    "pipeline_e2e",
+    # r3 rotation: composition evidence stays with rag_retrieval_e2e and
+    # wal_batch_pipeline; every screen composed here has its own driver
+    # entry. Parity-checked locally.
+    driver=False,
+    oracle=_pipeline_e2e_oracle(),
+)
 def pipeline_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operators COMPOSED as one pipeline — normalize-dedup (keep the
     min-id copy), quality gate, deterministic train/val/test assignment —
@@ -1913,4 +1937,101 @@ def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         round6(F.min("value")).alias("lo"),
         round6(F.max("value")).alias("hi"),
+    )
+
+
+# ----------------------- cluster survivorship -----------------------
+
+
+def _survivorship_oracle() -> str:
+    recursive = _minhash_pairs_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        recursive
+        + """,
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(id, comp) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON r.id = e.v
+),
+assign AS (
+  SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY id
+),
+ranked AS (
+  SELECT d.doc_id, d.source, d.n_chars, a.cluster_id,
+         CASE WHEN a.cluster_id IS NULL THEN 1
+              ELSE row_number() OVER (
+                PARTITION BY a.cluster_id ORDER BY d.n_chars DESC, d.doc_id)
+         END AS rk
+  FROM documents d LEFT JOIN assign a ON d.doc_id = a.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM ranked GROUP BY source
+"""
+    )
+
+
+@register("dedup_survivorship", oracle=_survivorship_oracle())
+def dedup_survivorship_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship — the END of the dedup pipeline: given near-dup
+    clusters (LSH pairs -> connected components), keep ONE canonical
+    document per cluster (longest text wins, doc_id tie-break — the
+    deterministic 'best record' rule of entity-resolution survivorship)
+    and every unclustered singleton; everything else drops. This is the
+    operator that actually shrinks the corpus; dedup_clusters only
+    labels it.
+
+    Scale shape: the ranking window partitions by cluster_id — cluster
+    populations, bounded by the LSH bucket cap, never a global sort; the
+    cluster assignment joins the corpus once on doc_id (left join: the
+    overwhelmingly-common singleton case never enters the window — the
+    CASE keeps them rank-1 without shuffling into cluster partitions).
+    Emission re-aggregates per source so the checked surface is compact
+    while keep/drop decisions are made for every document."""
+    from .functions.dedup import connected_components
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    pairs = dedup_minhash_lsh(
+        read_table(spark, sf_dir, "documents"), jaccard_threshold=MINHASH_JACCARD_T
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").cast("bigint").alias("cluster_id")
+    )
+    joined = docs.join(cc, "doc_id", "left")
+    # the window runs ONLY over clustered docs: a single plan-level
+    # when(null, 1).otherwise(row_number) would still shuffle every
+    # singleton into one NULL window partition — the classic null-key
+    # straggler. Splitting the paths keeps the window input bounded by
+    # cluster membership (small) and the singleton majority narrow.
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    clustered = joined.filter(F.col("cluster_id").isNotNull()).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    singles = joined.filter(F.col("cluster_id").isNull()).withColumn(
+        "rk", F.lit(1)
+    )
+    ranked = clustered.unionByName(singles)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("rk") == 1, 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("rk") == 1, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
     )

@@ -130,3 +130,85 @@ def tws_available() -> bool:
         return True
     except Exception:
         return False
+
+
+SESSION_GAP_MS = 4 * 3600 * 1000  # 4 h inactivity closes a session
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("timer_ms", T.LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+class SessionTimeoutProcessor(StatefulProcessor):
+    """Gap-based sessionization with EVENT-TIME TIMERS — the third TWS
+    primitive after ValueState (RunningTotalsProcessor) and MapState
+    (DistinctCountProcessor). A session closes two ways:
+
+    - in-batch: a later event arrives more than SESSION_GAP_MS after the
+      open session's last event — the closed session is emitted directly;
+    - by timer: no further event ever arrives — the registered
+      event-time timer (last event + gap) fires once the WATERMARK passes
+      it, and handleExpiredTimer emits the session and clears state.
+
+    The timer path is what makes the operator correct on an unbounded
+    stream: without it, each key's final session is stuck in state
+    forever (exactly the session-window flush that
+    session_window_native's built-in operator performs internally).
+
+    Assumes chronologically non-decreasing arrival ACROSS micro-batches
+    (the query stages time-range chunk files; within a batch events are
+    sorted here) — the same in-order contract Spark's own session windows
+    place on the watermark. The stale-timer guard (state records its own
+    timer) makes a missed deleteTimer harmless."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("sess", SESSION_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        last_ms, n, timer_ms = None, 0, None
+        if self._sess.exists():
+            last_ms, n, timer_ms = self._sess.get()
+        closed: list[int] = []
+        for pdf in rows:
+            for t in sorted(int(v) for v in pdf["ms"]):
+                if last_ms is None:
+                    last_ms, n = t, 1
+                elif t - last_ms <= SESSION_GAP_MS:
+                    last_ms, n = t, n + 1
+                else:
+                    closed.append(n)
+                    last_ms, n = t, 1
+        if timer_ms is not None:
+            self._handle.deleteTimer(timer_ms)
+        new_timer = last_ms + SESSION_GAP_MS
+        self._handle.registerTimer(new_timer)
+        self._sess.update((last_ms, n, new_timer))
+        if closed:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(closed), "n_events": closed}
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self._sess.exists():
+            last_ms, n, timer_ms = self._sess.get()
+            # stale-timer guard: only the timer the CURRENT session armed
+            # may flush it (a superseded timer that escaped deleteTimer
+            # must be a no-op)
+            if timer_ms == expiredTimerInfo.getExpiryTimeInMs():
+                self._sess.clear()
+                yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def close(self) -> None:
+        pass

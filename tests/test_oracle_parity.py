@@ -103,12 +103,19 @@ def test_driver_contract_size():
     exported = list(entry_mod.queries().keys())
     assert len(exported) <= 50, f"{len(exported)} driver queries exceed the observed cap"
     for name in ["dedup_incremental_minhash", "streaming_dedup_ingest",
-                 "merge_on_read_equiv", "pipeline_e2e", "wal_batch_pipeline",
-                 "ann_topk", "ann_topk_bucketed", "dedup_embedding_cosine",
+                 "merge_on_read_equiv", "wal_batch_pipeline",
+                 "ann_topk_bucketed", "dedup_embedding_cosine",
                  # round-3 additions must also be recorded by the driver
                  "bm25_topk", "semdedup_prune", "dup_span_stats",
                  "perplexity_buckets", "classifier_score", "corpus_shuffle",
-                 "rag_retrieval_e2e", "schema_evolution_apply"]:
+                 "rag_retrieval_e2e", "schema_evolution_apply",
+                 # round-3 mid-round widening (rotated in; ann_topk,
+                 # pipeline_e2e, dedup_clusters et al. rotated to
+                 # local-only with their evidence subsumed — see registry)
+                 "gapfill_interpolate", "event_pattern_detect",
+                 "k_anonymize", "pagerank_topk", "quantile_sketch_merge",
+                 "dedup_survivorship", "fuzzy_match_blocked",
+                 "bpe_merge_step"]:
         assert name in exported, f"{name} must be in the driver contract"
     for name in LOCAL_ONLY:
         assert name in QUERIES and name not in exported

@@ -725,3 +725,105 @@ def test_snapshot_diff_single_version_join(spark):
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_gapfill_grid_is_generated_not_joined(spark):
+    # the dense hour grid must come from explode(sequence(...)) on the
+    # per-user span — a narrow generator — not from a cross join against a
+    # calendar relation; LOCF is a per-user window (hashpartitioning by
+    # user), never a global (empty-key) sort.
+    df = ALL_QUERIES["gapfill_interpolate"](spark, SF)
+    plan = _executed_plan(df)
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    opt = _optimized(df)
+    assert "Window" in opt
+    # every Sort in the executed plan is a within-partition sort feeding
+    # a keyed window/join, not a global ordering
+    assert "rangepartitioning" not in plan
+
+
+def test_event_pattern_single_user_shuffle(spark):
+    # the CEP window plan: the type filter is pushed to the scan, ONE
+    # hashpartitioning by user feeds both lead() windows, and no self-join
+    # of events against events exists.
+    df = ALL_QUERIES["event_pattern_detect"](spark, SF)
+    plan = _executed_plan(df)
+    assert "PushedFilters" in plan and "In(event_type" in plan
+    assert "Join" not in plan, "pattern detection must be window-based, not a self-join"
+    assert plan.count("hashpartitioning(user_id") >= 1
+
+
+def test_k_anonymize_reaggregates_groups_not_rows(spark):
+    # two-level aggregation: the fact scan feeds ONE partial+final hash
+    # aggregate pair; the suppression merge re-aggregates the |groups|
+    # relation. No window, no sort, no join.
+    df = ALL_QUERIES["k_anonymize"](spark, SF)
+    plan = _executed_plan(df)
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # two partial/final pairs
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_pagerank_iteration_joins_stay_keyed(spark):
+    # edge derivation broadcasts the two true dimensions; the unrolled
+    # iterations are keyed joins + aggregations — no cartesian products,
+    # no global sort except the final TakeOrderedAndProject top-10.
+    df = ALL_QUERIES["pagerank_topk"](spark, SF)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # cust, supp, nation (+iters)
+
+
+def test_quantile_sketch_partials_combine(spark):
+    # the fact scan reduces to (shard,bin) partial counts with map-side
+    # combine; cross-shard traffic is histogram-sized. No join against
+    # the fact, no global sort of data rows (the only window runs on the
+    # ~120-row merged histogram); the exact-percentile twin broadcasts.
+    df = ALL_QUERIES["quantile_sketch_merge"](spark, SF)
+    plan = _executed_plan(df)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_survivorship_window_excludes_singletons(spark):
+    # the ranking window must see ONLY clustered docs: the singleton
+    # majority takes the rk=1 literal path — no null-key window
+    # partition straggler. Both paths union back for the final rollup.
+    df = ALL_QUERIES["dedup_survivorship"](spark, SF)
+    plan = _executed_plan(df)
+    assert "Window" in plan
+    assert "Union" in plan
+    # Catalyst rewrites the left-join + isnotnull filter into an INNER
+    # join (the null-producing side gets isnotnull(comp) pushed down), so
+    # the window's input is exactly the clustered docs; the singleton
+    # branch keeps the isnull(cluster_id) filter.
+    import re
+
+    assert re.search(r"isnotnull\(comp", plan), "clustered side must inner-join cc"
+    assert re.search(r"isnull\(cluster_id", plan), "singleton branch must filter null clusters"
+
+
+def test_fuzzy_match_joins_on_block_key_only(spark):
+    # candidate pairs form inside (first-token, length-band) blocks: the
+    # join is an equi-join on the composite block key (the doc_id order
+    # predicate rides as a post-join filter) — never a cartesian product.
+    df = ALL_QUERIES["fuzzy_match_blocked"](spark, SF)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "tok1" in plan and "lb" in plan
+
+
+def test_bpe_counts_over_vocab_not_token_stream(spark):
+    # pair explosion must hang off the AGGREGATED word-frequency table
+    # (vocabulary-sized), not the raw token stream: the plan shows the
+    # token-freq hash aggregate BELOW the Generate(explode) that emits
+    # per-word positions, and the final top-K is TakeOrderedAndProject.
+    df = ALL_QUERIES["bpe_merge_step"](spark, SF)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    gen_pos = plan.index("Generate explode(sequence")
+    agg_pos = plan.rindex("HashAggregate")
+    assert agg_pos > gen_pos, "word-freq aggregate must feed the pair explode"
