@@ -605,3 +605,69 @@ def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_seq").alias("valid_to_seq"),
         F.col("next_seq").isNull().alias("is_current"),
     )
+
+
+# ------------------- point-in-time-correct feature join -------------------
+
+
+@register(
+    "pit_feature_join",
+    oracle=f"""
+WITH {CHANGE_LOG_CTE},
+p AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_id AS at_seq
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       CASE WHEN c.kind IS NOT NULL AND c.kind <> 'DELETE'
+            THEN CAST(floor(c.value * 1000) AS BIGINT) END AS feature_milli,
+       c.kind IS NOT NULL AND c.kind <> 'DELETE' AS had_profile
+FROM p ASOF LEFT JOIN change_log c
+  ON p.user_id = c.key AND p.at_seq >= c.seq
+""",
+)
+def pit_feature_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-correct feature join — the feature-store operation
+    that prevents label leakage in training data: each observation
+    (purchase) is enriched with the dimension value that was live AT the
+    observation's position in the change stream, never a later one. The
+    subtlety a naive as-of join misses: a DELETE closes the key's
+    validity without opening a new version, so an observation after a
+    DELETE has NO profile (NULL feature), even though an older version
+    exists earlier in the log — the as-of match must carry the action
+    KIND and null itself out on DELETE.
+
+    Spark shape: operators/asof.py's union+window as-of join — ONE
+    shuffle on the key, no inequality join, no per-version explosion.
+    Composes the same change-log versions scd2_history materializes;
+    at 100 TB the observation side streams through the single keyed
+    exchange with the window sorted per key."""
+    from .operators.asof import asof_join
+
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        F.col("key").alias("user_id"),
+        "seq",
+        "kind",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("value_milli"),
+    )
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").alias("at_seq"),
+    )
+    joined = asof_join(
+        purchases,
+        log,
+        by=["user_id"],
+        left_on="at_seq",
+        right_on="seq",
+        payload_cols=["kind", "value_milli"],
+    )
+    live = F.col("r_kind").isNotNull() & (F.col("r_kind") != "DELETE")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(live, F.col("r_value_milli")).alias("feature_milli"),
+        live.alias("had_profile"),
+    )

@@ -60,7 +60,9 @@ def event_hourly_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact integer on both engines."""
     ev = _events(spark, sf_dir)
     return ev.groupBy(
-        F.floor(F.col("ts_ns") / F.lit(_HOUR_NS)).cast("bigint").alias("hour_idx"),
+        # integer DIV, not floor(double /): epoch-ns exceeds 2^53, so the
+        # double quotient can round across an exact hour boundary
+        F.expr(f"ts_ns DIV {_HOUR_NS}").alias("hour_idx"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -132,6 +134,11 @@ def event_sessionization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_attribution",
+    # r3 rotation: the as-of operator is driver-evidenced by
+    # pit_feature_join (same union+window asof_join underneath, plus the
+    # DELETE-validity subtlety); the attribution view stays parity- and
+    # plan-checked locally (test_asof_join_single_shuffle)
+    driver=False,
     oracle="""
 SELECT p.event_id, p.user_id, c.event_id AS click_event_id
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -330,7 +337,7 @@ def event_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     list, which at 100 TB is a full scan spent on metadata. With the list
     pinned it is a single hash aggregation, one shuffle on day_idx."""
     ev = _events(spark, sf_dir)
-    day = F.floor(F.col("ts_ns") / F.lit(24 * _HOUR_NS)).cast("bigint").alias("day_idx")
+    day = F.expr(f"ts_ns DIV {24 * _HOUR_NS}").alias("day_idx")  # exact: ns > 2^53
     out = ev.groupBy(day).pivot("event_type", list(_EVENT_TYPES)).agg(F.count(F.lit(1)))
     renamed = out.select(
         "day_idx", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES]
@@ -956,7 +963,7 @@ def user_rolling_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     user. The raw event volume is touched exactly once, in a map-side
     combinable aggregation; the window shuffle moves only user-day rows."""
     ev = _events(spark, sf_dir)
-    day = F.floor(F.col("ts_ns") / F.lit(24 * _HOUR_NS)).cast("bigint").alias("day_idx")
+    day = F.expr(f"ts_ns DIV {24 * _HOUR_NS}").alias("day_idx")  # exact: ns > 2^53
     daily = ev.groupBy("user_id", day).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
@@ -986,6 +993,10 @@ def user_rolling_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "grouping_sets_agg",
+    # r3 rotation: grouping-set expansion is a Catalyst built-in whose
+    # single-Expand plan is asserted via orders_rollup; slot freed for
+    # incremental_hll_maintenance. Parity-checked locally.
+    driver=False,
     oracle="""
 SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN NULL ELSE l_returnflag END AS l_returnflag,
        CASE WHEN GROUPING(l_linestatus) = 1 THEN NULL ELSE l_linestatus END AS l_linestatus,
@@ -1483,7 +1494,7 @@ def gapfill_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.select(
             "user_id",
-            (F.col("ts_ns") / F.lit(3_600_000_000_000)).cast("bigint").alias("h"),
+            F.expr("ts_ns DIV 3600000000000").alias("h"),
             F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
         )
         .groupBy("user_id", "h")
@@ -1651,12 +1662,18 @@ def streaming_tws_timers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sentinel_user = 99_999_999
     ev = read_table(spark, sf_dir, "events")
-    ms = (ts_ns_col(ev) / F.lit(1_000_000)).cast("bigint")
     # key-population cap sizes the state-server RPC volume (register/
     # delete timer + value state per key-batch), not the semantics — the
-    # remaining ~150 keys still cross every micro-batch boundary
-    ev = ev.filter(F.col("user_id") < 150).select(
-        F.col("user_id").cast("bigint").alias("user_id"), ms.alias("ms")
+    # remaining ~150 keys still cross every micro-batch boundary.
+    # Integer DIV for the ns->ms bucketing: epoch-ns exceeds 2^53, so a
+    # double division would round the quotient.
+    ev = (
+        ev.filter(F.col("user_id") < 150)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            ts_ns_col(ev).alias("tns"),
+        )
+        .select("user_id", F.expr("tns DIV 1000000").alias("ms"))
     )
     lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
     cut1 = lo + (hi - lo) // 2
@@ -1734,4 +1751,68 @@ def streaming_tws_timers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").cast("bigint").alias("n_events"),
             F.max("n_events").cast("bigint").alias("max_session_events"),
         )
+    )
+
+
+# ------------- incremental maintenance of sketch aggregates -------------
+
+
+@register(
+    "incremental_hll_maintenance",
+    oracle="""
+SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS h,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS inc_equals_batch,
+       TRUE AS hll_within_5pct
+FROM events GROUP BY h
+""",
+)
+def incremental_hll_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a SKETCH-valued aggregate: the
+    maintained view is per-hour distinct users held as HLL sketches.
+    COUNT DISTINCT is not self-maintainable from counts alone (adding a
+    batch needs the full history of seen keys) — but the sketch IS
+    mergeable, so each ingest epoch only builds sketches over ITS OWN
+    rows and max-merges them into the stored registers: per-epoch work
+    is proportional to the epoch, never to history. This is why
+    100 TB-scale metrics stores (Druid/Pinot-style rollups) keep
+    sketches, not counts, as their aggregation state.
+
+    HLL merge is register-wise max — associative and commutative — so
+    the incrementally-folded sketch is BIT-IDENTICAL to the one-shot
+    batch sketch: pinned as inc_equals_batch, alongside the 5% error
+    contract against the exact count (both literals in the oracle, the
+    hll_shard_merge pattern). Epochs split by event_id exactly like
+    incremental_agg_maintenance's delta batches."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("ts_ns DIV 3600000000000").alias("h"),
+    )
+    n_epochs = 3
+    hi = ev.agg(F.max("event_id")).first()[0] or 0
+    step = (hi + n_epochs) // n_epochs
+    store = None
+    for e in range(n_epochs):
+        epoch = ev.filter(
+            (F.col("event_id") >= e * step) & (F.col("event_id") < (e + 1) * step)
+        )
+        delta = epoch.groupBy("h").agg(F.hll_sketch_agg("user_id").alias("sk"))
+        store = (
+            delta
+            if store is None
+            else store.unionByName(delta).groupBy("h").agg(F.hll_union_agg("sk").alias("sk"))
+        )
+    inc = store.select("h", F.hll_sketch_estimate("sk").alias("inc_est"))
+    batch = ev.groupBy("h").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("batch_est"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    return inc.join(batch, "h").select(
+        "h",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.col("inc_est") == F.col("batch_est")).alias("inc_equals_batch"),
+        (
+            F.abs(F.col("inc_est") - F.col("n_exact")) <= 0.05 * F.col("n_exact")
+        ).alias("hll_within_5pct"),
     )

@@ -468,9 +468,12 @@ def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     zsrc = ev.select(
         (F.col("user_id") % (1 << _Z_BITS)).alias("zx"),
-        (F.floor(ts_ns_col(ev) / F.lit(_Z_Y_NS)).cast("bigint") % (1 << _Z_BITS)).alias(
-            "zy"
-        ),
+        ts_ns_col(ev).alias("tns"),
+    ).select(
+        "zx",
+        # integer DIV: epoch-ns exceeds 2^53, a double quotient can
+        # round across a bucket boundary
+        F.expr(f"(tns DIV {_Z_Y_NS}) % {1 << _Z_BITS}").alias("zy"),
     )
     zval = zsrc.select("zx", "zy", F.expr(_z_interleave_sql("zx", "zy")).alias("z"))
     return zval.groupBy(

@@ -115,7 +115,8 @@ def test_driver_contract_size():
                  "gapfill_interpolate", "event_pattern_detect",
                  "k_anonymize", "pagerank_topk", "quantile_sketch_merge",
                  "dedup_survivorship", "fuzzy_match_blocked",
-                 "bpe_merge_step"]:
+                 "bpe_merge_step", "pit_feature_join",
+                 "incremental_hll_maintenance"]:
         assert name in exported, f"{name} must be in the driver contract"
     for name in LOCAL_ONLY:
         assert name in QUERIES and name not in exported

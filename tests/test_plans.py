@@ -827,3 +827,25 @@ def test_bpe_counts_over_vocab_not_token_stream(spark):
     gen_pos = plan.index("Generate explode(sequence")
     agg_pos = plan.rindex("HashAggregate")
     assert agg_pos > gen_pos, "word-freq aggregate must feed the pair explode"
+
+
+def test_pit_feature_join_single_shuffle(spark):
+    # point-in-time join = the union+window as-of shape: one exchange on
+    # the user key, never an inequality (range) join of observations
+    # against versions
+    df = ALL_QUERIES["pit_feature_join"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("Exchange") == 1, "PIT join must shuffle exactly once"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_hll_delta_scans_epoch_only(spark):
+    # each epoch's delta sketch build must push the epoch's event_id
+    # range predicate into the scan (history is never rescanned by the
+    # maintenance step) and merge partial sketches map-side
+    df = ALL_QUERIES["incremental_hll_maintenance"](spark, SF)
+    plan = _executed_plan(df)
+    assert "hll_union_agg" in plan or "hll_union" in plan
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "event_id" in pushed, "epoch range must reach the scan"
