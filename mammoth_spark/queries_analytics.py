@@ -740,29 +740,30 @@ def incremental_agg_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame
     "incremental_join_maintenance",
     oracle="""
 WITH change_log AS (
+  -- signup maps to UPDATE here, not INSERT: the fixture's user keys
+  -- collide with pre-existing customer keys, violating the CDC
+  -- invariant the reference's (I,D)->nothing compaction rule relies on
+  -- (INSERT only for novel keys, multi_row_action.go:103-180). Against
+  -- an upsert target the two kinds apply identically, and upsert
+  -- semantics keep whole-log compaction == any sequential batch split.
   SELECT CAST(floor(event_id / 50) AS BIGINT) AS lsn,
          event_id AS seq,
-         CASE WHEN event_type = 'signup' THEN 'INSERT'
-              WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END AS kind,
+         CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END AS kind,
          CAST(user_id AS BIGINT) AS key,
          value
   FROM events
 ),
 agg AS (
   SELECT key,
-         arg_min(kind, seq) AS first_kind,
          arg_max(kind, seq) AS last_kind,
          arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) AS value
   FROM change_log GROUP BY key
 ),
 compacted AS (
   SELECT key,
-         CASE WHEN last_kind = 'DELETE' THEN 'DELETE'
-              WHEN first_kind = 'INSERT' THEN 'INSERT'
-              ELSE 'UPDATE' END AS kind,
+         CASE WHEN last_kind = 'DELETE' THEN 'DELETE' ELSE 'UPDATE' END AS kind,
          value
   FROM agg
-  WHERE NOT (first_kind = 'INSERT' AND last_kind = 'DELETE')
 ),
 dim AS (
   SELECT coalesce(t.c_custkey, c.key) AS c_custkey,
@@ -803,7 +804,21 @@ def incremental_join_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFram
         "o_orderkey", F.col("o_custkey").cast("bigint").alias("o_custkey")
     )
     log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
-        "lsn", "seq", "key", "kind", "value"
+        "lsn",
+        "seq",
+        "key",
+        # INSERT -> UPDATE: the synthetic log's keys collide with
+        # pre-existing customer keys (violating the CDC invariant the
+        # (I,D)->nothing rule assumes); against an upsert-applied view
+        # the kinds are equivalent, and upsert semantics make the
+        # maintenance result independent of how the log is batched —
+        # sf0.1 exposed the divergence (an I...D pair split across the
+        # two batches deletes sequentially but nets to nothing when
+        # compacted whole)
+        F.when(F.col("kind") == "INSERT", F.lit("UPDATE"))
+        .otherwise(F.col("kind"))
+        .alias("kind"),
+        "value",
     )
     milli = lambda c: F.floor(c * 1000).cast("bigint")  # noqa: E731
 
