@@ -2035,3 +2035,104 @@ def dedup_survivorship_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_chars"),
     )
+
+
+# ----------------------- LSH recall audit -----------------------
+
+RECALL_SAMPLE_MOD = 50  # audit sample: doc_id % 50 == 0 (~2%)
+
+
+def _lsh_recall_oracle() -> str:
+    jac = (
+        "floor((len(list_intersect(a.shingles, b.shingles)) * 1.0 /"
+        " len(list_distinct(a.shingles || b.shingles))) * 1000000) / 1000000"
+    )
+    return (
+        _minhash_pairs_ctes()
+        + f""",
+truth AS (
+  SELECT a.doc_id AS lo, b.doc_id AS hi
+  FROM doc_shingles a JOIN doc_shingles b
+    ON a.doc_id < b.doc_id
+   AND (a.doc_id % {RECALL_SAMPLE_MOD} = 0 OR b.doc_id % {RECALL_SAMPLE_MOD} = 0)
+  WHERE {jac} >= {MINHASH_JACCARD_T}
+),
+found AS (
+  SELECT t.lo FROM truth t JOIN pairs p ON p.id_a = t.lo AND p.id_b = t.hi
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+       CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1000000
+            ELSE (SELECT count(*) FROM found) * 1000000 // (SELECT count(*) FROM truth)
+            END AS BIGINT) AS recall_micro
+"""
+    )
+
+
+@register(
+    "lsh_recall_report",
+    # local-only: audits two already-driver-checked paths (LSH pairs +
+    # exact shingle Jaccard); the brute-force truth side makes its oracle
+    # the most expensive in the suite — parity-checked here instead
+    driver=False,
+    oracle=_lsh_recall_oracle(),
+)
+def lsh_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL AUDIT for the LSH dedup path — the measurement that turns
+    (bands, rows) from folklore into an engineering decision: on a
+    deterministic ~2% document sample, compute the TRUE near-dup pairs
+    by brute force (every sampled doc against the whole corpus, exact
+    shingle Jaccard) and report what fraction the banded LSH pipeline
+    actually surfaced. LSH-found pairs are exact-verified against the
+    same Jaccard, so found ⊆ true and the ratio IS recall.
+
+    Scale shape — why auditing is tractable when all-pairs isn't: the
+    truth side is |sample| x |corpus|, with the sampled shingle arrays
+    BROADCAST so the corpus streams through a map-side nested probe
+    (never a shuffle of the corpus, never corpus x corpus); sample rate
+    is the audit-cost knob. The LSH side reuses dedup_minhash_lsh
+    verbatim. Production runs this audit per corpus snapshot and alarms
+    on recall drift when content shifts (e.g. shorter docs => fewer
+    shingles => bands saturate)."""
+    from .functions.dedup import dedup_minhash_lsh, with_shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = with_shingles(docs, "text", "doc_id")
+    sample = sh.filter(F.col("doc_id") % RECALL_SAMPLE_MOD == 0).select(
+        F.col("doc_id").alias("s_id"), F.col("sh").alias("s_sh")
+    )
+    corpus = sh.select(F.col("doc_id").alias("c_id"), F.col("sh").alias("c_sh"))
+    jac = F.floor(
+        F.size(F.array_intersect("s_sh", "c_sh"))
+        * F.lit(1_000_000.0)
+        / F.size(F.array_union("s_sh", "c_sh"))
+    ) / F.lit(1_000_000.0)
+    truth = (
+        corpus.join(F.broadcast(sample), F.col("s_id") != F.col("c_id"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .select(
+            F.least("s_id", "c_id").alias("lo"),
+            F.greatest("s_id", "c_id").alias("hi"),
+        )
+        .distinct()
+    )
+    lsh = dedup_minhash_lsh(docs, jaccard_threshold=MINHASH_JACCARD_T).select(
+        F.col("id_a").alias("lo"), F.col("id_b").alias("hi")
+    )
+    found = truth.join(lsh, ["lo", "hi"])
+    n_true = truth.agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
+    n_found = found.agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
+    return (
+        n_true.select(F.col("n").alias("n_true"), "_k")
+        .join(n_found.select(F.col("n").alias("n_found"), "_k"), "_k")
+        .drop("_k")
+        .select(
+            F.col("n_true").cast("bigint"),
+            F.col("n_found").cast("bigint"),
+            F.when(F.col("n_true") == 0, F.lit(1_000_000))
+            .otherwise(F.expr("n_found * 1000000 DIV n_true"))
+            .cast("bigint")
+            .alias("recall_micro"),
+        )
+    )

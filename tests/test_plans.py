@@ -849,3 +849,17 @@ def test_incremental_hll_delta_scans_epoch_only(spark):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "event_id" in pushed, "epoch range must reach the scan"
+
+
+def test_lsh_recall_truth_probe_broadcasts_sample(spark):
+    # the brute-force truth side must broadcast the SAMPLE and stream the
+    # corpus through a nested probe (BroadcastNestedLoopJoin BuildRight
+    # with the Jaccard predicate) — a corpus x corpus product or a
+    # corpus shuffle for the probe would defeat the audit's tractability
+    df = ALL_QUERIES["lsh_recall_report"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "CartesianProduct" not in plan
+    # the jaccard threshold rides the nested-loop join itself
+    seg = plan.split("BroadcastNestedLoopJoin BuildRight, Inner, (")[1][:400]
+    assert "array_intersect" in seg
