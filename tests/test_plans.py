@@ -823,6 +823,7 @@ def test_bpe_counts_over_vocab_not_token_stream(spark):
     # per-word positions, and the final top-K is TakeOrderedAndProject.
     df = ALL_QUERIES["bpe_merge_step"](spark, SF)
     plan = _executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
     gen_pos = plan.index("Generate explode(sequence")
     agg_pos = plan.rindex("HashAggregate")
