@@ -650,3 +650,91 @@ def pagerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_micro"), "n_name")
         .limit(10)
     )
+
+
+# ----------------------- triangle counting -----------------------
+
+
+@register(
+    "triangle_count",
+    # local-only: the graph family holds its driver slot via pagerank_topk
+    # (same heavy edge derivation, iterative shuffles); triangles stay
+    # parity- and plan-checked here
+    driver=False,
+    oracle="""
+WITH tr AS (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+         greatest(c.c_nationkey, s.s_nationkey) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+wedge AS (
+  SELECT a.u AS u, a.v AS v, b.v AS w
+  FROM tr a JOIN tr b ON a.v = b.u
+),
+tri AS (
+  SELECT 1 FROM wedge JOIN tr ON tr.u = wedge.u AND tr.v = wedge.w
+)
+SELECT CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_edges,
+       CAST((SELECT count(DISTINCT u) FROM (SELECT u FROM tr UNION ALL SELECT v FROM tr)) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles
+""",
+)
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TRIANGLE COUNTING over the nation trade graph — the
+    graph-analytics primitive behind clustering coefficients and
+    community detection, and the third member of the graph family
+    (connected components = reachability, PageRank = centrality,
+    triangles = cohesion).
+
+    The algorithm is the two-join MapReduce classic (Suri & Vassilvitskii
+    2011's MR-NodeIterator shape): orient every edge low-id -> high-id,
+    build wedges u->v->w by joining the oriented edge list with itself on
+    the middle vertex, then close each wedge against the edge list —
+    every triangle is counted exactly once because u < v < w holds on
+    exactly one of its orientations. Two keyed shuffles of the EDGE list
+    (already |V|^2-bounded after the heavy derivation, which reuses
+    pagerank_topk's broadcast-dim fact collapse); the production
+    refinement at skewed degree distributions is ordering by DEGREE
+    instead of id, which bounds wedge fan-out by the smaller endpoint's
+    degree — same plan, different orientation key."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+        # materialize ONCE: the edge list is referenced four times (two
+        # wedge sides, closure probe, counts) and without a checkpoint
+        # the fact-scale derivation would re-execute per reference
+        .localCheckpoint()
+    )
+    wedge = edges.alias("a").join(
+        edges.alias("b"), F.col("a.v") == F.col("b.u")
+    ).select(F.col("a.u").alias("wu"), F.col("a.v").alias("wv"), F.col("b.v").alias("ww"))
+    tri = wedge.join(
+        edges.alias("c"),
+        (F.col("c.u") == F.col("wu")) & (F.col("c.v") == F.col("ww")),
+    )
+    nodes = edges.select("u").unionAll(edges.select(F.col("v").alias("u")))
+    n_e = edges.agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
+    n_n = nodes.distinct().agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
+    n_t = tri.agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
+    return (
+        n_e.select(F.col("n").cast("bigint").alias("n_edges"), "_k")
+        .join(n_n.select(F.col("n").cast("bigint").alias("n_nodes"), "_k"), "_k")
+        .join(n_t.select(F.col("n").cast("bigint").alias("n_triangles"), "_k"), "_k")
+        .drop("_k")
+    )

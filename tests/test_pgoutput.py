@@ -403,3 +403,67 @@ def test_copy_data_frames_assemble_end_to_end(spark, tmp_path):
     row = out[0]
     assert row["kind"] == "INSERT" and row["key_after"] == ["7"]
     assert json.loads(row["new_values"])["a"]["v"] == "y"
+
+
+# ------------- property: framing codec round-trips exactly -------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_i64 = st.integers(min_value=0, max_value=(1 << 63) - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(wal_start=_i64, wal_end=_i64, t=_i64, payload=st.binary(min_size=1, max_size=256))
+def test_xlog_data_roundtrip_property(wal_start, wal_end, t, payload):
+    from mammoth_spark.sources.pgoutput import (
+        XLogData,
+        encode_xlog_data,
+        parse_copy_data,
+    )
+
+    msg = XLogData(wal_start, wal_end, t, payload)
+    back = parse_copy_data(encode_xlog_data(msg))
+    assert back == msg
+
+
+@settings(max_examples=200, deadline=None)
+@given(wal_end=_i64, t=_i64, reply=st.booleans())
+def test_keepalive_roundtrip_property(wal_end, t, reply):
+    from mammoth_spark.sources.pgoutput import (
+        PrimaryKeepalive,
+        encode_primary_keepalive,
+        parse_copy_data,
+    )
+
+    msg = PrimaryKeepalive(wal_end, t, reply)
+    assert parse_copy_data(encode_primary_keepalive(msg)) == msg
+
+
+@settings(max_examples=200, deadline=None)
+@given(write=st.integers(min_value=1, max_value=(1 << 63) - 1), t=_i64, reply=st.booleans())
+def test_standby_status_field_layout_property(write, t, reply):
+    # the 'r' frame is encode-only here (the server parses it); pin the
+    # byte layout: tag + 4 big-endian i64s + reply flag, with flush/apply
+    # defaulting to the write position like pglogrepl's zero-handling
+    import struct
+
+    from mammoth_spark.sources.pgoutput import encode_standby_status_update
+
+    raw = encode_standby_status_update(write, client_time_us=t, reply_requested=reply)
+    assert raw[:1] == b"r" and len(raw) == 1 + 4 * 8 + 1
+    w, f, a, ct, r = struct.unpack(">qqqqb", raw[1:])
+    assert (w, f, a, ct, r) == (write, write, write, t, 1 if reply else 0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(min_size=0, max_size=64))
+def test_parse_copy_data_never_crashes_unstructured(data):
+    # arbitrary bytes either decode to a frame or raise the protocol
+    # error — never IndexError/struct.error leaking out of the codec
+    from mammoth_spark.sources.pgoutput import PgOutputError, parse_copy_data
+
+    try:
+        parse_copy_data(data)
+    except PgOutputError:
+        pass

@@ -864,3 +864,18 @@ def test_lsh_recall_truth_probe_broadcasts_sample(spark):
     # the jaccard threshold rides the nested-loop join itself
     seg = plan.split("BroadcastNestedLoopJoin BuildRight, Inner, (")[1][:400]
     assert "array_intersect" in seg
+
+
+def test_triangle_count_joins_edge_list_only(spark):
+    # wedges and closures join the |V|^2-bounded EDGE relation with
+    # itself on equi-keys; the fact-scale work is confined to the edge
+    # derivation (dims broadcast), and no cartesian product exists.
+    df = ALL_QUERIES["triangle_count"](spark, SF)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the two 1-row scalar combiners at
+    # the top; wedge/closure joins on the checkpointed edge list are
+    # equi-joins, and the fact-scale derivation ran exactly once (the
+    # checkpoint leaves an ExistingRDD scan, no parquet rescans here)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "lineitem" not in plan, "edge derivation must be checkpointed, not re-run"
