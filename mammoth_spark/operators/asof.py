@@ -63,9 +63,15 @@ def asof_join(
         F.lit(None).cast(l_type).alias("_l"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("_r"),
     )
+    # the trailing _r key is the right-side tie-break: two right rows at
+    # the same (key, time) would otherwise carry whichever one the sort
+    # happened to emit last — partitioning-dependent output. With it the
+    # contract is deterministic: greatest payload struct (lexicographic
+    # by payload_cols order) wins among equal-time right rows. Left rows
+    # (_r NULL) are unaffected — they never feed the carried state.
     w = (
         Window.partitionBy(*by)
-        .orderBy("_atime", "_side")
+        .orderBy("_atime", "_side", F.col("_r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l_part.unionByName(r_part).withColumn(

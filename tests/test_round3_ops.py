@@ -113,3 +113,49 @@ def test_k_anonymity_holds_in_output(spark):
         if r["nation_qid"] != "*":
             assert r["n_rows"] >= K_ANON, "published group below k"
             assert r["n_merged_groups"] == 1
+
+
+def test_asof_join_equals_bruteforce_inequality_join(spark):
+    # the union+window as-of join must equal the naive formulation
+    # (greatest right_on <= left_on per key) on a seeded random dataset
+    # that exercises ties, empty right sides, and interleaved keys
+    import numpy as np
+
+    from mammoth_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(42)
+    # t domain deliberately TINY (0..40) so same-(key, time) right rows
+    # occur and the deterministic tie-break (greatest payload struct) is
+    # actually exercised, not just the happy path
+    left = [
+        (int(i), int(rng.randint(0, 12)), int(rng.randint(0, 40)))
+        for i in range(300)
+    ]
+    right = [
+        (int(1000 + i), int(rng.randint(0, 15)), int(rng.randint(0, 40)), f"p{i}")
+        for i in range(200)
+    ]
+    ldf = spark.createDataFrame(left, "lid bigint, k bigint, t bigint")
+    rdf = spark.createDataFrame(right, "rid bigint, k bigint, t bigint, payload string")
+    got = asof_join(
+        ldf, rdf, by=["k"], left_on="t", right_on="t", payload_cols=["rid", "payload"]
+    ).select("lid", "r_rid", "r_payload")
+
+    # brute force in the driver
+    from collections import defaultdict
+
+    rbyk = defaultdict(list)
+    for rid, k, t, payload in right:
+        rbyk[k].append((t, rid, payload))
+    expect = {}
+    for lid, k, t in left:
+        best = None
+        for rt, rid, payload in rbyk.get(k, []):
+            # tie-break mirrors the operator's contract: latest t wins,
+            # then highest rid (the operator orders by (t, seq) — confirm
+            # against its docstring if this changes)
+            if rt <= t and (best is None or (rt, rid) > (best[0], best[1])):
+                best = (rt, rid, payload)
+        expect[lid] = (best[1], best[2]) if best else (None, None)
+    for row in got.collect():
+        assert (row["r_rid"], row["r_payload"]) == expect[row["lid"]], row["lid"]
