@@ -1831,3 +1831,142 @@ def incremental_hll_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame
             F.abs(F.col("inc_est") - F.col("n_exact")) <= 0.05 * F.col("n_exact")
         ).alias("hll_within_5pct"),
     )
+
+
+# ----------------------- unpivot (melt) roundtrip -----------------------
+
+
+@register(
+    "unpivot_roundtrip",
+    driver=False,  # API breadth: the pivot half holds the driver slot
+    oracle=f"""
+WITH e AS (
+  SELECT CAST(epoch_ns(ts) // {24 * _HOUR_NS} AS BIGINT) AS day_idx, event_type
+  FROM events
+)
+SELECT day_idx, event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY day_idx, event_type
+""",
+)
+def unpivot_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of event_type_pivot, closing the
+    reshape pair: the wide per-day matrix unpivots back to long
+    (day, type, count) rows and must equal the long-form aggregate
+    computed directly (the oracle). Spark's native ``unpivot`` is a pure
+    projection+Expand — per input row it emits one row per value column
+    with ZERO exchanges of its own, so the roundtrip costs exactly the
+    pivot's single shuffle. Zero-count cells (a type absent on a day)
+    are dropped to match the long form, which never had them."""
+    wide = event_type_pivot_q(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["day_idx"],
+        values=[f"n_{t}" for t in _EVENT_TYPES],
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    )
+    return long.filter(F.col("n_events") > 0).select(
+        "day_idx",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+# ------------------- ranking-function breadth -------------------
+
+
+@register(
+    "rank_functions_report",
+    driver=False,  # window breadth; topk_orders_per_status holds the slot
+    oracle="""
+WITH r AS (
+  SELECT o_orderstatus, o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+         ntile(4) OVER w AS quartile,
+         CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_micro,
+         CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_micro
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+)
+SELECT o_orderstatus, CAST(quartile AS BIGINT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+       CAST(max(pct_rank_micro) AS BIGINT) AS max_pct_rank_micro,
+       CAST(max(cume_micro) AS BIGINT) AS max_cume_micro
+FROM r GROUP BY o_orderstatus, quartile
+""",
+)
+def rank_functions_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard ranking-function breadth in one pass: ntile quartiles,
+    percent_rank and cume_dist over the same (status, price) window —
+    the analyst staples beyond row_number/rank. One keyed exchange feeds
+    all three functions (same window spec => one sort); the per-row
+    float outputs floor to micro-units so both engines publish identical
+    integers, and the (price, orderkey) tie-break makes the window a
+    total order — without it ntile boundaries at equal prices are
+    engine-arbitrary."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    r = orders.select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 1_000_000).cast("bigint").alias(
+            "pct_rank_micro"
+        ),
+        F.floor(F.cume_dist().over(w) * 1_000_000).cast("bigint").alias("cume_micro"),
+    )
+    return r.groupBy("o_orderstatus", "quartile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("price_cents").cast("bigint").alias("sum_cents"),
+        F.max("pct_rank_micro").alias("max_pct_rank_micro"),
+        F.max("cume_micro").alias("max_cume_micro"),
+    )
+
+
+# ------------------- calendar scalar-function breadth -------------------
+
+
+@register(
+    "calendar_rollup",
+    driver=False,  # scalar breadth; the CDC/date paths hold driver slots
+    oracle="""
+SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_orderdate) AS first_day,
+       max(o_orderdate) AS last_seen,
+       CAST(sum(CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_weekend,
+       CAST(max(CAST(last_day(o_orderdate) AS DATE) - CAST(o_orderdate AS DATE))
+            AS BIGINT) AS max_days_to_eom
+FROM orders GROUP BY 1
+""",
+)
+def calendar_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/date scalar-function breadth over the order dates:
+    month truncation, ISO weekday classification, last-day-of-month
+    arithmetic — the date algebra reporting layers lean on. All pure
+    per-row expressions folded by one hash aggregation. Cross-engine
+    traps pinned here: Spark's dayofweek() is Sunday=1 while DuckDB's
+    isodow() is Monday=1 (weekday()+1 matches isodow); date_trunc
+    returns TIMESTAMP in Spark but DATE in DuckDB (cast to date);
+    date subtraction must be day-integers on both sides."""
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        orders.select(
+            F.trunc(d, "month").alias("month"),
+            d.alias("o_orderdate"),
+            (F.weekday(d) + 1).alias("isodow"),
+            F.datediff(F.last_day(d), d).alias("days_to_eom"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderdate").alias("first_day"),
+            F.max("o_orderdate").alias("last_seen"),
+            F.sum(F.when(F.col("isodow") >= 6, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_weekend"),
+            F.max("days_to_eom").cast("bigint").alias("max_days_to_eom"),
+        )
+    )
