@@ -1236,3 +1236,78 @@ def xml_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("text")).alias("min_text_md5"),
         F.max(F.md5("text")).alias("max_text_md5"),
     )
+
+
+# ------------------- small-file compaction planning -------------------
+
+COMPACT_TARGET_ROWS = 5_000  # rows per rewritten file (the size knob)
+
+
+@register(
+    "compaction_plan",
+    driver=False,  # maintenance planner; windowed-cumsum mechanics share
+    # evidence with event_sessionization / corpus_shuffle driver entries
+    oracle=f"""
+WITH files AS (
+  SELECT l_returnflag AS pf, l_linestatus AS ps,
+         l_orderkey % 50 AS file_id, count(*) AS n_rows
+  FROM lineitem GROUP BY pf, ps, file_id
+),
+packed AS (
+  SELECT pf, ps, file_id, n_rows,
+         CAST(coalesce(sum(n_rows) OVER (
+             PARTITION BY pf, ps ORDER BY file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {COMPACT_TARGET_ROWS} AS BIGINT) AS bin
+  FROM files
+)
+SELECT pf, ps, bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       CAST(min(file_id) AS BIGINT) AS first_file,
+       CAST(max(file_id) AS BIGINT) AS last_file
+FROM packed GROUP BY pf, ps, bin
+""",
+)
+def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION PLANNING — the OPTIMIZE/maintenance job every
+    100 TB table needs: long-running ingest (the CDC pipeline's per-epoch
+    deltas, streaming sinks' per-trigger files) accretes files far below
+    the efficient scan size, and the planner assigns consecutive small
+    files to target-size rewrite groups. Greedy sequential packing via an
+    EXCLUSIVE-preceding running sum per table partition: bin =
+    rows-before DIV target — each output bin is one rewrite task reading
+    its n_files inputs and writing ~target rows.
+
+    Scale shape: the inventory here is derived from data (deterministic
+    for the oracle); in production it comes from the store manifest —
+    either way it is |files| rows, shuffled ONCE on the table-partition
+    key for the per-partition cumulative window. Sequential (not
+    first-fit-decreasing) packing is deliberate: it preserves file order
+    within a partition, so rewritten files keep any clustering the
+    ingest order had (the zorder_layout / write_sig_store layouts stay
+    intact through maintenance)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("pf"),
+        F.col("l_linestatus").alias("ps"),
+        (F.col("l_orderkey") % 50).alias("file_id"),
+    )
+    files = li.groupBy("pf", "ps", "file_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("pf", "ps")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = files.withColumn(
+        "rows_before", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+    ).withColumn(
+        "bin", F.expr(f"CAST(rows_before DIV {COMPACT_TARGET_ROWS} AS BIGINT)")
+    )
+    return packed.groupBy("pf", "ps", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.min("file_id").cast("bigint").alias("first_file"),
+        F.max("file_id").cast("bigint").alias("last_file"),
+    )
