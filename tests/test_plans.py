@@ -879,3 +879,34 @@ def test_triangle_count_joins_edge_list_only(spark):
     # checkpoint leaves an ExistingRDD scan, no parquet rescans here)
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "lineitem" not in plan, "edge derivation must be checkpointed, not re-run"
+
+
+def test_compaction_plan_single_inventory_shuffle(spark):
+    # the packing window runs per table-partition over the |files|-row
+    # inventory: one keyed exchange for the window (+ the final rollup),
+    # no join, no global sort
+    df = ALL_QUERIES["compaction_plan"](spark, SF)
+    plan = _executed_plan(df)
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_unpivot_is_pure_expand(spark):
+    # melt adds NO exchange of its own: the only exchanges in the
+    # roundtrip belong to the upstream pivot aggregation
+    from mammoth_spark.queries_analytics import event_type_pivot_q
+
+    wide_plan = _executed_plan(event_type_pivot_q(spark, SF))
+    long_plan = _executed_plan(ALL_QUERIES["unpivot_roundtrip"](spark, SF))
+    assert "Expand" in long_plan
+    assert long_plan.count("Exchange") == wide_plan.count("Exchange")
+
+
+def test_rank_functions_share_one_window_sort(spark):
+    # ntile + percent_rank + cume_dist use the same window spec: one
+    # Window node, one keyed exchange feeding it (+ the rollup exchange)
+    df = ALL_QUERIES["rank_functions_report"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
