@@ -159,3 +159,39 @@ def test_asof_join_equals_bruteforce_inequality_join(spark):
         expect[lid] = (best[1], best[2]) if best else (None, None)
     for row in got.collect():
         assert (row["r_rid"], row["r_payload"]) == expect[row["lid"]], row["lid"]
+
+
+def test_compaction_plan_covers_every_file_once_within_bounds(spark):
+    from mammoth_spark.queries_misc import COMPACT_TARGET_ROWS
+
+    plan = QUERIES["compaction_plan"](spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    inventory = (
+        li.groupBy(
+            F.col("l_returnflag").alias("pf"),
+            F.col("l_linestatus").alias("ps"),
+            (F.col("l_orderkey") % 50).alias("file_id"),
+        )
+        .count()
+        .collect()
+    )
+    n_files = {(r["pf"], r["ps"]): 0 for r in inventory}
+    for r in inventory:
+        n_files[(r["pf"], r["ps"])] += 1
+    max_file = max(r["count"] for r in inventory)
+    # every file lands in exactly one bin
+    for (pf, ps), n in n_files.items():
+        got = sum(r["n_files"] for r in plan if (r["pf"], r["ps"]) == (pf, ps))
+        assert got == n, (pf, ps)
+    for r in plan:
+        # greedy sequential bound: a bin stops growing once it crosses
+        # the target, so it never exceeds target + the largest file
+        assert r["total_rows"] <= COMPACT_TARGET_ROWS + max_file
+        # and bins within a partition span disjoint consecutive file-id
+        # ranges (sequential packing preserves order)
+    by_part = {}
+    for r in sorted(plan, key=lambda r: (r["pf"], r["ps"], r["bin"])):
+        prev = by_part.get((r["pf"], r["ps"]))
+        if prev is not None:
+            assert r["first_file"] > prev, "bins must not interleave"
+        by_part[(r["pf"], r["ps"])] = r["last_file"]
