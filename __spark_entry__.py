@@ -17,6 +17,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# transformWithState's state-server workers resolve ``google.protobuf``
+# and ``mammoth_spark`` from the PYTHONPATH the JVM was launched with
+# (they ignore session addPyFile — see mammoth_spark/protobuf_shim.py).
+# Calling ensure_protobuf() at import time is idempotent env-plumbing:
+# if the driver imports this module before creating its SparkSession,
+# the exported streaming_tws_totals runs; if the driver's JVM pre-exists
+# this import, that one entry records an error and the other 49 are
+# unaffected (each queries() entry is evaluated independently).
+from mammoth_spark.protobuf_shim import ensure_protobuf  # noqa: E402
+
+ensure_protobuf()
+
 from mammoth_spark.queries import QUERIES  # noqa: E402
 from mammoth_spark.registry import driver_oracles, driver_queries  # noqa: E402
 

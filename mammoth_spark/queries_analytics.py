@@ -1186,11 +1186,13 @@ def streaming_enrich_static_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_tws_totals",
-    # local-only: the TWS worker protocol needs the protobuf shim on
-    # PYTHONPATH BEFORE the session JVM launches (tests/conftest.py does
-    # this); the driver harness builds its session first, so this entry
-    # stays out of the driver contract and is parity-checked locally.
-    driver=False,
+    # Exported in round 4 (registry.DRIVER_EXPORT): the TWS worker
+    # protocol needs the protobuf shim on PYTHONPATH BEFORE the session
+    # JVM launches; __spark_entry__ now calls ensure_protobuf() at
+    # import time, so this records a driver row if the harness imports
+    # the module pre-session — else the error is the documented
+    # negative result (VERDICT r03 next-round #3).
+    driver=True,
     oracle="""
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(count(*) AS BIGINT) AS n_events,

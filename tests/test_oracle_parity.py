@@ -98,26 +98,35 @@ def test_oracle_returns_no_hugeint(name):
 
 def test_driver_contract_size():
     """The round-1 driver recorded only the first 50 queries() entries;
-    keep the exported contract at exactly <=50 with the embedding/ANN
-    queries early, and keep local-only queries oracle-checked here."""
+    keep the exported contract at exactly <=50. Round 4 rotates in 50
+    never-driver-verified queries (registry.DRIVER_EXPORT is the single
+    source of truth); every name the r03 judge asked to promote must be
+    in the contract, and nothing already driver-verified in r01-r03 may
+    occupy a slot."""
+    import json
+
     exported = list(entry_mod.queries().keys())
     assert len(exported) <= 50, f"{len(exported)} driver queries exceed the observed cap"
-    for name in ["dedup_incremental_minhash", "streaming_dedup_ingest",
-                 "merge_on_read_equiv", "wal_batch_pipeline",
-                 "ann_topk_bucketed", "dedup_embedding_cosine",
-                 # round-3 additions must also be recorded by the driver
-                 "bm25_topk", "semdedup_prune", "dup_span_stats",
-                 "perplexity_buckets", "classifier_score", "corpus_shuffle",
-                 "rag_retrieval_e2e", "schema_evolution_apply",
-                 # round-3 mid-round widening (rotated in; ann_topk,
-                 # pipeline_e2e, dedup_clusters et al. rotated to
-                 # local-only with their evidence subsumed — see registry)
-                 "gapfill_interpolate", "event_pattern_detect",
-                 "k_anonymize", "pagerank_topk", "quantile_sketch_merge",
-                 "dedup_survivorship", "fuzzy_match_blocked",
-                 "bpe_merge_step", "pit_feature_join",
-                 "incremental_hll_maintenance"]:
+    for name in [
+        # VERDICT r03 "Next round" #1 — judge-named promotions
+        "lsh_recall_report", "triangle_count", "compaction_plan",
+        "topk_sketch_merge", "unpivot_roundtrip", "rank_functions_report",
+        "calendar_rollup", "xml_roundtrip", "pq_codes", "kmeans_step",
+        "domain_cap", "pack_sequences", "dedup_exact_normalized",
+        "key_skew_report",
+        # VERDICT r03 "Next round" #3 — the TWS driver attempt
+        "streaming_tws_totals",
+    ]:
         assert name in exported, f"{name} must be in the driver contract"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified = set()
+    for rnd in ("r01", "r02", "r03"):
+        path = os.path.join(repo, f"CORRECTNESS_{rnd}.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                verified |= set(json.load(fh))
+    dupes = sorted(set(exported) & verified)
+    assert not dupes, f"already driver-verified queries occupy r04 slots: {dupes}"
     for name in LOCAL_ONLY:
         assert name in QUERIES and name not in exported
 
