@@ -101,7 +101,7 @@ def cmd_run(args: argparse.Namespace) -> int:
 
 
 def cmd_streamtofile(args: argparse.Namespace) -> int:
-    import tempfile
+    from .scratch import scratch_dir
 
     from .config import load_config
     from .streaming.pipeline import plain_change_log_schema
@@ -113,7 +113,7 @@ def cmd_streamtofile(args: argparse.Namespace) -> int:
     stream = spark.readStream.schema(plain_change_log_schema(value_cols)).json(
         cfg.source.change_log_dir
     )
-    q = stream_to_jsonlines(stream, args.out, tempfile.mkdtemp(prefix="stf_ckpt_"))
+    q = stream_to_jsonlines(stream, args.out, scratch_dir(prefix="stf_ckpt_"))
     q.awaitTermination()
     print(f"captured change log to {args.out}")
     return 0

@@ -44,6 +44,15 @@ def asof_join(
     """For each left row, attach the payload of the latest right row with
     the same ``by`` key and ``right_on`` <= ``left_on`` (inclusive as-of).
     Left rows with no prior right row keep NULL payload (left join).
+
+    Tie-break contract: among right rows with EQUAL (by, right_on), the
+    greatest payload struct (lexicographic by ``payload_cols`` order)
+    wins — a Spark-side determinism guarantee that DuckDB's ASOF JOIN
+    does not specify for right-side ties. Oracle-paired callers must
+    therefore guarantee unique (by, right_on) on the right side (every
+    current registry pairing does: seq / event_id is unique per key);
+    with duplicate right timestamps the brute-force-equivalence test
+    still passes while the DuckDB comparison may not (ADVICE r03).
     """
     left_cols = [c for c in left.columns]
     l_type = _struct_type(left, left_cols)

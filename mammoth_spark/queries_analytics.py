@@ -472,7 +472,7 @@ def streaming_tx_assemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
+    from .scratch import scratch_dir
     import uuid
 
     from pyspark.sql import Window
@@ -519,11 +519,11 @@ def streaming_tx_assemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part file (single partition), so within-group file splits — which
     # could reorder a DML before its BEGIN — cannot occur; order across the
     # two files is fixed by mtime.
-    src = tempfile.mkdtemp(prefix="tx_msgs_")
+    src = scratch_dir(prefix="tx_msgs_")
     messages.persist()  # both half-writes consume the same window chain
     try:
         for i, first in enumerate([True, False]):
-            part_dir = tempfile.mkdtemp(prefix=f"tx_half{i}_")
+            part_dir = scratch_dir(prefix=f"tx_half{i}_")
             messages.filter(F.col("_first_half") == first).drop("_first_half").coalesce(
                 1
             ).write.mode("overwrite").json(part_dir)
@@ -548,7 +548,7 @@ def streaming_tx_assemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             assembled.writeStream.format("memory")
             .queryName(sink)
             .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="tx_ckpt_"))
+            .option("checkpointLocation", scratch_dir(prefix="tx_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -1214,7 +1214,7 @@ def streaming_tws_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only the keys it contains, and state lives in the
     executor-local RocksDB store (TWS keeps each state variable in its
     own column family, which the default HDFS provider rejects)."""
-    import tempfile
+    from .scratch import scratch_dir
     import uuid
 
     import pytest
@@ -1249,7 +1249,7 @@ def streaming_tws_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id", F.floor(F.col("value") * 1000).cast("bigint").alias("vm")
             )
         )
-        src = tempfile.mkdtemp(prefix="tws_src_")
+        src = scratch_dir(prefix="tws_src_")
         ev.repartition(3).write.mode("overwrite").parquet(src)
         stream = (
             spark.readStream.schema("user_id bigint, vm bigint")
@@ -1311,7 +1311,7 @@ def streaming_tws_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     traffic ∝ novelty, not batch size). Complements
     streaming_tws_totals' ValueState with the second state primitive;
     final per-key emission equals the batch count(DISTINCT) oracle."""
-    import tempfile
+    from .scratch import scratch_dir
     import uuid
 
     import pytest
@@ -1345,7 +1345,7 @@ def streaming_tws_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("user_id") < 500)
             .select("user_id", F.col("event_type").alias("v"))
         )
-        src = tempfile.mkdtemp(prefix="tws_dsrc_")
+        src = scratch_dir(prefix="tws_dsrc_")
         ev.repartition(3).write.mode("overwrite").parquet(src)
         stream = (
             spark.readStream.schema("user_id bigint, v string")
@@ -1408,11 +1408,11 @@ def streaming_dedup_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     separately in tests/test_streaming.py; result equals SELECT DISTINCT
     (the oracle) because duplicates are exact copies."""
     import shutil
-    import tempfile
+    from .scratch import scratch_dir
     import uuid
 
     ev_schema = read_table(spark, sf_dir, "events").schema
-    src = tempfile.mkdtemp(prefix="dupsrc_")
+    src = scratch_dir(prefix="dupsrc_")
     for i in range(2):
         shutil.copy(f"{sf_dir}/events.parquet", f"{src}/copy_{i}.parquet")
 
@@ -1662,12 +1662,14 @@ def streaming_tws_timers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same equivalence session_window_native pins for the built-in
     operator)."""
     import glob
+    import os
     import shutil
-    import tempfile
+    import time
     import uuid
 
     import pytest
 
+    from .scratch import scratch_dir
     from .streaming.tws import (
         SESSION_OUTPUT_SCHEMA,
         SessionTimeoutProcessor,
@@ -1696,13 +1698,22 @@ def streaming_tws_timers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut1 = lo + (hi - lo) // 2
     gap_ms = _TWS_SESSION_GAP_NS // 1_000_000
 
-    src = tempfile.mkdtemp(prefix="tws_timer_src_")
+    src = scratch_dir(prefix="tws_timer_src_")
+
+    _t0 = time.time()
 
     def _stage(df, i: int) -> None:
-        tmp = tempfile.mkdtemp(prefix="tws_timer_chunk_")
+        tmp = scratch_dir(prefix="tws_timer_chunk_")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        shutil.copy(part, f"{src}/batch_{i:03d}.parquet")
+        dst = f"{src}/batch_{i:03d}.parquet"
+        shutil.copy(part, dst)
+        # FileStreamSource orders files by MODIFICATION TIME, not name:
+        # copies landing within one mtime granule could replay out of
+        # staging order and violate SessionTimeoutProcessor's
+        # non-decreasing cross-batch arrival assumption. Pin strictly
+        # increasing mtimes so replay order is the staging order.
+        os.utime(dst, (_t0 + i, _t0 + i))
 
     # 2 chronological chunks (one real cross-batch boundary) + 2 sentinel
     # batches: micro-batch COUNT is the cost driver (each batch spawns the

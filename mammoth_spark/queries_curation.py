@@ -461,6 +461,7 @@ def k_anonymize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUZZY_LEV_T = 16  # max edit distance for a candidate match
 FUZZY_LEN_BAND = 32  # length-band width for the blocking key
+FUZZY_MAX_BLOCK = 64  # per-block pair-enumeration cap (star above it)
 
 
 @register(
@@ -484,36 +485,41 @@ def fuzzy_match_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     length alone bounds edit distance (len diff > t => dist > t), and
     the naive all-pairs product never exists in the plan.
 
-    Scale shape: one shuffle of each side on the composite block key;
-    Levenshtein runs JVM-side WITH the threshold argument, so the DP
-    matrix short-circuits at t (banded O(t*n) instead of O(n*m)) —
-    distance above threshold costs t rows of work, not the full matrix.
-    At web scale a hot block (stopword first token) needs the same
-    bounded-pair cap dedup_minhash_lsh applies per LSH bucket
-    (functions/dedup.py:_bounded_bucket_pairs); at fixture scale blocks
-    are <=5 docs and the exact join IS the oracle's shape."""
+    Candidates route through the same bounded-pair helper every LSH
+    bucket uses (functions/dedup.py:_bounded_bucket_pairs): a block of
+    n <= FUZZY_MAX_BLOCK docs enumerates its exact n(n-1)/2 pairs, while
+    a hot block (a stopword first token at web scale — 10^6 docs would
+    otherwise mean 10^12 pairs) emits the linear star to its canonical
+    doc instead. Fixture blocks are far under the cap at every SF
+    (max 25 at sf0.1), so the exact-pair oracle holds unchanged;
+    tests/test_plans.py::test_fuzzy_hot_block_pairs_stay_linear pins the
+    1000-copy-block bound.
+
+    Scale shape: one shuffle of each side on the composite block key for
+    candidate generation (the helper's size/canonical window reuses that
+    same hash partitioning), then one id-keyed join to re-attach texts —
+    pair volume, not block-size^2, crosses that exchange. Levenshtein
+    runs JVM-side WITH the threshold argument, so the DP matrix
+    short-circuits at t (banded O(t*n) instead of O(n*m))."""
+    from .functions.dedup import _bounded_bucket_pairs
+
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
         F.split(F.col("text"), " ")[0].alias("tok1"),
         F.expr(f"CAST(length(text) DIV {FUZZY_LEN_BAND} AS BIGINT)").alias("lb"),
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.tok1") == F.col("b.tok1"))
-        & (F.col("a.lb") == F.col("b.lb"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    cand = _bounded_bucket_pairs(
+        d.select("doc_id", "tok1", "lb"), ["tok1", "lb"], "doc_id", FUZZY_MAX_BLOCK
     )
+    ta = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_text_a"))
+    tb = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_text_b"))
     # threshold-bounded levenshtein: returns -1 when the distance
     # exceeds FUZZY_LEV_T, after O(threshold)-banded work
-    dist = F.levenshtein(F.col("a.text"), F.col("b.text"), FUZZY_LEV_T)
+    dist = F.levenshtein(F.col("_text_a"), F.col("_text_b"), FUZZY_LEV_T)
     return (
-        pairs.select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            dist.cast("bigint").alias("edit_dist"),
-        )
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", dist.cast("bigint").alias("edit_dist"))
         .filter(F.col("edit_dist") >= 0)
     )

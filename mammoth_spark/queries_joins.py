@@ -15,7 +15,7 @@ is not order-stable), so Spark and DuckDB agree bit-for-bit.
 
 from __future__ import annotations
 
-import tempfile
+from .scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -165,7 +165,7 @@ def bucketed_colocated_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.format("parquet")
             .bucketBy(8, key)
             .sortBy(key)
-            .option("path", tempfile.mkdtemp(prefix=f"{name}_"))
+            .option("path", scratch_dir(prefix=f"{name}_"))
             .mode("overwrite")
             .saveAsTable(name)
         )
@@ -196,9 +196,9 @@ def partition_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     PartitionFilters prune 3 of 5 directories before any IO (asserted in
     tests/test_plans.py). Layout cost is paid once; every later query with
     a type predicate reads only its slice."""
-    import tempfile
+    from .scratch import scratch_dir
 
-    out = tempfile.mkdtemp(prefix="events_by_type_")
+    out = scratch_dir(prefix="events_by_type_")
     ev = read_table(spark, sf_dir, "events").select("event_type", "value")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out).filter(F.col("event_type").isin("purchase", "signup"))

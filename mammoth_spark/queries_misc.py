@@ -345,7 +345,7 @@ def csv_chunk_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     target/common/csvsplit/csvsplit.go:33-36), read back with
     multiLine=True, restored, and aggregated — matching the oracle run on
     the original table proves the quote/newline round-trip is lossless."""
-    import tempfile
+    from .scratch import scratch_dir
 
     from pyspark.sql import types as T
 
@@ -357,7 +357,7 @@ def csv_chunk_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
     )
-    out = tempfile.mkdtemp(prefix="csv_chunks_")
+    out = scratch_dir(prefix="csv_chunks_")
     # per-writer option, NOT the session conf — a session-level
     # maxRecordsPerFile would leak into every later writer in the session
     docs.write.mode("overwrite").option("maxRecordsPerFile", "500").option(
@@ -511,7 +511,7 @@ def streaming_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a fresh checkpoint (ChangeLogPipeline), applied to a versioned
     ParquetMergeTarget, and the published table state is returned — it
     must equal the oracle's one-shot net effect."""
-    import tempfile
+    from .scratch import scratch_dir
 
     from pyspark.sql import Window
     from pyspark.sql import types as T
@@ -546,11 +546,11 @@ def streaming_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit("value_c")).alias("rel_cols"),
         "value_c",
     )
-    src = tempfile.mkdtemp(prefix="cdc_stream_src_")
+    src = scratch_dir(prefix="cdc_stream_src_")
     stream_rows.coalesce(4).write.mode("overwrite").json(src)
 
     target = ParquetMergeTarget(
-        spark, tempfile.mkdtemp(prefix="cdc_stream_tgt_"), ["key"], ["value_c"]
+        spark, scratch_dir(prefix="cdc_stream_tgt_"), ["key"], ["value_c"]
     )
     empty = spark.createDataFrame(
         [],
@@ -562,7 +562,7 @@ def streaming_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline = ChangeLogPipeline(
         spark,
         src,
-        tempfile.mkdtemp(prefix="cdc_stream_ckpt_"),
+        scratch_dir(prefix="cdc_stream_ckpt_"),
         {"users": target},
         ["value_c"],
     )
@@ -643,12 +643,12 @@ def atomic_swap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALTER TABLE .. SWAP WITH, target/snowflake/snowflake_target.go:140-215).
     The query reads BOTH the superseded v1 directory (still intact — readers
     never see partial state) and the published v2 through the pointer."""
-    import tempfile
+    from .scratch import scratch_dir
 
     from .sources.target import ParquetMergeTarget
 
     cust = read_table(spark, sf_dir, "customer")
-    root = tempfile.mkdtemp(prefix="swap_tgt_")
+    root = scratch_dir(prefix="swap_tgt_")
     target = ParquetMergeTarget(spark, root, ["c_custkey"], ["c_name", "c_acctbal"])
     target.initialize(
         cust.filter(F.col("c_custkey") <= 100).select("c_custkey", "c_name", "c_acctbal")
@@ -694,13 +694,13 @@ def jsonl_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     jsonLinesSink, sync/stream/stream.go:383-433) are written with the
     engine's sink, re-read with schema inference, and aggregated; matching
     the oracle run directly on events proves the serialization lossless."""
-    import tempfile
+    from .scratch import scratch_dir
 
     log = events_as_change_log(read_table(spark, sf_dir, "events"))
     tx = log.groupBy("lsn").agg(
         F.sort_array(F.collect_list(F.struct("seq", "kind", "key"))).alias("actions")
     )
-    out = tempfile.mkdtemp(prefix="jsonl_sink_")
+    out = scratch_dir(prefix="jsonl_sink_")
     tx.write.mode("overwrite").json(out)
     back = spark.read.json(out)
     per_tx = back.select(
@@ -740,9 +740,9 @@ def orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §2 Table B) and read back; aggregates over the roundtrip must
     equal the oracle on the original parquet. Same per-source rollup as
     csv_chunk_roundtrip, so format fidelity is isolated."""
-    import tempfile
+    from .scratch import scratch_dir
 
-    out = tempfile.mkdtemp(prefix="orc_docs_")
+    out = scratch_dir(prefix="orc_docs_")
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars")
     docs.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
@@ -909,7 +909,7 @@ def merge_on_read_equiv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-log net effect (the oracle), which is also what the COW target
     produces from the same batches (tests/test_merge.py pins the
     COW==MOR equivalence)."""
-    import tempfile
+    from .scratch import scratch_dir
 
     from .sources.target import ParquetMorTarget, compact_for_mor
 
@@ -926,7 +926,7 @@ def merge_on_read_equiv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut2 = bounds["lo"] + 2 * (bounds["hi"] - bounds["lo"]) // 3
 
     target = ParquetMorTarget(
-        spark, tempfile.mkdtemp(prefix="mor_tgt_"), ["key"], ["value_milli"]
+        spark, scratch_dir(prefix="mor_tgt_"), ["key"], ["value_milli"]
     )
     from .operators.compact import compact_last_wins
 
@@ -973,7 +973,7 @@ def json_corrupt_quarantine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts from the events table itself, so the triage math is checked
     engine-independently."""
     import os
-    import tempfile
+    from .scratch import scratch_dir
 
     ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
     valid = ev.select(
@@ -990,7 +990,7 @@ def json_corrupt_quarantine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('{"event_id": '), F.col("event_id").cast("string"), F.lit(", BROKEN")
         ).alias("line")
     )
-    src = os.path.join(tempfile.mkdtemp(prefix="quarantine_"), "lines")
+    src = os.path.join(scratch_dir(prefix="quarantine_"), "lines")
     valid.unionByName(broken).coalesce(4).write.mode("overwrite").text(src)
 
     schema = "event_id bigint, user_id bigint, _corrupt string"
@@ -1048,12 +1048,12 @@ def media_binary_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale); the cap bounds the fixture's file count, not the operator.
     """
     import os
-    import tempfile
+    from .scratch import scratch_dir
 
     docs = read_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _INGEST_CAP
     )
-    stage = tempfile.mkdtemp(prefix="media_ingest_")
+    stage = scratch_dir(prefix="media_ingest_")
 
     def put_files(rows):
         for r in rows:
@@ -1222,9 +1222,9 @@ def xml_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orc_roundtrip/csv_chunk_roundtrip so format fidelity is isolated
     from query semantics. Each task writes/reads its own partition files
     — content never passes through the driver."""
-    import tempfile
+    from .scratch import scratch_dir
 
-    out = tempfile.mkdtemp(prefix="xml_docs_")
+    out = scratch_dir(prefix="xml_docs_")
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source", "n_chars"
     )

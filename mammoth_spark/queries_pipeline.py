@@ -292,7 +292,7 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage cut so step 2's plan doesn't replay step 1. The oracle is the
     single-shot whole-corpus dedup: keeping every seen doc in the store
     makes incremental == batch exactly."""
-    import tempfile
+    from .scratch import scratch_dir
 
     from .functions.dedup import dedup_incremental, read_sig_store, write_sig_store
 
@@ -301,7 +301,7 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     second = docs.filter(F.col("doc_id") >= 200)
 
     s1, delta1 = dedup_incremental(None, first, jaccard_threshold=MINHASH_JACCARD_T)
-    store_dir = tempfile.mkdtemp(prefix="sig_store_")
+    store_dir = scratch_dir(prefix="sig_store_")
     write_sig_store(delta1, store_dir + "/delta_000000")
     store = read_sig_store(spark, [store_dir + "/delta_000000"])
     s2, _ = dedup_incremental(store, second, jaccard_threshold=MINHASH_JACCARD_T)
@@ -594,12 +594,12 @@ def ann_topk_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py). Results are identical to the logical
     bucket-restricted formulation (ann_topk_bucketed), which remains
     available for corpora not worth indexing."""
-    import tempfile
+    from .scratch import scratch_dir
 
     from .functions.similarity import ann_topk_ivf, build_ivf_index, with_norm_and_bucket
 
     emb = read_table(spark, sf_dir, "embeddings")
-    index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    index_dir = scratch_dir(prefix="ivf_index_")
     build_ivf_index(emb, index_dir)
     q = (
         with_norm_and_bucket(emb)
@@ -1452,12 +1452,12 @@ def streaming_dedup_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_incremental_minhash`, now proven through the streaming path."""
     import glob
     import os
-    import tempfile
+    from .scratch import scratch_dir
 
     from .functions.dedup import dedup_incremental, read_sig_store, write_sig_store
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    base = scratch_dir(prefix="stream_dedup_")
     src = os.path.join(base, "src")
     for i, (lo, hi) in enumerate([(0, 150), (150, 300), (300, 1 << 60)]):
         part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))

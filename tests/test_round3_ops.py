@@ -22,7 +22,10 @@ def test_gapfill_grid_is_dense_and_conserves_events(spark):
     from mammoth_spark.model import ts_ns_col
 
     hourly = (
-        ev.select("user_id", (ts_ns_col(ev) / F.lit(3_600_000_000_000)).cast("bigint").alias("h"))
+        # integer DIV, matching the query's bucketing: epoch-ns exceeds
+        # 2^53, so double division can round across an hour boundary
+        ev.select("user_id", ts_ns_col(ev).alias("tns"))
+        .select("user_id", F.expr("tns DIV 3600000000000").alias("h"))
         .groupBy("user_id", "h")
         .count()
     )
