@@ -79,10 +79,31 @@ def dup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash partitioning (asserted in tests/test_plans.py — one exchange
     on gram, not two). Coverage union explodes only the DUPLICATED
     positions (a small fraction of the corpus) by a constant factor n.
-    At 100 TB the gram key would be xxhash64(gram) to shrink shuffle
-    width — kept as the raw string here so the DuckDB oracle groups on
-    an identical key (64-bit hashing would be engine-specific);
-    fingerprinting is the same one-line change as dedup.py's shingles."""
+    This entry keeps the RAW STRING gram key so the DuckDB oracle
+    groups on an identical key; ``dup_span_stats_fp`` below is the
+    100 TB entry — same pipeline with the gram fingerprinted to
+    xxhash64 before the shuffle."""
+    return _dup_span_stats(spark, sf_dir, fingerprint=False)
+
+
+@register("dup_span_stats_fp", oracle=_dup_span_oracle())
+def dup_span_stats_fp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dup_span_stats with the gram key FINGERPRINTED to xxhash64 before
+    anything shuffles — the scale entry (VERDICT r03 next-round #6): the
+    exchange carries 8-byte keys instead of ~n-word strings, shrinking
+    shuffle width by roughly the mean gram length. The per-doc outputs
+    are identical to the raw-string twin (the hash only renames the
+    group/join key), so the SAME DuckDB oracle checks this query; the
+    one semantic caveat is 64-bit collision probability (~m^2/2^65 for m
+    distinct grams — at 10^12 grams a handful of false dup-grams, which
+    this signal's downstream thresholding tolerates; exact substring
+    dedup would use the raw-key twin per shard).
+    tests/test_plans.py::test_dup_span_fp_shuffles_hashed_key asserts
+    the exchange key is the 8-byte hash, not the string."""
+    return _dup_span_stats(spark, sf_dir, fingerprint=True)
+
+
+def _dup_span_stats(spark: SparkSession, sf_dir: str, fingerprint: bool) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     g = (
@@ -103,6 +124,10 @@ def dup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "s.pos", "s.gram")
     )
+    if fingerprint:
+        # narrow, pre-shuffle: every downstream exchange/group/join on
+        # "gram" now moves 8 bytes per key instead of the string
+        g = g.select("doc_id", "pos", F.xxhash64("gram").alias("gram"))
     gd = (
         g.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -655,13 +655,7 @@ def pagerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------- triangle counting -----------------------
 
 
-@register(
-    "triangle_count",
-    # local-only: the graph family holds its driver slot via pagerank_topk
-    # (same heavy edge derivation, iterative shuffles); triangles stay
-    # parity- and plan-checked here
-    driver=False,
-    oracle="""
+_TRIANGLE_ORACLE = """
 WITH tr AS (
   SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
          greatest(c.c_nationkey, s.s_nationkey) AS v
@@ -681,8 +675,10 @@ tri AS (
 SELECT CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_edges,
        CAST((SELECT count(DISTINCT u) FROM (SELECT u FROM tr UNION ALL SELECT v FROM tr)) AS BIGINT) AS n_nodes,
        CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles
-""",
-)
+"""
+
+
+@register("triangle_count", oracle=_TRIANGLE_ORACLE)
 def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed TRIANGLE COUNTING over the nation trade graph — the
     graph-analytics primitive behind clustering coefficients and
@@ -697,16 +693,56 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     every triangle is counted exactly once because u < v < w holds on
     exactly one of its orientations. Two keyed shuffles of the EDGE list
     (already |V|^2-bounded after the heavy derivation, which reuses
-    pagerank_topk's broadcast-dim fact collapse); the production
-    refinement at skewed degree distributions is ordering by DEGREE
-    instead of id, which bounds wedge fan-out by the smaller endpoint's
-    degree — same plan, different orientation key."""
+    pagerank_topk's broadcast-dim fact collapse); the skew refinement —
+    orienting by (degree, id) so wedge fan-out is bounded by the SMALLER
+    endpoint's degree, O(sqrt m) after orientation — is the
+    ``triangle_count_degree`` twin below."""
+    edges = _trade_edges(spark, sf_dir)
+    wedge = edges.alias("a").join(
+        edges.alias("b"), F.col("a.v") == F.col("b.u")
+    ).select(F.col("a.u").alias("wu"), F.col("a.v").alias("wv"), F.col("b.v").alias("ww"))
+    tri = wedge.join(
+        edges.alias("c"),
+        (F.col("c.u") == F.col("wu")) & (F.col("c.v") == F.col("ww")),
+    )
+    return _triangle_report(edges, tri)
+
+
+@register("triangle_count_degree", oracle=_TRIANGLE_ORACLE)
+def triangle_count_degree_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """triangle_count with DEGREE-ORDERED orientation (VERDICT r03
+    next-round #7) — the refinement that survives power-law graphs.
+
+    Id-orientation breaks on a skewed star: a low-id hub with degree d
+    keeps all d edges outgoing and fans out C(d,2) wedges (a 10^6-degree
+    celebrity node = 5*10^11 wedges from ONE vertex). Orienting every
+    edge from the (degree, id)-smaller endpoint instead caps every
+    vertex's out-degree at O(sqrt m) (a classic arboricity bound: a
+    vertex beats its neighbor in the order only while its own degree is
+    no larger), so per-vertex wedge fan-out is O(m) total — the hub's
+    spokes all point INTO it and the hub emits zero wedges
+    (tests/test_round4_ops.py pins exactly this on a 1000-spoke star,
+    plus count-equivalence with the id orientation).
+
+    Same two keyed shuffles as the id variant plus one |V|-row degree
+    aggregate joined back onto the |E|-row edge list; the total order
+    (degree, id) is a struct comparison, so ties at equal degree stay
+    deterministic."""
+    tri, o = _degree_oriented_triangles(_trade_edges(spark, sf_dir))
+    return _triangle_report(o, tri)
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v, distinct) nation trade edges, materialized once:
+    the edge list is referenced four times (two wedge sides, closure
+    probe, counts) and without a checkpoint the fact-scale derivation
+    would re-execute per reference."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
 
-    edges = (
+    return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
         .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
@@ -716,18 +752,52 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("v"),
         )
         .distinct()
-        # materialize ONCE: the edge list is referenced four times (two
-        # wedge sides, closure probe, counts) and without a checkpoint
-        # the fact-scale derivation would re-execute per reference
         .localCheckpoint()
     )
-    wedge = edges.alias("a").join(
-        edges.alias("b"), F.col("a.v") == F.col("b.u")
-    ).select(F.col("a.u").alias("wu"), F.col("a.v").alias("wv"), F.col("b.v").alias("ww"))
-    tri = wedge.join(
-        edges.alias("c"),
-        (F.col("c.u") == F.col("wu")) & (F.col("c.v") == F.col("ww")),
+
+
+def _degree_oriented_triangles(edges: DataFrame):
+    """(triangles, oriented-edges) under (degree, id) orientation.
+
+    ``edges`` must be the canonical undirected list (u < v, distinct).
+    Returns the closed-wedge DataFrame (one row per triangle) and the
+    oriented edge list (one row per input edge, so edge/node counts read
+    off it unchanged)."""
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
+    annotated = (
+        edges.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    o = annotated.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        # the dst endpoint's order key, kept so wedge pairs (v, w) can be
+        # emitted once with v before w IN THE ORIENTATION ORDER — the
+        # closing edge between them, if present, is then exactly src=v,
+        # dst=w (orientation always points order-upward)
+        F.when(ku < kv, kv).otherwise(ku).alias("dst_key"),
+    ).localCheckpoint()
+    wedge = (
+        o.alias("a")
+        .join(o.alias("b"), F.col("a.src") == F.col("b.src"))
+        .filter(F.col("a.dst_key") < F.col("b.dst_key"))
+        .select(F.col("a.dst").alias("wv"), F.col("b.dst").alias("ww"))
+    )
+    tri = wedge.join(
+        o.alias("c"),
+        (F.col("c.src") == F.col("wv")) & (F.col("c.dst") == F.col("ww")),
+    )
+    return tri, o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+
+
+def _triangle_report(edges: DataFrame, tri: DataFrame) -> DataFrame:
     nodes = edges.select("u").unionAll(edges.select(F.col("v").alias("u")))
     n_e = edges.agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
     n_n = nodes.distinct().agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))

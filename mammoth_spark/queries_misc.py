@@ -1286,7 +1286,11 @@ def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-fit-decreasing) packing is deliberate: it preserves file order
     within a partition, so rewritten files keep any clustering the
     ingest order had (the zorder_layout / write_sig_store layouts stay
-    intact through maintenance)."""
+    intact through maintenance). The ACTION half — rewriting each bin's
+    real parquet files into exactly one output file — is
+    operators/maintenance.py:execute_compaction, invariant-tested in
+    tests/test_round4_ops.py (content equivalence, file-count ==
+    bin-count, size bound)."""
     li = read_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("pf"),
         F.col("l_linestatus").alias("ps"),

@@ -1120,6 +1120,43 @@ def kmeans_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------- semantic dedup (SemDeDup) -----------------------
 
 SEMDEDUP_TAU = 0.3
+# K ∝ N (the paper's scaling rule: more clusters as the corpus grows, so
+# per-cluster pair cost c^2 stays bounded). The paper uses K ≈ N/5000 on
+# 100M+ point corpora; the fixture divisor is scaled so proportionality
+# is actually EXERCISED at fixture sizes — K = 8 at sf0.001/sf0.01
+# (500 vectors) and K = 16 at sf0.1 (2000 vectors), both sides computing
+# K from the data so the oracle stays in lockstep at any SF.
+SEMDEDUP_K_MIN = 8
+SEMDEDUP_K_DIV = 125
+
+
+def _semdedup_ctes() -> str:
+    """k-means assignment CTEs with the SemDeDup K ∝ N rule: K is a
+    scalar subquery over the corpus itself, not a literal."""
+    dot = _DOT.format(a="x.emb", b="c.emb")
+    return f"""
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+kk AS (
+  SELECT GREATEST({SEMDEDUP_K_MIN}, CAST(count(*) // {SEMDEDUP_K_DIV} AS BIGINT)) AS k
+  FROM v
+),
+cent AS (
+  SELECT vec_id AS centroid_id, emb FROM v WHERE vec_id < (SELECT k FROM kk)
+),
+dists AS (
+  SELECT x.vec_id, c.centroid_id,
+         {_DOT.format(a="x.emb", b="x.emb")} - 2 * {dot}
+           + {_DOT.format(a="c.emb", b="c.emb")} AS d2
+  FROM v x CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, centroid_id, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+  FROM dists
+)
+"""
 
 
 def _semdedup_oracle() -> str:
@@ -1129,7 +1166,7 @@ def _semdedup_oracle() -> str:
         f" * sqrt({_DOT.format(a='vb.emb', b='vb.emb')}))"
     )
     return f"""
-WITH {_kmeans_ctes()},
+WITH {_semdedup_ctes()},
 best AS (SELECT vec_id, centroid_id FROM assigned WHERE rn = 1),
 sim AS (
   SELECT b.vec_id AS dup_id
@@ -1159,11 +1196,22 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the clustering IS the blocking — the all-pairs product
     never forms; pairs only materialize inside a cluster after ONE
     shuffle of (vec_id, centroid_id, emb) keyed on centroid_id. Per-
-    cluster pairwise cost is O(c^2): the paper's design scales K with
-    corpus size (K ~ N/5000) so c stays bounded; K=8 here only because
-    the fixture is 500 vectors. The centroid scoring pass is the same
-    broadcast argmin as kmeans_assign (no window, no N x K shuffle)."""
-    v, cent = _vectors_and_seeds(spark, sf_dir)
+    cluster pairwise cost is O(c^2), so K follows the paper's K ∝ N rule
+    (SEMDEDUP_K_MIN/SEMDEDUP_K_DIV above; N/5000 at the paper's corpus
+    sizes) — K = 8 at sf0.001 and K = 16 at sf0.1, with the oracle
+    computing the same K from the same count. The corpus count feeding K
+    is a single bounded scalar (at 100 TB it comes from table stats or
+    one map-reduced scan, never a row transfer). The centroid scoring
+    pass is the same broadcast argmin as kmeans_assign (no window, no
+    N x K shuffle)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    k = max(SEMDEDUP_K_MIN, v.count() // SEMDEDUP_K_DIV)
+    cent = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
     best = _assign_nearest(v, cent).select("vec_id", "centroid_id")
     dot = _dot_cols
     # norms computed ONCE per vector before the pairing (the oracle's

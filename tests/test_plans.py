@@ -652,6 +652,26 @@ def test_dup_span_stats_gram_join_broadcasts_dup_set(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_dup_span_fp_shuffles_hashed_key(spark):
+    # the fingerprinted twin must shuffle the 8-byte xxhash64 key, not
+    # the raw gram string: the hash appears inside the projection that
+    # feeds the gram exchange, and the gram column crossing it is bigint
+    df = ALL_QUERIES["dup_span_stats_fp"](spark, SF)
+    plan = _executed_plan(df)
+    assert "xxhash64" in plan
+    assert "hashpartitioning(gram#" in plan
+    # same discipline as the raw twin: dup-gram set broadcasts back
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "EvalPython" not in plan
+    # and the key really is the hash: the string gram never reaches an
+    # exchange (its only appearance is inside the pre-shuffle project)
+    gram_types = set()
+    for frag in plan.split("hashpartitioning(gram#")[1:]:
+        # plan prints hashpartitioning(gram#<id>[L], ...) — L = bigint
+        gram_types.add(frag[: frag.index(",")].rstrip(")"))
+    assert all("L" in t for t in gram_types), gram_types
+
+
 def test_perplexity_buckets_scalar_thresholds_broadcast(spark):
     # pass 1 reduces scores to TWO scalars; pass 2 labels against the
     # broadcast — no window, no global sort of the corpus.

@@ -1,0 +1,132 @@
+"""Round-4 operator invariants: degree-ordered triangle orientation,
+SemDeDup's K ∝ N rule, and the compaction-plan executor."""
+
+from pyspark.sql import functions as F
+
+from mammoth_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _star_with_triangles(spark):
+    # skewed star: hub 0 with 1000 spokes, plus a 3-clique among spokes
+    # {1,2,3}. Triangles: (0,1,2), (0,2,3), (0,1,3) via the hub and
+    # (1,2,3) itself = 4.
+    spokes = spark.range(1, 1001).select(F.lit(0).alias("u"), F.col("id").alias("v"))
+    clique = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "u bigint, v bigint")
+    return spokes.unionByName(clique)
+
+
+def test_degree_orientation_counts_match_and_bound_wedges(spark):
+    # VERDICT r03 next-round #7: the documented skew refinement must be
+    # implemented and count-equivalent with the id orientation — and on
+    # a 1000-spoke star the wedge volume must collapse. Id orientation
+    # gives the hub (id 0, degree 1003) out-degree 1003 => C(1003,2)
+    # ~ 5*10^5 wedges; degree orientation points every spoke INTO the
+    # hub, so the hub emits zero wedges and the whole graph emits 4.
+    from mammoth_spark.queries_joins import _degree_oriented_triangles
+
+    edges = _star_with_triangles(spark)
+    tri, o = _degree_oriented_triangles(edges)
+    assert tri.count() == 4
+
+    # id-oriented reference count (the registered triangle_count shape)
+    wedge = (
+        edges.alias("a")
+        .join(edges.alias("b"), F.col("a.v") == F.col("b.u"))
+        .select(F.col("a.u").alias("wu"), F.col("b.v").alias("ww"))
+    )
+    tri_id = wedge.join(
+        edges.alias("c"),
+        (F.col("c.u") == F.col("wu")) & (F.col("c.v") == F.col("ww")),
+    )
+    assert tri_id.count() == 4
+
+    # edge/node conservation through reorientation
+    assert o.count() == edges.count()
+
+    # the skew bound itself: wedge volume = sum C(outdeg, 2) over the
+    # DEGREE-oriented list is 4 (spoke 1 emits 3, spoke 2 emits 1); the
+    # hub emits none because its out-degree is zero
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ann = (
+        edges.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    oriented = ann.select(F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"))
+    outdeg = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    assert outdeg.filter(F.col("src") == 0).count() == 0  # hub emits nothing
+    wedges = outdeg.agg(
+        F.sum(F.col("od") * (F.col("od") - 1) / 2).cast("bigint").alias("w")
+    ).first()["w"]
+    assert wedges == 4
+
+
+def test_triangle_orientations_agree_on_trade_graph(spark):
+    a = QUERIES["triangle_count"](spark, SF).first()
+    b = QUERIES["triangle_count_degree"](spark, SF).first()
+    assert a["n_triangles"] == b["n_triangles"]
+    assert a["n_edges"] == b["n_edges"] and a["n_nodes"] == b["n_nodes"]
+
+
+def test_compaction_executor_closes_plan_action_loop(spark, tmp_path):
+    # VERDICT r03 next-round #8: execute the compaction plan — read each
+    # bin's files, write ONE file per bin — and verify (a) exact content
+    # equivalence, (b) output file count == bin count, (c) every output
+    # file within the planner's size bound (target + largest input file).
+    from mammoth_spark.operators.maintenance import execute_compaction
+
+    src = str(tmp_path / "small_files")
+    dest = str(tmp_path / "compacted")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    li.repartition(37).write.parquet(src)  # fragmented ingest state
+    n_in = (
+        spark.read.parquet(src)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert n_in == 37
+
+    target = 1000
+    plan = execute_compaction(spark, src, dest, target_rows=target)
+    n_bins = plan.select("bin").distinct().count()
+    max_in = plan.agg(F.max("n_rows")).first()[0]
+
+    out = spark.read.parquet(dest)
+    out_files = out.groupBy(F.input_file_name().alias("f")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # one file per bin, fewer files than the fragmented input
+    assert out_files.count() == n_bins
+    assert n_bins < n_in
+    # size bound: a bin exceeds target only by its last file's overshoot
+    assert out_files.agg(F.max("n")).first()[0] <= target + max_in
+    # exact content equivalence (multiset, both directions)
+    a = spark.read.parquet(src)
+    b = out.drop("bin")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_semdedup_k_scales_with_corpus(spark):
+    # K ∝ N (arXiv:2303.09540): 500 fixture vectors keep the K=8 floor,
+    # the sf0.1 corpus (2000 vectors) must cluster with K=16 — the
+    # assignment output must actually USE centroids >= 8.
+    from mammoth_spark.queries_pipeline import SEMDEDUP_K_DIV, SEMDEDUP_K_MIN
+
+    assert max(SEMDEDUP_K_MIN, 500 // SEMDEDUP_K_DIV) == 8
+    assert max(SEMDEDUP_K_MIN, 2000 // SEMDEDUP_K_DIV) == 16
+    out = QUERIES["semdedup_prune"](spark, "/root/testdata/sf0.1")
+    n_cent = out.select("centroid_id").distinct().count()
+    assert out.agg(F.max("centroid_id")).first()[0] >= 8
+    assert n_cent > 8
