@@ -579,6 +579,56 @@ def ngram_jaccard_pairs(
     block product). |A∪B| = |A|+|B|-|A∩B| from per-doc counts. Shuffle
     keys are (block, shingle) — fine-grained, skew-resistant — versus the
     block-only key of the naive pairwise join."""
+    shared = _shared_shingle_counts(df, text_col, id_col, tuple(block_cols))
+    inter = F.col("n_shared")
+    union = F.col("n_a") + F.col("n_b") - inter
+    return (
+        shared.select(
+            "id_a",
+            "id_b",
+            *block_cols,
+            round6(inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    overlap_threshold: float = 0.5,
+) -> DataFrame:
+    """Overlap-coefficient pairs (|A∩B| / min(|A|, |B|)) within a
+    blocking key — the CONTAINMENT signal Jaccard misses: a short doc
+    fully embedded in a long one (a quote, a syndicated excerpt, a
+    template wrapper) has tiny Jaccard (union is dominated by the long
+    doc) but overlap 1.0. Same shared-shingle plan as
+    ngram_jaccard_pairs — only the closed-form measure over
+    (n_shared, n_a, n_b) differs, so the scale shape is identical:
+    (block, shingle)-keyed shuffle, no block-wide product."""
+    shared = _shared_shingle_counts(df, text_col, id_col, tuple(block_cols))
+    overlap = F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        shared.select(
+            "id_a",
+            "id_b",
+            *block_cols,
+            round6(overlap).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= overlap_threshold)
+    )
+
+
+def _shared_shingle_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: tuple[str, ...],
+) -> DataFrame:
+    """(id_a, id_b, *block, n_a, n_b, n_shared) for every same-block doc
+    pair sharing at least one distinct shingle."""
     docs = with_shingles(df, text_col, id_col, tuple(block_cols)).select(
         F.col(id_col),
         *block_cols,
@@ -609,14 +659,4 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    inter = F.col("n_shared")
-    union = F.col("n_a") + F.col("n_b") - inter
-    return (
-        shared.select(
-            "id_a",
-            "id_b",
-            *block_cols,
-            round6(inter / union).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-    )
+    return shared

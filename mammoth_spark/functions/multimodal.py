@@ -56,13 +56,36 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(content: bytes) -> object:
-    """Image decode stub — the real pipeline plugs PIL/turbojpeg here."""
-    raise NotImplementedError("image codec not available in this environment")
+    """Image decode behind an import-try: uses PIL when the environment
+    provides it, else raises the disclosed NotImplementedError (this
+    container ships no image codecs). The distributed plumbing around it
+    (binaryFile ingest, Arrow batching, mapInPandas signatures) is real
+    and tested with the deterministic double either way."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image codec not available in this environment (install pillow)"
+        ) from exc
+    import io
+
+    return Image.open(io.BytesIO(content))
 
 
 def decode_audio(content: bytes) -> object:
-    """Audio decode stub — the real pipeline plugs libav/soundfile here."""
-    raise NotImplementedError("audio codec not available in this environment")
+    """Audio decode behind an import-try: uses soundfile when available,
+    else raises the disclosed NotImplementedError (no audio codecs in
+    this container). Same real-plumbing / stub-kernel split as
+    decode_image."""
+    try:
+        import soundfile  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "audio codec not available in this environment (install soundfile)"
+        ) from exc
+    import io
+
+    return soundfile.read(io.BytesIO(content))
 
 
 def fake_feature_extractor(content: bytes, dim: int = 8) -> list[float]:

@@ -495,6 +495,42 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_OVERLAP_T = 0.5
+
+
+@register(
+    "ngram_containment_pairs",
+    driver=False,  # round-5 rotation candidate; parity-checked locally
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+docs AS (
+  SELECT d.doc_id, d.lang, d.source, s.shingles
+  FROM documents d JOIN doc_shingles s ON d.doc_id = s.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang, a.source,
+       floor((len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             least(len(list_distinct(a.shingles)), len(list_distinct(b.shingles)))) * 1000000) / 1000000 AS overlap
+FROM docs a JOIN docs b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE floor((len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+            least(len(list_distinct(a.shingles)), len(list_distinct(b.shingles)))) * 1000000) / 1000000 >= {NGRAM_OVERLAP_T}
+""",
+)
+def ngram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient (containment) pairs within (lang, source)
+    blocks — catches a short doc embedded in a long one (syndicated
+    excerpt, template wrapper), which Jaccard structurally misses
+    because the union is dominated by the longer doc. Same
+    (block, shingle)-keyed shared-shingle plan as ngram_jaccard_pairs
+    (functions/dedup.py:_shared_shingle_counts); only the closed-form
+    measure differs."""
+    from .functions.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        read_table(spark, sf_dir, "documents"), overlap_threshold=NGRAM_OVERLAP_T
+    )
+
+
 # ---------------------------- similarity search ----------------------------
 
 _DOT = (
@@ -709,6 +745,43 @@ def train_val_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return split_assign(docs, "doc_id").select("doc_id", "bucket", "split")
+
+
+def _group_split_oracle() -> str:
+    from .functions.sampling import hash_bucket_sql
+
+    b = hash_bucket_sql("source", 1000, salt="gsplit")
+    return f"""
+SELECT doc_id, source, CAST({b} AS BIGINT) AS bucket,
+       CASE WHEN {b} < 900 THEN 'train'
+            WHEN {b} < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("group_split_no_leak", driver=False, oracle=_group_split_oracle())
+def group_split_no_leak_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is the GROUP
+    (source), not the document, so every doc from one source lands in
+    the same split — near-duplicates and templated siblings inside a
+    source can never straddle the train/eval boundary (the leakage mode
+    a doc_id-keyed split like train_val_split permits). Still a pure
+    hash projection: zero shuffles, no group materialization,
+    reproducible across runs/partitionings/engines."""
+    from .functions.sampling import hash_bucket
+
+    docs = read_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("source"), 1000, salt="gsplit").cast("bigint")
+    return docs.select(
+        "doc_id",
+        "source",
+        b.alias("bucket"),
+        F.when(b < 900, F.lit("train"))
+        .when(b < 950, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
 
 
 _SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
@@ -2087,7 +2160,16 @@ def dedup_survivorship_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------- LSH recall audit -----------------------
 
-RECALL_SAMPLE_MOD = 50  # audit sample: doc_id % 50 == 0 (~2%)
+# Audit sample: doc_id % mod == 0, where mod = max(MOD_MIN, N DIV 100) —
+# i.e. a ~2% RATE up to 5000 docs, then an ABSOLUTE cap of ~100 sampled
+# docs. The cap is what keeps the audit linear: with a fixed rate the
+# brute-force truth side is |sample| x |corpus| = O(N^2/50) — the sf1
+# scale stress measured exactly that (x32.7 for x10 data, BENCH_SF1
+# round 4) before the cap; with it the audit is <= ~100 x N. Both sides
+# derive mod from the same corpus count, so the oracle stays in lockstep
+# at any SF (and fixture results at sf<=0.1 are unchanged: mod stays 50).
+RECALL_SAMPLE_MOD_MIN = 50
+RECALL_SAMPLE_TARGET = 100  # absolute sample-size cap
 
 
 def _lsh_recall_oracle() -> str:
@@ -2098,11 +2180,16 @@ def _lsh_recall_oracle() -> str:
     return (
         _minhash_pairs_ctes()
         + f""",
+mm AS (
+  SELECT GREATEST({RECALL_SAMPLE_MOD_MIN},
+                  CAST(count(*) // {RECALL_SAMPLE_TARGET} AS BIGINT)) AS m
+  FROM documents
+),
 truth AS (
   SELECT a.doc_id AS lo, b.doc_id AS hi
   FROM doc_shingles a JOIN doc_shingles b
     ON a.doc_id < b.doc_id
-   AND (a.doc_id % {RECALL_SAMPLE_MOD} = 0 OR b.doc_id % {RECALL_SAMPLE_MOD} = 0)
+   AND (a.doc_id % (SELECT m FROM mm) = 0 OR b.doc_id % (SELECT m FROM mm) = 0)
   WHERE {jac} >= {MINHASH_JACCARD_T}
 ),
 found AS (
@@ -2137,16 +2224,22 @@ def lsh_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — why auditing is tractable when all-pairs isn't: the
     truth side is |sample| x |corpus|, with the sampled shingle arrays
     BROADCAST so the corpus streams through a map-side nested probe
-    (never a shuffle of the corpus, never corpus x corpus); sample rate
-    is the audit-cost knob. The LSH side reuses dedup_minhash_lsh
-    verbatim. Production runs this audit per corpus snapshot and alarms
+    (never a shuffle of the corpus, never corpus x corpus); the sample
+    is an ABSOLUTE size (~RECALL_SAMPLE_TARGET docs via a corpus-scaled
+    modulus), not a rate — a fixed rate made the audit quadratic, which
+    the sf1 scale stress measured (x32.7) and this cap removed. The LSH
+    side reuses dedup_minhash_lsh verbatim. Production runs this audit per corpus snapshot and alarms
     on recall drift when content shifts (e.g. shorter docs => fewer
     shingles => bands saturate)."""
     from .functions.dedup import dedup_minhash_lsh, with_shingles
 
     docs = read_table(spark, sf_dir, "documents")
+    # absolute sample-size cap (see RECALL_SAMPLE_* above): the modulus
+    # grows with the corpus so the broadcast truth side stays ~100 docs
+    # and audit cost stays linear in N; the count is one bounded scalar
+    mod = max(RECALL_SAMPLE_MOD_MIN, docs.count() // RECALL_SAMPLE_TARGET)
     sh = with_shingles(docs, "text", "doc_id")
-    sample = sh.filter(F.col("doc_id") % RECALL_SAMPLE_MOD == 0).select(
+    sample = sh.filter(F.col("doc_id") % mod == 0).select(
         F.col("doc_id").alias("s_id"), F.col("sh").alias("s_sh")
     )
     corpus = sh.select(F.col("doc_id").alias("c_id"), F.col("sh").alias("c_sh"))
