@@ -951,3 +951,61 @@ def test_rank_functions_share_one_window_sort(spark):
     plan = _executed_plan(df)
     assert plan.count("Window") == 1
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+# ----------------------- round-4 cleaning wave -----------------------
+
+
+def test_chunk_dedup_window_rides_chunk_exchange_no_join(spark):
+    # the canonical pick is a sort-free min(struct) window on the chunk
+    # key and the winner flag rides it — no join back, so the whole
+    # query is exactly two exchanges (chunk window, doc_id rebuild agg)
+    df = ALL_QUERIES["chunk_dedup"](spark, SF)
+    plan = _executed_plan(df)
+    assert "hashpartitioning(chunk#" in plan
+    assert "Join" not in plan, "winner flag must ride the window, not a join"
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "EvalPython" not in plan
+
+
+def test_boilerplate_strip_keys_on_source_chunk(spark):
+    # census and flagging join both key on (source, chunk); the
+    # boilerplate set is NOT broadcast (unbounded in aggregate)
+    df = ALL_QUERIES["boilerplate_strip"](spark, SF)
+    plan = _executed_plan(df)
+    assert "hashpartitioning(source#" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_dup_span_remove_gram_shuffle_and_array_rebuild(spark):
+    # gram census broadcasts back (dup_span_stats discipline); the
+    # rebuild filters the token ARRAY in place — the token stream is
+    # never exploded to rows for the anti-join (no posexplode anywhere)
+    df = ALL_QUERIES["dup_span_remove"](spark, SF)
+    plan = _executed_plan(df)
+    assert "hashpartitioning(gram#" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "posexplode" not in plan.lower()
+    assert "CartesianProduct" not in plan and "EvalPython" not in plan
+
+
+def test_dsir_select_broadcasts_scores_and_takeordered(spark):
+    # the 256-row bucket-score table broadcasts into the second token
+    # scan; top-N is a distributed heap, never a global sort
+    df = ALL_QUERIES["dsir_select"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ann_recall_report_no_cartesian(spark):
+    # both sides reuse the production ANN operators: query panels are
+    # broadcast, the corpus streams — the audit adds no product form
+    df = ALL_QUERIES["ann_recall_report"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

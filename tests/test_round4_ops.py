@@ -3,6 +3,7 @@ SemDeDup's K ∝ N rule, and the compaction-plan executor."""
 
 from pyspark.sql import functions as F
 
+import mammoth_spark.queries  # noqa: F401  (populates the registry)
 from mammoth_spark.registry import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -130,3 +131,84 @@ def test_semdedup_k_scales_with_corpus(spark):
     n_cent = out.select("centroid_id").distinct().count()
     assert out.agg(F.max("centroid_id")).first()[0] >= 8
     assert n_cent > 8
+
+
+# ----------------------- cleaning-wave invariants -----------------------
+
+
+def test_chunk_dedup_keeps_each_distinct_chunk_exactly_once(spark):
+    # conservation law: summed kept-chunks across the corpus == the
+    # number of DISTINCT chunk strings (each survives exactly once)
+    from mammoth_spark.queries_cleaning import _chunks
+    from mammoth_spark.model import read_table
+
+    out = QUERIES["chunk_dedup"](spark, SF)
+    total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+    distinct_chunks = (
+        _chunks(read_table(spark, SF, "documents")).select("chunk").distinct().count()
+    )
+    assert total_kept == distinct_chunks
+    # and chunk accounting is exact per doc
+    assert out.filter(F.col("n_kept") > F.col("n_chunks")).count() == 0
+
+
+def test_boilerplate_strip_removes_every_occurrence(spark):
+    # unlike chunk_dedup, the first copy dies too: total boilerplate
+    # removals == total occurrences of flagged (source, chunk) pairs
+    from mammoth_spark.queries_cleaning import BP_MIN, _chunks
+    from mammoth_spark.model import read_table
+
+    out = QUERIES["boilerplate_strip"](spark, SF)
+    removed = out.agg(F.sum("n_boiler")).collect()[0][0]
+    ch = _chunks(read_table(spark, SF, "documents"))
+    bp = (
+        ch.groupBy("source", "chunk")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BP_MIN)
+        .select("source", "chunk")
+    )
+    occurrences = ch.join(bp, ["source", "chunk"]).count()
+    assert removed == occurrences
+
+
+def test_dup_span_remove_consistent_with_stats(spark):
+    # removed positions are a subset of the covered positions that
+    # dup_span_stats reports: per doc, n_removed <= n_dup_tokens, and
+    # the fixture corpus (which has cross-doc dup spans) removes > 0
+    stats = {r["doc_id"]: r for r in QUERIES["dup_span_stats"](spark, SF).collect()}
+    out = QUERIES["dup_span_remove"](spark, SF).collect()
+    assert sum(r["n_removed"] for r in out) > 0
+    for r in out:
+        s = stats[r["doc_id"]]
+        assert r["n_removed"] <= s["n_dup_tokens"], r["doc_id"]
+        assert r["n_tokens"] == s["n_tokens"]
+        # rebuilt text really has n_tokens - n_removed tokens
+        kept = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert kept == r["n_tokens"] - r["n_removed"], r["doc_id"]
+
+
+def test_dsir_select_enriches_target_language(spark):
+    # DSIR's whole point: the importance-weighted top-N is enriched in
+    # the target slice relative to the corpus base rate
+    from mammoth_spark.model import read_table
+
+    sel = QUERIES["dsir_select"](spark, SF).collect()
+    docs = read_table(spark, SF, "documents")
+    base_rate = docs.filter(F.col("lang") == "en").count() / docs.count()
+    sel_rate = sum(1 for r in sel if r["lang"] == "en") / len(sel)
+    assert sel_rate > base_rate, (sel_rate, base_rate)
+    # ranking is dense 1..N and weight-monotone
+    ranks = sorted(r["rank"] for r in sel)
+    assert ranks == list(range(1, len(sel) + 1))
+    by_rank = sorted(sel, key=lambda r: r["rank"])
+    assert all(
+        a["weight"] >= b["weight"] for a, b in zip(by_rank, by_rank[1:])
+    )
+
+
+def test_ann_recall_report_bounds(spark):
+    rows = QUERIES["ann_recall_report"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["n_found"] <= r["n_exact"]
+        assert abs(r["recall"] - r["n_found"] / r["n_exact"]) < 1e-12
