@@ -316,3 +316,31 @@ def ann_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def append_ivf_index(
+    df: DataFrame,
+    index_dir: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF "add": append a new batch of vectors into the
+    existing bucket-partitioned layout. Each new vector lands as
+    appended files inside its own ``_bucket=`` partition directory —
+    already-written files are never rewritten (the LSM discipline of
+    functions/dedup.py's MinHash signature store, applied to the vector
+    index). Because the coarse quantizer (sign bucket) is a pure
+    function of the embedding, batch-built and incrementally-grown
+    indexes are file-layout-different but probe-identical — pinned by
+    tests/test_round4_ops.py::test_incremental_ivf_probe_equals_batch.
+
+    At 100 TB this is the operation that keeps an embedding index
+    fresh under streaming ingest without an O(corpus) rebuild: per
+    epoch, work ∝ the epoch's vectors (one narrow pass + partitioned
+    append); compaction of small per-epoch files is the same
+    compaction_plan/execute_compaction_plan maintenance the row tables
+    use."""
+    v = with_norm_and_bucket(df, emb_col).select(
+        F.col(id_col), F.col(emb_col), "_norm", "_bucket"
+    )
+    v.write.partitionBy("_bucket").mode("append").parquet(index_dir)

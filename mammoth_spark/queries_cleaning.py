@@ -103,10 +103,7 @@ ch AS (
 # ----------------------------- chunk_dedup -----------------------------
 
 
-@register(
-    "chunk_dedup",
-    driver=False,  # round-4 contract is full; round-5 rotation candidate
-    oracle=f"""
+_CHUNK_DEDUP_ORACLE = f"""
 WITH {_chunks_cte()},
 k AS (
   SELECT doc_id, chunk_idx, chunk,
@@ -118,7 +115,13 @@ SELECT doc_id,
        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '') AS clean_text
 FROM k GROUP BY doc_id
-""",
+"""
+
+
+@register(
+    "chunk_dedup",
+    driver=False,  # round-4 contract is full; round-5 rotation candidate
+    oracle=_CHUNK_DEDUP_ORACLE,
 )
 def chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-rule chunk-level exact dedup (arXiv:1910.10683 §2.2): every

@@ -2277,3 +2277,62 @@ def lsh_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_micro"),
         )
     )
+
+
+@register(
+    "ann_index_incremental",
+    driver=False,  # round-5 rotation candidate (ROTATE_NEXT)
+    oracle=f"""
+WITH {_vec_cte()},
+q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+      FROM vn WHERE vec_id < {ANN_QUERIES}),
+scored AS (
+  SELECT q.query_id, vn.vec_id AS neighbor_id,
+         floor(({_DOT.format(a="vn.emb", b="q.q_emb")} / (vn.nrm * q.q_nrm)) * 1000000) / 1000000 AS cos_sim
+  FROM vn JOIN q ON vn.bucket = q.q_bucket AND vn.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+""",
+)
+def ann_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-grown IVF index: the corpus arrives in three
+    epochs (vec_id % 3), the first builds the bucket-partitioned layout
+    and the next two APPEND into their bucket partitions — per-epoch
+    work ∝ epoch size, never a rebuild. The probe then runs against the
+    grown index and must equal the batch answer — the oracle here is
+    literally ann_topk_bucketed's, because an IVF index whose quantizer
+    is a pure function of the vector cannot drift under incremental
+    adds (the property that makes streaming index maintenance safe;
+    equality with a batch-BUILT index is additionally pinned in
+    tests/test_round4_ops.py). The streaming twin of the LSM MinHash
+    signature store (functions/dedup.py) on the embedding side."""
+    from .functions.similarity import (
+        append_ivf_index,
+        ann_topk_ivf,
+        build_ivf_index,
+        with_norm_and_bucket,
+    )
+    from .scratch import scratch_dir
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    index_dir = scratch_dir(prefix="ivf_inc_")
+    for epoch in range(3):
+        part = emb.filter(F.col("vec_id") % 3 == epoch)
+        if epoch == 0:
+            build_ivf_index(part, index_dir)
+        else:
+            append_ivf_index(part, index_dir)
+    q = (
+        with_norm_and_bucket(emb)
+        .filter(F.col("vec_id") < ANN_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("_norm").alias("q_norm"),
+            F.col("_bucket").alias("q_bucket"),
+        )
+    )
+    return ann_topk_ivf(spark, index_dir, q, k=ANN_K)

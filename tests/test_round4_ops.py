@@ -212,3 +212,45 @@ def test_ann_recall_report_bounds(spark):
     for r in rows:
         assert 0 <= r["n_found"] <= r["n_exact"]
         assert abs(r["recall"] - r["n_found"] / r["n_exact"]) < 1e-12
+
+
+def test_incremental_ivf_probe_equals_batch_and_never_rewrites(spark):
+    # growing the index by epoch appends must (a) leave every
+    # previously-written file untouched and (b) produce probe results
+    # identical to a batch-built index over the same corpus
+    import glob
+
+    from mammoth_spark.functions.similarity import (
+        append_ivf_index,
+        ann_topk_ivf,
+        build_ivf_index,
+        with_norm_and_bucket,
+    )
+    from mammoth_spark.model import read_table
+    from mammoth_spark.scratch import scratch_dir
+
+    emb = read_table(spark, SF, "embeddings")
+    inc_dir, batch_dir = scratch_dir("ivf_t_inc_"), scratch_dir("ivf_t_batch_")
+
+    build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), inc_dir)
+    after_build = set(glob.glob(f"{inc_dir}/**/*.parquet", recursive=True))
+    append_ivf_index(emb.filter(F.col("vec_id") % 3 == 1), inc_dir)
+    append_ivf_index(emb.filter(F.col("vec_id") % 3 == 2), inc_dir)
+    after_appends = set(glob.glob(f"{inc_dir}/**/*.parquet", recursive=True))
+    assert after_build <= after_appends, "append must never rewrite existing files"
+    assert len(after_appends) > len(after_build)
+
+    build_ivf_index(emb, batch_dir)
+    q = (
+        with_norm_and_bucket(emb)
+        .filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("_norm").alias("q_norm"),
+            F.col("_bucket").alias("q_bucket"),
+        )
+    )
+    inc = sorted(map(tuple, ann_topk_ivf(spark, inc_dir, q).collect()))
+    bat = sorted(map(tuple, ann_topk_ivf(spark, batch_dir, q).collect()))
+    assert inc == bat
