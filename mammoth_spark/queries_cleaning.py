@@ -504,3 +504,244 @@ def ann_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_found", F.lit(0)).cast("double") / F.col("n_exact")
         ).alias("recall"),
     )
+
+
+# ------------------------- streaming_chunk_clean -------------------------
+
+CHUNK_STORE_BUCKETS = 16  # cb= partition fan-out of the chunk-hash store
+
+
+def chunk_clean_increment(
+    batch_docs: DataFrame, seen: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """One incremental chunk-clean step: clean ``batch_docs`` against the
+    chunk-hash store ``seen`` (columns (cb, ch_h); None = empty store).
+    Returns ``(cleaned, delta)`` — the batch's rebuilt documents and the
+    store delta of the batch's NEW chunk hashes (unique per ch_h by
+    construction: only the batch-min occurrence of an unseen chunk is
+    kept). First-occurrence-keep is prefix-monotone, so folding this
+    step over any id-ordered partition of a corpus reproduces the
+    single-shot chunk_dedup — property-tested across arbitrary splits in
+    tests/test_round4_ops.py, and exercised through a real readStream in
+    ``streaming_chunk_clean``."""
+    ch = _chunks(batch_docs).withColumn("ch_h", F.md5("chunk")).withColumn(
+        "cb",
+        (
+            F.conv(F.substring("ch_h", 1, 4), 16, 10).cast("bigint")
+            % CHUNK_STORE_BUCKETS
+        ).cast("int"),
+    )
+    occ = F.struct(F.col("doc_id"), F.col("chunk_idx"))
+    ch = ch.withColumn("bmin", F.min(occ).over(Window.partitionBy("ch_h")) == occ)
+    if seen is not None:
+        ch = ch.join(
+            seen.select("cb", "ch_h").withColumn("seen", F.lit(True)),
+            ["cb", "ch_h"],
+            "left",
+        )
+    else:
+        ch = ch.withColumn("seen", F.lit(None).cast("boolean"))
+    ch = ch.withColumn("kept", F.col("bmin") & F.col("seen").isNull())
+    delta = ch.filter(F.col("kept")).select("cb", "ch_h")
+    cleaned = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("chunk_idx", "chunk"))
+                    )
+                ),
+                lambda st: st["chunk"],
+            ),
+        ).alias("clean_text"),
+    )
+    return cleaned, delta
+
+
+@register(
+    "streaming_chunk_clean",
+    driver=False,
+    oracle=_CHUNK_DEDUP_ORACLE,
+)
+def streaming_chunk_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_dedup as a REAL Structured Streaming ingest (the
+    streaming_dedup_ingest discipline applied to the C4 chunk rule):
+    documents arrive as files in three epochs (mtimes pinned so arrival
+    order == doc_id order), and each micro-batch cleans ITS documents
+    against an append-only chunk-hash store — a chunk survives iff it
+    is new to the store AND the batch-min occurrence. The epoch then
+    publishes only its own NEW chunk hashes as a delta directory
+    partitioned by ``cb=<hash bucket>`` (LSM-style: O(batch) files per
+    epoch, earlier deltas never touched; an epoch retry overwrites its
+    own delta idempotently). The store carries md5 hashes, never chunk
+    text — 16 bytes per distinct chunk crosses the probe join.
+
+    End state must equal the single-shot batch chunk_dedup — the SAME
+    oracle checks this entry, proving incremental ≡ batch through the
+    streaming path (the property that makes per-epoch cleaning safe:
+    first-occurrence-keep is prefix-monotone, so cleaning each epoch
+    against the union of earlier epochs composes to the global rule).
+
+    Scale shape per epoch: one chunk-key window inside the batch, one
+    probe join against the store pruned to the batch's cb buckets
+    (partition-column filter pushes through the per-delta scans), one
+    doc_id rebuild agg, one partitioned delta write."""
+    import glob
+    import os
+
+    from functools import reduce
+
+    from .scratch import scratch_dir
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    base = scratch_dir(prefix="stream_chunk_")
+    src = os.path.join(base, "src")
+    for i, (lo, hi) in enumerate([(0, 150), (150, 300), (300, 1 << 60)]):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        pdir = os.path.join(base, f"stage{i}")
+        part.coalesce(1).write.parquet(pdir)
+        (pq,) = glob.glob(pdir + "/*.parquet")
+        os.makedirs(src, exist_ok=True)
+        dst = os.path.join(src, f"ingest_{i}.parquet")
+        os.rename(pq, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))  # arrival order = id order
+
+    out_dir = os.path.join(base, "clean")
+
+    def _step(batch_df, epoch_id):
+        s = batch_df.sparkSession
+        deltas = sorted(glob.glob(os.path.join(base, "chunk_e*")))
+        seen = (
+            # each delta keeps its own cb= partition discovery; the join
+            # key includes cb so the filter prunes files across history
+            reduce(DataFrame.unionByName, [s.read.parquet(p) for p in deltas])
+            if deltas
+            else None
+        )
+        cleaned, delta = chunk_clean_increment(batch_df, seen)
+        delta.repartition("cb").write.mode("overwrite").partitionBy("cb").parquet(
+            os.path.join(base, f"chunk_e{int(epoch_id):06d}")
+        )
+        cleaned.write.mode("append").parquet(out_dir)
+
+    # per-epoch joins touch a few hundred keys; 8 shuffle partitions
+    # beats paying 32 tasks per stage per epoch (restored after)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_step)
+            .option("checkpointLocation", os.path.join(base, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out_dir)
+
+
+# -------------------------- gopher_rules_report --------------------------
+
+GOPHER_WC_MIN, GOPHER_WC_MAX = 20, 100_000
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3_000_000, 10_000_000  # micro chars/word
+GOPHER_STOP_MIN = 2  # distinct stopwords required
+GOPHER_TOP_SHARE_MAX = 200_000  # micro: top token <= 20% of doc
+_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "gopher_rules_report",
+    driver=False,
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS wc,
+         CAST(list_reduce(list_transform(toks, t -> len(t)), (acc, v) -> acc + v)
+              * 1000000 // len(toks) AS BIGINT) AS mwl_micro,
+         CAST(len(list_intersect(list_distinct(toks), [{_STOP_SQL}])) AS BIGINT) AS stop_hits,
+         CAST(list_max(list_transform(list_distinct(toks),
+              x -> len(list_filter(toks, t -> t = x))))
+              * 1000000 // len(toks) AS BIGINT) AS top_share_micro
+  FROM tok WHERE len(toks) >= 1
+)
+SELECT doc_id, wc, mwl_micro, stop_hits, top_share_micro,
+       (wc BETWEEN {GOPHER_WC_MIN} AND {GOPHER_WC_MAX}) AS r_wordcount,
+       (mwl_micro BETWEEN {GOPHER_MWL_MIN} AND {GOPHER_MWL_MAX}) AS r_wordlen,
+       (stop_hits >= {GOPHER_STOP_MIN}) AS r_stopwords,
+       (top_share_micro <= {GOPHER_TOP_SHARE_MAX}) AS r_repetition,
+       ((wc BETWEEN {GOPHER_WC_MIN} AND {GOPHER_WC_MAX})
+        AND (mwl_micro BETWEEN {GOPHER_MWL_MIN} AND {GOPHER_MWL_MAX})
+        AND (stop_hits >= {GOPHER_STOP_MIN})
+        AND (top_share_micro <= {GOPHER_TOP_SHARE_MAX})) AS keep
+FROM m
+""",
+)
+def gopher_rules_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filtering (Rae et al., arXiv:2112.11446
+    A1.1, adapted to the fixture corpus): per-document hard rules —
+    word-count bounds, mean-word-length bounds, minimum distinct
+    stopwords, and a repetition cap on the top token's share — each
+    reported as its own boolean beside the raw metric, plus the AND'd
+    keep verdict. The rule-based complement to quality_filter's
+    score-quantile cut: rules are auditable per document (you can see
+    WHICH rule killed a doc), need no corpus pass to calibrate, and are
+    the standard first gate before model-based scoring.
+
+    Scale shape: pure per-row expressions over the token array — ONE
+    scan, ZERO exchanges (plan-asserted), whole-stage codegen. The
+    top-token share is O(|toks|·|distinct|) per doc inside
+    transform/filter higher-order expressions — bounded by doc length,
+    embarrassingly parallel, no Python. Ratios are integer micro values
+    (×1e6 DIV) so both engines compare exact integers."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    m = docs.select(
+        "doc_id", toks.alias("toks")
+    ).filter(F.size("toks") >= 1).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("wc"),
+        F.expr(
+            "CAST(aggregate(transform(toks, t -> length(t)), 0L, (acc, v) -> acc + v)"
+            " * 1000000 DIV size(toks) AS BIGINT)"
+        ).alias("mwl_micro"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.col("toks")),
+                F.array(*[F.lit(w) for w in _STOPWORDS]),
+            )
+        )
+        .cast("bigint")
+        .alias("stop_hits"),
+        F.expr(
+            "CAST(array_max(transform(array_distinct(toks),"
+            " x -> size(filter(toks, t -> t = x))))"
+            " * 1000000 DIV size(toks) AS BIGINT)"
+        ).alias("top_share_micro"),
+    )
+    r_wc = F.col("wc").between(GOPHER_WC_MIN, GOPHER_WC_MAX)
+    r_mwl = F.col("mwl_micro").between(GOPHER_MWL_MIN, GOPHER_MWL_MAX)
+    r_stop = F.col("stop_hits") >= GOPHER_STOP_MIN
+    r_rep = F.col("top_share_micro") <= GOPHER_TOP_SHARE_MAX
+    return m.select(
+        "doc_id",
+        "wc",
+        "mwl_micro",
+        "stop_hits",
+        "top_share_micro",
+        r_wc.alias("r_wordcount"),
+        r_mwl.alias("r_wordlen"),
+        r_stop.alias("r_stopwords"),
+        r_rep.alias("r_repetition"),
+        (r_wc & r_mwl & r_stop & r_rep).alias("keep"),
+    )

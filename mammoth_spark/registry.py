@@ -3,7 +3,7 @@
 Round-1 evidence showed the correctness driver records at most 50
 ``queries()`` entries per round (CORRECTNESS_r01.json had exactly the
 first 50 registered queries; the last 4 were silently absent while their
-oracles execute cleanly under the same DuckDB build). All 155 registered
+oracles execute cleanly under the same DuckDB build). All 158 registered
 queries stay oracle-checked locally every run
 (``tests/test_oracle_parity.py`` replicates the driver comparison); the
 50-entry driver contract is rotated each round so that every query
@@ -17,10 +17,11 @@ tail past the driver's cap. The ``driver=`` kwarg is still accepted for
 call-site documentation but no longer affects the export.
 
 Driver-verification ledger (union of CORRECTNESS_r01..r03 green rows):
-84 of 155 queries (146 at the r03 snapshot + 9 registered during round
-4). Round 4 exports 50 of the 62 then-never-driver-verified queries,
-pushing the cumulative ledger to 134/155 when green; the 12 hold-outs
-plus the 9 round-4 additions (21 total, named below) rotate in round 5.
+84 of 158 queries (146 at the r03 snapshot + 12 registered during
+round 4). Round 4 exports 50 of the 62 then-never-driver-verified
+queries, pushing the cumulative ledger to 134/158 when green; the 12
+hold-outs plus the 12 round-4 additions (24 total, named below) rotate
+in round 5.
 """
 
 from __future__ import annotations
@@ -131,6 +132,9 @@ ROTATE_NEXT: list[str] = [
     "triangle_count_degree",
     "ngram_containment_pairs",
     "group_split_no_leak",
+    "ann_index_incremental",
+    "streaming_chunk_clean",
+    "gopher_rules_report",
     # round-4 hold-outs (twin carried the operator's evidence this round)
     "streaming_tws_distinct",
     "streaming_tws_timers",

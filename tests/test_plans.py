@@ -1009,3 +1009,13 @@ def test_ann_recall_report_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_gopher_rules_is_single_scan_no_exchange(spark):
+    # hard quality rules are pure per-row expressions over the token
+    # array: one scan, zero exchanges, no Python
+    df = ALL_QUERIES["gopher_rules_report"](spark, SF)
+    plan = _executed_plan(df)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "*(" in plan  # whole-stage-codegen span markers

@@ -254,3 +254,66 @@ def test_incremental_ivf_probe_equals_batch_and_never_rewrites(spark):
     inc = sorted(map(tuple, ann_topk_ivf(spark, inc_dir, q).collect()))
     bat = sorted(map(tuple, ann_topk_ivf(spark, batch_dir, q).collect()))
     assert inc == bat
+
+
+def test_streaming_chunk_clean_store_is_append_only_and_complete(spark):
+    # after the run: one delta dir per epoch, every delta partitioned by
+    # cb=, and the union of deltas holds exactly the corpus's distinct
+    # chunk hashes (the store is complete, with no chunk stored twice)
+    import glob
+    import os
+
+    from mammoth_spark.queries_cleaning import _chunks
+    from mammoth_spark.model import read_table
+
+    from mammoth_spark import scratch
+
+    out = QUERIES["streaming_chunk_clean"](spark, SF)
+    out.count()
+    # the query's scratch base is the newest stream_chunk_ registration
+    base = [d for d in scratch._DIRS if "stream_chunk_" in d][-1]
+    deltas = sorted(glob.glob(os.path.join(base, "chunk_e*")))
+    assert len(deltas) == 3
+    assert all(glob.glob(os.path.join(d, "cb=*")) for d in deltas)
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    store = reduce(DataFrame.unionByName, [spark.read.parquet(d) for d in deltas])
+    n_distinct_corpus = (
+        _chunks(read_table(spark, SF, "documents")).select("chunk").distinct().count()
+    )
+    assert store.count() == n_distinct_corpus
+    assert store.select("ch_h").distinct().count() == n_distinct_corpus
+
+
+def test_chunk_clean_increment_is_prefix_monotone(spark):
+    # the property streaming_chunk_clean rests on: folding the
+    # incremental step over ANY id-ordered partition of the corpus
+    # reproduces the single-shot chunk_dedup — tested at three very
+    # different split shapes (one big batch, skewed, per-~50-docs)
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from mammoth_spark.model import read_table
+    from mammoth_spark.queries_cleaning import chunk_clean_increment
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "source", "text")
+    batch = {tuple(r) for r in QUERIES["chunk_dedup"](spark, SF).collect()}
+
+    for bounds in ([10_000], [3, 10_000], [50, 100, 150, 200, 250, 10_000]):
+        seen, cleaned_parts, lo = None, [], -1
+        for hi in bounds:
+            part = docs.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= hi))
+            cleaned, delta = chunk_clean_increment(part, seen)
+            cleaned_parts.append(cleaned)
+            seen = delta if seen is None else seen.unionByName(delta)
+            # materialize: the streaming path persists deltas per epoch
+            seen = spark.createDataFrame(seen.collect(), schema=seen.schema)
+            lo = hi
+        inc = {
+            tuple(r)
+            for r in reduce(DataFrame.unionByName, cleaned_parts).collect()
+        }
+        assert inc == batch, f"split {bounds} diverged from batch chunk_dedup"
