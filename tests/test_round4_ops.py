@@ -317,3 +317,39 @@ def test_chunk_clean_increment_is_prefix_monotone(spark):
             for r in reduce(DataFrame.unionByName, cleaned_parts).collect()
         }
         assert inc == batch, f"split {bounds} diverged from batch chunk_dedup"
+
+
+def test_cleaning_ops_survive_fully_duplicated_docs(spark, tmp_path):
+    # adversarial fixture: doc 1 is an exact clone of doc 0 (every chunk
+    # and every span duplicated), doc 2 is unique. The clone must come
+    # back as an EMPTY rebuilt text (not a dropped row) from both
+    # removers, and accounting must stay exact.
+    import os
+
+    text_a = " ".join(f"tok{i % 7} word{i % 11}" for i in range(40))
+    text_b = "solo unique content nothing shared here at all " * 3
+    docs = spark.createDataFrame(
+        [(0, text_a, "en", "srcA", len(text_a)),
+         (1, text_a, "en", "srcA", len(text_a)),
+         (2, text_b, "en", "srcB", len(text_b))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf_dir = str(tmp_path / "sf_adv")
+    os.makedirs(sf_dir, exist_ok=True)
+    docs.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in QUERIES["chunk_dedup"](spark, sf_dir).collect()}
+    assert set(out) == {0, 1, 2}, "no row may vanish"
+    assert out[1]["n_kept"] == 0 and out[1]["clean_text"] == ""
+    assert out[0]["n_kept"] == out[0]["n_chunks"]  # first copy intact
+    # doc 2 is "phrase x3": 3 identical 8-token chunks — the chunk rule
+    # is first occurrence CORPUS-wide, which includes intra-doc copies
+    assert out[2]["n_chunks"] == 3 and out[2]["n_kept"] == 1
+
+    rem = {r["doc_id"]: r for r in QUERIES["dup_span_remove"](spark, sf_dir).collect()}
+    assert set(rem) == {0, 1, 2}
+    assert rem[1]["n_removed"] == rem[1]["n_tokens"] and rem[1]["clean_text"] == ""
+    assert rem[0]["n_removed"] == 0  # canonical occurrences all live in doc 0
+    # the span rule is CROSS-doc (count distinct docs >= 2): doc 2's
+    # intra-doc phrase repetition alone must not mark anything
+    assert rem[2]["n_removed"] == 0
