@@ -856,6 +856,98 @@ def maintain_join_view(view: DataFrame, orders: DataFrame, net: DataFrame) -> Da
     return kept.unionByName(refreshed)
 
 
+IVM_TOPK_K = 15
+
+
+@register(
+    "incremental_topk_maintenance",
+    oracle=f"""
+WITH counts AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+topk AS (
+  SELECT user_id, n_events,
+         CAST(row_number() OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS rank
+  FROM counts ORDER BY n_events DESC, user_id LIMIT {IVM_TOPK_K}
+)
+SELECT rank, user_id, n_events, TRUE AS matches_recompute FROM topk
+""",
+)
+def incremental_topk_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a TOP-K view (heaviest users by event
+    count) — the ranking member of the IVM family
+    (incremental_agg_maintenance: group-delta fold;
+    incremental_join_maintenance: dL ⋈ R refresh; incremental_hll /
+    topk_sketch_merge: mergeable sketches). Top-k is NOT directly
+    delta-maintainable — an item outside the current top-k can rise into
+    it, so the maintained state must be the full per-key count aggregate,
+    with top-k as a cheap READ over it. That decomposition is the point:
+    per batch the delta's per-key counts (work ∝ batch) broadcast-merge
+    into the maintained aggregate (full_outer against the broadcast
+    delta — the big side never shuffles, matching the
+    incremental_agg_maintenance discipline), and the top-k read is a
+    TakeOrderedAndProject over the aggregate — never a re-shuffle of the
+    fact history. The output carries a per-row ``matches_recompute``
+    comparing the incremental path's top-k against a from-scratch
+    recompute at the same rank; the oracle pins it TRUE. Ties break by
+    user_id asc in both paths, so ranks are deterministic cross-engine."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("bigint").alias("user_id")
+    )
+    agg = None  # maintained aggregate: user_id -> n_events
+    for lo, hi in [(0, 600), (600, 1 << 62)]:
+        batch = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        delta = batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("d"))
+        if agg is None:
+            agg = delta.select("user_id", F.col("d").alias("n_events"))
+        else:
+            agg = (
+                agg.join(F.broadcast(delta), on="user_id", how="full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("n_events"), F.lit(0))
+                        + F.coalesce(F.col("d"), F.lit(0))
+                    ).alias("n_events"),
+                )
+            )
+        agg = agg.localCheckpoint()
+    w = Window.orderBy(F.desc("n_events"), "user_id")
+    topk = (
+        agg.orderBy(F.desc("n_events"), "user_id")
+        .limit(IVM_TOPK_K)
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+    recompute = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rc_n"))
+        .orderBy(F.desc("rc_n"), "user_id")
+        .limit(IVM_TOPK_K)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("rc_n"), "user_id"))
+            .cast("bigint")
+            .alias("rank"),
+            F.col("user_id").alias("rc_user"),
+            "rc_n",
+        )
+    )
+    return topk.join(F.broadcast(recompute), on="rank").select(
+        "rank",
+        "user_id",
+        "n_events",
+        (
+            (F.col("user_id") == F.col("rc_user"))
+            & (F.col("n_events") == F.col("rc_n"))
+        ).alias("matches_recompute"),
+    )
+
+
 @register(
     "stream_stream_attribution",
     driver=False,

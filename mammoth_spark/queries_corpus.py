@@ -1374,3 +1374,190 @@ def bpe_merge_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.expr("substring(token, i, 2)").alias("pair"), "freq")
     pf = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("pair_freq"))
     return pf.orderBy(F.desc("pair_freq"), "pair").limit(BPE_TOPK)
+
+
+# ------------------- BPE training loop (T unrolled merges) -------------------
+
+BPE_TRAIN_ROUNDS = 3
+_BPE_SEP = "\x1f"  # unit separator: absent from corpus text by construction
+
+
+@register(
+    "bpe_train",
+    oracle=rf"""
+WITH tf0 AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE regexp_matches(token, '^[a-z]{{2,}}$') GROUP BY token
+),
+w0 AS (SELECT regexp_replace(token, '(.)', chr(31)||'\1'||chr(31), 'g') AS wrapped,
+              freq FROM tf0),
+p0 AS (
+  SELECT syms[i] || chr(31) || syms[i+1] AS pair, freq
+  FROM (SELECT freq, string_split(substr(wrapped, 2, len(wrapped)-2),
+                                  chr(31)||chr(31)) AS syms FROM w0),
+       unnest(range(1, len(syms))) AS t(i)
+),
+b0 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_freq FROM p0 GROUP BY pair
+       ORDER BY pair_freq DESC, pair LIMIT 1),
+w1 AS (SELECT replace(wrapped, chr(31)||replace(b0.pair, chr(31), chr(31)||chr(31))||chr(31),
+                      chr(31)||replace(b0.pair, chr(31), '')||chr(31)) AS wrapped, freq
+       FROM w0, b0),
+n1 AS (SELECT CAST(count(DISTINCT sym) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(substr(wrapped, 2, len(wrapped)-2),
+                                   chr(31)||chr(31))) AS sym FROM w1)),
+p1 AS (
+  SELECT syms[i] || chr(31) || syms[i+1] AS pair, freq
+  FROM (SELECT freq, string_split(substr(wrapped, 2, len(wrapped)-2),
+                                  chr(31)||chr(31)) AS syms FROM w1),
+       unnest(range(1, len(syms))) AS t(i)
+),
+b1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_freq FROM p1 GROUP BY pair
+       ORDER BY pair_freq DESC, pair LIMIT 1),
+w2 AS (SELECT replace(wrapped, chr(31)||replace(b1.pair, chr(31), chr(31)||chr(31))||chr(31),
+                      chr(31)||replace(b1.pair, chr(31), '')||chr(31)) AS wrapped, freq
+       FROM w1, b1),
+n2 AS (SELECT CAST(count(DISTINCT sym) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(substr(wrapped, 2, len(wrapped)-2),
+                                   chr(31)||chr(31))) AS sym FROM w2)),
+p2 AS (
+  SELECT syms[i] || chr(31) || syms[i+1] AS pair, freq
+  FROM (SELECT freq, string_split(substr(wrapped, 2, len(wrapped)-2),
+                                  chr(31)||chr(31)) AS syms FROM w2),
+       unnest(range(1, len(syms))) AS t(i)
+),
+b2 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_freq FROM p2 GROUP BY pair
+       ORDER BY pair_freq DESC, pair LIMIT 1),
+w3 AS (SELECT replace(wrapped, chr(31)||replace(b2.pair, chr(31), chr(31)||chr(31))||chr(31),
+                      chr(31)||replace(b2.pair, chr(31), '')||chr(31)) AS wrapped, freq
+       FROM w2, b2),
+n3 AS (SELECT CAST(count(DISTINCT sym) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(substr(wrapped, 2, len(wrapped)-2),
+                                   chr(31)||chr(31))) AS sym FROM w3))
+SELECT * FROM (
+  SELECT CAST(1 AS INT) AS round, replace(b0.pair, chr(31), '+') AS merge_pair,
+         b0.pair_freq AS pair_freq, n1.n AS n_symbol_types FROM b0, n1
+  UNION ALL
+  SELECT CAST(2 AS INT), replace(b1.pair, chr(31), '+'), b1.pair_freq, n2.n FROM b1, n2
+  UNION ALL
+  SELECT CAST(3 AS INT), replace(b2.pair, chr(31), '+'), b2.pair_freq, n3.n FROM b2, n3
+) ORDER BY round
+""",
+)
+def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE TRAINING LOOP (Sennrich et al. 2016), not just one
+    pair count: BPE_TRAIN_ROUNDS=3 greedy merge rounds, each picking the
+    most frequent adjacent symbol pair and REWRITING every word's symbol
+    sequence before the next count — the part bpe_merge_step stops short
+    of. Returns one row per round: the merge chosen, its frequency, and
+    the symbol-type count after applying it (pins that the rewrite
+    actually happened, not just the argmax).
+
+    Representation trick shared with the oracle: a word's symbol
+    sequence is one string with every symbol wrapped in U+001F
+    (``\\x1fs1\\x1f\\x1fs2\\x1f...``). Merging pair (p1,p2) is then a
+    plain left-to-right ``replace`` of ``\\x1f p1 \\x1f\\x1f p2 \\x1f``
+    with ``\\x1f p1p2 \\x1f`` — string replace scans left-to-right
+    non-overlapping, which IS greedy BPE merge order, and the wrapping
+    makes a mid-symbol false match impossible (no U+001F inside a
+    symbol). Both engines share these semantics exactly, so the merge
+    trajectory is bit-identical cross-engine.
+
+    Scale shape: every round runs over the DISTINCT-WORD table weighted
+    by frequency (vocabulary-sized, Heaps'-law sublinear — never the
+    token stream), exactly like production BPE trainers. Per round: one
+    vocab-keyed pair aggregation (map-side combined), a 1-row argmax
+    (TakeOrderedAndProject), broadcast of that scalar onto the vocab
+    table, and a codegen'd replace. localCheckpoint pins each round's
+    rewritten vocab so round r+1's plan doesn't recompute rounds 1..r
+    (the IVM convention); the checkpointed table is vocabulary-sized.
+    At 100 TB the only data-sized work is the ONE initial word-frequency
+    shuffle; all 3 (or, in production, 50k) rounds after it are
+    vocab-sized. Tie-break: (freq desc, pair asc) — binary string order
+    in both engines."""
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").rlike("^[a-z]{2,}$"))
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    wrapped = tf.select(
+        F.regexp_replace("token", "(.)", f"{_BPE_SEP}$1{_BPE_SEP}").alias("wrapped"),
+        "freq",
+    ).localCheckpoint()
+
+    sep2 = _BPE_SEP + _BPE_SEP
+    syms_of = F.split(
+        F.expr("substring(wrapped, 2, length(wrapped) - 2)"), sep2
+    )
+    rounds = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs = (
+            wrapped.select(syms_of.alias("syms"), "freq")
+            # fully-merged single-symbol words emit no pairs; unlike
+            # DuckDB's empty range(1,1), Spark's sequence(1, 0) is a
+            # DESCENDING sequence, so the guard is load-bearing
+            .filter(F.size("syms") >= 2)
+            .select(
+                F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+                "syms",
+                "freq",
+            )
+            .select(
+                F.concat(
+                    F.element_at("syms", F.col("i")),
+                    F.lit(_BPE_SEP),
+                    F.element_at("syms", F.col("i") + 1),
+                ).alias("pair"),
+                "freq",
+            )
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), "pair")
+            .limit(1)
+        )
+        wrapped = (
+            wrapped.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("wrapped"),
+                    F.concat(
+                        F.lit(_BPE_SEP),
+                        F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit(sep2)),
+                        F.lit(_BPE_SEP),
+                    ),
+                    F.concat(
+                        F.lit(_BPE_SEP),
+                        F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit("")),
+                        F.lit(_BPE_SEP),
+                    ),
+                ).alias("wrapped"),
+                "freq",
+                "pair",
+                "pair_freq",
+            )
+            .localCheckpoint()
+        )
+        n_syms = (
+            wrapped.select(F.explode(syms_of).alias("sym"))
+            .agg(F.count_distinct("sym").cast("bigint").alias("n_symbol_types"))
+        )
+        rounds.append(
+            wrapped.select("pair", "pair_freq")
+            .limit(1)
+            .crossJoin(n_syms)
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit("+")).alias(
+                    "merge_pair"
+                ),
+                F.col("pair_freq"),
+                "n_symbol_types",
+            )
+        )
+        wrapped = wrapped.select("wrapped", "freq")
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, rounds).orderBy("round")

@@ -1315,3 +1315,97 @@ def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file_id").cast("bigint").alias("first_file"),
         F.max("file_id").cast("bigint").alias("last_file"),
     )
+
+
+# ---------------- dynamic partition overwrite (partition-level replace) ----------------
+
+DPO_SPLIT = 800  # event_id boundary: base snapshot vs replacement batch
+DPO_REPLACED = ("click", "error")  # partitions the batch re-materializes
+
+
+@register(
+    "dynamic_partition_overwrite",
+    oracle=f"""
+WITH base AS (SELECT * FROM events WHERE event_id < {DPO_SPLIT}),
+upd AS (SELECT * FROM events
+        WHERE event_id >= {DPO_SPLIT} AND event_type IN ('click', 'error')),
+final AS (
+  SELECT event_type FROM base WHERE event_type NOT IN ('click', 'error')
+  UNION ALL SELECT event_type FROM upd
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       event_type IN ('click', 'error') AS rewritten
+FROM final GROUP BY event_type
+""",
+)
+def dynamic_partition_overwrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — partition-level replace, the storage
+    primitive that makes daily re-materialization affordable at 100 TB:
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` turns
+    ``mode("overwrite")`` from "truncate the whole table" into "replace
+    exactly the partitions present in the written data". A base events
+    snapshot lands partitioned by event_type; a replacement batch
+    covering two of the five partitions overwrites — and the query
+    verifies PHYSICALLY (per-partition file listings before/after,
+    driver-side and bounded by the partition count) that untouched
+    partitions kept their exact files while replaced ones turned over.
+    The ``rewritten`` flag in the output is that filesystem evidence, and
+    the oracle pins it to the replaced-partition set — so write
+    amplification beyond the touched partitions is a correctness failure
+    here, not just a perf regression. Read-back counts prove the merged
+    table state (kept base partitions + replacement content) without a
+    full rewrite. At cluster scale the same conf drives INSERT OVERWRITE
+    into Hive-layout tables; partition pruning on the read path
+    (partition_pruned_scan) is the matching consumer."""
+    import os
+
+    from .model import local_df
+    from .scratch import scratch_dir
+
+    ev = read_table(spark, sf_dir, "events")
+    tgt = os.path.join(scratch_dir(prefix="dpo_"), "events_by_type")
+    base = ev.filter(F.col("event_id") < DPO_SPLIT)
+    base.write.partitionBy("event_type").mode("overwrite").parquet(tgt)
+
+    def listing() -> dict[str, frozenset[str]]:
+        out: dict[str, frozenset[str]] = {}
+        for d in os.listdir(tgt):
+            if d.startswith("event_type="):
+                out[d.split("=", 1)[1]] = frozenset(
+                    f for f in os.listdir(os.path.join(tgt, d)) if f.endswith(".parquet")
+                )
+        return out
+
+    before = listing()
+    upd = ev.filter(
+        (F.col("event_id") >= DPO_SPLIT) & F.col("event_type").isin(*DPO_REPLACED)
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        upd.write.partitionBy("event_type").mode("overwrite").parquet(tgt)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    after = listing()
+    assert set(before) == set(after), "dynamic overwrite must not drop partitions"
+    rewritten = {p for p in after if after[p] != before[p]}
+    assert rewritten == set(DPO_REPLACED), (
+        f"write amplification: expected exactly {sorted(DPO_REPLACED)} "
+        f"to turn over, got {sorted(rewritten)}"
+    )
+
+    from pyspark.sql.types import StructType
+
+    flags = local_df(
+        spark,
+        [(p, p in rewritten) for p in sorted(after)],
+        StructType.fromDDL("event_type string, rewritten boolean"),
+    )
+    counts = (
+        spark.read.parquet(tgt)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    return counts.join(F.broadcast(flags), on="event_type").select(
+        "event_type", "n_rows", "rewritten"
+    )

@@ -353,3 +353,54 @@ def test_cleaning_ops_survive_fully_duplicated_docs(spark, tmp_path):
     # the span rule is CROSS-doc (count distinct docs >= 2): doc 2's
     # intra-doc phrase repetition alone must not mark anything
     assert rem[2]["n_removed"] == 0
+
+
+def test_bpe_train_greedy_left_to_right_merge_order(spark, tmp_path):
+    # hand-computed trajectory on a corpus where merge order matters:
+    # "aaa" must merge greedily left-to-right ((a,a) twice would
+    # over-count; "aaa" -> [aa, a], never [a, aa] or [aa, aa]).
+    import os
+
+    docs = spark.createDataFrame(
+        [(0, "aaa aaa bb", "en", "s", 10), (1, "aaa bb bb", "en", "s", 9)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf_dir = str(tmp_path / "sf_bpe")
+    os.makedirs(sf_dir, exist_ok=True)
+    docs.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    rows = {r["round"]: r for r in QUERIES["bpe_train"](spark, sf_dir).collect()}
+    # vocab: aaa (freq 3), bb (freq 3). Pairs r1: (a,a) 2*3=6, (b,b) 3.
+    assert rows[1]["merge_pair"] == "a+a" and rows[1]["pair_freq"] == 6
+    # after r1: aaa -> [aa, a] (greedy), bb -> [bb]. symbols {aa, a, bb}
+    assert rows[1]["n_symbol_types"] == 3
+    # r2 pairs: (aa,a) 3 vs (b,b) 3 — tie broken by pair string asc:
+    # "aa\x1fa" < "b\x1fb"
+    assert rows[2]["merge_pair"] == "aa+a" and rows[2]["pair_freq"] == 3
+    # after r2: aaa -> [aaa], bb -> [bb]; symbols {aaa, bb}
+    assert rows[2]["n_symbol_types"] == 2
+    # r3: only (b,b) remains
+    assert rows[3]["merge_pair"] == "b+b" and rows[3]["pair_freq"] == 3
+    assert rows[3]["n_symbol_types"] == 2
+
+
+def test_incremental_topk_reads_maintained_agg_without_reshuffle(spark):
+    # the top-k read must be a TakeOrderedAndProject over the maintained
+    # (checkpointed) aggregate with the recompute side broadcast — a
+    # sort-merge join or Python eval here would defeat the IVM point.
+    df = QUERIES["incremental_topk_maintenance"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert all(r["matches_recompute"] for r in df.collect())
+
+
+def test_dynamic_partition_overwrite_touches_only_replaced_partitions(spark):
+    # the query self-asserts the filesystem evidence (no write
+    # amplification, no dropped partitions); this pins the surfaced
+    # flags and that every event_type partition survives the overwrite.
+    rows = {r["event_type"]: r for r in QUERIES["dynamic_partition_overwrite"](spark, SF).collect()}
+    assert set(rows) == {"click", "error", "purchase", "signup", "view"}
+    assert {t for t, r in rows.items() if r["rewritten"]} == {"click", "error"}
+    assert all(r["n_rows"] > 0 for r in rows.values())
