@@ -1561,3 +1561,144 @@ def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     return reduce(DataFrame.unionByName, rounds).orderBy("round")
+
+
+@register(
+    "bpe_encode",
+    oracle=rf"""
+WITH tf0 AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE regexp_matches(token, '^[a-z]{{2,}}$') GROUP BY token
+),
+w0 AS (SELECT token, regexp_replace(token, '(.)', chr(31)||'\1'||chr(31), 'g') AS wrapped,
+              freq FROM tf0),
+p0 AS (
+  SELECT syms[i] || chr(31) || syms[i+1] AS pair, freq
+  FROM (SELECT freq, string_split(substr(wrapped, 2, len(wrapped)-2),
+                                  chr(31)||chr(31)) AS syms FROM w0),
+       unnest(range(1, len(syms))) AS t(i)
+),
+b0 AS (SELECT pair FROM p0 GROUP BY pair ORDER BY sum(freq) DESC, pair LIMIT 1),
+w1 AS (SELECT token, replace(wrapped, chr(31)||replace(b0.pair, chr(31), chr(31)||chr(31))||chr(31),
+                      chr(31)||replace(b0.pair, chr(31), '')||chr(31)) AS wrapped, freq
+       FROM w0, b0),
+p1 AS (
+  SELECT syms[i] || chr(31) || syms[i+1] AS pair, freq
+  FROM (SELECT freq, string_split(substr(wrapped, 2, len(wrapped)-2),
+                                  chr(31)||chr(31)) AS syms FROM w1),
+       unnest(range(1, len(syms))) AS t(i)
+),
+b1 AS (SELECT pair FROM p1 GROUP BY pair ORDER BY sum(freq) DESC, pair LIMIT 1),
+w2 AS (SELECT token, replace(wrapped, chr(31)||replace(b1.pair, chr(31), chr(31)||chr(31))||chr(31),
+                      chr(31)||replace(b1.pair, chr(31), '')||chr(31)) AS wrapped, freq
+       FROM w1, b1),
+p2 AS (
+  SELECT syms[i] || chr(31) || syms[i+1] AS pair, freq
+  FROM (SELECT freq, string_split(substr(wrapped, 2, len(wrapped)-2),
+                                  chr(31)||chr(31)) AS syms FROM w2),
+       unnest(range(1, len(syms))) AS t(i)
+),
+b2 AS (SELECT pair FROM p2 GROUP BY pair ORDER BY sum(freq) DESC, pair LIMIT 1),
+w3 AS (SELECT token, replace(wrapped, chr(31)||replace(b2.pair, chr(31), chr(31)||chr(31))||chr(31),
+                      chr(31)||replace(b2.pair, chr(31), '')||chr(31)) AS wrapped, freq
+       FROM w2, b2),
+vocab AS (SELECT token,
+                 CAST(len(string_split(substr(wrapped, 2, len(wrapped)-2),
+                                       chr(31)||chr(31))) AS BIGINT) AS n_syms
+          FROM w3),
+doc_tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT d.doc_id,
+       CAST(count(v.token) AS BIGINT) AS n_words,
+       CAST(coalesce(sum(v.n_syms), 0) AS BIGINT) AS n_bpe_tokens
+FROM doc_tok d LEFT JOIN vocab v USING (token)
+GROUP BY d.doc_id
+""",
+)
+def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of BPE: train the 3-round merge table (same greedy
+    trajectory as bpe_train), then ENCODE the corpus — per document, the
+    word count that passed the vocab filter and the total BPE token count
+    after the learned merges. The train/apply split mirrors production
+    tokenization: training touches only the distinct-word table; encoding
+    never re-runs merges per occurrence, it joins each document's words
+    against the already-merged vocabulary (token -> symbol count).
+
+    Scale shape: the vocab (Heaps'-law sublinear, with per-word symbol
+    counts precomputed) broadcasts; encoding is one scan of the token
+    stream with a broadcast hash join and a doc_id-keyed count — the only
+    data-sized shuffle. This is how a 100 TB corpus gets tokenized: the
+    merge table is KBs, the corpus streams through map-side."""
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").rlike("^[a-z]{2,}$"))
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    wrapped = tf.select(
+        "token",
+        F.regexp_replace("token", "(.)", f"{_BPE_SEP}$1{_BPE_SEP}").alias("wrapped"),
+        "freq",
+    ).localCheckpoint()
+    sep2 = _BPE_SEP + _BPE_SEP
+    syms_of = F.split(F.expr("substring(wrapped, 2, length(wrapped) - 2)"), sep2)
+    for _ in range(BPE_TRAIN_ROUNDS):
+        pairs = (
+            wrapped.select(syms_of.alias("syms"), "freq")
+            .filter(F.size("syms") >= 2)
+            .select(
+                F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+                "syms",
+                "freq",
+            )
+            .select(
+                F.concat(
+                    F.element_at("syms", F.col("i")),
+                    F.lit(_BPE_SEP),
+                    F.element_at("syms", F.col("i") + 1),
+                ).alias("pair"),
+                "freq",
+            )
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), "pair")
+            .limit(1)
+            .select("pair")
+        )
+        wrapped = (
+            wrapped.crossJoin(F.broadcast(best))
+            .select(
+                "token",
+                F.replace(
+                    F.col("wrapped"),
+                    F.concat(
+                        F.lit(_BPE_SEP),
+                        F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit(sep2)),
+                        F.lit(_BPE_SEP),
+                    ),
+                    F.concat(
+                        F.lit(_BPE_SEP),
+                        F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit("")),
+                        F.lit(_BPE_SEP),
+                    ),
+                ).alias("wrapped"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+    vocab = wrapped.select("token", F.size(syms_of).cast("bigint").alias("n_syms"))
+    doc_tok = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return (
+        doc_tok.join(F.broadcast(vocab), on="token", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("n_syms").cast("bigint").alias("n_words"),
+            F.coalesce(F.sum("n_syms"), F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

@@ -1409,3 +1409,68 @@ def dynamic_partition_overwrite_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return counts.join(F.broadcast(flags), on="event_type").select(
         "event_type", "n_rows", "rewritten"
     )
+
+
+# ---------------- right-to-be-forgotten purge with physical audit ----------------
+
+PURGE_MOD = 97  # deterministic purge set: user_id % PURGE_MOD == 0
+
+
+@register(
+    "user_purge_audit",
+    oracle=f"""
+WITH purge AS (SELECT DISTINCT user_id FROM events WHERE user_id % {PURGE_MOD} = 0),
+kept AS (SELECT * FROM events WHERE user_id % {PURGE_MOD} <> 0)
+SELECT CAST((SELECT count(*) FROM purge) AS BIGINT) AS n_users_purged,
+       CAST((SELECT count(*) FROM events) AS BIGINT) AS rows_before,
+       CAST((SELECT count(*) FROM kept) AS BIGINT) AS rows_after,
+       CAST((SELECT count(*) FROM events) - (SELECT count(*) FROM kept) AS BIGINT)
+         AS rows_removed,
+       CAST(0 AS BIGINT) AS leak_count
+""",
+)
+def user_purge_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten PURGE with a physical audit — the governance
+    operator every 100 TB personal-data pipeline needs: given a purge set
+    (users with user_id % PURGE_MOD == 0 here; in production, a deletion-request
+    table), rewrite the events table without their rows, then audit the
+    MATERIALIZED output, not the plan: the purged snapshot is written to
+    storage, read back, and anti-join-counted against the purge set. A
+    leak_count > 0 (any purged user's row surviving in the files) is a
+    correctness failure the oracle pins to zero.
+
+    Scale shape: the purge set aggregates small (bounded by the user
+    population) and BROADCASTS into a left_anti join — the events table
+    streams through map-side, one pass, no shuffle of the fact. The
+    rewrite is the expensive part at 100 TB, which is exactly why it
+    pairs with dynamic_partition_overwrite: partition the fact by a
+    user-stable key and only partitions containing purged users need
+    rewriting. The audit read-back costs one more scan — the price of
+    evidence over trust."""
+    import os
+
+    from .scratch import scratch_dir
+
+    ev = read_table(spark, sf_dir, "events")
+    purge = (
+        ev.filter(F.col("user_id") % PURGE_MOD == 0).select("user_id").distinct()
+    )
+    kept = ev.join(F.broadcast(purge), on="user_id", how="left_anti")
+    out = os.path.join(scratch_dir(prefix="purge_"), "events_purged")
+    kept.write.mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    leak = back.join(F.broadcast(purge), on="user_id", how="left_semi")
+    return (
+        purge.agg(F.count(F.lit(1)).cast("bigint").alias("n_users_purged"))
+        .crossJoin(ev.agg(F.count(F.lit(1)).cast("bigint").alias("rows_before")))
+        .crossJoin(back.agg(F.count(F.lit(1)).cast("bigint").alias("rows_after")))
+        .crossJoin(leak.agg(F.count(F.lit(1)).cast("bigint").alias("leak_count")))
+        .select(
+            "n_users_purged",
+            "rows_before",
+            "rows_after",
+            (F.col("rows_before") - F.col("rows_after")).alias("rows_removed"),
+            "leak_count",
+        )
+    )

@@ -404,3 +404,35 @@ def test_dynamic_partition_overwrite_touches_only_replaced_partitions(spark):
     assert set(rows) == {"click", "error", "purchase", "signup", "view"}
     assert {t for t, r in rows.items() if r["rewritten"]} == {"click", "error"}
     assert all(r["n_rows"] > 0 for r in rows.values())
+
+
+def test_bpe_encode_broadcasts_vocab_and_counts_exactly(spark, tmp_path):
+    # encoding must be a broadcast hash join of the token stream against
+    # the merged vocab (no shuffle of the stream side for the join), and
+    # the counts must reflect the learned merges: with corpus
+    # "aaa aaa bb" / "aaa bb bb" the 3 trained merges collapse aaa->1
+    # symbol and bb->1 symbol, so every word encodes to exactly 1 token.
+    import os
+
+    docs = spark.createDataFrame(
+        [(0, "aaa aaa bb", "en", "s", 10), (1, "aaa bb bb x7", "en", "s", 12)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf_dir = str(tmp_path / "sf_bpe_enc")
+    os.makedirs(sf_dir, exist_ok=True)
+    docs.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    df = QUERIES["bpe_encode"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[0]["n_words"] == 3 and rows[0]["n_bpe_tokens"] == 3
+    # "x7" fails the [a-z]{2,} vocab filter: counted in neither column
+    assert rows[1]["n_words"] == 3 and rows[1]["n_bpe_tokens"] == 3
+
+
+def test_user_purge_audit_zero_leaks_and_consistent_accounting(spark):
+    row = QUERIES["user_purge_audit"](spark, SF).collect()[0]
+    assert row["leak_count"] == 0
+    assert row["rows_before"] == row["rows_after"] + row["rows_removed"]
+    assert row["n_users_purged"] > 0 and row["rows_removed"] > 0
