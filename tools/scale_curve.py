@@ -74,7 +74,15 @@ def build_sf10(spark, dest: str) -> None:
             rep = rep.withColumn(
                 k, (F.col(k) + F.col("_i") * offsets[k]).cast(df.schema[k].dataType)
             )
-        rep.drop("_i").write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
+        # repartition before writing: the explode otherwise inherits the
+        # source's single-task layout and the 100 identical text replicas
+        # dictionary-encode into ONE ~5 MB file — i.e. one scan split for
+        # a logical 100x corpus, which serializes every zero-exchange
+        # query and measures the fixture, not the operator. A real 100x
+        # corpus is thousands of splits; 32 files models that honestly.
+        rep.drop("_i").repartition(32).write.mode("overwrite").parquet(
+            f"{dest}/{t}.parquet"
+        )
         print(f"  {t}: x{REPLICAS} (offsets {offsets})", flush=True)
 
 
