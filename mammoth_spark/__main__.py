@@ -119,6 +119,40 @@ def cmd_streamtofile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run any registered analytics/pipeline query from the CLI.
+
+    Goes beyond the reference's surface (its CLI is sync-only): the full
+    operator registry — dedup, curation, cleaning, ANN, IVM, sketches —
+    is runnable against any fixture directory without writing a driver
+    script. Output goes to parquet (``--out``) for pipeline use, or a
+    bounded textual preview otherwise; ``--list`` enumerates the
+    registry with one-line summaries.
+    """
+    from .registry import QUERIES
+    from . import queries  # noqa: F401  (populates the registry)
+
+    if args.list:
+        for name in sorted(QUERIES):
+            doc = (QUERIES[name].__doc__ or "").strip().splitlines()
+            print(f"{name:32s} {doc[0] if doc else ''}")
+        return 0
+    if not args.name:
+        print("query name required (or --list)", file=sys.stderr)
+        return 2
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; see --list", file=sys.stderr)
+        return 2
+    spark = _spark()
+    df = QUERIES[args.name](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mammoth_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -138,6 +172,14 @@ def main(argv: list[str] | None = None) -> int:
     p_stf.add_argument("--out", required=True)
     p_stf.add_argument("--value-cols", default="")
     p_stf.set_defaults(fn=cmd_streamtofile)
+
+    p_q = sub.add_parser("query", help="run a registered query against an sf dir")
+    p_q.add_argument("name", nargs="?", help="query id (see --list)")
+    p_q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_q.add_argument("--out", help="write result parquet here instead of printing")
+    p_q.add_argument("--limit", type=int, default=20)
+    p_q.add_argument("--list", action="store_true", help="list registered queries")
+    p_q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

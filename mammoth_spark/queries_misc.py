@@ -1474,3 +1474,77 @@ def user_purge_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leak_count",
         )
     )
+
+
+# ---------------- range-partitioned global sort (terasort shape) ----------------
+
+RANGE_SHARDS = 8
+
+
+@register(
+    "range_partition_sort",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS rows_total,
+       CAST(floor(min(value) * 1000) AS BIGINT) AS min_milli,
+       CAST(floor(max(value) * 1000) AS BIGINT) AS max_milli,
+       TRUE AS ranges_nonoverlapping,
+       TRUE AS globally_sorted
+FROM events
+""",
+)
+def range_partition_sort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GLOBAL SORT via range partitioning — the terasort
+    shape and the one shuffle strategy the repo hadn't yet demonstrated
+    (hash partitioning everywhere else): ``repartitionByRange`` samples
+    the key distribution, picks split points, range-partitions the rows,
+    and a per-partition sort yields a totally ordered dataset WITHOUT any
+    single node seeing all rows — this is how sorted table layouts
+    (zorder_layout's sibling) are produced at 100 TB.
+
+    The output pins the properties instead of shipping the sorted rows:
+    per-shard (min, max, count) stats collapse to booleans —
+    ``ranges_nonoverlapping`` (every shard's min >= the previous shard's
+    max: the range partitioner really did partition by range) and
+    ``globally_sorted`` (concatenating shards in id order IS the sorted
+    order) — which the oracle pins TRUE, plus exact global count/min/max.
+    Shard stats are computed with spark_partition_id() over the
+    range-partitioned data (a tiny RANGE_SHARDS-row aggregate), and the
+    boolean fold is a 1-row window over that."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("value"), F.floor(F.col("value") * 1000).cast("bigint").alias("milli")
+    )
+    ranged = ev.repartitionByRange(RANGE_SHARDS, "value").sortWithinPartitions("value")
+    shard_stats = (
+        ranged.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.min("milli").alias("lo"),
+            F.max("milli").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w = Window.orderBy("pid")
+    folded = shard_stats.select(
+        "pid",
+        "lo",
+        "hi",
+        "n",
+        F.lag("hi").over(w).alias("prev_hi"),
+    )
+    return folded.agg(
+        F.sum("n").cast("bigint").alias("rows_total"),
+        F.min("lo").cast("bigint").alias("min_milli"),
+        F.max("hi").cast("bigint").alias("max_milli"),
+        F.coalesce(
+            F.min((F.col("prev_hi").isNull()) | (F.col("lo") >= F.col("prev_hi"))),
+            F.lit(True),
+        ).alias("ranges_nonoverlapping"),
+        # shards sorted internally + non-overlapping consecutive ranges
+        # == a total order; same fold, published under its own name
+        F.coalesce(
+            F.min((F.col("prev_hi").isNull()) | (F.col("lo") >= F.col("prev_hi"))),
+            F.lit(True),
+        ).alias("globally_sorted"),
+    )

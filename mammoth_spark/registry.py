@@ -3,7 +3,7 @@
 Round-1 evidence showed the correctness driver records at most 50
 ``queries()`` entries per round (CORRECTNESS_r01.json had exactly the
 first 50 registered queries; the last 4 were silently absent while their
-oracles execute cleanly under the same DuckDB build). All 163 registered
+oracles execute cleanly under the same DuckDB build). All 164 registered
 queries stay oracle-checked locally every run
 (``tests/test_oracle_parity.py`` replicates the driver comparison); the
 50-entry driver contract is rotated each round so that every query
@@ -17,10 +17,10 @@ tail past the driver's cap. The ``driver=`` kwarg is still accepted for
 call-site documentation but no longer affects the export.
 
 Driver-verification ledger (union of CORRECTNESS_r01..r03 green rows):
-84 of 163 queries (146 at the r03 snapshot + 17 registered during
+84 of 164 queries (146 at the r03 snapshot + 18 registered during
 round 4). Round 4 exports 50 of the 62 then-never-driver-verified
-queries, pushing the cumulative ledger to 134/163 when green; the 12
-hold-outs plus the 17 round-4 additions (29 total, named below) rotate
+queries, pushing the cumulative ledger to 134/164 when green; the 12
+hold-outs plus the 18 round-4 additions (30 total, named below) rotate
 in round 5.
 """
 
@@ -140,6 +140,7 @@ ROTATE_NEXT: list[str] = [
     "dynamic_partition_overwrite",
     "bpe_encode",
     "user_purge_audit",
+    "range_partition_sort",
     # round-4 hold-outs (twin carried the operator's evidence this round)
     "streaming_tws_distinct",
     "streaming_tws_timers",

@@ -154,3 +154,21 @@ def test_full_backfill_clears_checkpoint_and_replays(tmp_path, spark):
     )
     state = {r["key"]: r["v"] for r in out.collect()}
     assert state == {"1": "a"}, "replayed changelog must rebuild the same state"
+
+
+def test_query_subcommand_list_run_and_parquet_out(tmp_path, capsys):
+    from mammoth_spark.__main__ import main
+
+    assert main(["query", "--list"]) == 0
+    listing = capsys.readouterr().out
+    assert "pricing_summary" in listing and "chunk_dedup" in listing
+
+    assert main(["query", "nope_not_registered"]) == 2
+    assert main(["query"]) == 2
+
+    out = str(tmp_path / "q_out")
+    assert main(["query", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out]) == 0
+    from mammoth_spark.plans import get_spark
+
+    assert get_spark("cli_test").read.parquet(out).count() > 0

@@ -436,3 +436,151 @@ def test_user_purge_audit_zero_leaks_and_consistent_accounting(spark):
     assert row["leak_count"] == 0
     assert row["rows_before"] == row["rows_after"] + row["rows_removed"]
     assert row["n_users_purged"] > 0 and row["rows_removed"] > 0
+
+
+def test_range_partition_sort_uses_range_partitioning_and_holds_adversarial(spark, tmp_path):
+    # plan: the exchange must be RANGE partitioning (the one shuffle
+    # strategy the rest of the repo never uses), and the invariants must
+    # hold on an adversarial skewed distribution (90% identical values
+    # force range split-point ties; ranges_nonoverlapping uses >= so
+    # boundary-equal shards stay legal).
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = QUERIES["range_partition_sort"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+    skewed = spark.range(0, 5000).select(
+        F.col("id").alias("event_id"),
+        F.current_timestamp().alias("ts"),
+        (F.col("id") % 7).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.when(F.col("id") % 10 < 9, F.lit(1.0)).otherwise(F.col("id") / 100.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sf_dir = str(tmp_path / "sf_skew")
+    os.makedirs(sf_dir, exist_ok=True)
+    skewed.write.parquet(os.path.join(sf_dir, "events.parquet"))
+    row = QUERIES["range_partition_sort"](spark, sf_dir).collect()[0]
+    assert row["rows_total"] == 5000
+    assert row["ranges_nonoverlapping"] and row["globally_sorted"]
+
+
+def _reference_bpe(word_freqs, rounds):
+    # independent pure-Python BPE (Sennrich 2016): returns the per-round
+    # (merged pair, pair frequency, distinct symbol types after merge)
+    out = []
+    words = {w: [list(w), f] for w, f in word_freqs.items()}
+    for _ in range(rounds):
+        counts = {}
+        for syms, f in words.values():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        # tie-break matches the query: freq desc, then the SEP-joined
+        # pair string ascending (plain tuple order over the two symbols)
+        (p1, p2), freq = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, (syms, f) in words.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == p1 and syms[i + 1] == p2:
+                    merged.append(p1 + p2)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            words[w][0] = merged
+        n_types = len({s for syms, _ in words.values() for s in syms})
+        out.append((p1 + "+" + p2, freq, n_types))
+    return out
+
+
+def test_bpe_train_matches_pure_python_reference_on_random_corpora(spark, tmp_path):
+    # cross-check against an INDEPENDENT implementation (not the DuckDB
+    # oracle, which shares the wrapped-string representation): random
+    # lowercase corpora, full trajectory equality per round.
+    import os
+    import random
+
+    rng = random.Random(20260814)
+    for case in range(3):
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(2, 6)))
+            for _ in range(rng.randint(4, 12))
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(3, 15)))
+            for _ in range(6)
+        ]
+        docs = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        sf_dir = str(tmp_path / f"sf_ref_{case}")
+        os.makedirs(sf_dir, exist_ok=True)
+        docs.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+        freqs = {}
+        for t in texts:
+            for w in t.split(" "):
+                if len(w) >= 2:
+                    freqs[w] = freqs.get(w, 0) + 1
+        expected = _reference_bpe(freqs, 3)
+        got = [
+            (r["merge_pair"], r["pair_freq"], r["n_symbol_types"])
+            for r in QUERIES["bpe_train"](spark, sf_dir).orderBy("round").collect()
+        ]
+        assert got == expected, f"case {case}: {got} != {expected}"
+
+
+def test_incremental_topk_invariant_under_any_batch_boundary(spark):
+    # the maintained aggregate must be split-invariant: whatever event_id
+    # boundary separates the two batches, the final top-k matches the
+    # from-scratch recompute (the per-row flag the query publishes).
+    # The registered query pins boundary 600; this exercises two others
+    # by monkey-patching nothing — the invariant is visible through the
+    # published matches_recompute column only for 600, so re-derive the
+    # merge here for boundaries {1, 250, 999} directly.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mammoth_spark.model import read_table
+
+    ev = read_table(spark, SF, "events").select(
+        "event_id", F.col("user_id").cast("bigint").alias("user_id")
+    )
+    recompute = {
+        (r["user_id"], r["n"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(15)
+        .collect()
+    }
+    for boundary in (1, 250, 999):
+        agg = None
+        for lo, hi in [(0, boundary), (boundary, 1 << 62)]:
+            delta = (
+                ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            if agg is None:
+                agg = delta.select("user_id", F.col("d").alias("n_events"))
+            else:
+                agg = agg.join(F.broadcast(delta), on="user_id", how="full_outer").select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("n_events"), F.lit(0))
+                        + F.coalesce(F.col("d"), F.lit(0))
+                    ).alias("n_events"),
+                )
+            agg = agg.localCheckpoint()
+        got = {
+            (r["user_id"], r["n_events"])
+            for r in agg.orderBy(F.desc("n_events"), "user_id").limit(15).collect()
+        }
+        assert got == recompute, f"boundary {boundary} diverged"
