@@ -719,16 +719,12 @@ def incremental_agg_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame
             .agg(F.count(F.lit(1)).cast("long").alias("d"))
         )
         deltas = minus.unionByName(plus).groupBy("bucket").agg(F.sum("d").alias("d"))
-        agg = (
-            agg.alias("a")
-            .join(F.broadcast(deltas.alias("d")), on="bucket", how="full_outer")
-            .select(
-                "bucket",
-                (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0))).alias(
-                    "n_rows"
-                ),
-            )
-            .filter(F.col("n_rows") > 0)
+        # broadcast-decomposed additive merge (a broadcast hint on a
+        # full-outer join is dropped — see merge_additive_delta); the
+        # maintained aggregate is bucket-sized here, but the plan should
+        # still show the shape that survives a key-cardinality aggregate
+        agg = merge_additive_delta(agg, deltas, "bucket", "n_rows", "d").filter(
+            F.col("n_rows") > 0
         )
         # maintain the base for the next batch's pre-image lookups
         base = merge_upsert(base, net, ["key"], ["value"]).localCheckpoint()
@@ -859,6 +855,34 @@ def maintain_join_view(view: DataFrame, orders: DataFrame, net: DataFrame) -> Da
 IVM_TOPK_K = 15
 
 
+def merge_additive_delta(
+    base: DataFrame, delta: DataFrame, key: str, val: str, d: str
+) -> DataFrame:
+    """Additive merge of a small per-batch delta into a large maintained
+    aggregate WITHOUT shuffling the base. Spark has no broadcast
+    full-outer hash join — ``base.join(broadcast(delta), how='full_outer')``
+    silently plans a SortMergeJoin that shuffles BOTH sides (the same
+    dropped-hint trap operators/merge.py documents for MERGE), so the
+    decomposition here mirrors merge_upsert's:
+
+      updated  = base LEFT JOIN broadcast(delta)      -- one narrow pass,
+                 val + coalesce(d, 0)                 -- base never moves
+      existing = base LEFT SEMI broadcast(delta)      -- <= |delta| rows
+      inserts  = delta LEFT ANTI broadcast(existing)  -- tiny vs tiny
+
+    Two narrow scans of the base, zero base-side exchanges; asserted on
+    the executed plan in tests/test_round4_ops.py."""
+    updated = base.join(F.broadcast(delta), on=key, how="left").select(
+        key,
+        (F.coalesce(F.col(val), F.lit(0)) + F.coalesce(F.col(d), F.lit(0))).alias(val),
+    )
+    existing = base.join(F.broadcast(delta), on=key, how="left_semi").select(key)
+    inserts = delta.join(F.broadcast(existing), on=key, how="left_anti").select(
+        key, F.col(d).cast("long").alias(val)
+    )
+    return updated.unionByName(inserts)
+
+
 @register(
     "incremental_topk_maintenance",
     oracle=f"""
@@ -883,11 +907,12 @@ def incremental_topk_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFram
     delta-maintainable — an item outside the current top-k can rise into
     it, so the maintained state must be the full per-key count aggregate,
     with top-k as a cheap READ over it. That decomposition is the point:
-    per batch the delta's per-key counts (work ∝ batch) broadcast-merge
-    into the maintained aggregate (full_outer against the broadcast
-    delta — the big side never shuffles, matching the
-    incremental_agg_maintenance discipline), and the top-k read is a
-    TakeOrderedAndProject over the aggregate — never a re-shuffle of the
+    per batch the delta's per-key counts (work ∝ batch) merge into the
+    maintained aggregate via merge_additive_delta — the broadcast-
+    DECOMPOSED form (left join + semi/anti), because a broadcast hint on
+    a full-outer join is silently dropped and would sort-merge-shuffle
+    the whole aggregate every batch — and the top-k read is a
+    TakeOrderedAndProject over the aggregate, never a re-shuffle of the
     fact history. The output carries a per-row ``matches_recompute``
     comparing the incremental path's top-k against a from-scratch
     recompute at the same rank; the oracle pins it TRUE. Ties break by
@@ -902,16 +927,7 @@ def incremental_topk_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFram
         if agg is None:
             agg = delta.select("user_id", F.col("d").alias("n_events"))
         else:
-            agg = (
-                agg.join(F.broadcast(delta), on="user_id", how="full_outer")
-                .select(
-                    "user_id",
-                    (
-                        F.coalesce(F.col("n_events"), F.lit(0))
-                        + F.coalesce(F.col("d"), F.lit(0))
-                    ).alias("n_events"),
-                )
-            )
+            agg = merge_additive_delta(agg, delta, "user_id", "n_events", "d")
         agg = agg.localCheckpoint()
     w = Window.orderBy(F.desc("n_events"), "user_id")
     topk = (

@@ -118,6 +118,28 @@ FROM k GROUP BY doc_id
 """
 
 
+def _rebuild_docs(flagged, kept_col, n_kept_alias):
+    """Per-document rebuild shared by every chunk-level cleaner: count
+    chunks, count survivors, and reassemble clean_text from the kept
+    chunks in chunk_idx order. The collect_list holds only ONE document's
+    chunks (bounded by doc length, never corpus size); array_sort on the
+    (chunk_idx, chunk) struct restores order without a window sort."""
+    kept = F.col(kept_col) if isinstance(kept_col, str) else kept_col
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias(n_kept_alias),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(kept, F.struct("chunk_idx", "chunk")))
+                ),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
 @register(
     "chunk_dedup",
     driver=False,  # round-4 contract is full; round-5 rotation candidate
@@ -144,21 +166,7 @@ def chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept",
         F.min(occ).over(Window.partitionBy("chunk")) == occ,
     )
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("kept"), F.struct("chunk_idx", "chunk"))
-                    )
-                ),
-                lambda s: s["chunk"],
-            ),
-        ).alias("clean_text"),
-    )
+    return _rebuild_docs(flagged, "kept", "n_kept")
 
 
 # --------------------------- boilerplate_strip ---------------------------
@@ -202,20 +210,12 @@ def boilerplate_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "chunk", F.lit(True).alias("is_bp"))
     )
     flagged = ch.join(bp, ["source", "chunk"], "left")
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-        F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).cast("bigint").alias("n_boiler"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("is_bp").isNull(), F.struct("chunk_idx", "chunk"))
-                    )
-                ),
-                lambda s: s["chunk"],
-            ),
-        ).alias("clean_text"),
+    rebuilt = _rebuild_docs(flagged, F.col("is_bp").isNull(), "n_kept")
+    return rebuilt.select(
+        "doc_id",
+        "n_chunks",
+        (F.col("n_chunks") - F.col("n_kept")).alias("n_boiler"),
+        "clean_text",
     )
 
 
@@ -543,22 +543,21 @@ def chunk_clean_increment(
         ch = ch.withColumn("seen", F.lit(None).cast("boolean"))
     ch = ch.withColumn("kept", F.col("bmin") & F.col("seen").isNull())
     delta = ch.filter(F.col("kept")).select("cb", "ch_h")
-    cleaned = ch.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("kept"), F.struct("chunk_idx", "chunk"))
-                    )
-                ),
-                lambda st: st["chunk"],
-            ),
-        ).alias("clean_text"),
-    )
+    cleaned = _rebuild_docs(ch, "kept", "n_kept")
     return cleaned, delta
+
+
+def _earlier_chunk_deltas(base: str, epoch_id: int) -> list[str]:
+    """Delta dirs of STRICTLY earlier epochs (replay-safe history probe:
+    a retried micro-batch must never read its own half-written delta)."""
+    import glob
+    import os
+
+    return sorted(
+        p
+        for p in glob.glob(os.path.join(base, "chunk_e*"))
+        if int(os.path.basename(p)[len("chunk_e"):]) < epoch_id
+    )
 
 
 @register(
@@ -613,7 +612,12 @@ def streaming_chunk_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _step(batch_df, epoch_id):
         s = batch_df.sparkSession
-        deltas = sorted(glob.glob(os.path.join(base, "chunk_e*")))
+        # STRICTLY earlier epochs only: on a micro-batch retry the glob
+        # would otherwise match this epoch's own half-written delta, and
+        # cleaning the batch against itself marks every chunk seen —
+        # emptying the retried delta (hashes lost forever) and the
+        # rebuilt texts. Epoch ids are the replay-stable filter.
+        deltas = _earlier_chunk_deltas(base, int(epoch_id))
         seen = (
             # each delta keeps its own cb= partition discovery; the join
             # key includes cb so the filter prunes files across history
@@ -625,7 +629,11 @@ def streaming_chunk_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta.repartition("cb").write.mode("overwrite").partitionBy("cb").parquet(
             os.path.join(base, f"chunk_e{int(epoch_id):06d}")
         )
-        cleaned.write.mode("append").parquet(out_dir)
+        # per-epoch dir + overwrite: a replayed epoch replaces its own
+        # output instead of appending a duplicate copy
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"e{int(epoch_id):06d}")
+        )
 
     # per-epoch joins touch a few hundred keys; 8 shuffle partitions
     # beats paying 32 tasks per stage per epoch (restored after)
@@ -644,7 +652,7 @@ def streaming_chunk_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(os.path.join(out_dir, "e*"))
 
 
 # -------------------------- gopher_rules_report --------------------------

@@ -1382,6 +1382,108 @@ BPE_TRAIN_ROUNDS = 3
 _BPE_SEP = "\x1f"  # unit separator: absent from corpus text by construction
 
 
+def _bpe_merge_rounds(
+    wrapped: DataFrame, rounds: int, carry_cols: list[str]
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The greedy BPE merge loop shared by bpe_train (reports the
+    trajectory) and bpe_encode (uses the final merged vocab) — one
+    implementation so the trained merge table and the reported one can
+    never drift. ``wrapped`` is the U+001F-wrapped distinct-word table
+    with a ``freq`` weight plus ``carry_cols`` riding along; returns the
+    final table and one lazy 1-row record per round
+    (round, merge_pair, pair_freq, n_symbol_types).
+
+    Per round: vocab-keyed pair aggregation (map-side combined), 1-row
+    argmax (TakeOrderedAndProject), broadcast of that scalar onto the
+    vocab table, codegen'd replace, localCheckpoint so round r+1 doesn't
+    recompute rounds 1..r. Tie-break (freq desc, pair asc) is binary
+    string order in both engines."""
+    sep2 = _BPE_SEP + _BPE_SEP
+    syms_of = F.split(F.expr("substring(wrapped, 2, length(wrapped) - 2)"), sep2)
+    records = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            wrapped.select(syms_of.alias("syms"), "freq")
+            # fully-merged single-symbol words emit no pairs; unlike
+            # DuckDB's empty range(1,1), Spark's sequence(1, 0) is a
+            # DESCENDING sequence, so the guard is load-bearing
+            .filter(F.size("syms") >= 2)
+            .select(
+                F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+                "syms",
+                "freq",
+            )
+            .select(
+                F.concat(
+                    F.element_at("syms", F.col("i")),
+                    F.lit(_BPE_SEP),
+                    F.element_at("syms", F.col("i") + 1),
+                ).alias("pair"),
+                "freq",
+            )
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), "pair")
+            .limit(1)
+        )
+        wrapped = (
+            wrapped.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("wrapped"),
+                    F.concat(
+                        F.lit(_BPE_SEP),
+                        F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit(sep2)),
+                        F.lit(_BPE_SEP),
+                    ),
+                    F.concat(
+                        F.lit(_BPE_SEP),
+                        F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit("")),
+                        F.lit(_BPE_SEP),
+                    ),
+                ).alias("wrapped"),
+                *carry_cols,
+                "pair",
+                "pair_freq",
+            )
+            .localCheckpoint()
+        )
+        n_syms = wrapped.select(F.explode(syms_of).alias("sym")).agg(
+            F.count_distinct("sym").cast("bigint").alias("n_symbol_types")
+        )
+        records.append(
+            wrapped.select("pair", "pair_freq")
+            .limit(1)
+            .crossJoin(n_syms)
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit("+")).alias(
+                    "merge_pair"
+                ),
+                F.col("pair_freq"),
+                "n_symbol_types",
+            )
+        )
+        wrapped = wrapped.select("wrapped", *carry_cols)
+    return wrapped, records
+
+
+def _bpe_wrapped_vocab(spark: SparkSession, sf_dir: str, extra: list[str]) -> DataFrame:
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").rlike("^[a-z]{2,}$"))
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return tf.select(
+        *extra,
+        F.regexp_replace("token", "(.)", f"{_BPE_SEP}$1{_BPE_SEP}").alias("wrapped"),
+        "freq",
+    ).localCheckpoint()
+
+
 @register(
     "bpe_train",
     oracle=rf"""
@@ -1475,89 +1577,8 @@ def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; all 3 (or, in production, 50k) rounds after it are
     vocab-sized. Tie-break: (freq desc, pair asc) — binary string order
     in both engines."""
-    toks = (
-        read_table(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token").rlike("^[a-z]{2,}$"))
-    )
-    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    wrapped = tf.select(
-        F.regexp_replace("token", "(.)", f"{_BPE_SEP}$1{_BPE_SEP}").alias("wrapped"),
-        "freq",
-    ).localCheckpoint()
-
-    sep2 = _BPE_SEP + _BPE_SEP
-    syms_of = F.split(
-        F.expr("substring(wrapped, 2, length(wrapped) - 2)"), sep2
-    )
-    rounds = []
-    for r in range(1, BPE_TRAIN_ROUNDS + 1):
-        pairs = (
-            wrapped.select(syms_of.alias("syms"), "freq")
-            # fully-merged single-symbol words emit no pairs; unlike
-            # DuckDB's empty range(1,1), Spark's sequence(1, 0) is a
-            # DESCENDING sequence, so the guard is load-bearing
-            .filter(F.size("syms") >= 2)
-            .select(
-                F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
-                "syms",
-                "freq",
-            )
-            .select(
-                F.concat(
-                    F.element_at("syms", F.col("i")),
-                    F.lit(_BPE_SEP),
-                    F.element_at("syms", F.col("i") + 1),
-                ).alias("pair"),
-                "freq",
-            )
-        )
-        best = (
-            pairs.groupBy("pair")
-            .agg(F.sum("freq").cast("bigint").alias("pair_freq"))
-            .orderBy(F.desc("pair_freq"), "pair")
-            .limit(1)
-        )
-        wrapped = (
-            wrapped.crossJoin(F.broadcast(best))
-            .select(
-                F.replace(
-                    F.col("wrapped"),
-                    F.concat(
-                        F.lit(_BPE_SEP),
-                        F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit(sep2)),
-                        F.lit(_BPE_SEP),
-                    ),
-                    F.concat(
-                        F.lit(_BPE_SEP),
-                        F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit("")),
-                        F.lit(_BPE_SEP),
-                    ),
-                ).alias("wrapped"),
-                "freq",
-                "pair",
-                "pair_freq",
-            )
-            .localCheckpoint()
-        )
-        n_syms = (
-            wrapped.select(F.explode(syms_of).alias("sym"))
-            .agg(F.count_distinct("sym").cast("bigint").alias("n_symbol_types"))
-        )
-        rounds.append(
-            wrapped.select("pair", "pair_freq")
-            .limit(1)
-            .crossJoin(n_syms)
-            .select(
-                F.lit(r).cast("int").alias("round"),
-                F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit("+")).alias(
-                    "merge_pair"
-                ),
-                F.col("pair_freq"),
-                "n_symbol_types",
-            )
-        )
-        wrapped = wrapped.select("wrapped", "freq")
+    wrapped = _bpe_wrapped_vocab(spark, sf_dir, extra=[])
+    _, rounds = _bpe_merge_rounds(wrapped, BPE_TRAIN_ROUNDS, carry_cols=["freq"])
     from functools import reduce
 
     return reduce(DataFrame.unionByName, rounds).orderBy("round")
@@ -1631,65 +1652,13 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream with a broadcast hash join and a doc_id-keyed count — the only
     data-sized shuffle. This is how a 100 TB corpus gets tokenized: the
     merge table is KBs, the corpus streams through map-side."""
-    toks = (
-        read_table(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token").rlike("^[a-z]{2,}$"))
+    wrapped = _bpe_wrapped_vocab(spark, sf_dir, extra=["token"])
+    wrapped, _ = _bpe_merge_rounds(
+        wrapped, BPE_TRAIN_ROUNDS, carry_cols=["token", "freq"]
     )
-    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    wrapped = tf.select(
-        "token",
-        F.regexp_replace("token", "(.)", f"{_BPE_SEP}$1{_BPE_SEP}").alias("wrapped"),
-        "freq",
-    ).localCheckpoint()
-    sep2 = _BPE_SEP + _BPE_SEP
-    syms_of = F.split(F.expr("substring(wrapped, 2, length(wrapped) - 2)"), sep2)
-    for _ in range(BPE_TRAIN_ROUNDS):
-        pairs = (
-            wrapped.select(syms_of.alias("syms"), "freq")
-            .filter(F.size("syms") >= 2)
-            .select(
-                F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
-                "syms",
-                "freq",
-            )
-            .select(
-                F.concat(
-                    F.element_at("syms", F.col("i")),
-                    F.lit(_BPE_SEP),
-                    F.element_at("syms", F.col("i") + 1),
-                ).alias("pair"),
-                "freq",
-            )
-        )
-        best = (
-            pairs.groupBy("pair")
-            .agg(F.sum("freq").alias("pair_freq"))
-            .orderBy(F.desc("pair_freq"), "pair")
-            .limit(1)
-            .select("pair")
-        )
-        wrapped = (
-            wrapped.crossJoin(F.broadcast(best))
-            .select(
-                "token",
-                F.replace(
-                    F.col("wrapped"),
-                    F.concat(
-                        F.lit(_BPE_SEP),
-                        F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit(sep2)),
-                        F.lit(_BPE_SEP),
-                    ),
-                    F.concat(
-                        F.lit(_BPE_SEP),
-                        F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit("")),
-                        F.lit(_BPE_SEP),
-                    ),
-                ).alias("wrapped"),
-                "freq",
-            )
-            .localCheckpoint()
-        )
+    syms_of = F.split(
+        F.expr("substring(wrapped, 2, length(wrapped) - 2)"), _BPE_SEP + _BPE_SEP
+    )
     vocab = wrapped.select("token", F.size(syms_of).cast("bigint").alias("n_syms"))
     doc_tok = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")

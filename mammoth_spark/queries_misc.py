@@ -1502,49 +1502,57 @@ def range_partition_sort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zorder_layout's sibling) are produced at 100 TB.
 
     The output pins the properties instead of shipping the sorted rows:
-    per-shard (min, max, count) stats collapse to booleans —
     ``ranges_nonoverlapping`` (every shard's min >= the previous shard's
-    max: the range partitioner really did partition by range) and
-    ``globally_sorted`` (concatenating shards in id order IS the sorted
-    order) — which the oracle pins TRUE, plus exact global count/min/max.
-    Shard stats are computed with spark_partition_id() over the
-    range-partitioned data (a tiny RANGE_SHARDS-row aggregate), and the
-    boolean fold is a 1-row window over that."""
+    max over a tiny RANGE_SHARDS-row stats aggregate: the range
+    partitioner really did partition by range) and ``globally_sorted`` —
+    a REAL within-shard monotonicity audit, not a restatement of the
+    range check: monotonically_increasing_id() captures each row's
+    physical position after sortWithinPartitions, and a per-shard lag
+    window counts order violations (value decreasing along physical
+    order). Non-overlapping ranges + zero within-shard violations ==
+    concatenating shards in id order is the total order. The oracle pins
+    both booleans TRUE plus exact global count/min/max."""
     from pyspark.sql import Window
 
     ev = read_table(spark, sf_dir, "events").select(
         F.col("value"), F.floor(F.col("value") * 1000).cast("bigint").alias("milli")
     )
-    ranged = ev.repartitionByRange(RANGE_SHARDS, "value").sortWithinPartitions("value")
-    shard_stats = (
-        ranged.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid")
-        .agg(
-            F.min("milli").alias("lo"),
-            F.max("milli").alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    ranged = (
+        ev.repartitionByRange(RANGE_SHARDS, "value")
+        .sortWithinPartitions("value")
+        .withColumn("pid", F.spark_partition_id())
+        # physical row position: increases with row order inside each
+        # partition, so a later sort on it reconstructs (and verifies)
+        # the order sortWithinPartitions actually produced
+        .withColumn("mid", F.monotonically_increasing_id())
+    )
+    by_pos = Window.partitionBy("pid").orderBy("mid")
+    audited = ranged.withColumn(
+        "out_of_order",
+        F.coalesce(F.col("milli") < F.lag("milli").over(by_pos), F.lit(False)),
+    )
+    shard_stats = audited.groupBy("pid").agg(
+        F.min("milli").alias("lo"),
+        F.max("milli").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("out_of_order").cast("long")).alias("n_unsorted"),
     )
     w = Window.orderBy("pid")
     folded = shard_stats.select(
-        "pid",
         "lo",
         "hi",
         "n",
+        "n_unsorted",
         F.lag("hi").over(w).alias("prev_hi"),
+    )
+    nonoverlap = F.coalesce(
+        F.min((F.col("prev_hi").isNull()) | (F.col("lo") >= F.col("prev_hi"))),
+        F.lit(True),
     )
     return folded.agg(
         F.sum("n").cast("bigint").alias("rows_total"),
         F.min("lo").cast("bigint").alias("min_milli"),
         F.max("hi").cast("bigint").alias("max_milli"),
-        F.coalesce(
-            F.min((F.col("prev_hi").isNull()) | (F.col("lo") >= F.col("prev_hi"))),
-            F.lit(True),
-        ).alias("ranges_nonoverlapping"),
-        # shards sorted internally + non-overlapping consecutive ranges
-        # == a total order; same fold, published under its own name
-        F.coalesce(
-            F.min((F.col("prev_hi").isNull()) | (F.col("lo") >= F.col("prev_hi"))),
-            F.lit(True),
-        ).alias("globally_sorted"),
+        nonoverlap.alias("ranges_nonoverlapping"),
+        (nonoverlap & (F.sum("n_unsorted") == 0)).alias("globally_sorted"),
     )

@@ -17,8 +17,22 @@ from mammoth_spark.model import read_table
 
 
 def test_decode_stubs_raise():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8")
+    # without PIL the disclosed NotImplementedError stub fires; WITH PIL
+    # installed the real codec path runs and a truncated JPEG raises
+    # PIL's own error instead — both are the documented contract
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        with pytest.raises(Exception) as exc_info:
+            decode_image(b"\xff\xd8")
+        assert not isinstance(exc_info.value, NotImplementedError)
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8")
 
 
 def test_fake_extractor_deterministic():

@@ -396,6 +396,38 @@ def test_incremental_topk_reads_maintained_agg_without_reshuffle(spark):
     assert all(r["matches_recompute"] for r in df.collect())
 
 
+def test_merge_additive_delta_never_shuffles_the_base(spark):
+    # the checkpointed loop hides per-batch plans, so the merge helper is
+    # plan-asserted directly: a broadcast hint on a full-outer join is
+    # silently DROPPED by Spark (both sides would sort-merge-shuffle);
+    # the decomposed form must show only broadcast joins and no base-side
+    # Exchange hashpartitioning.
+    from pyspark.sql import functions as F
+
+    from mammoth_spark.queries_analytics import merge_additive_delta
+
+    base = spark.range(0, 100000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("n")
+    )
+    delta = spark.range(0, 50).select(
+        (F.col("id") * 3000).alias("k"), F.lit(5).alias("d")
+    )
+    merged = merge_additive_delta(base, delta, "k", "n", "d")
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # left-outer + semi/anti
+
+    # value correctness incl. delta-only keys (k >= 100000)
+    got = {r["k"]: r["n"] for r in merged.filter(F.col("k") % 3000 == 0).collect()}
+    assert got[0] == 0 + 5 and got[3000] == (3000 % 7) + 5
+    assert got[120000] == 5  # insert path
+    # the ineffective-hint form really does shuffle both sides (the trap)
+    trap = base.join(F.broadcast(delta), on="k", how="full_outer")
+    tplan = trap._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in tplan
+
+
 def test_dynamic_partition_overwrite_touches_only_replaced_partitions(spark):
     # the query self-asserts the filesystem evidence (no write
     # amplification, no dropped partitions); this pins the surfaced
@@ -584,3 +616,20 @@ def test_incremental_topk_invariant_under_any_batch_boundary(spark):
             for r in agg.orderBy(F.desc("n_events"), "user_id").limit(15).collect()
         }
         assert got == recompute, f"boundary {boundary} diverged"
+
+
+def test_streaming_chunk_clean_history_probe_is_replay_safe(tmp_path):
+    # a retried micro-batch must not read its own (possibly half-written)
+    # delta: the history probe filters to STRICTLY earlier epoch ids.
+    import os
+
+    from mammoth_spark.queries_cleaning import _earlier_chunk_deltas
+
+    base = str(tmp_path)
+    for e in (0, 1, 2):
+        os.makedirs(os.path.join(base, f"chunk_e{e:06d}"))
+    assert _earlier_chunk_deltas(base, 0) == []
+    assert [os.path.basename(p) for p in _earlier_chunk_deltas(base, 2)] == [
+        "chunk_e000000",
+        "chunk_e000001",
+    ]

@@ -25,12 +25,17 @@ import argparse
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from scale_stress import SHIFT_KEYS, COPY_TABLES, SRC  # noqa: E402
+from scale_stress import (  # noqa: E402
+    COPY_TABLES,
+    SHIFT_KEYS,
+    SRC,
+    compute_offsets,
+    time_query,
+)
 
 SF1 = "/tmp/sf1"
 REPLICAS = 100
@@ -56,15 +61,9 @@ def build_sf10(spark, dest: str) -> None:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{dest}/{t}.parquet"
         )
+    offsets = compute_offsets(spark)
     for t, keys in SHIFT_KEYS.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        maxima = df.agg(*[F.max(k).alias(k) for k in keys]).first()
-        offsets = {}
-        for k in keys:
-            off = 1
-            while off <= int(maxima[k]):
-                off *= 10
-            offsets[k] = off
         # one narrow plan: explode a 0..REPLICAS-1 literal array per row,
         # shift keys by i*offset — no 100-way union tree
         rep = df.withColumn(
@@ -83,18 +82,7 @@ def build_sf10(spark, dest: str) -> None:
         rep.drop("_i").repartition(32).write.mode("overwrite").parquet(
             f"{dest}/{t}.parquet"
         )
-        print(f"  {t}: x{REPLICAS} (offsets {offsets})", flush=True)
-
-
-def time_query(spark, fn, sf_dir: str) -> float:
-    import gc
-
-    t0 = time.perf_counter()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    dt = time.perf_counter() - t0
-    spark.catalog.clearCache()
-    gc.collect()
-    return round(dt, 4)
+        print(f"  {t}: x{REPLICAS} (offsets {({k: offsets[k] for k in keys})})", flush=True)
 
 
 def main() -> None:

@@ -36,8 +36,7 @@ sys.path.insert(0, REPO)
 REPLICAS = 10
 SRC = "/root/testdata/sf0.1"
 
-# key columns shifted per replica (offset = next power of 10 above the
-# table's max, so replicas never collide); all other columns copy through
+# key columns shifted per replica; all other columns copy through
 SHIFT_KEYS = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "orders": ["o_orderkey", "o_custkey"],
@@ -50,6 +49,45 @@ SHIFT_KEYS = {
 }
 COPY_TABLES = ["region", "nation"]
 
+# columns sharing a key DOMAIN must shift by the SAME offset or joins
+# desynchronize across replicas (e.g. max(c_custkey) and max(o_custkey)
+# straddling a power of 10 would give customer and orders different
+# offsets — every join would then match only replica 0 and the measured
+# "scaling" would time dangling foreign keys). The offset per domain is
+# the next power of 10 above the max over ALL columns in the domain.
+KEY_DOMAINS = {
+    "l_orderkey": "orderkey",
+    "o_orderkey": "orderkey",
+    "l_partkey": "partkey",
+    "p_partkey": "partkey",
+    "l_suppkey": "suppkey",
+    "s_suppkey": "suppkey",
+    "o_custkey": "custkey",
+    "c_custkey": "custkey",
+}
+
+
+def compute_offsets(spark, src: str = SRC) -> dict[str, int]:
+    """Per-COLUMN replica offsets, equal within each key domain."""
+    from pyspark.sql import functions as F
+
+    domain_max: dict[str, int] = {}
+    col_domain: dict[str, str] = {}
+    for t, keys in SHIFT_KEYS.items():
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        maxima = df.agg(*[F.max(k).alias(k) for k in keys]).first()
+        for k in keys:
+            dom = KEY_DOMAINS.get(k, k)
+            col_domain[k] = dom
+            domain_max[dom] = max(domain_max.get(dom, 0), int(maxima[k]))
+    offsets = {}
+    for k, dom in col_domain.items():
+        off = 1
+        while off <= domain_max[dom]:
+            off *= 10
+        offsets[k] = off
+    return offsets
+
 
 def build_sf1(spark, dest: str) -> None:
     from pyspark.sql import functions as F
@@ -59,15 +97,9 @@ def build_sf1(spark, dest: str) -> None:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{dest}/{t}.parquet"
         )
+    offsets = compute_offsets(spark)
     for t, keys in SHIFT_KEYS.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        offsets = {}
-        maxima = df.agg(*[F.max(k).alias(k) for k in keys]).first()
-        for k in keys:
-            off = 1
-            while off <= int(maxima[k]):
-                off *= 10
-            offsets[k] = off
         parts = []
         for i in range(REPLICAS):
             rep = df
@@ -78,7 +110,7 @@ def build_sf1(spark, dest: str) -> None:
         for rep in parts[1:]:
             out = out.unionByName(rep)
         out.write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
-        print(f"  {t}: x{REPLICAS} (offsets {offsets})", flush=True)
+        print(f"  {t}: x{REPLICAS} (offsets {({k: offsets[k] for k in keys})})", flush=True)
 
 
 def pick_heavy_batch_queries(n: int) -> list[str]:
