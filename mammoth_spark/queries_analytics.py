@@ -871,7 +871,12 @@ def merge_additive_delta(
       inserts  = delta LEFT ANTI broadcast(existing)  -- tiny vs tiny
 
     Two narrow scans of the base, zero base-side exchanges; asserted on
-    the executed plan in tests/test_round4_ops.py."""
+    the executed plan in tests/test_round4_ops.py.
+
+    PRECONDITION: ``key`` is unique in BOTH inputs (they are maintained
+    aggregates). A duplicated key in ``delta`` would fan out base rows
+    through the left join and the union would double-count; callers
+    must pre-aggregate to one row per key (both current callers do)."""
     updated = base.join(F.broadcast(delta), on=key, how="left").select(
         key,
         (F.coalesce(F.col(val), F.lit(0)) + F.coalesce(F.col(d), F.lit(0))).alias(val),

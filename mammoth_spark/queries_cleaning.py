@@ -49,6 +49,10 @@ from .queries_curation import SPAN_N
 from .queries_pipeline import ANN_K, ANN_QUERIES, _DOT, _vec_cte
 from .registry import register
 
+# Scratch base of the most recent streaming_chunk_clean run in this
+# process — set by the query, read by the on-disk-layout audit test.
+STREAM_CHUNK_LAST_BASE: str | None = None
+
 CHUNK_W = 8  # tokens per non-overlapping chunk (the "line" analog)
 BP_MIN = 3  # chunk in >= this many distinct docs of one source = boilerplate
 DSIR_BUCKETS = 256  # hashed-unigram feature dimension
@@ -597,6 +601,11 @@ def streaming_chunk_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     base = scratch_dir(prefix="stream_chunk_")
+    # Public audit hook: tests assert the store's on-disk layout
+    # (append-only per-epoch deltas, cb= partitioning) and need this
+    # call's scratch base without reaching into scratch internals.
+    global STREAM_CHUNK_LAST_BASE
+    STREAM_CHUNK_LAST_BASE = base
     src = os.path.join(base, "src")
     for i, (lo, hi) in enumerate([(0, 150), (150, 300), (300, 1 << 60)]):
         part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))

@@ -275,10 +275,12 @@ per AS (
 ),
 agg AS (
   SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
-         (list(doc_id ORDER BY doc_id))[1:{IDX_POSTINGS_K}] AS postings
+         (list(doc_id ORDER BY doc_id))[1:{IDX_POSTINGS_K}] AS postings_arr
   FROM per GROUP BY term
 )
-SELECT term, df, tf_total, postings FROM agg WHERE df >= {IDX_MIN_DF}
+SELECT term, df, tf_total,
+       array_to_string(list_transform(postings_arr, x -> CAST(x AS VARCHAR)), ',') AS postings
+FROM agg WHERE df >= {IDX_MIN_DF}
 """,
 )
 def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,6 +297,12 @@ def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncapped collect_list-then-slice would materialize the full posting
     list per term (OOM at scale). min_df prunes the hapax tail, which
     at 100 TB is the vast majority of distinct terms.
+
+    Postings are emitted as a comma-joined STRING, not array<bigint>:
+    the correctness driver canonicalizes results through a pandas
+    column sort, which cannot hash list cells (r04's one red row was
+    exactly this — ``TypeError: unhashable type: 'list'``). The string
+    form is also what an index manifest file would store.
     """
     docs = read_table(spark, sf_dir, "documents")
     per = (
@@ -315,10 +323,16 @@ def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("df"),
             F.sum("tf").cast("bigint").alias("tf_total"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(F.col("rn") <= IDX_POSTINGS_K, F.col("doc_id"))
-                )
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("rn") <= IDX_POSTINGS_K, F.col("doc_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
             ).alias("postings"),
         )
         .filter(F.col("df") >= IDX_MIN_DF)
@@ -1422,31 +1436,34 @@ def _bpe_merge_rounds(
                 "freq",
             )
         )
-        best = (
+        best_rows = (
             pairs.groupBy("pair")
             .agg(F.sum("freq").cast("bigint").alias("pair_freq"))
             .orderBy(F.desc("pair_freq"), "pair")
-            .limit(1)
+            .take(1)  # 1-row argmax: TakeOrderedAndProject, bounded collect
         )
+        if not best_rows:
+            # Fully merged (or degenerate) corpus: no adjacent pairs
+            # remain before `rounds` rounds. The pure-Python BPE
+            # reference breaks out of its merge loop here; continuing
+            # would fold an empty argmax into the vocab and silently
+            # empty it. Records end at the rounds actually executed.
+            break
+        pair = best_rows[0]["pair"]
+        pair_freq = int(best_rows[0]["pair_freq"])
+        # The argmax scalar is in hand, so the merge rewrite folds it as
+        # a literal (codegen'd constant replace) instead of a broadcast
+        # crossJoin — one less exchange per round.
         wrapped = (
-            wrapped.crossJoin(F.broadcast(best))
-            .select(
+            wrapped.select(
                 F.replace(
                     F.col("wrapped"),
-                    F.concat(
-                        F.lit(_BPE_SEP),
-                        F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit(sep2)),
-                        F.lit(_BPE_SEP),
-                    ),
-                    F.concat(
-                        F.lit(_BPE_SEP),
-                        F.replace(F.col("pair"), F.lit(_BPE_SEP), F.lit("")),
-                        F.lit(_BPE_SEP),
-                    ),
+                    F.lit(_BPE_SEP + pair.replace(_BPE_SEP, sep2) + _BPE_SEP),
+                    F.lit(_BPE_SEP + pair.replace(_BPE_SEP, "") + _BPE_SEP),
                 ).alias("wrapped"),
                 *carry_cols,
-                "pair",
-                "pair_freq",
+                F.lit(pair).alias("pair"),
+                F.lit(pair_freq).cast("bigint").alias("pair_freq"),
             )
             .localCheckpoint()
         )

@@ -1387,12 +1387,20 @@ def dynamic_partition_overwrite_q(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     after = listing()
-    assert set(before) == set(after), "dynamic overwrite must not drop partitions"
+    # RuntimeError, not assert: these are the operator's advertised
+    # physical guarantees (no dropped partitions, no write amplification)
+    # and must survive `python -O`.
+    if set(before) != set(after):
+        raise RuntimeError(
+            "dynamic overwrite dropped partitions: "
+            f"{sorted(set(before) - set(after))}"
+        )
     rewritten = {p for p in after if after[p] != before[p]}
-    assert rewritten == set(DPO_REPLACED), (
-        f"write amplification: expected exactly {sorted(DPO_REPLACED)} "
-        f"to turn over, got {sorted(rewritten)}"
-    )
+    if rewritten != set(DPO_REPLACED):
+        raise RuntimeError(
+            f"write amplification: expected exactly {sorted(DPO_REPLACED)} "
+            f"to turn over, got {sorted(rewritten)}"
+        )
 
     from pyspark.sql.types import StructType
 

@@ -263,15 +263,15 @@ def test_streaming_chunk_clean_store_is_append_only_and_complete(spark):
     import glob
     import os
 
+    from mammoth_spark import queries_cleaning
     from mammoth_spark.queries_cleaning import _chunks
     from mammoth_spark.model import read_table
 
-    from mammoth_spark import scratch
-
     out = QUERIES["streaming_chunk_clean"](spark, SF)
     out.count()
-    # the query's scratch base is the newest stream_chunk_ registration
-    base = [d for d in scratch._DIRS if "stream_chunk_" in d][-1]
+    # the query publishes its scratch base through a module-level hook
+    base = queries_cleaning.STREAM_CHUNK_LAST_BASE
+    assert base is not None
     deltas = sorted(glob.glob(os.path.join(base, "chunk_e*")))
     assert len(deltas) == 3
     assert all(glob.glob(os.path.join(d, "cb=*")) for d in deltas)
@@ -566,6 +566,31 @@ def test_bpe_train_matches_pure_python_reference_on_random_corpora(spark, tmp_pa
             for r in QUERIES["bpe_train"](spark, sf_dir).orderBy("round").collect()
         ]
         assert got == expected, f"case {case}: {got} != {expected}"
+
+
+def test_bpe_merge_loop_stops_early_on_fully_merged_corpus(spark, tmp_path):
+    # a corpus whose whole vocab is one 2-char word fully merges in ONE
+    # round; rounds 2-3 have no adjacent pairs left. The merge loop must
+    # break (like the pure-Python reference) instead of folding an empty
+    # argmax into the vocab — which would silently empty it and make
+    # bpe_encode report 0 words/tokens for every doc (ADVICE r04).
+    import os
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab", "en", "s", 8), (1, "ab", "en", "s", 2)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf_dir = str(tmp_path / "sf_bpe_degen")
+    os.makedirs(sf_dir, exist_ok=True)
+    docs.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    rows = QUERIES["bpe_train"](spark, sf_dir).orderBy("round").collect()
+    assert [(r["round"], r["merge_pair"]) for r in rows] == [(1, "a+b")]
+
+    enc = {r["doc_id"]: r for r in QUERIES["bpe_encode"](spark, sf_dir).collect()}
+    # vocab survives the early stop: every word encodes to 1 token
+    assert enc[0]["n_words"] == 3 and enc[0]["n_bpe_tokens"] == 3
+    assert enc[1]["n_words"] == 1 and enc[1]["n_bpe_tokens"] == 1
 
 
 def test_incremental_topk_invariant_under_any_batch_boundary(spark):

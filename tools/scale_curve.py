@@ -123,8 +123,15 @@ def main() -> None:
             "decade1_ratio": d1,
             "decade2_ratio": d2,
             # a healthy curve: both decades <= ~10 (linear) and decade2
-            # not wildly above decade1 (no hidden quadratic term)
-            "superlinear": bool(d2 and d2 > 13),
+            # not wildly above decade1 (no hidden quadratic term) —
+            # flag when EITHER decade breaches, or decade2 is growing
+            # materially past decade1 (ratio-of-ratios > 2 while past
+            # linear: the quadratic signature even if under threshold)
+            "superlinear": bool(
+                (d1 and d1 > 13)
+                or (d2 and d2 > 13)
+                or (d1 and d2 and d2 > 10 and d2 > 2 * d1)
+            ),
         }
         print(
             f"  {name}: {t01}s -> {t1}s -> {t10}s (x{d1}, x{d2})", flush=True
