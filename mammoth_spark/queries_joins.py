@@ -808,3 +808,245 @@ def _triangle_report(edges: DataFrame, tri: DataFrame) -> DataFrame:
         .join(n_t.select(F.col("n").cast("bigint").alias("n_triangles"), "_k"), "_k")
         .drop("_k")
     )
+
+
+# ======================== round-5 TPC-H-shaped wave ========================
+# Eight classic decision-support shapes (Q4/Q6/Q7/Q10/Q13/Q14/Q15/Q17
+# analogs, adapted to the fixture star schema which has no partsupp /
+# commitdate). Each exists to pin one physical strategy the engine must
+# get right at 100 TB: pure-pushdown scans, broadcast dims, semi/anti
+# joins that never materialize the fact side, two-level aggregates, and
+# window-argmax without a global sort. Money is floored integer cents,
+# ratios are floored integer micros (see module docstring).
+
+
+@register(
+    "discounted_revenue",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def discounted_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the purest pushdown probe in the suite — a
+    one-table scan whose THREE predicates (date range, discount band,
+    quantity cap) must all reach the parquet reader as PushedFilters,
+    with ReadSchema pruned to the four referenced columns. At 100 TB
+    this query is min/max-stat skipping + IO and nothing else; a plan
+    test asserts every predicate is pushed and no Exchange exists above
+    the partial aggregate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01 00:00:00").cast(li.schema["l_shipdate"].dataType)
+    hi = F.lit("1997-01-01 00:00:00").cast(li.schema["l_shipdate"].dataType)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+WITH j AS (
+  SELECT CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS cents,
+         CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+    AND l.l_shipdate <  TIMESTAMP '1997-09-01'
+)
+SELECT CAST(sum(is_promo * cents) AS BIGINT) AS promo_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(floor(1000000.0 * sum(is_promo * cents) / sum(cents)) AS BIGINT)
+         AS promo_share_micro
+""" + "FROM j",
+)
+def promo_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): fact scan with the date range
+    pushed down, dimension joined BROADCAST (part is |P| rows — millions
+    at 100 TB, still far under the fact's trillions; the plan test pins
+    BroadcastHashJoin, zero fact-side Exchange). The share is a floored
+    integer micro-ratio of two exact cents sums — division happens once,
+    on two scalars, after all distributed arithmetic is integer."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    lo = F.lit("1997-06-01 00:00:00").cast(li.schema["l_shipdate"].dataType)
+    hi = F.lit("1997-09-01 00:00:00").cast(li.schema["l_shipdate"].dataType)
+    j = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.when(F.col("p_type") == "PROMO", F.lit(1)).otherwise(F.lit(0)).alias("is_promo"),
+        )
+    )
+    agg = j.agg(
+        F.sum(F.col("is_promo") * F.col("cents")).cast("bigint").alias("promo_cents"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        F.floor(F.lit(1000000.0) * F.col("promo_cents") / F.col("total_cents"))
+        .cast("bigint")
+        .alias("promo_share_micro"),
+    )
+
+
+@register(
+    "returned_items_topk",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def returned_items_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item complaints): the returnflag filter
+    rides the lineitem scan, the orderdate window rides the orders scan
+    (both pushed), the fact-fact join shuffles once on orderkey, and the
+    two dims (customer, nation) broadcast onto the aggregated — not raw —
+    stream. Top-20 is orderBy+limit so Catalyst plans
+    TakeOrderedAndProject: per-partition heaps, no global sort. Ties
+    break on c_custkey so the top-20 SET is engine-independent."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = read_table(spark, sf_dir, "orders")
+    lo = F.lit("1996-01-01 00:00:00").cast(orders.schema["o_orderdate"].dataType)
+    hi = F.lit("1996-07-01 00:00:00").cast(orders.schema["o_orderdate"].dataType)
+    orders = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents")
+        )
+    )
+    return (
+        per_cust.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "revenue_cents")
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "order_priority_report",
+    oracle="""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY 1
+""",
+)
+def order_priority_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking; the fixture has no
+    commitdate, so 'late' = any line shipped >90 days after the order
+    date). The EXISTS is a LEFT SEMI join on orderkey with the lateness
+    predicate evaluated inside the join — the lineitem side contributes
+    at most one match per order and is never materialized into the
+    output, and the orderdate window is pushed to the orders scan. One
+    shuffle on orderkey, then a tiny 5-row aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    lo = F.lit("1996-01-01 00:00:00").cast(orders.schema["o_orderdate"].dataType)
+    hi = F.lit("1997-01-01 00:00:00").cast(orders.schema["o_orderdate"].dataType)
+    orders = orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_late_orders")
+    )
+
+
+@register(
+    "customer_order_histogram",
+    oracle="""
+WITH per AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY 1
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per GROUP BY 1
+""",
+)
+def customer_order_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order distribution): LEFT OUTER join so
+    zero-order customers keep a row (the classic inner-join bug this
+    query exists to catch), with the priority exclusion INSIDE the join
+    condition — pushing it as a WHERE would silently turn the join inner.
+    Two-level aggregate: per-customer counts shuffle on custkey (the
+    orders scan pre-projects to 2 columns), then the tiny histogram
+    re-aggregates on the count value."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
