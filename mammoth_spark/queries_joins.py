@@ -810,14 +810,18 @@ def _triangle_report(edges: DataFrame, tri: DataFrame) -> DataFrame:
     )
 
 
-# ======================== round-5 TPC-H-shaped wave ========================
+# ==================== rounds 5-6 TPC-H-shaped wave =========================
 # Eight classic decision-support shapes (Q4/Q6/Q7/Q10/Q13/Q14/Q15/Q17
 # analogs, adapted to the fixture star schema which has no partsupp /
-# commitdate). Each exists to pin one physical strategy the engine must
+# commitdate): five landed in round 5, the Q7/Q15/Q17 analogs below in
+# round 6. Each exists to pin one physical strategy the engine must
 # get right at 100 TB: pure-pushdown scans, broadcast dims, semi/anti
 # joins that never materialize the fact side, two-level aggregates, and
-# window-argmax without a global sort. Money is floored integer cents,
-# ratios are floored integer micros (see module docstring).
+# argmax without a global sort. Money is floored integer cents,
+# ratios are floored integer micros (see module docstring). Every one
+# has a physical-plan assertion in tests/test_plans.py
+# (test_tpch_wave_*) pinning the pushdown / broadcast / top-k shape it
+# exists to demonstrate.
 
 
 @register(
@@ -883,9 +887,11 @@ SELECT CAST(sum(is_promo * cents) AS BIGINT) AS promo_cents,
 )
 def promo_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): fact scan with the date range
-    pushed down, dimension joined BROADCAST (part is |P| rows — millions
-    at 100 TB, still far under the fact's trillions; the plan test pins
-    BroadcastHashJoin, zero fact-side Exchange). The share is a floored
+    pushed down, the part dimension joined UNHINTED — millions of rows
+    at 100 TB is too big to force-broadcast, so the planner chooses from
+    stats (broadcast at fixture scale, where the plan test pins
+    BroadcastHashJoin and zero fact-side Exchange; shuffle join once the
+    dim outgrows the threshold). The share is a floored
     integer micro-ratio of two exact cents sums — division happens once,
     on two scalars, after all distributed arithmetic is integer."""
     li = read_table(spark, sf_dir, "lineitem")
@@ -894,7 +900,7 @@ def promo_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.lit("1997-09-01 00:00:00").cast(li.schema["l_shipdate"].dataType)
     j = (
         li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
             .cast("bigint")
@@ -937,8 +943,12 @@ def returned_items_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape (returned-item complaints): the returnflag filter
     rides the lineitem scan, the orderdate window rides the orders scan
     (both pushed), the fact-fact join shuffles once on orderkey, and the
-    two dims (customer, nation) broadcast onto the aggregated — not raw —
-    stream. Top-20 is orderBy+limit so Catalyst plans
+    two dims (customer, nation) join the aggregated — not raw — stream.
+    nation is force-broadcast (bounded at 25 rows at every SF); customer
+    is deliberately UNHINTED because it scales with SF (billions of rows
+    at 100 TB would OOM a forced broadcast) — file-size stats / AQE pick
+    broadcast at fixture scale and a shuffle join when the dim outgrows
+    the threshold. Top-20 is orderBy+limit so Catalyst plans
     TakeOrderedAndProject: per-partition heaps, no global sort. Ties
     break on c_custkey so the top-20 SET is engine-independent."""
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -965,7 +975,7 @@ def returned_items_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        per_cust.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "c_name", "n_name", "revenue_cents")
         .orderBy(F.desc("revenue_cents"), "c_custkey")
@@ -1049,4 +1059,195 @@ def customer_order_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per.groupBy("c_count").agg(
         F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@register(
+    "volume_shipping",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+""",
+)
+def volume_shipping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): the
+    two-year shipdate window is pushed to the lineitem scan, and both
+    nation-restricted dims are PRE-FILTERED before touching the fact —
+    supplier x nation and customer x nation each collapse to ~1/25 of
+    the dim keyed by one of two nations, joined broadcast (nation itself
+    is bounded at 25 rows at every SF; the restricted supplier slice
+    stays broadcastable far longer than the full dim). The only
+    fact-fact shuffle is lineitem-orders on orderkey; the OR-of-pairs
+    predicate is evaluated after both nation names are attached, on the
+    already-restricted stream. Year bucketing is integer year(), revenue
+    is per-row floored cents (module docstring), so the (nation, nation,
+    year) cells match DuckDB bit-for-bit."""
+    li = read_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01 00:00:00").cast(li.schema["l_shipdate"].dataType)
+    hi = F.lit("1998-01-01 00:00:00").cast(li.schema["l_shipdate"].dataType)
+    li = li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(pair), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(pair), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("revenue_cents")
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.revenue_cents
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.revenue_cents = (SELECT max(revenue_cents) FROM rev)
+""",
+)
+def top_supplier_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): per-supplier
+    revenue over a pushed-down 3-month window, then the argmax WITHOUT a
+    global sort OR a single-partition window — the scalar max is
+    aggregated separately and joined back as a broadcast equality (the
+    classic `max(revenue) OVER ()` formulation would funnel all |S| rows
+    through one partition; a broadcast-scalar join keeps the filter
+    embarrassingly parallel, which matters when |S| is millions at
+    100 TB). All revenue-tied suppliers are returned, as in the spec.
+    The supplier dim joins the aggregated one-row-per-argmax stream.
+    tests/test_plans.py pins: no Window, no global Sort, the scalar max
+    arriving via BroadcastHashJoin."""
+    li = read_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01 00:00:00").cast(li.schema["l_shipdate"].dataType)
+    hi = F.lit("1996-04-01 00:00:00").cast(li.schema["l_shipdate"].dataType)
+    rev = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents")
+        )
+    )
+    mx = rev.agg(F.max("revenue_cents").alias("_mx"))
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("revenue_cents") == F.col("_mx"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "revenue_cents")
+    )
+
+
+@register(
+    "small_qty_revenue",
+    oracle="""
+WITH sel AS (
+  SELECT l.l_partkey, l.l_quantity,
+         CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#1' AND p.p_type = 'SMALL'
+), cap AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cap
+  FROM sel GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(s.cents), 0) AS BIGINT) AS sum_cents,
+       CAST(coalesce(sum(s.cents), 0) // 7 AS BIGINT) AS avg_yearly_cents
+FROM sel s JOIN cap c ON c.l_partkey = s.l_partkey
+WHERE s.l_quantity < c.qty_cap
+""",
+)
+def small_qty_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery `0.2 * avg(l_quantity) per part` is decorrelated into
+    a per-key aggregate joined back on partkey — never re-evaluated per
+    row. The brand/type predicate is pushed to the part scan, and the
+    TINY selected-part slice (1/25 of brands x 1/6 of types) broadcasts
+    into the fact scan FIRST, so both the average and the final sum only
+    ever see lineitem rows of selected parts: two passes over that
+    restricted slice beat one pass over the full fact by ~150x. The
+    cap-vs-quantity comparison is cross-engine exact because fixture
+    quantities are integral (integer sums are order-stable in doubles,
+    so avg is bit-identical); revenue is floored cents and the yearly
+    average is integer DIV 7 (never double division on big sums)."""
+    part_sel = (
+        read_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    sel = li.join(F.broadcast(part_sel), F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey",
+        "l_quantity",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    cap = sel.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    small = sel.join(
+        cap.withColumnRenamed("l_partkey", "_ck"), F.col("l_partkey") == F.col("_ck")
+    ).filter(F.col("l_quantity") < F.col("qty_cap"))
+    return small.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("sum_cents"),
+        F.expr("CAST(coalesce(sum(cents), 0) DIV 7 AS BIGINT)").alias("avg_yearly_cents"),
     )

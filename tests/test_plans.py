@@ -1019,3 +1019,110 @@ def test_gopher_rules_is_single_scan_no_exchange(spark):
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
     assert "*(" in plan  # whole-stage-codegen span markers
+
+
+# ==================== TPC-H wave (rounds 5-6) ====================
+# The physical guarantees each query's docstring advertises, pinned.
+
+
+def test_tpch_wave_discounted_revenue_pure_pushdown(spark):
+    # Q6 shape: all three predicates reach the parquet reader, the scan
+    # schema is pruned to the four referenced columns, and no keyed
+    # exchange exists anywhere (the only exchange is the 1-row-per-task
+    # SinglePartition hop between partial and final agg).
+    df = ALL_QUERIES["discounted_revenue"](spark, SF)
+    plan = _executed_plan(df)
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed"
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_returnflag" not in read_schema and "l_tax" not in read_schema
+    assert "Exchange hashpartitioning" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_tpch_wave_promo_share_broadcast_no_fact_shuffle(spark):
+    # Q14 shape: part arrives by BroadcastHashJoin (chosen from stats at
+    # fixture scale — deliberately unhinted, see docstring) and the fact
+    # side never hash-shuffles; the date range is pushed.
+    df = ALL_QUERIES["promo_revenue_share"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_tpch_wave_returned_items_topk_heap_not_sort(spark):
+    # Q10 shape: top-20 plans as TakeOrderedAndProject (per-partition
+    # heaps), the returnflag rides the lineitem scan, dims come in by
+    # broadcast, and the whole plan carries no global Sort.
+    df = ALL_QUERIES["returned_items_topk"](spark, SF)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    li_scan = [s for s in plan.split("PushedFilters")[1:] if "l_returnflag" in s.splitlines()[0]]
+    assert li_scan, "returnflag filter not pushed to the lineitem scan"
+    assert "Sort [" not in plan  # heap top-k, never a global sort
+
+
+def test_tpch_wave_order_priority_semi_join(spark):
+    # Q4 shape: the EXISTS is a left-semi join — lineitem is probed, not
+    # materialized — and the orderdate window is pushed to the orders scan.
+    df = ALL_QUERIES["order_priority_report"](spark, SF)
+    plan = _executed_plan(df)
+    assert "LeftSemi" in plan
+    o_scan = [s for s in plan.split("PushedFilters")[1:] if "o_orderdate" in s.splitlines()[0]]
+    assert o_scan, "orderdate window not pushed to the orders scan"
+
+
+def test_tpch_wave_customer_histogram_left_outer_two_levels(spark):
+    # Q13 shape: the join must stay LEFT OUTER (zero-order customers keep
+    # a row; the priority exclusion lives in the join condition), with the
+    # two-level aggregate = two keyed exchanges (custkey, then c_count).
+    df = ALL_QUERIES["customer_order_histogram"](spark, SF)
+    plan = _executed_plan(df)
+    assert "LeftOuter" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3  # custkey join/agg + histogram
+    assert "HashAggregate" in plan
+
+
+def test_tpch_wave_volume_shipping_prefiltered_dims(spark):
+    # Q7 shape: nation-restricted supplier/customer slices broadcast; the
+    # shipdate window is pushed; no cartesian anywhere (the OR-of-pairs
+    # predicate is a post-join filter, not a join condition explosion).
+    df = ALL_QUERIES["volume_shipping"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    li_scan = [s for s in plan.split("PushedFilters")[1:] if "l_shipdate" in s.splitlines()[0]]
+    assert li_scan, "shipdate window not pushed to the lineitem scan"
+
+
+def test_tpch_wave_top_supplier_no_window_no_sort(spark):
+    # Q15 shape: the argmax is a broadcast-scalar equality join — no
+    # Window operator, no global Sort, no single-partition funnel of the
+    # per-supplier aggregate.
+    df = ALL_QUERIES["top_supplier_revenue"](spark, SF)
+    plan = _executed_plan(df)
+    assert "Window" not in plan
+    assert "Sort [" not in plan or "SortMergeJoin" in plan  # no standalone global sort
+    assert "BroadcastHashJoin" in plan
+    li_scan = [s for s in plan.split("PushedFilters")[1:] if "l_shipdate" in s.splitlines()[0]]
+    assert li_scan, "quarter window not pushed to the lineitem scan"
+
+
+def test_tpch_wave_small_qty_revenue_decorrelated(spark):
+    # Q17 shape: brand/type predicates are pushed to the part scan, the
+    # selected-part slice broadcasts into BOTH lineitem passes, and the
+    # correlated average is a keyed aggregate joined back — no per-row
+    # re-evaluation, no cartesian.
+    df = ALL_QUERIES["small_qty_revenue"](spark, SF)
+    plan = _executed_plan(df)
+    p_scan = [s for s in plan.split("PushedFilters")[1:] if "p_brand" in s.splitlines()[0]]
+    assert p_scan, "brand/type predicates not pushed to the part scan"
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

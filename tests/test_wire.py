@@ -1,0 +1,153 @@
+"""Socket-fed replication transport (sources/wire.py): the TCP replay
+server streams golden capture frames the way a walsender does; the
+client pumps XLogData off the socket, answers keepalives, and acks
+progress per committed epoch — the end-to-end wire path the reference
+runs against a live Postgres slot (sync/stream/stream.go:87-129,
+154-163). Asserts the round-5 verdict's 'done' bar: decoded
+transactions identical to the file-staged path, and monotone
+StandbyStatusUpdate acks at committed-LSN+1 after each epoch.
+"""
+
+import json
+
+from mammoth_spark.sources.pgoutput import (
+    PrimaryKeepalive,
+    XLogData,
+    decode_to_change_messages,
+    encode_primary_keepalive,
+    encode_xlog_data,
+)
+from mammoth_spark.sources.wire import ReplayServer, SocketReplicationClient
+
+from test_pgoutput import (  # test-only golden encoders (public PG docs)
+    enc_begin,
+    enc_commit,
+    enc_insert,
+    enc_relation,
+    enc_update,
+)
+
+
+def _capture():
+    """Three transactions over one relation; commit end LSNs 21, 41, 61."""
+    payloads = [
+        enc_begin(20, 0, 1),
+        enc_relation(1000, "s", "docs", [(1, "id"), (0, "a")]),
+        enc_insert(1000, ["1", "x"]),
+        enc_commit(20, 21, 0),
+        enc_begin(40, 0, 2),
+        enc_insert(1000, ["2", "y"]),
+        enc_update(1000, ["2", "z"]),
+        enc_commit(40, 41, 0),
+        enc_begin(60, 0, 3),
+        enc_insert(1000, ["3", "w"]),
+        enc_commit(60, 61, 0),
+    ]
+    frames = [encode_xlog_data(XLogData(5, 61, 0, p)) for p in payloads]
+    return payloads, frames
+
+
+def _pump(server, slot="slot_a", start_lsn=0):
+    client = SocketReplicationClient("127.0.0.1", server.port, slot, start_lsn)
+    events = list(client.stream())
+    client.close()
+    server.close()
+    return client, events
+
+
+def test_socket_path_equals_file_staged_path():
+    payloads, frames = _capture()
+    server = ReplayServer(frames)
+    client, events = _pump(server)
+
+    socket_payloads = [v for k, v in events if k == "payload"]
+    assert socket_payloads == payloads  # byte-identical off the wire
+    # decoded transactions == file-staged path, row for row
+    assert list(decode_to_change_messages(socket_payloads)) == list(
+        decode_to_change_messages(payloads)
+    )
+    assert server.started_slots == ["START_REPLICATION slot_a 0"]
+
+
+def test_acks_monotone_per_epoch():
+    _, frames = _capture()
+    server = ReplayServer(frames)
+    client, _ = _pump(server)
+
+    # one ack per committed epoch at end_lsn + 1 ("the location of the
+    # last WAL byte + 1", stream.go:80-83), then the final-keepalive ack
+    # and the CopyDone detach ack at the same position
+    assert server.acks[:3] == [22, 42, 62]
+    assert all(a <= b for a, b in zip(server.acks, server.acks[1:]))
+    assert server.acks[-1] == 62
+    assert client.committed == 62
+
+
+def test_midstream_keepalive_acks_at_committed_not_wal_end():
+    payloads, _ = _capture()
+    # inject a reply-requested keepalive INSIDE epoch 2 (after its BEGIN):
+    # the immediate ack must carry the committed LSN (22 — only epoch 1
+    # done), never the keepalive's WAL end, and must not disturb assembly
+    frames = [encode_xlog_data(XLogData(5, 61, 0, p)) for p in payloads[:5]]
+    frames.append(encode_primary_keepalive(PrimaryKeepalive(55, 0, True)))
+    frames += [encode_xlog_data(XLogData(5, 61, 0, p)) for p in payloads[5:]]
+    server = ReplayServer(frames)
+    client, events = _pump(server)
+
+    assert ("empty_tx", 55) in events
+    assert 22 in server.acks  # the mid-epoch ack, at committed
+    assert 56 not in server.acks  # never past the open transaction
+    assert server.acks[-1] == 62
+    socket_payloads = [v for k, v in events if k == "payload"]
+    assert socket_payloads == payloads
+
+
+def test_server_injected_keepalives_with_blocking_acks():
+    # keepalive_every=4 makes the server WAIT for an ack after every 4
+    # frames — the reference's deadline-driven heartbeat while the
+    # pipeline is blocked (stream.go:154-163), made deterministic
+    payloads, frames = _capture()
+    server = ReplayServer(frames, keepalive_every=4)
+    client, events = _pump(server)
+
+    socket_payloads = [v for k, v in events if k == "payload"]
+    assert socket_payloads == payloads
+    n_keepalives = sum(1 for k, _ in events if k == "empty_tx")
+    assert n_keepalives == 3  # after frames 4 and 8, plus the final nudge
+    assert all(a <= b for a, b in zip(server.acks, server.acks[1:]))
+    assert server.acks[-1] == 62
+
+
+def test_socket_rows_assemble_in_spark(spark, tmp_path):
+    """The socket path feeds the SAME stateful assembly as file-staged
+    captures: pump over TCP, stage decoded rows, assemble, and pin the
+    per-key net effect (insert+update folds to the updated row)."""
+    from mammoth_spark.streaming.accumulator import (
+        CHANGE_MESSAGE_SCHEMA,
+        assemble_changes_stateful,
+    )
+
+    _, frames = _capture()
+    server = ReplayServer(frames, keepalive_every=5)
+    client, events = _pump(server)
+    rows = list(decode_to_change_messages(v for k, v in events if k == "payload"))
+
+    src = tmp_path / "wire_rows"
+    src.mkdir()
+    with open(src / "b.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(CHANGE_MESSAGE_SCHEMA).json(str(src))
+    q = (
+        assemble_changes_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("wire_e2e")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {tuple(r["key_after"]): r for r in spark.table("wire_e2e").collect()}
+    assert set(out) == {("1",), ("2",), ("3",)}
+    assert json.loads(out[("2",)]["new_values"])["a"]["v"] == "z"
