@@ -49,9 +49,25 @@ from .queries_curation import SPAN_N
 from .queries_pipeline import ANN_K, ANN_QUERIES, _DOT, _vec_cte
 from .registry import register
 
-# Scratch base of the most recent streaming_chunk_clean run in this
-# process — set by the query, read by the on-disk-layout audit test.
-STREAM_CHUNK_LAST_BASE: str | None = None
+# Scratch base of the most recent streaming_chunk_clean run, THREAD-
+# LOCAL (set by the query, read by the on-disk-layout audit test):
+# concurrent runs in one process each see their own base instead of
+# clobbering a shared module global (ADVICE r05). The module-level
+# attribute lookup is kept working via __getattr__ below.
+import threading as _threading
+
+_STREAM_CHUNK_TL = _threading.local()
+
+
+def stream_chunk_last_base() -> str | None:
+    """The scratch base of THIS thread's most recent run, or None."""
+    return getattr(_STREAM_CHUNK_TL, "base", None)
+
+
+def __getattr__(name: str):
+    if name == "STREAM_CHUNK_LAST_BASE":  # back-compat module attribute
+        return stream_chunk_last_base()
+    raise AttributeError(name)
 
 CHUNK_W = 8  # tokens per non-overlapping chunk (the "line" analog)
 BP_MIN = 3  # chunk in >= this many distinct docs of one source = boilerplate
@@ -604,8 +620,7 @@ def streaming_chunk_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Public audit hook: tests assert the store's on-disk layout
     # (append-only per-epoch deltas, cb= partitioning) and need this
     # call's scratch base without reaching into scratch internals.
-    global STREAM_CHUNK_LAST_BASE
-    STREAM_CHUNK_LAST_BASE = base
+    _STREAM_CHUNK_TL.base = base
     src = os.path.join(base, "src")
     for i, (lo, hi) in enumerate([(0, 150), (150, 300), (300, 1 << 60)]):
         part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))

@@ -62,11 +62,20 @@ class ChangeLogPipeline:
         value_cols: list[str],
         expected_schema: T.StructType | None = None,
         max_files_per_trigger: int | None = None,
+        txn_catalog=None,
     ):
         self.spark = spark
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir
         self.targets = targets
+        # When a sources.target.TxnCatalog is supplied, each micro-batch
+        # commits across ALL tables with one catalog-manifest swap —
+        # true cross-table transaction apply (the reference's single
+        # tx.Commit over N MERGEs, snowflake_target.go:295-297) — and
+        # same-epoch redelivery is a no-op via the recorded epoch.
+        # Without it, tables publish independently (the documented
+        # compensation: idempotent per-table MERGE + checkpoint).
+        self.txn_catalog = txn_catalog
         self.value_cols = value_cols
         self.expected_schema = expected_schema or plain_change_log_schema(value_cols)
         self.max_files_per_trigger = max_files_per_trigger
@@ -104,6 +113,7 @@ class ChangeLogPipeline:
                         f"pipeline declared {declared}"
                     )
             # A8: fan out per relation; order preserved via seq inside compact
+            compacted_by_table = {}
             for tbl, target in self.targets.items():
                 rel_batch = batch.filter(F.col("tbl") == tbl)
                 compacted = compact_last_wins(
@@ -111,7 +121,13 @@ class ChangeLogPipeline:
                 ).drop("last_seq", "n_actions")
                 # align the change key to the target's key column
                 compacted = compacted.withColumnRenamed("key", target.key_cols[0])
-                target.write(compacted)
+                if self.txn_catalog is not None:
+                    compacted_by_table[tbl] = compacted
+                else:
+                    target.write(compacted)
+            if self.txn_catalog is not None:
+                # one atomic cross-table commit per epoch (A15 exact)
+                self.txn_catalog.apply_txn(compacted_by_table, epoch_id)
             # A16: track the commit watermark (the checkpoint holds the real
             # offsets; this mirrors the reference's AtomicLSN for observability)
             max_lsn = stats["max_lsn"]

@@ -50,6 +50,12 @@ PANEL = [
     "gopher_rules_report",  # zero-exchange single scan (floor of the curve)
     "dsir_select",          # two token scans + broadcast score table
     "bpe_train",            # vocab-sized iteration (corpus work = 1 shuffle)
+    # round-6: the TPC-H join wave's shapes not yet on the curve
+    # (VERDICT r05 #6) — fact-fact shuffle feeding a top-k heap, a
+    # semi-join probe, and the two-level histogram re-aggregate
+    "returned_items_topk",
+    "order_priority_report",
+    "customer_order_histogram",
 ]
 
 
