@@ -2336,3 +2336,108 @@ def ann_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ann_topk_ivf(spark, index_dir, q, k=ANN_K)
+
+
+# ----------------------- PMI collocations (round 6) -----------------------
+
+PMI_WINDOW = 2  # forward skip-gram window (center i -> contexts i+1, i+2)
+PMI_MIN_SUPPORT = 20  # pair-count floor: kills the 1-occurrence noise tail
+PMI_TOP_K = 30
+
+
+@register(
+    "cooccurrence_pmi",
+    oracle=f"""
+WITH toks AS (
+  SELECT {{toks}} AS t FROM documents
+),
+uni AS (SELECT unnest(t) AS w FROM toks),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM uni GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM uni),
+prs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> {{'a': t[i], 'b': t[i+1]}})) AS p
+  FROM toks WHERE len(t) >= 2
+  UNION ALL
+  SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> {{'a': t[i], 'b': t[i+2]}})) AS p
+  FROM toks WHERE len(t) >= 3
+),
+pc AS (
+  SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM prs GROUP BY 1, 2
+)
+SELECT pc.a || ' ' || pc.b AS pair, pc.n_ab AS n_ab,
+       CAST((pc.n_ab * 1000000 * tot.n_tok) // (wa.n_w * wb.n_w) AS BIGINT)
+         AS lift_micro
+FROM pc
+JOIN wc wa ON wa.w = pc.a
+JOIN wc wb ON wb.w = pc.b
+CROSS JOIN tot
+WHERE pc.n_ab >= {PMI_MIN_SUPPORT}
+ORDER BY lift_micro DESC, pair
+LIMIT {PMI_TOP_K}
+""".replace("{toks}", _SQL_TOKS),
+)
+def cooccurrence_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (word2vec-style skip-gram statistics): the
+    top-{k} token pairs within a forward ±{w} window, ranked by
+    pointwise mutual information. The ranking statistic is the exact
+    integer micro-lift ``n_ab * 1e6 * N_tok DIV (n_a * n_b)`` — a
+    monotone transform of PMI (they differ by the corpus-constant
+    log(N_pair/N_tok)), so the top-k ORDER is the PMI order while every
+    distributed value stays a bigint (cross-engine bit-exact; beyond
+    ~1e9 tokens switch the numerator to DECIMAL(38,0) — the plan is
+    unchanged).
+
+    Physical shape for 100 TB: pair generation stays INSIDE the token
+    array (slice + transform + one explode — no posexplode self-join,
+    which would shuffle the token stream twice and blow up skewed
+    docs); pair counts and unigram counts are two map-side-combined
+    aggregations; the unigram table joins the pair table keyed on each
+    side (vocabulary-sized, Zipf-bounded — far below the pair stream;
+    AQE broadcasts it at fixture scale); N_tok arrives as a broadcast
+    scalar; the top-k is TakeOrderedAndProject, never a global sort.
+    """
+    from .functions.text import _tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(_tokens(F.col("text")).alias("t"))
+    sz = F.size("t")
+
+    def offset_pairs(off: int):
+        # center at 1-based i pairs with t[i+off]; slice() needs a
+        # non-negative length so short docs guard to an empty array
+        return F.when(
+            sz >= off + 1,
+            F.transform(
+                F.slice(F.col("t"), 1, sz - off),
+                lambda x, i: F.struct(
+                    x.alias("a"), F.element_at(F.col("t"), i + off + 1).alias("b")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+    pairs = toks.select(
+        F.explode(F.concat(*[offset_pairs(o) for o in range(1, PMI_WINDOW + 1)])).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    uni = toks.select(F.explode("t").alias("w"))
+    wc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+    tot = uni.agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+
+    wa = wc.select(F.col("w").alias("_wa"), F.col("n_w").alias("n_w_a"))
+    wb = wc.select(F.col("w").alias("_wb"), F.col("n_w").alias("n_w_b"))
+    scored = (
+        pc.filter(F.col("n_ab") >= PMI_MIN_SUPPORT)
+        .join(wa, F.col("a") == F.col("_wa"))
+        .join(wb, F.col("b") == F.col("_wb"))
+        .join(F.broadcast(tot))
+        .select(
+            F.concat("a", F.lit(" "), "b").alias("pair"),
+            "n_ab",
+            F.expr("CAST((n_ab * 1000000L * n_tok) DIV (n_w_a * n_w_b) AS BIGINT)")
+            .alias("lift_micro"),
+        )
+    )
+    return scored.orderBy(F.desc("lift_micro"), "pair").limit(PMI_TOP_K)

@@ -89,6 +89,7 @@ DRIVER_EXPORT: list[str] = [
     "volume_shipping",
     "top_supplier_revenue",
     "small_qty_revenue",
+    "cooccurrence_pmi",
     # --- flagship re-verifications on the current tree (every query
     # below already has a green r01-r03 row; these re-pin the core
     # operators after five rounds of refactors) ---
@@ -100,7 +101,8 @@ DRIVER_EXPORT: list[str] = [
     "ann_topk_bucketed",
     "semdedup_prune",
     "bm25_topk",
-    "bpe_merge_step",
+    # (bpe_merge_step's slot went to cooccurrence_pmi: bpe_train +
+    # bpe_encode already re-pin the tokenizer loop this round)
     "snapshot_incremental_equiv",
     "pricing_summary",
     "rag_retrieval_e2e",

@@ -1126,3 +1126,16 @@ def test_tpch_wave_small_qty_revenue_decorrelated(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_cooccurrence_pmi_single_explode_heap_topk(spark):
+    # pair generation stays inside the token array (no posexplode
+    # self-join over the token stream), the scalar N_tok arrives
+    # broadcast, and the top-k is a distributed heap — never a global
+    # sort or a cartesian pair blowup
+    df = ALL_QUERIES["cooccurrence_pmi"](spark, SF)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan  # vocab + scalar joins broadcast at fixture scale
