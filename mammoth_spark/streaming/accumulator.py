@@ -371,11 +371,18 @@ def stage_batches(batches, source_dir: str) -> int:
 
     os.makedirs(source_dir, exist_ok=True)
     n = 0
+    base = None
     for i, batch in enumerate(batches):
         path = os.path.join(source_dir, f"batch_{i:06d}.json")
         with open(path + ".tmp", "w") as fh:
             for r in batch:
                 fh.write(json.dumps(r) + "\n")
         os.replace(path + ".tmp", path)  # files must appear atomically
+        # strictly increasing mtimes: the file stream source orders by
+        # modification time, and same-second writes would leave the
+        # WAL-ordered batches racing each other under maxFilesPerTrigger
+        if base is None:
+            base = os.stat(path).st_mtime
+        os.utime(path, (base + i, base + i))
         n += 1
     return n

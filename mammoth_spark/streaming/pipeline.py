@@ -190,3 +190,47 @@ def run_with_restart(
             restarts += 1
             time.sleep(backoff_seconds)  # supervisor.go:74-75 (10s in prod)
             backfill()
+
+
+def plain_rows_from_change_messages(rows, value_cols: list[str]):
+    """Adapt decoded CHANGE_MESSAGE rows (sources.pgoutput.
+    decode_to_change_messages — BEGIN/COMMIT framing inline, values as
+    tri-state JSON) to the plain change-log rows ChangeLogPipeline
+    reads: one dict per DML action with the transaction's commit-target
+    LSN attached (DML rows carry no LSN of their own on the wire; the
+    BEGIN's final_lsn is the transaction's position, the same value the
+    reference acks). TRUNCATE is a hard error here exactly as in the
+    stateful assembler — the supervisor must resync.
+
+    Per-connection sequential (one WAL stream has a total order); the
+    distributed work starts at the staged files this feeds.
+    """
+    import json
+
+    txn_lsn = None
+    for r in rows:
+        mt = r.get("msg_type")
+        if mt == "BEGIN":
+            txn_lsn = r.get("lsn")
+            continue
+        if mt == "COMMIT":
+            txn_lsn = None
+            continue
+        if mt == "TRUNCATE":
+            raise RelationChangedError(
+                f"TRUNCATE on {r.get('tbl')}: resync required"
+            )
+        vals = json.loads(r["new_values"]) if r.get("new_values") else {}
+        out = {
+            "lsn": txn_lsn,
+            "seq": r["seq"],
+            "schema": "public",
+            "tbl": r["tbl"],
+            "kind": mt,
+            "key": (r.get("key_after") or r.get("key_before") or [None])[0],
+            "rel_cols": list(value_cols),
+        }
+        for c in value_cols:
+            cell = vals.get(c)
+            out[c] = None if cell is None or cell.get("is_null") else cell.get("v")
+        yield out

@@ -1,0 +1,148 @@
+"""The COMPLETE reference sync loop, socket to table state:
+
+    TCP walsender replay -> SocketReplicationClient (acks per epoch)
+    -> pgoutput decode -> count-bounded transaction batcher
+    -> staged files (micro-batch boundaries 1:1)
+    -> ChangeLogPipeline foreachBatch: compact -> MERGE
+    -> TxnCatalog: ONE cross-table commit per micro-batch
+
+This is the reference's eventSource -> eventBatcher -> eventSink
+pipeline (sync/stream/stream.go:354-381) with every round-5 gap closed:
+live wire transport (was file-staged), exact 25k-rule batch close (was
+trigger-approximated), atomic cross-table apply (was per-table
+compensated). One PG transaction in the capture touches BOTH tables;
+the final assertion shows it landed atomically in one catalog epoch.
+"""
+
+import os
+
+from mammoth_spark.sources import ParquetMergeTarget
+from mammoth_spark.sources.pgoutput import XLogData, decode_to_change_messages, encode_xlog_data
+from mammoth_spark.sources.target import TxnCatalog
+from mammoth_spark.sources.wire import ReplayServer, SocketReplicationClient
+from mammoth_spark.streaming.accumulator import batches_from_change_messages, stage_batches
+from mammoth_spark.streaming.pipeline import (
+    ChangeLogPipeline,
+    plain_rows_from_change_messages,
+)
+
+from test_pgoutput import enc_begin, enc_commit, enc_delete, enc_insert, enc_relation, enc_update
+
+
+def _capture():
+    """Four transactions over two tables; txn 2 spans BOTH tables."""
+    p = [
+        enc_relation(1000, "public", "users", [(1, "id"), (0, "name")]),
+        enc_relation(2000, "public", "albums", [(1, "id"), (0, "title")]),
+        # txn 1: users only
+        enc_begin(100, 0, 1),
+        enc_insert(1000, ["1", "Taylor Swift"]),
+        enc_insert(1000, ["2", "Van Morrison"]),
+        enc_commit(100, 101, 0),
+        # txn 2: CROSS-TABLE — one PG transaction touching users+albums
+        enc_begin(200, 0, 2),
+        enc_update(1000, ["2", "Van The Man"]),
+        enc_insert(2000, ["a", "Astral Weeks"]),
+        enc_insert(2000, ["b", "Moondance"]),
+        enc_commit(200, 201, 0),
+        # txn 3: delete on users
+        enc_begin(300, 0, 3),
+        enc_delete(1000, ["1"]),
+        enc_commit(300, 301, 0),
+        # txn 4: albums only
+        enc_begin(400, 0, 4),
+        enc_update(2000, ["b", "His Band and the Street Choir"]),
+        enc_commit(400, 401, 0),
+    ]
+    return p
+
+
+def test_full_sync_loop_socket_to_catalog(spark, tmp_path):
+    payloads = _capture()
+    frames = [encode_xlog_data(XLogData(5, 401, 0, p)) for p in payloads]
+    server = ReplayServer(frames, keepalive_every=6)
+
+    # stage 1: wire pump (acks flow back per committed epoch)
+    client = SocketReplicationClient("127.0.0.1", server.port, "slot_e2e")
+    wire_payloads = [v for k, v in client.stream() if k == "payload"]
+    client.close()
+    server.close()
+    assert wire_payloads == payloads
+    assert all(a <= b for a, b in zip(server.acks, server.acks[1:]))
+    assert server.acks[-1] == 402  # last commit end_lsn + 1
+
+    # stage 2: decode -> exact count-bounded, txn-aligned batches.
+    # bound=3 actions: txn1(2)+txn2(3)=5 closes batch 1; txn3(1)+txn4(1)
+    # flush as batch 2. The cross-table txn 2 stays whole.
+    msgs = list(decode_to_change_messages(wire_payloads))
+    plain = list(plain_rows_from_change_messages(msgs, ["name", "title"]))
+    batches = list(batches_from_change_messages_plain(plain, bound=3))
+    src = str(tmp_path / "staged")
+    assert stage_batches(batches, src) == 2
+
+    # stage 3: streaming apply, one atomic cross-table commit per batch
+    targets = {
+        "users": ParquetMergeTarget(spark, str(tmp_path / "users"), ["id"], ["name", "title"]),
+        "albums": ParquetMergeTarget(spark, str(tmp_path / "albums"), ["id"], ["name", "title"]),
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "catalog"), targets)
+    import pyspark.sql.types as T
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("id", T.StringType())]
+            + [T.StructField(c, T.StringType()) for c in ("name", "title")]
+        ),
+    )
+    cat.initialize({"users": empty, "albums": empty})
+    pipeline = ChangeLogPipeline(
+        spark,
+        source_dir=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        targets=targets,
+        value_cols=["name", "title"],
+        max_files_per_trigger=1,  # micro-batch == count-bounded batch
+        txn_catalog=cat,
+    )
+    pipeline.run_available()
+
+    assert pipeline.batches_applied == 2
+    users = {r["id"]: r["name"] for r in cat.read("users").collect()}
+    albums = {r["id"]: r["title"] for r in cat.read("albums").collect()}
+    assert users == {"2": "Van The Man"}  # 1 inserted then deleted; 2 updated
+    assert albums == {"a": "Astral Weeks", "b": "His Band and the Street Choir"}
+    # both micro-batches committed through the catalog: epoch advanced to 1
+    # and both tables' versions moved in lockstep
+    m = cat.manifest()
+    assert m["epoch"] == 1
+    assert m["versions"]["users"] == m["versions"]["albums"] == 3  # init + 2 epochs
+    # replay the whole stream: checkpoint + epoch record make it a no-op
+    pipeline.run_available()
+    assert cat.manifest() == m
+
+
+def batches_from_change_messages_plain(plain_rows, bound):
+    """Plain rows have no BEGIN/COMMIT framing — group by the txn LSN
+    the adapter attached, then run the exact batcher rule."""
+    from mammoth_spark.streaming.accumulator import TransactionBatcher
+
+    batcher = TransactionBatcher(batch_max_items=bound)
+    out = []
+    cur_lsn, txn = None, []
+    for r in plain_rows:
+        if cur_lsn is not None and r["lsn"] != cur_lsn and txn:
+            closed = batcher.add(txn)
+            if closed is not None:
+                out.append(closed)
+            txn = []
+        cur_lsn = r["lsn"]
+        txn.append(r)
+    if txn:
+        closed = batcher.add(txn)
+        if closed is not None:
+            out.append(closed)
+    tail = batcher.flush()
+    if tail is not None:
+        out.append(tail)
+    return out
