@@ -153,6 +153,31 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_pullwire(args: argparse.Namespace) -> int:
+    """Socket ingestion front end: attach to a replication stream over
+    TCP, pump XLogData frames (acking per committed epoch + answering
+    keepalives — sources/wire.py), decode pgoutput, close EXACT
+    count-bounded transaction-aligned batches (the reference's 25k rule,
+    stream.go:275-315), and stage each batch as one atomically-appearing
+    change-log file for ``run`` to consume. No Spark session: this is
+    the per-connection sequential stage; the distributed work starts at
+    the staged files."""
+    from .sources.pgoutput import decode_to_change_messages
+    from .sources.wire import SocketReplicationClient
+    from .streaming.accumulator import batches_from_plain_rows, stage_batches
+    from .streaming.pipeline import plain_rows_from_change_messages
+
+    value_cols = [c for c in (args.value_cols.split(",") if args.value_cols else []) if c]
+    client = SocketReplicationClient(args.host, args.port, args.slot, args.start_lsn)
+    payloads = (v for k, v in client.stream() if k == "payload")
+    msgs = decode_to_change_messages(payloads)
+    plain = plain_rows_from_change_messages(msgs, value_cols)
+    n = stage_batches(batches_from_plain_rows(plain, args.batch_max_items), args.out)
+    client.close()
+    print(f"staged {n} change-log batches to {args.out} (committed lsn {client.committed})")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mammoth_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -172,6 +197,16 @@ def main(argv: list[str] | None = None) -> int:
     p_stf.add_argument("--out", required=True)
     p_stf.add_argument("--value-cols", default="")
     p_stf.set_defaults(fn=cmd_streamtofile)
+
+    p_w = sub.add_parser("pullwire", help="socket replication stream -> staged change-log batches")
+    p_w.add_argument("--host", default="127.0.0.1")
+    p_w.add_argument("--port", type=int, required=True)
+    p_w.add_argument("--slot", default="mammoth_slot")
+    p_w.add_argument("--start-lsn", type=int, default=0)
+    p_w.add_argument("--out", required=True)
+    p_w.add_argument("--value-cols", default="")
+    p_w.add_argument("--batch-max-items", type=int, default=25_000)
+    p_w.set_defaults(fn=cmd_pullwire)
 
     p_q = sub.add_parser("query", help="run a registered query against an sf dir")
     p_q.add_argument("name", nargs="?", help="query id (see --list)")

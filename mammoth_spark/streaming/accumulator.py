@@ -359,6 +359,30 @@ def batches_from_change_messages(rows, batch_max_items: int = TransactionBatcher
         yield tail
 
 
+def batches_from_plain_rows(plain_rows, batch_max_items: int = TransactionBatcher.DEFAULT_MAX_ITEMS):
+    """The exact batch rule over PLAIN change-log rows (no BEGIN/COMMIT
+    framing): transaction boundaries are the ``lsn`` the adapter
+    attached (one commit-target LSN per transaction), every row is an
+    action. Yields closed batches; flushes the tail at end of stream."""
+    batcher = TransactionBatcher(batch_max_items)
+    cur_lsn, txn = None, []
+    for r in plain_rows:
+        if cur_lsn is not None and r["lsn"] != cur_lsn and txn:
+            closed = batcher.add(txn)
+            txn = []
+            if closed is not None:
+                yield closed
+        cur_lsn = r["lsn"]
+        txn.append(r)
+    if txn:
+        closed = batcher.add(txn)
+        if closed is not None:
+            yield closed
+    tail = batcher.flush()
+    if tail is not None:
+        yield tail
+
+
 def stage_batches(batches, source_dir: str) -> int:
     """Write each closed batch as ONE atomically-appearing JSONL file in
     the streaming source dir. With ``maxFilesPerTrigger=1`` the

@@ -172,3 +172,45 @@ def test_query_subcommand_list_run_and_parquet_out(tmp_path, capsys):
     from mammoth_spark.plans import get_spark
 
     assert get_spark("cli_test").read.parquet(out).count() > 0
+
+
+def test_cli_pullwire_stages_batches(tmp_path):
+    """pullwire: socket replication stream -> decoded, exact-batched,
+    atomically staged change-log files (no Spark session involved)."""
+    import json
+
+    from mammoth_spark.__main__ import main
+    from mammoth_spark.sources.pgoutput import XLogData, encode_xlog_data
+    from mammoth_spark.sources.wire import ReplayServer
+
+    from test_pgoutput import enc_begin, enc_commit, enc_insert, enc_relation
+
+    payloads = [enc_relation(1000, "public", "users", [(1, "id"), (0, "name")])]
+    for x in range(3):
+        payloads += [
+            enc_begin(10 * (x + 1), 0, x + 1),
+            enc_insert(1000, [str(x), f"n{x}"]),
+            enc_insert(1000, [str(100 + x), f"m{x}"]),
+            enc_commit(10 * (x + 1), 10 * (x + 1) + 1, 0),
+        ]
+    frames = [encode_xlog_data(XLogData(5, 31, 0, p)) for p in payloads]
+    server = ReplayServer(frames, keepalive_every=5)
+    out = str(tmp_path / "staged")
+
+    rc = main([
+        "pullwire", "--port", str(server.port), "--slot", "s1",
+        "--out", out, "--value-cols", "name", "--batch-max-items", "4",
+    ])
+    server.close()
+    assert rc == 0
+    import glob
+
+    files = sorted(glob.glob(out + "/batch_*.json"))
+    # 2 actions/txn, bound 4: txns (1,2) close, txn 3 flushes
+    assert len(files) == 2
+    rows = [json.loads(l) for f in files for l in open(f)]
+    assert len(rows) == 6
+    assert rows[0]["tbl"] == "users" and rows[0]["kind"] == "INSERT"
+    assert {r["name"] for r in rows} == {"n0", "n1", "n2", "m0", "m1", "m2"}
+    # acks reached the server and are monotone
+    assert server.acks and all(a <= b for a, b in zip(server.acks, server.acks[1:]))

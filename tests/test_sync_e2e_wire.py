@@ -14,13 +14,11 @@ compensated). One PG transaction in the capture touches BOTH tables;
 the final assertion shows it landed atomically in one catalog epoch.
 """
 
-import os
-
 from mammoth_spark.sources import ParquetMergeTarget
 from mammoth_spark.sources.pgoutput import XLogData, decode_to_change_messages, encode_xlog_data
 from mammoth_spark.sources.target import TxnCatalog
 from mammoth_spark.sources.wire import ReplayServer, SocketReplicationClient
-from mammoth_spark.streaming.accumulator import batches_from_change_messages, stage_batches
+from mammoth_spark.streaming.accumulator import batches_from_plain_rows, stage_batches
 from mammoth_spark.streaming.pipeline import (
     ChangeLogPipeline,
     plain_rows_from_change_messages,
@@ -76,7 +74,7 @@ def test_full_sync_loop_socket_to_catalog(spark, tmp_path):
     # flush as batch 2. The cross-table txn 2 stays whole.
     msgs = list(decode_to_change_messages(wire_payloads))
     plain = list(plain_rows_from_change_messages(msgs, ["name", "title"]))
-    batches = list(batches_from_change_messages_plain(plain, bound=3))
+    batches = list(batches_from_plain_rows(plain, batch_max_items=3))
     src = str(tmp_path / "staged")
     assert stage_batches(batches, src) == 2
 
@@ -120,29 +118,3 @@ def test_full_sync_loop_socket_to_catalog(spark, tmp_path):
     # replay the whole stream: checkpoint + epoch record make it a no-op
     pipeline.run_available()
     assert cat.manifest() == m
-
-
-def batches_from_change_messages_plain(plain_rows, bound):
-    """Plain rows have no BEGIN/COMMIT framing — group by the txn LSN
-    the adapter attached, then run the exact batcher rule."""
-    from mammoth_spark.streaming.accumulator import TransactionBatcher
-
-    batcher = TransactionBatcher(batch_max_items=bound)
-    out = []
-    cur_lsn, txn = None, []
-    for r in plain_rows:
-        if cur_lsn is not None and r["lsn"] != cur_lsn and txn:
-            closed = batcher.add(txn)
-            if closed is not None:
-                out.append(closed)
-            txn = []
-        cur_lsn = r["lsn"]
-        txn.append(r)
-    if txn:
-        closed = batcher.add(txn)
-        if closed is not None:
-            out.append(closed)
-    tail = batcher.flush()
-    if tail is not None:
-        out.append(tail)
-    return out
