@@ -3,7 +3,7 @@
 Round-1 evidence showed the correctness driver records at most 50
 ``queries()`` entries per round (CORRECTNESS_r01.json had exactly the
 first 50 registered queries; the last 4 were silently absent while their
-oracles execute cleanly under the same DuckDB build). All 164 registered
+oracles execute cleanly under the same DuckDB build). All 173 registered
 queries stay oracle-checked locally every run
 (``tests/test_oracle_parity.py`` replicates the driver comparison); the
 50-entry driver contract is rotated each round so that every query

@@ -97,6 +97,7 @@ class ChangeLogPipeline:
                 F.count(F.lit(1)).alias("n"),
                 F.max("lsn").alias("max_lsn"),
                 F.collect_set(F.to_json("rel_cols")).alias("rels"),
+                F.collect_set("tbl").alias("tbls"),
             ).collect()[0]
             # A17: empty batches still advance the checkpoint — nothing to do
             if stats["n"] == 0:
@@ -112,9 +113,17 @@ class ChangeLogPipeline:
                         f"schema drift: relation advertises {json.loads(rel_json)}, "
                         f"pipeline declared {declared}"
                     )
-            # A8: fan out per relation; order preserved via seq inside compact
+            # A8: fan out per relation; order preserved via seq inside
+            # compact. Only tables PRESENT in the batch are touched — a
+            # copy-on-write target rewrites the whole table per write,
+            # so an untouched 100 TB table must not pay that for an
+            # epoch that never mentions it (the reference likewise
+            # builds statements only for action groups that exist).
+            present = set(stats["tbls"])
             compacted_by_table = {}
             for tbl, target in self.targets.items():
+                if tbl not in present:
+                    continue
                 rel_batch = batch.filter(F.col("tbl") == tbl)
                 compacted = compact_last_wins(
                     rel_batch, ["key"], self.value_cols

@@ -56,6 +56,10 @@ PANEL = [
     "returned_items_topk",
     "order_priority_report",
     "customer_order_histogram",
+    # round-6 new surface: the token-pair stream is ~2x the token
+    # stream (window=2) — the shape that would go quadratic if pair
+    # generation ever left the array
+    "cooccurrence_pmi",
 ]
 
 
