@@ -98,35 +98,33 @@ def test_oracle_returns_no_hugeint(name):
 
 def test_driver_contract_size():
     """The round-1 driver recorded only the first 50 queries() entries;
-    keep the exported contract at exactly <=50. Round 4 rotates in 50
-    never-driver-verified queries (registry.DRIVER_EXPORT is the single
-    source of truth); every name the r03 judge asked to promote must be
-    in the contract, and nothing already driver-verified in r01-r03 may
-    occupy a slot."""
+    keep the exported contract at exactly <=50. Round-6 policy
+    (VERDICT r05 "Next round" #1): EVERY query without a green driver
+    row in r01-r05 must hold a slot — the round-4 wave, the hold-outs,
+    the round-5 TPC-H wave, both remaining TWS primitives, and all
+    round-6 additions — with the remainder explicitly allowed to be
+    flagship re-verifications on the current tree."""
     import json
 
     exported = list(entry_mod.queries().keys())
     assert len(exported) <= 50, f"{len(exported)} driver queries exceed the observed cap"
-    for name in [
-        # VERDICT r03 "Next round" #1 — judge-named promotions
-        "lsh_recall_report", "triangle_count", "compaction_plan",
-        "topk_sketch_merge", "unpivot_roundtrip", "rank_functions_report",
-        "calendar_rollup", "xml_roundtrip", "pq_codes", "kmeans_step",
-        "domain_cap", "pack_sequences", "dedup_exact_normalized",
-        "key_skew_report",
-        # VERDICT r03 "Next round" #3 — the TWS driver attempt
-        "streaming_tws_totals",
-    ]:
-        assert name in exported, f"{name} must be in the driver contract"
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     verified = set()
-    for rnd in ("r01", "r02", "r03"):
+    for rnd in ("r01", "r02", "r03", "r04", "r05"):
         path = os.path.join(repo, f"CORRECTNESS_{rnd}.json")
         if os.path.exists(path):
             with open(path) as fh:
-                verified |= set(json.load(fh))
-    dupes = sorted(set(exported) & verified)
-    assert not dupes, f"already driver-verified queries occupy r04 slots: {dupes}"
+                rows = json.load(fh)
+            verified |= {
+                k for k, v in rows.items()
+                if v.get("rows_match") and v.get("schema_match") is not False
+            }
+    never = sorted(set(QUERIES) - verified)
+    missing = [n for n in never if n not in exported]
+    assert not missing, (
+        f"never-driver-verified queries left out of the contract: {missing}"
+    )
     for name in LOCAL_ONLY:
         assert name in QUERIES and name not in exported
 
