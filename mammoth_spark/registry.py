@@ -108,13 +108,28 @@ DRIVER_EXPORT: list[str] = [
     "rag_retrieval_e2e",
 ]
 
-# Round-7 rotation queue. If round 6's 50 come back green, every
-# registered query (and all 35 previously-never-verified ones) will
-# hold a driver row, so the queue switches purpose: from "first row
-# ever" to "re-verify the oldest rows on the current tree". Populate
-# from the r01/r02 green list, oldest first, when cutting the r07
-# contract (tools/rotation_ledger.py prints the per-round row ages).
-ROTATE_NEXT: list[str] = []
+# Round-7 rotation queue: the decision-support completion wave and
+# the embedding-eval wave were registered AFTER the r06 contract was
+# cut, so they lead the r07 contract (never-verified first). If round
+# 6's 50 come back green, every query registered at the r06 snapshot
+# will hold a driver row; top the r07 contract up to 50 by
+# re-verifying the oldest rows (tools/rotation_ledger.py prints the
+# per-query row ages — the r01/r02 green list goes first).
+ROTATE_NEXT: list[str] = [
+    # round-6b decision-support completion (TPC-H Q2/Q5/Q8/Q9/Q11/
+    # Q12/Q16/Q19/Q20/Q21/Q22 analogs, queries_decision.py)
+    "min_cost_supplier",
+    "local_supplier_volume",
+    "nation_market_share",
+    "product_profit",
+    "important_stock_value",
+    "late_shipment_priority",
+    "supplier_count_by_part",
+    "disjunctive_revenue",
+    "excess_shippers",
+    "waiting_orders_suppliers",
+    "idle_customer_balance",
+]
 
 # Populated by register(): every query not in DRIVER_EXPORT — these stay
 # oracle-checked by tests/test_oracle_parity.py every run.

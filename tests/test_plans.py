@@ -1139,3 +1139,158 @@ def test_cooccurrence_pmi_single_explode_heap_topk(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "SortMergeJoin" not in plan  # vocab + scalar joins broadcast at fixture scale
+
+
+# --- decision-support completion wave (queries_decision.py) ---
+
+
+def test_decision_min_cost_supplier_decorrelated_min(spark):
+    # Q2 shape: the correlated min is a keyed aggregate joined back (no
+    # Window), dims/part-slice arrive broadcast, and the part descriptor
+    # predicates are pushed to the part scan.
+    df = ALL_QUERIES["min_cost_supplier"](spark, SF)
+    plan = _executed_plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    p_scan = [s for s in plan.split("PushedFilters")[1:] if "p_type" in s.splitlines()[0]]
+    assert p_scan, "part type/size predicates not pushed to the part scan"
+
+
+def test_decision_local_supplier_volume_cycle_as_filter(spark):
+    # Q5 shape: the supplier=customer nation cycle closes as a filter on
+    # the joined stream (never a second fact join), the one-year window is
+    # pushed to the orders scan, and region-restricted dims broadcast.
+    df = ALL_QUERIES["local_supplier_volume"](spark, SF)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    o_scan = [s for s in plan.split("PushedFilters")[1:] if "o_orderdate" in s.splitlines()[0]]
+    assert o_scan, "orderdate window not pushed to the orders scan"
+    assert plan.count("lineitem.parquet") == 1  # fact scanned exactly once
+
+
+def test_decision_nation_market_share_single_fact_pass(spark):
+    # Q8 shape: numerator and denominator land in ONE conditional
+    # aggregation pass — the fact is scanned once; type and date windows
+    # are pushed to their scans.
+    df = ALL_QUERIES["nation_market_share"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    p_scan = [s for s in plan.split("PushedFilters")[1:] if "p_type" in s.splitlines()[0]]
+    assert p_scan, "part type predicate not pushed"
+    o_scan = [s for s in plan.split("PushedFilters")[1:] if "o_orderdate" in s.splitlines()[0]]
+    assert o_scan, "orderdate window not pushed"
+    assert "CartesianProduct" not in plan
+
+
+def test_decision_product_profit_like_prunes_broadcast_side(spark):
+    # Q9 shape: the name LIKE prunes the part slice before its broadcast
+    # join; the fact scans once; floor-of-negative arithmetic stays
+    # JVM-side (no Python).
+    df = ALL_QUERIES["product_profit"](spark, SF)
+    plan = _executed_plan(df)
+    p_scan = [s for s in plan.split("PushedFilters")[1:] if "p_name" in s.splitlines()[0]]
+    assert p_scan, "name LIKE not pushed to the part scan"
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_decision_important_stock_scalar_broadcast_nonequi(spark):
+    # Q11 shape: the fraction threshold is a 1-row broadcast compared
+    # non-equi (BroadcastNestedLoopJoin over ONE row — not a cartesian
+    # over data), and the per-part diamond is cache-backed: BOTH
+    # references (scalar total + filter probe) read the persisted
+    # part-sized table, so the fact materializes once at runtime even
+    # though the printed lineage appears under each InMemoryTableScan.
+    df = ALL_QUERIES["important_stock_value"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("InMemoryTableScan") == 2
+
+
+def test_decision_late_shipment_window_pushed(spark):
+    # Q12 shape: the single-sided year window pushes to the lineitem scan
+    # even though the lateness predicate itself spans the join; priority
+    # classification is one conditional-agg pass.
+    df = ALL_QUERIES["late_shipment_priority"](spark, SF)
+    plan = _executed_plan(df)
+    li_scan = [s for s in plan.split("PushedFilters")[1:] if "l_shipdate" in s.splitlines()[0]]
+    assert li_scan, "shipdate window not pushed to the lineitem scan"
+    assert plan.count("lineitem.parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_decision_supplier_count_anti_join(spark):
+    # Q16 shape: NOT IN decorrelates to a broadcast LEFT ANTI join; the
+    # part descriptor slice is pushed; the supply distinct is the only
+    # fact-sized aggregate.
+    df = ALL_QUERIES["supplier_count_by_part"](spark, SF)
+    plan = _executed_plan(df)
+    assert "LeftAnti" in plan
+    p_scan = [s for s in plan.split("PushedFilters")[1:] if "p_size" in s.splitlines()[0]]
+    assert p_scan, "part size/brand predicates not pushed"
+    assert "CartesianProduct" not in plan
+
+
+def test_decision_disjunctive_revenue_envelope_pushdown(spark):
+    # Q19 shape: the derived single-sided envelope of the OR (quantity
+    # bounds / brand set + size bound) pushes to BOTH scans even though
+    # the exact disjunction spans the join; no keyed exchange exists (the
+    # only agg is scalar).
+    df = ALL_QUERIES["disjunctive_revenue"](spark, SF)
+    plan = _executed_plan(df)
+    li_scan = [s for s in plan.split("PushedFilters")[1:] if "l_quantity" in s.splitlines()[0]]
+    assert li_scan, "quantity envelope not pushed to the lineitem scan"
+    p_scan = [s for s in plan.split("PushedFilters")[1:] if "p_brand" in s.splitlines()[0]]
+    assert p_scan, "brand/size envelope not pushed to the part scan"
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decision_excess_shippers_semi_join_chain(spark):
+    # Q20 shape: the aggregate subquery feeds a LEFT SEMI join; the ship
+    # window is pushed; the per-part average joins the ALREADY-aggregated
+    # pair table (no second fact-sized shuffle).
+    df = ALL_QUERIES["excess_shippers"](spark, SF)
+    plan = _executed_plan(df)
+    assert "LeftSemi" in plan
+    li_scan = [s for s in plan.split("PushedFilters")[1:] if "l_shipdate" in s.splitlines()[0]]
+    assert li_scan, "ship-year window not pushed"
+    assert "CartesianProduct" not in plan
+    # pair-table diamond is cache-backed (average + probe both read the
+    # persisted pair table): one fact scan at runtime
+    assert plan.count("InMemoryTableScan") == 2
+
+
+def test_decision_waiting_orders_single_pass_exists(spark):
+    # Q21 shape: EXISTS + NOT EXISTS fold into one per-order aggregation
+    # pass — lineitem is scanned ONCE (the spec's formulation scans it
+    # three times); the status filter is pushed to the orders scan.
+    df = ALL_QUERIES["waiting_orders_suppliers"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    o_scan = [s for s in plan.split("PushedFilters")[1:] if "o_orderstatus" in s.splitlines()[0]]
+    assert o_scan, "order status not pushed to the orders scan"
+    assert "CartesianProduct" not in plan
+
+
+def test_decision_idle_customer_anti_join_pruned_orders(spark):
+    # Q22 shape: the scalar cutoff arrives as a 1-row broadcast non-equi
+    # join, NOT EXISTS is a LEFT ANTI join, and the orders scan is pruned
+    # to the single custkey column it contributes.
+    df = ALL_QUERIES["idle_customer_balance"](spark, SF)
+    plan = _executed_plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    o_schemas = [
+        s.splitlines()[0]
+        for s in plan.split("ReadSchema")[1:]
+        if "o_custkey" in s.splitlines()[0]
+    ]
+    assert o_schemas and all("o_totalprice" not in s for s in o_schemas), (
+        "orders scan not pruned to o_custkey"
+    )
