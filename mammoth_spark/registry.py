@@ -129,6 +129,10 @@ ROTATE_NEXT: list[str] = [
     "excess_shippers",
     "waiting_orders_suppliers",
     "idle_customer_balance",
+    # round-6b embedding-eval wave (queries_embed_eval.py)
+    "knn_label_accuracy",
+    "hard_negative_mining",
+    "nearest_centroid_confusion",
 ]
 
 # Populated by register(): every query not in DRIVER_EXPORT — these stay

@@ -1294,3 +1294,40 @@ def test_decision_idle_customer_anti_join_pruned_orders(spark):
     assert o_schemas and all("o_totalprice" not in s for s in o_schemas), (
         "orders scan not pruned to o_custkey"
     )
+
+
+# --- embedding-eval wave (queries_embed_eval.py) ---
+
+
+def test_knn_label_accuracy_broadcast_queries_jvm_scoring(spark):
+    # the bounded query slice broadcasts (non-equi self-exclusion ⇒
+    # BroadcastNestedLoopJoin over |Q| rows, not a data cartesian) and
+    # all scoring stays JVM-side zip_with/aggregate
+    df = ALL_QUERIES["knn_label_accuracy"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_hard_negative_mining_label_filter_before_rank(spark):
+    # cross-label filter applies before the per-query window rank; the
+    # query slice broadcasts
+    df = ALL_QUERIES["hard_negative_mining"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_nearest_centroid_confusion_no_corpus_window(spark):
+    # centroid build is a posexplode scalar aggregation (Generate) with
+    # K x dim state; assignment broadcasts the K-row centroid table and
+    # folds the argmax with min(struct) — NO Window over the corpus
+    df = ALL_QUERIES["nearest_centroid_confusion"](spark, SF)
+    plan = _executed_plan(df)
+    assert "Window" not in plan
+    assert "Generate" in plan  # posexplode centroid build
+    assert "BroadcastNestedLoopJoin" in plan  # K-row centroid broadcast
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
