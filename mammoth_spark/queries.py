@@ -553,6 +553,7 @@ from . import queries_cleaning  # noqa: E402,F401
 from . import queries_corpus  # noqa: E402,F401
 from . import queries_curation  # noqa: E402,F401
 from . import queries_decision  # noqa: E402,F401
+from . import queries_drift  # noqa: E402,F401
 from . import queries_embed_eval  # noqa: E402,F401
 from . import queries_flagged  # noqa: E402,F401
 from . import queries_joins  # noqa: E402,F401

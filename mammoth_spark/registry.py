@@ -133,6 +133,10 @@ ROTATE_NEXT: list[str] = [
     "knn_label_accuracy",
     "hard_negative_mining",
     "nearest_centroid_confusion",
+    # round-6b drift-monitoring wave (queries_drift.py)
+    "feature_drift_psi",
+    "token_drift_report",
+    "numeric_drift_report",
 ]
 
 # Populated by register(): every query not in DRIVER_EXPORT — these stay

@@ -1331,3 +1331,40 @@ def test_nearest_centroid_confusion_no_corpus_window(spark):
     assert "BroadcastNestedLoopJoin" in plan  # K-row centroid broadcast
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+# --- drift-monitoring wave (queries_drift.py) ---
+
+
+def test_feature_drift_psi_single_conditional_pass(spark):
+    # epoch membership is a per-row CASE: A and B counts come from ONE
+    # events scan (never two filtered scans joined); the window runs on
+    # the bin-count table, not the fact
+    df = ALL_QUERIES["feature_drift_psi"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan  # pure scan -> agg -> window -> agg
+    assert "EvalPython" not in plan
+
+
+def test_token_drift_cached_vocab_and_heap_topk(spark):
+    # the vocab-sized per-term table is persist()ed (totals + scoring
+    # both read the cache: one corpus scan), and the top-k is a
+    # distributed heap
+    df = ALL_QUERIES["token_drift_report"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("InMemoryTableScan") == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_numeric_drift_one_pass_integer_moments(spark):
+    # one conditional-agg pass: single events scan, no join, no window;
+    # the only exchange is the event_type aggregation
+    df = ALL_QUERIES["numeric_drift_report"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
