@@ -18,11 +18,13 @@ call-site documentation but no longer affects the export.
 
 Driver-verification ledger (union of CORRECTNESS_r01..r05 green rows):
 134 of the 169 queries registered at the r05 snapshot. Round 6 exports
-ALL 35 never-driver-verified queries (the round-4 wave + hold-outs and
-the round-5 TPC-H wave) plus the round-6 additions, topped up to 50
-with flagship re-verifications — a green r06 closes the ledger at
-100% of registered queries. ``tools/rotation_ledger.py`` prints the
-per-query row ages for cutting future contracts.
+ONLY never-driver-verified queries — all 35 from the r05 snapshot (the
+round-4 wave + hold-outs and the round-5 TPC-H wave), the four early
+round-6 additions, and 11 of the 17 round-6b wave queries — so every
+one of the 50 rows a green r06 adds is first-ever. The six 6b
+decision-support analogs that did not fit lead the r07 queue below.
+``tools/rotation_ledger.py`` prints per-query row ages for cutting
+future (re-verification) contracts.
 """
 
 from __future__ import annotations
@@ -90,53 +92,47 @@ DRIVER_EXPORT: list[str] = [
     "top_supplier_revenue",
     "small_qty_revenue",
     "cooccurrence_pmi",
-    # --- flagship re-verifications on the current tree (every query
-    # below already has a green r01-r03 row; these re-pin the core
-    # operators after five rounds of refactors) ---
-    "cdc_compact_exact",
-    "cdc_apply",
-    "streaming_cdc_apply",
-    "dedup_minhash_lsh",
-    "dedup_incremental_minhash",
-    "ann_topk_bucketed",
-    "semdedup_prune",
-    "bm25_topk",
-    # (bpe_merge_step's slot went to cooccurrence_pmi: bpe_train +
-    # bpe_encode already re-pin the tokenizer loop this round)
-    "snapshot_incremental_equiv",
-    "pricing_summary",
-    "rag_retrieval_e2e",
-]
-
-# Round-7 rotation queue: the decision-support completion wave and
-# the embedding-eval wave were registered AFTER the r06 contract was
-# cut, so they lead the r07 contract (never-verified first). If round
-# 6's 50 come back green, every query registered at the r06 snapshot
-# will hold a driver row; top the r07 contract up to 50 by
-# re-verifying the oldest rows (tools/rotation_ledger.py prints the
-# per-query row ages — the r01/r02 green list goes first).
-ROTATE_NEXT: list[str] = [
-    # round-6b decision-support completion (TPC-H Q2/Q5/Q8/Q9/Q11/
-    # Q12/Q16/Q19/Q20/Q21/Q22 analogs, queries_decision.py)
+    # --- round-6b waves (registered after the first r06 cut; every
+    # slot below is ALSO a first-ever driver row — the whole 50-entry
+    # contract is never-verified queries, maximizing the information a
+    # green r06 adds to the ledger). Flagship re-verifications were
+    # dropped in favor of these: the flagships hold green r01-r03 rows
+    # and the local parity suite re-checks them on every tree. ---
+    # decision-support completion (TPC-H analogs, queries_decision.py)
     "min_cost_supplier",
-    "local_supplier_volume",
     "nation_market_share",
-    "product_profit",
-    "important_stock_value",
     "late_shipment_priority",
-    "supplier_count_by_part",
     "disjunctive_revenue",
-    "excess_shippers",
     "waiting_orders_suppliers",
-    "idle_customer_balance",
-    # round-6b embedding-eval wave (queries_embed_eval.py)
+    # embedding-eval wave (queries_embed_eval.py)
     "knn_label_accuracy",
     "hard_negative_mining",
     "nearest_centroid_confusion",
-    # round-6b drift-monitoring wave (queries_drift.py)
+    # drift-monitoring wave (queries_drift.py)
     "feature_drift_psi",
     "token_drift_report",
     "numeric_drift_report",
+]
+
+# Round-7 rotation queue: the six decision-support analogs that did not
+# fit the 50-slot r06 contract (their siblings carry the wave's
+# evidence this round; all six stay oracle-checked locally). If round
+# 6's 50 come back green these are the ONLY queries without a driver
+# row; lead r07 with them, then top up to 50 by re-verifying the
+# oldest rows (tools/rotation_ledger.py prints per-query row ages —
+# the r01/r02 green list goes first, starting with the flagships
+# cdc_compact_exact / cdc_apply / streaming_cdc_apply whose paths were
+# refactored in round 6).
+ROTATE_NEXT: list[str] = [
+    "local_supplier_volume",
+    "product_profit",
+    "important_stock_value",
+    "supplier_count_by_part",
+    "excess_shippers",
+    "idle_customer_balance",
+    # round-6c unigram-LM tokenizer wave (queries_unigram.py)
+    "unigram_lm_train",
+    "unigram_encode_stats",
 ]
 
 # Populated by register(): every query not in DRIVER_EXPORT — these stay

@@ -100,10 +100,11 @@ def test_driver_contract_size():
     """The round-1 driver recorded only the first 50 queries() entries;
     keep the exported contract at exactly <=50. Round-6 policy
     (VERDICT r05 "Next round" #1): EVERY query without a green driver
-    row in r01-r05 must hold a slot — the round-4 wave, the hold-outs,
-    the round-5 TPC-H wave, both remaining TWS primitives, and all
-    round-6 additions — with the remainder explicitly allowed to be
-    flagship re-verifications on the current tree."""
+    row in r01-r05 must either hold a slot or sit in the documented
+    ``ROTATE_NEXT`` deferral queue (the 50-slot cap admits at most 50
+    never-verified queries per round; round 6 has 56, so six lead the
+    r07 contract instead). Nothing already verified may occupy a slot
+    while a never-verified query waits outside both lists."""
     import json
 
     exported = list(entry_mod.queries().keys())
@@ -120,11 +121,23 @@ def test_driver_contract_size():
                 k for k, v in rows.items()
                 if v.get("rows_match") and v.get("schema_match") is not False
             }
+    from mammoth_spark.registry import ROTATE_NEXT
+
     never = sorted(set(QUERIES) - verified)
-    missing = [n for n in never if n not in exported]
+    missing = [n for n in never if n not in exported and n not in ROTATE_NEXT]
     assert not missing, (
-        f"never-driver-verified queries left out of the contract: {missing}"
+        f"never-driver-verified queries left out of both the contract "
+        f"and the r07 queue: {missing}"
     )
+    # Deferral is only legitimate while the contract is full of
+    # never-verified queries: no already-verified query may hold a slot
+    # while a never-verified one waits in the queue.
+    if any(n in never for n in ROTATE_NEXT):
+        reverified = [n for n in exported if n in verified]
+        assert not reverified, (
+            f"re-verification slots {reverified} while never-verified "
+            f"queries are deferred to r07"
+        )
     for name in LOCAL_ONLY:
         assert name in QUERIES and name not in exported
 

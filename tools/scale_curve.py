@@ -60,6 +60,16 @@ PANEL = [
     # stream (window=2) — the shape that would go quadratic if pair
     # generation ever left the array
     "cooccurrence_pmi",
+    # round-6b: one representative per new wave
+    "product_profit",       # Q9 analog — the deepest join tree (fact ⋈
+                            # derived supply ⋈ part ⋈ supplier ⋈ nation
+                            # ⋈ orders); the shape that would blow up if
+                            # the derived-supply agg re-shuffled per join
+    "knn_label_accuracy",   # embed-eval — bounded broadcast probe set ×
+                            # one corpus pass; corpus side must scale
+                            # linearly, probe side is fixed
+    "token_drift_report",   # drift — data-sized token scan folded to a
+                            # vocab-sized KL table in one pass
 ]
 
 
