@@ -70,6 +70,10 @@ PANEL = [
                             # linearly, probe side is fixed
     "token_drift_report",   # drift — data-sized token scan folded to a
                             # vocab-sized KL table in one pass
+    # round-6c: one data-sized shuffle then W_MAX broadcast-probe DP
+    # rounds over the distinct-word table — cost should be dominated by
+    # the fixed round overhead, i.e. strongly sub-linear per decade
+    "unigram_lm_train",
 ]
 
 
