@@ -549,6 +549,7 @@ def schema_evolution_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search) and the tri-state CDC surface — registration happens
 # on import
 from . import queries_analytics  # noqa: E402,F401
+from . import queries_classifier  # noqa: E402,F401
 from . import queries_cleaning  # noqa: E402,F401
 from . import queries_corpus  # noqa: E402,F401
 from . import queries_curation  # noqa: E402,F401

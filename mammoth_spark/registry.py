@@ -133,6 +133,9 @@ ROTATE_NEXT: list[str] = [
     # round-6c unigram-LM tokenizer wave (queries_unigram.py)
     "unigram_lm_train",
     "unigram_encode_stats",
+    # round-6c in-engine classifier training (queries_classifier.py)
+    "quality_classifier_train",
+    "quality_classifier_eval",
 ]
 
 # Populated by register(): every query not in DRIVER_EXPORT — these stay
