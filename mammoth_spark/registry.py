@@ -136,6 +136,9 @@ ROTATE_NEXT: list[str] = [
     # round-6c in-engine classifier training (queries_classifier.py)
     "quality_classifier_train",
     "quality_classifier_eval",
+    # round-6d Kneser-Ney bigram LM (queries_lm.py)
+    "kn_lm_train",
+    "kn_lm_score",
 ]
 
 # Populated by register(): every query not in DRIVER_EXPORT — these stay
