@@ -561,6 +561,7 @@ from . import queries_joins  # noqa: E402,F401
 from . import queries_lm  # noqa: E402,F401
 from . import queries_misc  # noqa: E402,F401
 from . import queries_unigram  # noqa: E402,F401
+from . import queries_wordpiece  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 
 

@@ -139,6 +139,9 @@ ROTATE_NEXT: list[str] = [
     # round-6d Kneser-Ney bigram LM (queries_lm.py)
     "kn_lm_train",
     "kn_lm_score",
+    # round-6d WordPiece tokenizer (queries_wordpiece.py)
+    "wordpiece_train",
+    "wordpiece_encode_stats",
 ]
 
 # Populated by register(): every query not in DRIVER_EXPORT — these stay
