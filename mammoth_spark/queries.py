@@ -560,6 +560,7 @@ from . import queries_flagged  # noqa: E402,F401
 from . import queries_joins  # noqa: E402,F401
 from . import queries_lm  # noqa: E402,F401
 from . import queries_misc  # noqa: E402,F401
+from . import queries_selection  # noqa: E402,F401
 from . import queries_unigram  # noqa: E402,F401
 from . import queries_wordpiece  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401

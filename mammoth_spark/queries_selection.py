@@ -1,0 +1,279 @@
+"""Data-selection operators: weighted sampling without replacement and
+MMR diversity reranking.
+
+Two selection primitives every training-data pipeline eventually needs
+beyond the uniform/stratified/mixture samplers (functions/sampling.py,
+queries_cleaning.py):
+
+- ``weighted_sample_wor``: Efraimidis-Spirakis reservoir keys — select
+  the k documents with the smallest (-ln u_i)/w_i, which is provably a
+  weight-proportional sample WITHOUT replacement (Efraimidis &
+  Spirakis, IPL 2006: the top-k of u_i^(1/w_i) — same ordering). The
+  uniform u_i is a pure function of doc_id (52 bits of md5, the
+  deterministic-assignment discipline of functions/sampling.py), so the
+  sample is reproducible run-to-run and engine-to-engine; ln is applied
+  PER ROW on an exact integer (the tfidf/drift convention — no float
+  ever crosses rows) and the key is floored to integer micros before
+  the ranking, with doc_id tie-breaks.
+
+- ``mmr_rerank``: Maximal Marginal Relevance (Carbonell & Goldstein,
+  SIGIR 1998) — greedy re-ranking of an ANN candidate list that trades
+  relevance against redundancy: pick argmax of
+  lambda*rel(d) - (1-lambda)*max_{s in S} sim(d, s). With lambda=0.7
+  and micro-integer cosines (floor(cos*1e6), the embedding-eval
+  convention) the objective is the exact integer
+  7*mrel - 3*max_msim, so the greedy trajectory is bit-identical
+  cross-engine.
+
+Scale posture: weighted_sample_wor is a single corpus scan + bounded
+top-k (TakeOrderedAndProject — the reservoir never materializes);
+mmr_rerank does ONE corpus pass to build the bounded candidate list
+(the ann_topk brute-force shape; at 100 TB the candidate pass swaps to
+the IVF/multiprobe path unchanged), after which every greedy round
+works on the MMR_N-row candidate table with 1-row argmax collects (the
+BPE/kmeans bounded-driver-control convention).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.similarity import dot, norm
+from .model import read_table
+from .queries_pipeline import _DOT, _vec_cte
+from .registry import register
+
+WOR_K = 120  # sample size
+WOR_SALT = "wor"
+_U_BITS = 52  # md5 bits used for the uniform (13 hex nibbles)
+# 52*ln(2): shifts -ln(u_int/2^52) to -ln(u_int) + C; repr() embeds the
+# IDENTICAL double literal in the Spark expression and the DuckDB SQL
+_C_LN = repr(_U_BITS * math.log(2.0))
+_KEY_SCALE = 1_000_000
+
+MMR_N = 40  # ANN candidates entering the rerank
+MMR_K = 8  # items selected
+# lambda = 0.7 -> integer objective 7*mrel - 3*max_msim (x10 microcosines)
+
+
+def _u_int_col() -> F.Column:
+    """52-bit uniform from md5(doc_id), in [1, 2^52]: +1 keeps ln(u)
+    finite at the (2^-52-probability) zero hash."""
+    h = F.md5(F.concat(F.lit(WOR_SALT), F.col("doc_id").cast("string")))
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint") + 1
+
+
+def _u_int_sql() -> str:
+    h = f"md5('{WOR_SALT}' || CAST(doc_id AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (12 - i)}"
+        for i in range(13)
+    )
+    return f"(({terms}) + 1)"
+
+
+@register(
+    "weighted_sample_wor",
+    driver=False,
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         CAST(floor(({_C_LN} - ln(CAST({_u_int_sql()} AS DOUBLE)))
+                    * {_KEY_SCALE} / n_chars) AS BIGINT) AS key_micro
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, key_micro FROM keyed
+ORDER BY key_micro, doc_id LIMIT {WOR_K}
+""",
+)
+def weighted_sample_wor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample without replacement, weights =
+    document length (n_chars): the token-budget-proportional draw a
+    mixture builder uses when long documents should enter the corpus
+    with proportionally higher probability but never twice.
+
+    Physical shape: one scan computing the per-row key (md5 -> 52-bit
+    uniform -> E-S exponential key, all JVM expression tree), then a
+    bounded top-k — TakeOrderedAndProject, no global sort, no shuffle
+    beyond the k-row merge (plan-asserted). At 100 TB this is the
+    textbook distributed reservoir: each partition keeps its local
+    top-k and only k-row heads cross the wire."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        F.floor(
+            (F.lit(float(_C_LN)) - F.log(_u_int_col().cast("double")))
+            * _KEY_SCALE
+            / F.col("n_chars")
+        )
+        .cast("bigint")
+        .alias("key_micro"),
+    )
+    return keyed.orderBy("key_micro", "doc_id").limit(WOR_K)
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR unrolled to MMR_K generated CTE rounds (the
+    BPE-oracle convention): s{k} accumulates the selected ids, m{k} is
+    the per-candidate max similarity to the selected set, p{k} the
+    1-row argmax."""
+    # every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    # s{k} references s{k-1} three times, so the un-materialized
+    # expansion is 3^k copies of the parquet scan (observed as an
+    # fd-exhaustion error at k=8)
+    rounds = []
+    for k in range(1, MMR_K + 1):
+        rounds.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT p.a AS vec_id, max(p.msim) AS mx
+  FROM pairs p JOIN s{k - 1} s ON p.b = s.vec_id GROUP BY p.a
+),
+p{k} AS MATERIALIZED (
+  SELECT c.vec_id, c.mrel, CAST(coalesce(m.mx, 0) AS BIGINT) AS max_msim,
+         CAST(7 * c.mrel - 3 * coalesce(m.mx, 0) AS BIGINT) AS score_micro
+  FROM cand c LEFT JOIN m{k} m ON c.vec_id = m.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM s{k - 1})
+  ORDER BY score_micro DESC, c.vec_id LIMIT 1
+),
+s{k} AS MATERIALIZED (
+  SELECT vec_id FROM s{k - 1} UNION ALL SELECT vec_id FROM p{k})"""
+        )
+    head = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INTEGER) AS sel_rank, vec_id, mrel, max_msim,"
+        f" score_micro FROM p{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH {_vec_cte()},
+q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM vn WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT vn.vec_id, CAST(floor(({_DOT.format(a="vn.emb", b="q.q_emb")}
+           / (vn.nrm * q.q_nrm)) * 1000000) AS BIGINT) AS mrel
+  FROM vn, q WHERE vn.vec_id <> 0
+  ORDER BY mrel DESC, vn.vec_id LIMIT {MMR_N}
+),
+candv AS MATERIALIZED (SELECT c.vec_id, c.mrel, vn.emb, vn.nrm FROM cand c
+          JOIN vn ON vn.vec_id = c.vec_id),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         CAST(floor(({_DOT.format(a="a.emb", b="b.emb")}
+              / (a.nrm * b.nrm)) * 1000000) AS BIGINT) AS msim
+  FROM candv a JOIN candv b ON a.vec_id <> b.vec_id
+),
+s0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0),
+{",".join(rounds)}
+{head}
+"""
+
+
+@register("mmr_rerank", driver=False, oracle=_mmr_oracle())
+def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank of the top-MMR_N ANN candidates for the
+    vec_id=0 probe: emit the greedy selection trajectory (sel_rank,
+    vec_id, relevance microcosine, max similarity to the already-
+    selected set at pick time, and the integer objective
+    7*mrel - 3*max_msim). The first pick is pure relevance; every later
+    pick is provably the exact integer argmax, so the trajectory — not
+    just the set — is deterministic.
+
+    Physical shape: candidate generation is one corpus pass against the
+    broadcast probe with a bounded TakeOrdered head (the ann_topk
+    shape); the pairwise-similarity table is a bounded
+    MMR_N x MMR_N broadcast self-join; each greedy round is a 1-row
+    argmax collect over the candidate table (bounded driver control,
+    the BPE convention) with the literal id list folded into the next
+    round's filter."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    v = v.withColumn("nrm", norm(F.col("emb")))
+    q = v.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    cos = dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm"))
+    cand = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "emb",
+            "nrm",
+            F.floor(cos * 1000000).cast("bigint").alias("mrel"),
+        )
+        .orderBy(F.desc("mrel"), "vec_id")
+        .limit(MMR_N)
+        .localCheckpoint()
+    )
+    pair_cos = dot(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    pairs = (
+        cand.select(
+            F.col("vec_id").alias("a"),
+            F.col("emb").alias("a_emb"),
+            F.col("nrm").alias("a_nrm"),
+        )
+        .crossJoin(
+            F.broadcast(
+                cand.select(
+                    F.col("vec_id").alias("b"),
+                    F.col("emb").alias("b_emb"),
+                    F.col("nrm").alias("b_nrm"),
+                )
+            )
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a", "b", F.floor(pair_cos * 1000000).cast("bigint").alias("msim")
+        )
+        .localCheckpoint()
+    )
+    slim = cand.select("vec_id", "mrel")
+    selected: list[int] = []
+    records = []
+    for rank in range(1, MMR_K + 1):
+        if selected:
+            mx = (
+                pairs.filter(F.col("b").isin([int(s) for s in selected]))
+                .groupBy("a")
+                .agg(F.max("msim").alias("mx"))
+                .withColumnRenamed("a", "vec_id")
+            )
+            scored = (
+                slim.filter(~F.col("vec_id").isin([int(s) for s in selected]))
+                .join(F.broadcast(mx), "vec_id", "left")
+                .select(
+                    "vec_id",
+                    "mrel",
+                    F.coalesce("mx", F.lit(0)).cast("bigint").alias("max_msim"),
+                )
+            )
+        else:
+            scored = slim.select(
+                "vec_id", "mrel", F.lit(0).cast("bigint").alias("max_msim")
+            )
+        scored = scored.withColumn(
+            "score_micro",
+            (7 * F.col("mrel") - 3 * F.col("max_msim")).cast("bigint"),
+        )
+        best = scored.orderBy(F.desc("score_micro"), "vec_id").take(1)[0]
+        selected.append(int(best["vec_id"]))
+        records.append(
+            (
+                rank,
+                int(best["vec_id"]),
+                int(best["mrel"]),
+                int(best["max_msim"]),
+                int(best["score_micro"]),
+            )
+        )
+    return spark.createDataFrame(
+        records,
+        "sel_rank int, vec_id bigint, mrel bigint, max_msim bigint,"
+        " score_micro bigint",
+    )

@@ -142,6 +142,9 @@ ROTATE_NEXT: list[str] = [
     # round-6d WordPiece tokenizer (queries_wordpiece.py)
     "wordpiece_train",
     "wordpiece_encode_stats",
+    # round-6d selection wave (queries_selection.py)
+    "weighted_sample_wor",
+    "mmr_rerank",
 ]
 
 # Populated by register(): every query not in DRIVER_EXPORT — these stay
