@@ -557,6 +557,7 @@ from . import queries_decision  # noqa: E402,F401
 from . import queries_drift  # noqa: E402,F401
 from . import queries_embed_eval  # noqa: E402,F401
 from . import queries_flagged  # noqa: E402,F401
+from . import queries_governance  # noqa: E402,F401
 from . import queries_joins  # noqa: E402,F401
 from . import queries_lm  # noqa: E402,F401
 from . import queries_misc  # noqa: E402,F401

@@ -145,6 +145,9 @@ ROTATE_NEXT: list[str] = [
     # round-6d selection wave (queries_selection.py)
     "weighted_sample_wor",
     "mmr_rerank",
+    # round-6d governance wave (queries_governance.py)
+    "l_diversity_report",
+    "mad_outliers",
 ]
 
 # Populated by register(): every query not in DRIVER_EXPORT — these stay
