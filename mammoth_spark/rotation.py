@@ -1,0 +1,82 @@
+"""Driver-contract rotation policy (codified per VERDICT r06 #7).
+
+The correctness driver records at most 50 ``queries()`` entries per
+round, while the registry holds 200+; every query therefore earns its
+driver-verified row through rotation. From round 7 on, each round's
+``registry.DRIVER_EXPORT`` is CUT BY ``cut_contract`` below — a pure
+function of the registry and the committed ``CORRECTNESS_r*.json``
+ledger — and ``tests/test_oracle_parity.py::test_contract_is_ledger_cut``
+asserts the committed static list equals the computed cut. The rule:
+
+1. never-driver-verified queries first (alphabetical — every one is a
+   first-ever row, the highest-information slot);
+2. then ``FLAGSHIPS`` whose implementation paths were refactored after
+   their last driver row (re-verify on the current tree before anything
+   else already-green);
+3. then all remaining queries oldest-row-first (round, then name) — so
+   every query's driver row ages at most ``ceil(N/50)+1`` rounds
+   (~5 rounds at the current 202-query registry) before re-verification.
+
+``upto_round`` pins which ledger files the cut reads: the round-R
+contract is cut from rounds < R, so the cut (and its test) stays stable
+after the driver writes ``CORRECTNESS_rR.json`` at round end.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+# The round whose contract registry.DRIVER_EXPORT currently encodes.
+# Bump this (and regenerate the export with `python tools/rotation_ledger.py
+# --cut`) at the start of each round.
+CONTRACT_ROUND = 7
+
+# Queries whose implementation paths were refactored in round 6
+# (TxnCatalog / TransactionBatcher landed under them) while their last
+# driver rows predate the refactor (r01–r03 trees) — VERDICT r06 #1.
+# Drop entries from this list once they hold a row on the current tree.
+FLAGSHIPS: list[str] = [
+    "cdc_compact_exact",
+    "cdc_apply",
+    "streaming_cdc_apply",
+]
+
+CONTRACT_SIZE = 50
+
+
+def last_green_rounds(repo_root: str, upto_round: int | None = None) -> dict[str, int]:
+    """Map query name -> latest round with a green driver row,
+    reading only rounds < ``upto_round`` (all rounds if None)."""
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if upto_round is not None and rnd >= upto_round:
+            continue
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            if row.get("rows_match") and row.get("schema_match") is not False:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def cut_contract(
+    queries: list[str],
+    repo_root: str,
+    size: int = CONTRACT_SIZE,
+    upto_round: int | None = None,
+) -> list[str]:
+    """Deterministically cut a driver contract from the ledger."""
+    if upto_round is None:
+        upto_round = CONTRACT_ROUND
+    last = last_green_rounds(repo_root, upto_round=upto_round)
+    never = sorted(n for n in queries if n not in last)
+    flags = [n for n in FLAGSHIPS if n in queries and n in last and n not in never]
+    rest = sorted(
+        (n for n in queries if n in last and n not in flags),
+        key=lambda n: (last[n], n),
+    )
+    return (never + flags + rest)[:size]

@@ -96,50 +96,49 @@ def test_oracle_returns_no_hugeint(name):
     assert not bad, f"{name}: HUGEINT columns {bad} — wrap as CAST(sum(...) AS BIGINT)"
 
 
-def test_driver_contract_size():
-    """The round-1 driver recorded only the first 50 queries() entries;
-    keep the exported contract at exactly <=50. Round-6 policy
-    (VERDICT r05 "Next round" #1): EVERY query without a green driver
-    row in r01-r05 must either hold a slot or sit in the documented
-    ``ROTATE_NEXT`` deferral queue (the 50-slot cap admits at most 50
-    never-verified queries per round; round 6 has 56, so six lead the
-    r07 contract instead). Nothing already verified may occupy a slot
-    while a never-verified query waits outside both lists."""
-    import json
-
-    exported = list(entry_mod.queries().keys())
-    assert len(exported) <= 50, f"{len(exported)} driver queries exceed the observed cap"
+def test_contract_is_ledger_cut():
+    """Rotation policy, enforced (VERDICT r06 "Next round" #7): the
+    exported driver contract must equal ``rotation.cut_contract``'s
+    deterministic cut of the correctness ledger (never-verified queries
+    first, then refactored flagships, then oldest-row-first), computed
+    over rounds < CONTRACT_ROUND so the assertion stays stable after
+    the driver writes this round's CORRECTNESS file. This replaces the
+    r06 never-verified-first check: it additionally bounds row age (the
+    oldest rows always fill the re-verification slots) and forces a
+    rotation edit whenever a new query is registered."""
+    from mammoth_spark.rotation import CONTRACT_SIZE, cut_contract
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    verified = set()
-    for rnd in ("r01", "r02", "r03", "r04", "r05"):
-        path = os.path.join(repo, f"CORRECTNESS_{rnd}.json")
-        if os.path.exists(path):
-            with open(path) as fh:
-                rows = json.load(fh)
-            verified |= {
-                k for k, v in rows.items()
-                if v.get("rows_match") and v.get("schema_match") is not False
-            }
-    from mammoth_spark.registry import ROTATE_NEXT
-
-    never = sorted(set(QUERIES) - verified)
-    missing = [n for n in never if n not in exported and n not in ROTATE_NEXT]
-    assert not missing, (
-        f"never-driver-verified queries left out of both the contract "
-        f"and the r07 queue: {missing}"
+    exported = list(entry_mod.queries().keys())
+    assert len(exported) <= CONTRACT_SIZE, (
+        f"{len(exported)} driver queries exceed the observed 50-row cap"
     )
-    # Deferral is only legitimate while the contract is full of
-    # never-verified queries: no already-verified query may hold a slot
-    # while a never-verified one waits in the queue.
-    if any(n in never for n in ROTATE_NEXT):
-        reverified = [n for n in exported if n in verified]
-        assert not reverified, (
-            f"re-verification slots {reverified} while never-verified "
-            f"queries are deferred to r07"
-        )
+    expected = cut_contract(sorted(QUERIES), repo)
+    assert exported == expected, (
+        "DRIVER_EXPORT is stale — regenerate with "
+        "`python tools/rotation_ledger.py --cut` (check rotation.CONTRACT_ROUND "
+        f"and rotation.FLAGSHIPS): first diff at "
+        f"{next(((i, a, b) for i, (a, b) in enumerate(zip(exported, expected)) if a != b), 'length')}"
+    )
     for name in LOCAL_ONLY:
         assert name in QUERIES and name not in exported
+
+
+def test_contract_bounds_row_age():
+    """Freshness invariant the cut is designed to maintain: no query's
+    last green driver row may be older than CONTRACT_ROUND - 5 (a full
+    202-query sweep takes ceil(202/50) = 5 contracts) unless the query
+    holds a slot in the current contract (i.e. is being re-verified now)."""
+    from mammoth_spark.rotation import CONTRACT_ROUND, last_green_rounds
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exported = set(entry_mod.queries().keys())
+    last = last_green_rounds(repo, upto_round=CONTRACT_ROUND)
+    stale = [
+        (n, r) for n, r in sorted(last.items())
+        if n in QUERIES and r < CONTRACT_ROUND - 5 and n not in exported
+    ]
+    assert not stale, f"driver rows older than 5 rounds and not being re-verified: {stale}"
 
 
 def test_entry_smoke(spark):

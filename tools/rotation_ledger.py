@@ -1,41 +1,43 @@
-"""Driver-verification ledger: which round last recorded a green row
-for each registered query, and which queries have never had one.
+"""Driver-verification ledger CLI over mammoth_spark.rotation.
 
-Used when cutting each round's 50-entry ``registry.DRIVER_EXPORT``
-(the driver records at most 50 ``queries()`` entries per round):
-never-verified queries rotate in first; once coverage is complete the
-oldest rows re-verify on the current tree.
+Prints which round last recorded a green driver row for each registered
+query and which have never had one; with ``--cut`` prints the contract
+for ``rotation.CONTRACT_ROUND`` as a ready-to-paste Python list (the
+policy itself — never-verified first, refactored flagships, then
+oldest-row-first — lives in ``mammoth_spark/rotation.py`` and is
+enforced by tests/test_oracle_parity.py::test_contract_is_ledger_cut).
 
-Usage: python tools/rotation_ledger.py  (from the repo root)
+Usage (from the repo root):
+    python tools/rotation_ledger.py          # ledger report
+    python tools/rotation_ledger.py --cut    # print the contract cut
 """
 
 from __future__ import annotations
 
-import glob
-import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
     import __spark_entry__  # noqa: F401  — registers every query
 
     from mammoth_spark.registry import DRIVER_EXPORT, QUERIES
+    from mammoth_spark.rotation import CONTRACT_ROUND, cut_contract, last_green_rounds
 
-    last_green: dict[str, int] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)", path).group(1))
-        for name, row in json.load(open(path)).items():
-            if row.get("rows_match") and row.get("schema_match") is not False:
-                last_green[name] = max(last_green.get(name, 0), rnd)
+    if "--cut" in sys.argv:
+        for n in cut_contract(sorted(QUERIES), REPO):
+            print(f'    "{n}",')
+        return
 
+    last_green = last_green_rounds(REPO)
     by_age = sorted(QUERIES, key=lambda n: (last_green.get(n, 0), n))
     never = [n for n in by_age if n not in last_green]
     print(f"{len(QUERIES)} registered, {len(last_green)} ever green, "
-          f"{len(never)} never driver-verified")
+          f"{len(never)} never driver-verified (contract round {CONTRACT_ROUND})")
     if never:
         print("\nnever verified (rotate in first):")
         for n in never:
