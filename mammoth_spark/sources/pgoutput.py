@@ -241,13 +241,21 @@ def parse_message(data: bytes):
     return out
 
 
-def decode_to_change_messages(wal_payloads, seq_start: int = 1):
+def decode_to_change_messages(wal_payloads, seq_start: int = 1, relation_columns=None):
     """Adapt a decoded pgoutput stream to CHANGE_MESSAGE_SCHEMA rows
     (streaming/accumulator.py): the same post-decode boundary the
     reference's Accumulator consumes. Tracks Relation messages to name
     columns and split key vs value cells; key cells come from the 'K'/'O'
     old tuple when present, else from the new tuple's key columns
     (message_accumulator.go:129-195).
+
+    ``relation_columns``: optional caller-owned dict that this generator
+    keeps updated with {table name: [non-key column names]} as Relation
+    messages arrive ON THE WIRE — a lazily-chained adapter
+    (pipeline.plain_rows_from_change_messages) reads it per row, so a
+    mid-stream Relation change reaches the pipeline's drift check from
+    the socket itself (reference message_accumulator.go:118-122 compares
+    each Relation message against the schema captured at sync start).
 
     Yields dict rows; Truncate yields a TRUNCATE row so the stateful
     accumulator raises its re-sync error (the reference errors too)."""
@@ -290,6 +298,10 @@ def decode_to_change_messages(wal_payloads, seq_start: int = 1):
             row.update(msg_type="COMMIT", lsn=msg.commit_lsn)
         elif isinstance(msg, Relation):
             relations[msg.oid] = msg
+            if relation_columns is not None:
+                relation_columns[msg.name] = [
+                    c.name for c in msg.columns if not c.is_key
+                ]
             continue  # metadata only — drift checks compare column lists upstream
         elif isinstance(msg, (Origin, TypeMessage)):
             continue  # ignored, like the reference (message_accumulator.go:76,126)

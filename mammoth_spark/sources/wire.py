@@ -142,6 +142,10 @@ class ReplayServer:
             reader.join(timeout=10)
 
     def _nudge(self, conn: socket.socket) -> None:
+        # wait for a NEW ack (count watermark — an Event alone can be
+        # set by an earlier in-flight ack between clear() and wait(),
+        # voiding the blocking guarantee; see libpq._nudge)
+        watermark = len(self.acks)
         self._ack_seen.clear()
         last = self.frames[-1] if self.frames else b"k" + b"\x00" * 17
         wal_end = parse_copy_data(last)
@@ -151,7 +155,11 @@ class ReplayServer:
                 PrimaryKeepalive(wal_end, 0, True)
             )
         )
-        self._ack_seen.wait(timeout=10)
+        remaining = 10.0
+        while len(self.acks) <= watermark and remaining > 0:
+            self._ack_seen.wait(timeout=0.05)
+            self._ack_seen.clear()
+            remaining -= 0.05
 
     def _drain_acks(self, conn: socket.socket) -> None:
         try:
@@ -175,8 +183,11 @@ class ReplayServer:
 # --------------------------- replication client ---------------------------
 
 
-class SocketReplicationClient:
-    """Pumps replication frames off a TCP connection.
+class CopyBothPump:
+    """The copy-both pump loop, shared by the legacy text-start client
+    below and the libpq-session front door (sources/libpq.py) — both
+    speak the identical frame/ack protocol once START_REPLICATION is in
+    effect.
 
     ``stream()`` yields the same events as ``pgoutput.frame_stream``
     ("payload", bytes) / ("empty_tx", lsn) — so everything downstream
@@ -194,11 +205,10 @@ class SocketReplicationClient:
       heartbeat of stream.go:110-129.
     """
 
-    def __init__(self, host: str, port: int, slot: str, start_lsn: int = 0):
-        self.sock = socket.create_connection((host, port))
+    def __init__(self, sock: socket.socket, start_lsn: int = 0):
+        self.sock = sock
         self.committed = start_lsn
         self._in_tx = False
-        self.sock.sendall(f"START_REPLICATION {slot} {start_lsn}\n".encode())
 
     def _ack(self) -> None:
         send_wire_message(
@@ -213,6 +223,12 @@ class SocketReplicationClient:
             tag, body = msg
             if tag == COPY_DONE_BYTE:
                 self._ack()  # final position before detach
+                try:  # answer CopyDone so the sender's ack reader can
+                    # exit at a message boundary (it must not keep
+                    # reading into a following command phase)
+                    send_wire_message(self.sock, COPY_DONE_BYTE, b"")
+                except OSError:
+                    pass
                 return
             if tag != COPY_DATA_BYTE:
                 raise PgOutputError(f"unexpected wire message {tag!r}")
@@ -239,3 +255,15 @@ class SocketReplicationClient:
 
     def close(self) -> None:
         self.sock.close()
+
+
+class SocketReplicationClient(CopyBothPump):
+    """Legacy single-line front door: one text START_REPLICATION line
+    instead of the libpq startup/command exchange (which lives in
+    sources/libpq.py as ``ReplicationSession``). Kept for the replay
+    fixtures that pin the frame/ack byte layer in isolation."""
+
+    def __init__(self, host: str, port: int, slot: str, start_lsn: int = 0):
+        sock = socket.create_connection((host, port))
+        super().__init__(sock, start_lsn)
+        self.sock.sendall(f"START_REPLICATION {slot} {start_lsn}\n".encode())

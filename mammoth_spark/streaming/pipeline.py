@@ -201,7 +201,7 @@ def run_with_restart(
             backfill()
 
 
-def plain_rows_from_change_messages(rows, value_cols: list[str]):
+def plain_rows_from_change_messages(rows, value_cols: list[str], relation_columns=None):
     """Adapt decoded CHANGE_MESSAGE rows (sources.pgoutput.
     decode_to_change_messages — BEGIN/COMMIT framing inline, values as
     tri-state JSON) to the plain change-log rows ChangeLogPipeline
@@ -210,6 +210,15 @@ def plain_rows_from_change_messages(rows, value_cols: list[str]):
     BEGIN's final_lsn is the transaction's position, the same value the
     reference acks). TRUNCATE is a hard error here exactly as in the
     stateful assembler — the supervisor must resync.
+
+    ``relation_columns``: the live {tbl: [value col names]} dict that
+    ``decode_to_change_messages`` keeps updated from the wire's Relation
+    messages. When supplied, each plain row advertises the relation's
+    ACTUAL columns (both generators are lazily chained, so a mid-stream
+    Relation change flips rel_cols on exactly the rows that follow it) —
+    making the foreachBatch drift check wire-fed end to end. Without it
+    rel_cols falls back to the declared columns (synthetic-fixture
+    tests that inject drift directly).
 
     Per-connection sequential (one WAL stream has a total order); the
     distributed work starts at the staged files this feeds.
@@ -237,7 +246,11 @@ def plain_rows_from_change_messages(rows, value_cols: list[str]):
             "tbl": r["tbl"],
             "kind": mt,
             "key": (r.get("key_after") or r.get("key_before") or [None])[0],
-            "rel_cols": list(value_cols),
+            "rel_cols": (
+                list(relation_columns.get(r["tbl"], value_cols))
+                if relation_columns is not None
+                else list(value_cols)
+            ),
         }
         for c in value_cols:
             cell = vals.get(c)
