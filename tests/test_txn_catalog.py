@@ -182,3 +182,90 @@ def test_pipeline_commits_cross_table_per_epoch(spark, tmp_path):
     # is refused by the catalog's commit record
     pipeline.run_available()
     assert cat.manifest() == m
+
+
+def test_crash_between_catalog_commit_and_checkpoint(spark, tmp_path):
+    """The one failure window the stage-side crash tests don't cross
+    (VERDICT r06 "Next round" #8): the process dies AFTER apply_txn
+    swaps the catalog manifest but BEFORE Structured Streaming commits
+    the micro-batch to its checkpoint. On restart the sink sees the
+    SAME batch again (same epoch id) — the catalog's commit record must
+    refuse the redelivery (no double-apply, no version churn) while the
+    stream itself proceeds and converges on later batches. This is the
+    sink/checkpoint idempotence contract exactly-once rests on
+    (reference: MERGE idempotence + confirmed LSN, stream.go:323-349).
+    """
+    import json
+
+    from mammoth_spark.streaming.pipeline import ChangeLogPipeline
+
+    class CrashAfterCommit(ChangeLogPipeline):
+        """Raises once, after the catalog commit returns and before
+        foreachBatch returns — so the checkpoint never records the
+        batch, but the manifest swap is already durable."""
+
+        armed = True
+
+        def _apply_batch(self, batch, epoch_id):
+            super()._apply_batch(batch, epoch_id)
+            if CrashAfterCommit.armed and self.batches_applied > 0:
+                CrashAfterCommit.armed = False
+                raise RuntimeError("simulated crash after catalog commit")
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src, exist_ok=True)
+    targets = {
+        "users": ParquetMergeTarget(spark, str(tmp_path / "users"), ["key"], ["name"])
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "catalog"), targets)
+    cat.initialize({"users": spark.createDataFrame([("1", "Taylor Swift")], KV)})
+
+    def stage(name, rows):
+        with open(os.path.join(src, name + ".tmp"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.replace(os.path.join(src, name + ".tmp"), os.path.join(src, name))
+
+    def chg(lsn, seq, kind, key, name=None):
+        return {
+            "lsn": lsn, "seq": seq, "schema": "public", "tbl": "users",
+            "kind": kind, "key": str(key), "name": name, "rel_cols": ["name"],
+        }
+
+    def make(cls):
+        return cls(
+            spark,
+            source_dir=src,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            targets=targets,
+            value_cols=["name"],
+            txn_catalog=cat,
+        )
+
+    stage("b1.json", [chg(10, 1, "INSERT", 2, "Van Morrison")])
+    with pytest.raises(Exception, match="simulated crash after catalog commit"):
+        make(CrashAfterCommit).run_available()
+    # the catalog committed (durable manifest) but the checkpoint did not
+    m_after_crash = cat.manifest()
+    assert m_after_crash["epoch"] == 0
+    assert m_after_crash["versions"]["users"] == 2  # init + 1 epoch
+    assert _state(cat, "users") == {"1": "Taylor Swift", "2": "Van Morrison"}
+
+    # restart: Structured Streaming redelivers batch 0 from the
+    # uncommitted checkpoint; the catalog refuses it (epoch already
+    # recorded) and no table version moves
+    restarted = make(ChangeLogPipeline)
+    restarted.run_available()
+    assert cat.manifest() == m_after_crash  # redelivery was a no-op
+
+    # the stream is healthy: a new batch applies as epoch 1
+    stage("b2.json", [chg(20, 2, "UPDATE", 2, "Van The Man"), chg(20, 3, "INSERT", 3, "Joni")])
+    restarted.run_available()
+    m_final = cat.manifest()
+    assert m_final["epoch"] == 1
+    # exactly-once, measured in versions: init(1) + 2 applied epochs —
+    # a double-applied redelivery would have produced a 4th version
+    assert m_final["versions"]["users"] == 3
+    assert _state(cat, "users") == {
+        "1": "Taylor Swift", "2": "Van The Man", "3": "Joni",
+    }
