@@ -55,17 +55,39 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+class DecodedImage:
+    """Lightweight decoded-image record returned by the stdlib PNG
+    fallback (PIL returns its own Image object on the PIL path)."""
+
+    __slots__ = ("width", "height", "mode", "pixels")
+
+    def __init__(self, width: int, height: int, mode: str, pixels: bytes):
+        self.width, self.height, self.mode, self.pixels = width, height, mode, pixels
+
+    @property
+    def size(self) -> tuple[int, int]:
+        return (self.width, self.height)
+
+
 def decode_image(content: bytes) -> object:
-    """Image decode behind an import-try: uses PIL when the environment
-    provides it, else raises the disclosed NotImplementedError (this
-    container ships no image codecs). The distributed plumbing around it
-    (binaryFile ingest, Arrow batching, mapInPandas signatures) is real
-    and tested with the deterministic double either way."""
+    """Image decode: PIL when the environment provides it; else the
+    pure-stdlib PNG codec (functions/png.py — zlib + full filter set)
+    for PNG payloads; else the disclosed NotImplementedError (this
+    container ships no codecs for JPEG/WebP/...). The distributed
+    plumbing (binaryFile ingest, Arrow batching, mapInPandas
+    signatures) is real and tested either way — with genuine compressed
+    pixels on the PNG path."""
     try:
         from PIL import Image  # noqa: PLC0415
     except ImportError as exc:
+        from .png import PNG_SIG, png_decode  # noqa: PLC0415
+
+        if content[:8] == PNG_SIG:
+            w, h, mode, pixels = png_decode(content)
+            return DecodedImage(w, h, mode, pixels)
         raise NotImplementedError(
-            "image codec not available in this environment (install pillow)"
+            "no codec for this image format in this environment "
+            "(PNG decodes via the stdlib codec; install pillow for others)"
         ) from exc
     import io
 

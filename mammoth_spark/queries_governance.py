@@ -120,11 +120,16 @@ FROM lab GROUP BY event_type
 )
 def mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier report over event values: flag events more than
-    MAD_K median-absolute-deviations from the median, per event type —
-    the heavy-tail-safe replacement for mean+3*stddev rules (the
-    fixture's event values are right-tailed, so the high flag genuinely
-    fires; order totals are uniform and would make the detector
-    vacuous).
+    MAD_K median-absolute-deviations from the GLOBAL median (one
+    median+MAD pair for the whole value column), with the flag counts
+    REPORTED per event type — the heavy-tail-safe replacement for
+    mean+3*stddev rules (the fixture's event values are right-tailed,
+    so the high flag genuinely fires; order totals are uniform and
+    would make the detector vacuous). Per-type robust statistics would
+    be the same plan with the percentile reductions grouped by
+    event_type — deliberately not done here: the global detector is the
+    cross-type anomaly screen, the per-type variant answers a different
+    question.
 
     Exactness: values land on exact cents; the exact median interpolates at
     (n-1)*0.5 so it is a multiple of 0.5 cents, deviations from it are

@@ -25,6 +25,18 @@ queries_cleaning.py):
   7*mrel - 3*max_msim, so the greedy trajectory is bit-identical
   cross-engine.
 
+Cross-engine bit-identity caveat (documented assumption): key_micro —
+like the classifier's exp/sigmoid and the unigram/KN micro-logs —
+floors a TRANSCENDENTAL (ln/exp) of an exact integer, and IEEE 754
+does not guarantee correctly-rounded transcendentals; the parity gate
+therefore assumes JVM StrictMath-adjacent libm and DuckDB's libm agree
+to the last bit on these inputs (they do on this container's glibc,
+and the fixtures sit far from micro boundaries). On a platform where a
+1-ulp libm difference flips a floor at a micro boundary, the fix is a
+1-micro tolerance on transcendental-derived columns in the comparator —
+NOT a change to either engine's plan. Every other integer convention in
+the repo (div, floor of exact decimals) is exact regardless of libm.
+
 Scale posture: weighted_sample_wor is a single corpus scan + bounded
 top-k (TakeOrderedAndProject — the reservoir never materializes);
 mmr_rerank does ONE corpus pass to build the bounded candidate list

@@ -50,9 +50,11 @@ _SCALE = 1_000_000_000_000  # 1e12 fixed-point for the likelihood ratio
 
 
 def _word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequency-weighted distinct words — the ONE data-sized shuffle;
-    same word definition as the BPE/unigram trainers so the three
-    tokenizers are comparable on identical input."""
+    """Frequency-weighted distinct words — the ONE data-sized shuffle.
+    Same word REGEX as the BPE/unigram trainers; note the unigram
+    trainer additionally caps length(word) <= W_MAX (12) to bound its
+    DP, so its word table is a subset of this one — comparable, not
+    byte-identical."""
     return (
         read_table(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("word"))
@@ -205,10 +207,18 @@ b{r} AS (
   LIMIT 1
 ),
 w{r + 1} AS (
+  -- LEFT JOIN ON TRUE, not a cross join: when merges exhaust early,
+  -- b{r} is EMPTY and a cross join would cascade an empty word table
+  -- into every later round (collapsing the oracle's encode vocabulary
+  -- to nothing) while the Spark loop's `break` keeps the last
+  -- segmentation — COALESCE passes w{r} through unchanged instead,
+  -- keeping the two engines convergent on merge-exhausted corpora
   SELECT word, freq,
-         replace(wrapped, chr(31)||b{r}.a||chr(31)||chr(31)||b{r}.b||chr(31),
-                 chr(31)||b{r}.a||b{r}.b||chr(31)) AS wrapped
-  FROM w{r}, b{r}
+         COALESCE(replace(wrapped,
+                          chr(31)||b.a||chr(31)||chr(31)||b.b||chr(31),
+                          chr(31)||b.a||b.b||chr(31)),
+                  wrapped) AS wrapped
+  FROM w{r} LEFT JOIN b{r} b ON TRUE
 ),
 n{r + 1} AS (
   SELECT CAST(count(DISTINCT sym) AS BIGINT) AS n FROM (
@@ -245,6 +255,14 @@ def wordpiece_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     choose different first merges."""
     words = _word_table(spark, sf_dir)
     _, records = _wp_merge_rounds(_wrapped(words), WP_ROUNDS)
+    if not records:
+        # zero mergeable pairs in round 1 (every word a single symbol):
+        # an empty trajectory, same shape as the oracle's empty b0 UNION
+        return spark.createDataFrame(
+            [],
+            "round int, merge_pair string, pair_freq bigint, "
+            "micro_score bigint, n_symbol_types bigint",
+        )
     out = records[0]
     for rec in records[1:]:
         out = out.unionByName(rec)

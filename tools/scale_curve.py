@@ -74,6 +74,16 @@ PANEL = [
     # rounds over the distinct-word table — cost should be dominated by
     # the fixed round overhead, i.e. strongly sub-linear per decade
     "unigram_lm_train",
+    # round-7 (VERDICT r06 #4): the rest of the round-6c/6d heavy tail
+    # whose claimed cost model is vocab-sized (Heaps'-law sublinear)
+    # EM/DP/merge work — measure it, don't argue it
+    "unigram_encode_stats",   # Viterbi DP over distinct words + one
+                              # data-sized encode join
+    "wordpiece_encode_stats", # greedy longest-match over the distinct-
+                              # word table, broadcast vocab
+    "kn_lm_train",            # bigram count shuffle folded to the
+                              # distinct-bigram table; smoothing is
+                              # vocab-sized integer arithmetic
 ]
 
 
