@@ -556,11 +556,13 @@ from . import queries_curation  # noqa: E402,F401
 from . import queries_decision  # noqa: E402,F401
 from . import queries_drift  # noqa: E402,F401
 from . import queries_embed_eval  # noqa: E402,F401
+from . import queries_evalprep  # noqa: E402,F401
 from . import queries_flagged  # noqa: E402,F401
 from . import queries_governance  # noqa: E402,F401
 from . import queries_joins  # noqa: E402,F401
 from . import queries_lm  # noqa: E402,F401
 from . import queries_misc  # noqa: E402,F401
+from . import queries_mixture  # noqa: E402,F401
 from . import queries_selection  # noqa: E402,F401
 from . import queries_unigram  # noqa: E402,F401
 from . import queries_wordpiece  # noqa: E402,F401

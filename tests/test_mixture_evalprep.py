@@ -1,0 +1,94 @@
+"""Semantic invariants for the round-7 mixture and eval-prep waves —
+properties the oracle-parity hash can't express (parity proves the two
+engines agree; these prove the answer means what the docstring says).
+"""
+
+import pytest
+
+from mammoth_spark.queries_evalprep import RANK_K, REL_SCALE
+from mammoth_spark.queries_mixture import (
+    CURRICULUM_STAGES,
+    TOKEN_BUDGET,
+    WEIGHT_SCALE,
+)
+from mammoth_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    def run(name):
+        return QUERIES[name](spark, SF).collect()
+
+    return run
+
+
+def test_token_budget_sums_exactly(rows):
+    """Largest-remainder apportionment: the WHOLE point is that the
+    allocation sums exactly to the budget (proportional-floor alone
+    under-allocates by up to n_domains - 1)."""
+    out = rows("token_budget_allocation")
+    assert sum(r["final_alloc"] for r in out) == TOKEN_BUDGET
+    assert all(r["extra"] in (0, 1) for r in out)
+    assert all(r["final_alloc"] >= r["base_alloc"] for r in out)
+    # floor quotas alone must NOT reach the budget (else the remainder
+    # step tested nothing on this fixture)
+    assert sum(r["base_alloc"] for r in out) < TOKEN_BUDGET
+
+
+def test_temperature_damps_dominant_domains(rows):
+    """alpha=0.5 rebalancing: the largest domain's weight share must be
+    SMALLER than its raw share, the smallest domain's LARGER — that is
+    what temperature sampling is for."""
+    out = rows("temperature_mixture_weights")
+    total_raw = sum(r["raw_chars"] for r in out)
+    big = max(out, key=lambda r: r["raw_chars"])
+    small = min(out, key=lambda r: r["raw_chars"])
+    assert big["weight_micro"] / WEIGHT_SCALE < big["raw_chars"] / total_raw
+    assert small["weight_micro"] / WEIGHT_SCALE > small["raw_chars"] / total_raw
+    # div truncation: micros sum to at most 1e6, short by < n_domains
+    s = sum(r["weight_micro"] for r in out)
+    assert WEIGHT_SCALE - len(out) < s <= WEIGHT_SCALE
+
+
+def test_curriculum_stages_partition_by_length(rows):
+    out = sorted(rows("curriculum_buckets"), key=lambda r: r["stage"])
+    assert [r["stage"] for r in out] == list(range(1, CURRICULUM_STAGES + 1))
+    # ntile: stage sizes differ by at most one, and length ranges are
+    # non-decreasing across stages (ties may share a boundary value)
+    sizes = [r["n_docs"] for r in out]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(out, out[1:]):
+        assert a["max_chars"] <= b["min_chars"]
+
+
+def test_phrase_search_counts_consistent(rows):
+    out = rows("phrase_search")
+    assert 0 < len(out) <= 5
+    for r in out:
+        assert r["n_occurrences"] >= r["n_docs"] > 0
+        assert " " in r["phrase"]
+
+
+def test_mrr_is_exact_integer_reciprocal(rows):
+    out = rows("mrr_at_k")
+    for r in out:
+        assert 1 <= r["first_rel_rank"] <= RANK_K
+        assert r["rr_micro"] == REL_SCALE // r["first_rel_rank"]
+
+
+def test_ndcg_bounded_and_ideal_dominates(rows):
+    out = rows("ndcg_at_k")
+    assert out, "query panel produced no ranked lists"
+    for r in out:
+        assert 0 <= r["dcg_micro"] <= r["idcg_micro"]
+        assert 0 <= r["ndcg_micro"] <= REL_SCALE
+
+
+def test_cross_split_leak_accounting(rows):
+    (r,) = rows("cross_split_leak_report")
+    assert r["n_leaking_groups"] <= r["n_dup_groups"]
+    assert r["n_heldout_contaminated"] >= r["n_leaking_groups"] * 0  # >= 0
+    # every leaking group contributes at least one contaminated doc
+    assert r["n_heldout_contaminated"] >= r["n_leaking_groups"]
