@@ -168,12 +168,36 @@ def cmd_pullwire(args: argparse.Namespace) -> int:
     from .streaming.pipeline import plain_rows_from_change_messages
 
     value_cols = [c for c in (args.value_cols.split(",") if args.value_cols else []) if c]
-    client = SocketReplicationClient(args.host, args.port, args.slot, args.start_lsn)
+    session = None
+    if args.libpq:
+        # full session front door (sources/libpq.py): startup handshake,
+        # slot negotiation per the reference's restart decision
+        # (sync_service.go:76-91 — resume from the slot's restart_lsn,
+        # or create it and report the snapshot that brackets the
+        # backfill), then START_REPLICATION into the shared pump
+        from .sources.libpq import ReplicationSession, negotiate_start
+
+        session = ReplicationSession(args.host, args.port)
+        start_lsn, snapshot = negotiate_start(session, args.slot)
+        if snapshot is not None:
+            print(
+                f"created slot {args.slot}: backfill from snapshot "
+                f"{snapshot}, streaming from lsn {start_lsn}"
+            )
+        else:
+            print(f"resuming slot {args.slot} from lsn {start_lsn}")
+        client = session.start_replication(args.slot, start_lsn)
+    else:
+        client = SocketReplicationClient(args.host, args.port, args.slot, args.start_lsn)
     payloads = (v for k, v in client.stream() if k == "payload")
     msgs = decode_to_change_messages(payloads)
     plain = plain_rows_from_change_messages(msgs, value_cols)
     n = stage_batches(batches_from_plain_rows(plain, args.batch_max_items), args.out)
-    client.close()
+    if session is not None:
+        session.finish_copy()
+        session.close()
+    else:
+        client.close()
     print(f"staged {n} change-log batches to {args.out} (committed lsn {client.committed})")
     return 0
 
@@ -206,6 +230,12 @@ def main(argv: list[str] | None = None) -> int:
     p_w.add_argument("--out", required=True)
     p_w.add_argument("--value-cols", default="")
     p_w.add_argument("--batch-max-items", type=int, default=25_000)
+    p_w.add_argument(
+        "--libpq",
+        action="store_true",
+        help="full session front door: startup handshake + slot "
+        "negotiation (create-or-resume) instead of the bare text start",
+    )
     p_w.set_defaults(fn=cmd_pullwire)
 
     p_q = sub.add_parser("query", help="run a registered query against an sf dir")

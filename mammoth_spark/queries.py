@@ -566,6 +566,7 @@ from . import queries_mixture  # noqa: E402,F401
 from . import queries_selection  # noqa: E402,F401
 from . import queries_unigram  # noqa: E402,F401
 from . import queries_wordpiece  # noqa: E402,F401
+from . import queries_preference  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 
 

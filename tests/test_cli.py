@@ -214,3 +214,58 @@ def test_cli_pullwire_stages_batches(tmp_path):
     assert {r["name"] for r in rows} == {"n0", "n1", "n2", "m0", "m1", "m2"}
     # acks reached the server and are monotone
     assert server.acks and all(a <= b for a, b in zip(server.acks, server.acks[1:]))
+
+
+def test_cli_pullwire_libpq_create_then_resume(tmp_path, capsys):
+    """pullwire --libpq: the full session front door from the CLI —
+    first invocation performs the startup handshake, creates the slot
+    (reporting the backfill snapshot), streams, and acks; the second
+    invocation RESUMES from the slot's restart_lsn and stages nothing
+    new (every transaction already confirmed)."""
+    import glob
+
+    from mammoth_spark.__main__ import main
+    from mammoth_spark.sources.libpq import WalsenderReplayServer
+    from mammoth_spark.sources.pgoutput import XLogData, encode_xlog_data
+
+    from test_pgoutput import enc_begin, enc_commit, enc_insert, enc_relation
+
+    payloads = [enc_relation(1000, "public", "users", [(1, "id"), (0, "name")])]
+    for x in range(2):
+        payloads += [
+            enc_begin(10 * (x + 1), 0, x + 1),
+            enc_insert(1000, [str(x), f"n{x}"]),
+            enc_commit(10 * (x + 1), 10 * (x + 1) + 1, 0),
+        ]
+    frames = [encode_xlog_data(XLogData(5, 21, 0, p)) for p in payloads]
+    server = WalsenderReplayServer()
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+
+    # ensure the slot exists BEFORE the WAL does (the timeline model):
+    # negotiate_start inside the CLI creates it at lsn 1, then frames land
+    from mammoth_spark.sources.libpq import ReplicationSession, negotiate_start
+
+    s0 = ReplicationSession("127.0.0.1", server.port)
+    start, snapshot = negotiate_start(s0, "cli_slot")
+    s0.close()
+    assert snapshot is not None and start == 1
+    server.add_frames(frames)
+
+    rc = main([
+        "pullwire", "--libpq", "--port", str(server.port),
+        "--slot", "cli_slot", "--out", out1, "--value-cols", "name",
+    ])
+    assert rc == 0
+    assert "resuming slot cli_slot from lsn 1" in capsys.readouterr().out
+    rows1 = sorted(glob.glob(out1 + "/batch_*.json"))
+    assert rows1  # staged the two transactions
+    assert server.slots["cli_slot"].restart_lsn == 22
+
+    rc = main([
+        "pullwire", "--libpq", "--port", str(server.port),
+        "--slot", "cli_slot", "--out", out2, "--value-cols", "name",
+    ])
+    server.close()
+    assert rc == 0
+    assert "resuming slot cli_slot from lsn 22" in capsys.readouterr().out
+    assert glob.glob(out2 + "/batch_*.json") == []  # nothing re-served

@@ -5,6 +5,7 @@ engines agree; these prove the answer means what the docstring says).
 
 import pytest
 
+import mammoth_spark.queries  # noqa: F401  — registers every query
 from mammoth_spark.queries_evalprep import RANK_K, REL_SCALE
 from mammoth_spark.queries_mixture import (
     CURRICULUM_STAGES,
@@ -92,3 +93,50 @@ def test_cross_split_leak_accounting(rows):
     assert r["n_heldout_contaminated"] >= r["n_leaking_groups"] * 0  # >= 0
     # every leaking group contributes at least one contaminated doc
     assert r["n_heldout_contaminated"] >= r["n_leaking_groups"]
+
+
+def test_bt_strength_ranks_track_wins(rows):
+    """BT with uniform game counts must broadly agree with raw wins; at
+    minimum: shares sum to ~1e6, ranks are a permutation, and the top
+    player by strength has at least as many wins as the bottom."""
+    out = rows("bt_strength_duels")
+    assert sorted(r["rnk"] for r in out) == list(range(1, len(out) + 1))
+    s = sum(r["strength_share_micro"] for r in out)
+    assert 1_000_000 - len(out) < s <= 1_000_000
+    by_rank = sorted(out, key=lambda r: r["rnk"])
+    assert by_rank[0]["n_wins"] >= by_rank[-1]["n_wins"]
+    assert all(r["strength_micro"] > 0 for r in out)
+
+
+def test_wilson_bound_below_winrate_and_sample_size_aware(rows, spark):
+    """The Wilson lower bound sits strictly below the point estimate and
+    penalizes small samples: the same win RATE on fewer games must get
+    a lower bound."""
+    out = rows("preference_winrate")
+    for r in out:
+        assert 0 <= r["wilson_lb_micro"] < r["winrate_micro"]
+    # synthetic check of the monotonicity property via the same kernel:
+    # p=0.6 with n=10 vs n=1000
+    import math
+
+    def wilson(w, n, z=1.96):
+        p, zz = w / n, z * z
+        return (p + zz / (2 * n) - z * math.sqrt(p * (1 - p) / n + zz / (4 * n * n))) / (
+            1 + zz / n
+        )
+
+    assert wilson(6, 10) < wilson(600, 1000)
+
+
+def test_transition_matrix_rows_normalize(rows):
+    out = rows("event_transition_matrix")
+    from collections import defaultdict
+
+    by_from = defaultdict(list)
+    for r in out:
+        by_from[r["from_type"]].append(r)
+    for frm, rws in by_from.items():
+        s = sum(r["prob_micro"] for r in rws)
+        # div truncation: short of 1e6 by < n_transitions
+        assert 1_000_000 - len(rws) < s <= 1_000_000, frm
+        assert all(r["n"] > 0 for r in rws)
