@@ -1368,3 +1368,87 @@ def test_numeric_drift_one_pass_integer_moments(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+# --- round-7 mixture / eval-prep / preference waves ---
+
+
+def test_temperature_weights_domain_sized_tail(spark):
+    # ONE data-sized job (the source aggregation); the normalization is
+    # a 1-row broadcast scalar over the domain-sized table — no second
+    # corpus scan, no window, no Python
+    df = ALL_QUERIES["temperature_mixture_weights"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("documents.parquet") <= 2  # agg + scalar reuse
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_window_is_domain_sized(spark):
+    # the apportionment window (rank over remainders) must sit ABOVE the
+    # domain aggregation: a single-partition exchange is fine there
+    # because its input is domain-count rows, never the fact table
+    df = ALL_QUERIES["token_budget_allocation"](spark, SF)
+    plan = _executed_plan(df)
+    assert "Window" in plan
+    # the single-partition exchange feeds the window and reads the
+    # aggregated (domain-sized) side: a HashAggregate prints BELOW it
+    # in the tree (later in the text), and the fact-sized shuffle is
+    # the separate hashpartitioning exchange of the groupBy
+    sp = plan.index("Exchange SinglePartition")
+    assert "HashAggregate" in plan[sp:]
+    assert "Exchange hashpartitioning" in plan
+    assert "EvalPython" not in plan
+
+
+def test_phrase_search_copartitioned_adjacency_join(spark):
+    # the positional self-join keys on doc_id (both sides shuffle by the
+    # SAME key — adjacency is a post-join predicate, not a cartesian),
+    # and the 5-row panel comes back as a broadcast
+    df = ALL_QUERIES["phrase_search"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan  # the panel probe
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_retrieval_metrics_window_partitions_by_query(spark):
+    # per-query ranking: the row_number window partitions by the query
+    # term (Q bounded partitions), never a global sort of the corpus
+    for name in ("mrr_at_k", "ndcg_at_k"):
+        df = ALL_QUERIES[name](spark, SF)
+        plan = _executed_plan(df)
+        assert "Window" in plan
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan
+
+
+def test_cross_split_leak_two_hash_aggs_no_join(spark):
+    # dup-key agg then summary agg: one documents scan, zero joins
+    df = ALL_QUERIES["cross_split_leak_report"](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bt_strength_loop_tables_are_bounded(spark):
+    # after 3 localCheckpointed MM rounds the final plan reads cached
+    # RDD scans (player/pair-sized) — the lineitem fact appears ZERO
+    # times in the executed tail (duels were checkpointed away)
+    df = ALL_QUERIES["bt_strength_duels"](spark, SF)
+    plan = _executed_plan(df)
+    assert "lineitem.parquet" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_event_transition_window_partitions_by_user(spark):
+    # lead() partitions by user_id (hash exchange, per-user sort only);
+    # the normalizing window runs on the matrix-sized count table
+    df = ALL_QUERIES["event_transition_matrix"](spark, SF)
+    plan = _executed_plan(df)
+    assert "Window" in plan
+    assert plan.count("events.parquet") == 1
+    assert "EvalPython" not in plan
