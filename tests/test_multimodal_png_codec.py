@@ -162,3 +162,37 @@ def test_decode_image_non_png_contract_unchanged():
         pass
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 not a real jpeg")
+
+
+# ----------------------- property-based round-trips -----------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        mode=st.sampled_from(["L", "RGB", "RGBA"]),
+        cycle=st.booleans(),
+        data=st.data(),
+    )
+    def test_roundtrip_property(w, h, mode, cycle, data):
+        """ANY 8-bit pixel buffer round-trips through encode/decode for
+        every mode x filter choice — not just smooth gradients (random
+        noise exercises the filter arithmetic's full byte range,
+        including the wrap-around adds)."""
+        bpp = 1 if mode == "L" else len(mode)
+        pixels = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * bpp, max_size=w * h * bpp
+                )
+            )
+        )
+        enc = png_encode(w, h, pixels, mode, filter_cycle=cycle)
+        assert png_decode(enc) == (w, h, mode, pixels)
+
+except ImportError:  # pragma: no cover — hypothesis is baked into the env
+    pass
