@@ -380,14 +380,15 @@ def dedup_incremental(
     which a survivors-only store would miss.
 
     Scale shape: candidate generation joins the increment's band keys
-    against the store's, and the history side is first FILTERED to the
-    increment's band buckets — on the partitioned store layout that is
-    file-level partition pruning, so per-epoch history I/O is bounded by
-    the buckets the increment actually probes, never the corpus (the
-    bucket list is ≤ N_STORE_BUCKETS values, a bounded driver-side
-    collect). Join-key equality implies bucket equality, so the pruning
-    is lossless. Exact-Jaccard verification reads fingerprint arrays from
-    the store, so old text is never re-read."""
+    against the store's, and the history side is first pruned to the
+    increment's band buckets by a broadcast LEFT SEMI join on the
+    store's partition column — file-level partition pruning on the
+    partitioned store layout, so per-epoch history I/O is bounded by
+    the buckets the increment actually probes, never the corpus, and
+    nothing round-trips through the driver. Join-key equality implies
+    bucket equality, so the pruning is lossless. Exact-Jaccard
+    verification reads fingerprint arrays from the store, so old text
+    is never re-read."""
     # the signature computation (shingling + minhash) feeds four branches
     # (delta, band join, fingerprint lookup, survivor anti-join) and the
     # caller's writes — materialize it once instead of paying the
@@ -398,10 +399,29 @@ def dedup_incremental(
     if store is None:
         probe_bands, all_fps = delta.bands, delta.fps
     else:
-        buckets = [
-            r[0] for r in delta.bands.select("band_bucket").distinct().collect()
-        ]
-        hist_bands = store.bands.filter(F.col("band_bucket").isin(buckets))
+        # prune history to the increment's band buckets with a broadcast
+        # LEFT SEMI join (delta.bands is already materialized via the
+        # localCheckpoint above, so the build side is epoch-sized and
+        # costs no recompute). Join-key equality implies bucket equality,
+        # so the pruning is lossless; unlike the previous collected
+        # .isin() literal, no bucket list rides through the driver — a
+        # large ingest epoch can no longer produce a megaliteral plan,
+        # and dynamic partition pruning can push the semi-join keys into
+        # the partitioned store scan.
+        # the band_bucket >= 0 predicate is vacuously true (buckets are
+        # 0..N_STORE_BUCKETS-1 by construction) but marks the build side
+        # selective, which is what Spark's dynamic-partition-pruning
+        # planner requires to inject the semi-join keys into the store
+        # scan's PartitionFilters (pinned in tests/test_plans.py:
+        # dynamicpruningexpression, no static IN-literal)
+        probe_buckets = (
+            delta.bands.filter(F.col("band_bucket") >= 0)
+            .select("band_bucket")
+            .distinct()
+        )
+        hist_bands = store.bands.join(
+            F.broadcast(probe_buckets), "band_bucket", "left_semi"
+        )
         probe_bands = hist_bands.unionByName(delta.bands)
         all_fps = store.fps.unionByName(delta.fps)
 

@@ -15,11 +15,11 @@ build half is the dedup/filter/tokenize waves).
   human qrels table), report the first relevant rank and its
   reciprocal in integer micros (1e6 div rank — exact).
 
-- ``ndcg_at_k``: graded-relevance nDCG@10. Per-rank gains are floored
-  to micros BEFORE the bigint sum (no float crosses rows); log2 of
-  ranks 2..11 is transcendental, so this column rides the documented
-  libm-agreement assumption (queries_selection.py) — div/idiv
-  everywhere else keeps the rest exact.
+- ``ndcg_at_k``: graded-relevance nDCG@10, fully integer: the only
+  transcendental (log2 of ranks 2..11) is a FIXED 10-value table, so it
+  ships as micro-integer literals (``_LOG2_MICRO``) and the per-rank
+  gain is rel*1e12 div log2_micro — no libm anywhere, no float crosses
+  rows, and both engines evaluate the identical integer expression.
 
 - ``cross_split_leak_report``: the leak detector a train/val split
   must pass — duplicate groups keyed by a PREFIX FINGERPRINT (md5 of
@@ -51,6 +51,35 @@ PHRASE_TOP = 5
 MRR_QUERIES = 8
 RANK_K = 10
 REL_SCALE = 1_000_000
+
+# floor(log2(rank + 1) * 1e6) for rank 1..RANK_K — the nDCG discount
+# denominators as exact micro-integer literals. Fixed table, not a
+# runtime log2: removes the last libm-agreement assumption from this
+# module (verified against math.log2 in tests/test_mixture_evalprep.py).
+_LOG2_MICRO = [
+    1_000_000,  # rank 1: log2(2)
+    1_584_962,  # rank 2: log2(3)
+    2_000_000,  # rank 3: log2(4)
+    2_321_928,  # rank 4: log2(5)
+    2_584_962,  # rank 5: log2(6)
+    2_807_354,  # rank 6: log2(7)
+    3_000_000,  # rank 7: log2(8)
+    3_169_925,  # rank 8: log2(9)
+    3_321_928,  # rank 9: log2(10)
+    3_459_431,  # rank 10: log2(11)
+]
+
+
+def _gain_sql(rnk: str, div: str) -> str:
+    """Per-rank nDCG gain, identical integer arithmetic on both engines:
+    (rel * 1e12) intdiv log2_micro(rank) — i.e. (rel / log2(rank+1))
+    truncated to micros. ``div`` is the engine's integer-division
+    spelling ('//' DuckDB, 'div' Spark SQL)."""
+    whens = " ".join(f"WHEN {i + 1} THEN {v}" for i, v in enumerate(_LOG2_MICRO))
+    return (
+        f"CAST((CAST(rel AS BIGINT) * {REL_SCALE * 1_000_000}) "
+        f"{div} (CASE {rnk} {whens} END) AS BIGINT)"
+    )
 
 _WORDS = "string_split(text, ' ')"
 
@@ -231,15 +260,12 @@ WITH toks AS ({_TOKENS_SQL}),
 topk AS (SELECT * FROM ranked WHERE rnk <= {RANK_K}),
 dcg AS (
   SELECT token,
-         CAST(sum(CAST(floor(rel * {REL_SCALE} / log2(rnk + 1)) AS BIGINT))
-              AS BIGINT) AS dcg_micro
+         CAST(sum({_gain_sql("rnk", "//")}) AS BIGINT) AS dcg_micro
   FROM topk GROUP BY token
 ),
 ideal AS (
   SELECT token,
-         CAST(sum(CAST(floor(rel * {REL_SCALE} /
-                             log2(irnk + 1)) AS BIGINT)) AS BIGINT)
-           AS idcg_micro
+         CAST(sum({_gain_sql("irnk", "//")}) AS BIGINT) AS idcg_micro
   FROM (SELECT token, rel,
                row_number() OVER (PARTITION BY token
                                   ORDER BY rel DESC, doc_id) AS irnk
@@ -256,15 +282,13 @@ ORDER BY query_term
 )
 def ndcg_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nDCG@10 per query term with md5-graded relevance (0..3): per-rank
-    gains floor to micros BEFORE the bigint sum, the ideal ordering
+    gains truncate to micros BEFORE the bigint sum, the ideal ordering
     re-ranks the same top-k by grade, and the final ratio is integer
-    div. log2(rank+1) is the one transcendental — covered by the
-    documented libm-agreement assumption."""
+    div. The log2 discounts are the fixed ``_LOG2_MICRO`` literal table
+    — no transcendental function runs on either engine."""
     ranked = _ranked(spark, sf_dir)
     topk = ranked.filter(F.col("rnk") <= RANK_K)
-    gain = lambda r: F.floor(  # noqa: E731
-        F.col("rel") * REL_SCALE / F.log2(F.col(r) + 1)
-    ).cast("bigint")
+    gain = lambda r: F.expr(_gain_sql(r, "div"))  # noqa: E731
     dcg = topk.groupBy("token").agg(F.sum(gain("rnk")).cast("bigint").alias("dcg_micro"))
     iw = Window.partitionBy("token").orderBy(F.desc("rel"), F.asc("doc_id"))
     ideal = (

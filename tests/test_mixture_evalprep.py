@@ -64,6 +64,56 @@ def test_curriculum_stages_partition_by_length(rows):
         assert a["max_chars"] <= b["min_chars"]
 
 
+def test_curriculum_staged_is_bit_identical_to_ntile(spark):
+    """The distributed histogram-offset construction must reproduce
+    ntile(4) OVER (ORDER BY n_chars, doc_id) EXACTLY at doc level —
+    not statistically: the round-8 rewrite replaced the unpartitioned
+    window with per-shard ranks + broadcast offsets, and this pins that
+    the arithmetic (q/r bucket split) is the same function."""
+    from mammoth_spark.model import read_table
+    from mammoth_spark.queries_mixture import _curriculum_staged
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    srt = sorted(docs, key=lambda r: (r["n_chars"], r["doc_id"]))
+    n = len(srt)
+    q, rem = divmod(n, CURRICULUM_STAGES)
+    cut = (q + 1) * rem
+    expect = {}
+    for g, row in enumerate(srt, 1):
+        if g <= cut:
+            expect[row["doc_id"]] = (g - 1) // (q + 1) + 1
+        else:
+            expect[row["doc_id"]] = rem + (g - cut - 1) // q + 1
+    got = {
+        r["doc_id"]: r["stage"] for r in _curriculum_staged(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_curriculum_approx_agrees_with_exact(spark):
+    """The boundary-cut variant differs from exact ntile only where a
+    tie run straddles a stage boundary; at fixture scale >= 99% of
+    documents must land in the same stage."""
+    from mammoth_spark.model import read_table
+    from mammoth_spark.queries_mixture import _curriculum_staged
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    srt = sorted(docs, key=lambda r: (r["n_chars"], r["doc_id"]))
+    n = len(srt)
+    q, rem = divmod(n, CURRICULUM_STAGES)
+    bounds = [
+        srt[i * q + min(i, rem) - 1]["n_chars"] for i in range(1, CURRICULUM_STAGES)
+    ]
+    approx = {
+        r["doc_id"]: 1 + sum(r["n_chars"] > b for b in bounds) for r in docs
+    }
+    exact = {
+        r["doc_id"]: r["stage"] for r in _curriculum_staged(spark, SF).collect()
+    }
+    same = sum(approx[d] == exact[d] for d in exact)
+    assert same / n >= 0.99, f"stage agreement {same}/{n}"
+
+
 def test_phrase_search_counts_consistent(rows):
     out = rows("phrase_search")
     assert 0 < len(out) <= 5
@@ -77,6 +127,19 @@ def test_mrr_is_exact_integer_reciprocal(rows):
     for r in out:
         assert 1 <= r["first_rel_rank"] <= RANK_K
         assert r["rr_micro"] == REL_SCALE // r["first_rel_rank"]
+
+
+def test_ndcg_log2_table_matches_math(rows):
+    """The inlined discount table IS floor(log2(rank+1)*1e6) — pinned
+    here so the literals can never drift from the formula they encode
+    (the query itself must not call log2: that is the point)."""
+    import math
+
+    from mammoth_spark.queries_evalprep import _LOG2_MICRO
+
+    assert len(_LOG2_MICRO) == RANK_K
+    for rank, micro in enumerate(_LOG2_MICRO, start=1):
+        assert micro == math.floor(math.log2(rank + 1) * 1_000_000)
 
 
 def test_ndcg_bounded_and_ideal_dominates(rows):

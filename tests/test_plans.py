@@ -571,8 +571,15 @@ def test_sig_store_band_partition_pruning(spark, tmp_path):
 
     surv, _ = dedup_incremental(store, second, jaccard_threshold=0.2)
     plan = _executed_plan(surv)
-    part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
-    assert "band_bucket" in part_filters, "probe must prune on the store layout"
+    # round 8: history pruning is a broadcast LEFT SEMI join whose keys
+    # reach the partitioned store scan via dynamic partition pruning —
+    # no bucket list is ever collected to the driver, so no IN-literal
+    # (megaliteral-proof for arbitrarily large ingest epochs)
+    assert "LeftSemi" in plan, "history pruning must be a semi-join"
+    assert "dynamicpruningexpression" in plan, (
+        "semi-join keys must prune the store scan's partitions"
+    )
+    assert "In(band_bucket, [" not in plan, "no driver-collected IN-literal"
 
     # pruning strictly shrinks the history scan (mirror the probe's filter)
     buckets = [
@@ -1399,6 +1406,48 @@ def test_token_budget_window_is_domain_sized(spark):
     sp = plan.index("Exchange SinglePartition")
     assert "HashAggregate" in plan[sp:]
     assert "Exchange hashpartitioning" in plan
+    assert "EvalPython" not in plan
+
+
+def test_curriculum_buckets_never_single_partitions_the_data(spark):
+    """Round-8 fix of the round-7 weak item: the exact stage assignment
+    must NOT funnel the documents table through an unpartitioned ntile
+    window. The rank window partitions by the count-balanced shard, and
+    every SinglePartition exchange sits above the length HISTOGRAM
+    (HashAggregate keyed by n_chars prints below it), never above a raw
+    documents scan."""
+    df = ALL_QUERIES["curriculum_buckets"](spark, SF)
+    plan = _executed_plan(df)
+    assert "ntile" not in plan  # the old data-sized global window
+    assert "Exchange hashpartitioning(shard" in plan  # distributed rank
+    assert "row_number" in plan
+    # each single-partition hop is the bounded histogram window: the
+    # aggregate that shrinks docs to distinct lengths appears below it
+    idx = 0
+    while True:
+        sp = plan.find("Exchange SinglePartition", idx)
+        if sp < 0:
+            break
+        assert "HashAggregate" in plan[sp:], "SinglePartition over raw data"
+        assert "keys=[n_chars" in plan[sp:], "SinglePartition not above histogram"
+        idx = sp + 1
+    assert "EvalPython" not in plan
+
+
+def test_curriculum_approx_zero_windows_over_data(spark):
+    """The 100 TB variant: boundaries off the histogram, labeling by
+    broadcast comparison — no rank at all, no shard exchange, exactly
+    two scans of documents, and window/single-partition machinery only
+    above the histogram aggregate."""
+    df = ALL_QUERIES["curriculum_buckets_approx"](spark, SF)
+    plan = _executed_plan(df)
+    assert "row_number" not in plan and "ntile" not in plan
+    assert "Exchange hashpartitioning(shard" not in plan
+    assert plan.count("documents.parquet") == 2  # histogram scan + label scan
+    sp = plan.find("Exchange SinglePartition")
+    if sp >= 0:
+        assert "keys=[n_chars" in plan[sp:]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
 
 
