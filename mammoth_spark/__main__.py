@@ -175,9 +175,26 @@ def cmd_pullwire(args: argparse.Namespace) -> int:
         # (sync_service.go:76-91 — resume from the slot's restart_lsn,
         # or create it and report the snapshot that brackets the
         # backfill), then START_REPLICATION into the shared pump
+        if args.start_lsn:
+            # slot-owned positioning: negotiate_start always resumes from
+            # the slot's restart_lsn (or the new consistent point), so an
+            # explicit position would be silently discarded — refuse
+            # instead of surprising the operator
+            print(
+                "error: --start-lsn conflicts with --libpq (the slot owns "
+                "the start position; drop --start-lsn or use the plain "
+                "wire mode)",
+                file=sys.stderr,
+            )
+            return 2
         from .sources.libpq import ReplicationSession, negotiate_start
 
-        session = ReplicationSession(args.host, args.port)
+        session = ReplicationSession(
+            args.host,
+            args.port,
+            user=args.user,
+            password=args.password or os.environ.get("PGPASSWORD"),
+        )
         start_lsn, snapshot = negotiate_start(session, args.slot)
         if snapshot is not None:
             print(
@@ -226,7 +243,13 @@ def main(argv: list[str] | None = None) -> int:
     p_w.add_argument("--host", default="127.0.0.1")
     p_w.add_argument("--port", type=int, required=True)
     p_w.add_argument("--slot", default="mammoth_slot")
-    p_w.add_argument("--start-lsn", type=int, default=0)
+    p_w.add_argument(
+        "--start-lsn",
+        type=int,
+        default=0,
+        help="explicit start position (plain wire mode only; with "
+        "--libpq the slot owns the position and this flag is an error)",
+    )
     p_w.add_argument("--out", required=True)
     p_w.add_argument("--value-cols", default="")
     p_w.add_argument("--batch-max-items", type=int, default=25_000)
@@ -235,6 +258,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="full session front door: startup handshake + slot "
         "negotiation (create-or-resume) instead of the bare text start",
+    )
+    p_w.add_argument("--user", default="sync", help="startup user (libpq mode)")
+    p_w.add_argument(
+        "--password",
+        default=None,
+        help="password for SCRAM-SHA-256 (libpq mode; falls back to "
+        "$PGPASSWORD, like a real client)",
     )
     p_w.set_defaults(fn=cmd_pullwire)
 

@@ -156,6 +156,8 @@ def png_decode(content: bytes) -> tuple[int, int, str, bytes]:
         if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
             raise PngError(f"CRC mismatch in {tag!r}")
         if tag == b"IHDR":
+            if length != 13:
+                raise PngError(f"IHDR length {length}, expected 13")
             ihdr = data
         elif tag == b"IDAT":
             idat += data
@@ -176,7 +178,12 @@ def png_decode(content: bytes) -> tuple[int, int, str, bytes]:
     if interlace != 0:
         raise PngError("interlaced PNG not supported")
     bpp = _CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # missing/garbage IDAT must surface as the codec's own error
+        # type — decode_image callers dispatch on PngError, not zlib
+        raise PngError(f"corrupt IDAT stream: {exc}") from exc
     stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise PngError("decompressed size does not match dimensions")

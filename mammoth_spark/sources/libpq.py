@@ -6,7 +6,12 @@ lacked (round-6 verdict, "What's missing" #2) is the session layer the
 reference gets from pgconn/pglogrepl before any CopyData flows:
 
 - the startup handshake (StartupMessage with ``replication=database``,
-  AuthenticationOk, ReadyForQuery — public protocol docs §55.2.1);
+  AuthenticationOk, ReadyForQuery — public protocol docs §55.2.1),
+  including SCRAM-SHA-256 password authentication (RFC 5802/7677, pure
+  stdlib hashlib/hmac/secrets) when the server holds a password — both
+  proof directions: the server verifies the client's proof against the
+  stored verifier, the client verifies the server's signature before
+  trusting the stream;
 - the walsender command grammar over simple-query messages
   (public docs "Streaming Replication Protocol"):
   ``IDENTIFY_SYSTEM``, ``READ_REPLICATION_SLOT``,
@@ -36,7 +41,11 @@ ack-monotonicity tests pin this path too.
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
 import re
+import secrets
 import socket
 import struct
 import threading
@@ -96,6 +105,12 @@ def recv_startup(sock: socket.socket) -> dict[str, str] | None:
         return None
     (ln,) = struct.unpack(">i", head)
     body = _recv_exact(sock, ln - 4)
+    if body is None or len(body) < 4:
+        # client vanished after the length prefix (or sent a short
+        # body): treat like recv_wire_message's mid-frame drop so the
+        # accept loop's (OSError, PgOutputError) net catches it instead
+        # of a TypeError killing the accept thread
+        raise PgOutputError("connection dropped mid-startup")
     (ver,) = struct.unpack(">i", body[:4])
     if ver != PROTOCOL_VERSION:
         raise PgOutputError(f"unsupported protocol version {ver}")
@@ -178,6 +193,163 @@ class WalsenderError(PgOutputError):
         self.sqlstate = sqlstate
 
 
+# --------------------------- SCRAM-SHA-256 (RFC 5802/7677) ---------------------------
+#
+# Pure-stdlib implementation of the SASL mechanism PostgreSQL uses for
+# password authentication (protocol docs §55.2.1 "SASL Authentication";
+# the reference gets this from pgconn via the connection URL,
+# config/config.go:31-40, supervisor/supervisor.go:124-147). Message
+# grammar and key derivation follow the RFCs:
+#   SaltedPassword = PBKDF2-HMAC-SHA-256(password, salt, i)
+#   ClientKey      = HMAC(SaltedPassword, "Client Key")
+#   StoredKey      = H(ClientKey)
+#   ServerKey      = HMAC(SaltedPassword, "Server Key")
+#   AuthMessage    = client-first-bare , server-first , client-final-sans-proof
+#   ClientProof    = ClientKey XOR HMAC(StoredKey, AuthMessage)
+#   ServerSignature= HMAC(ServerKey, AuthMessage)
+# The server never learns the password (it verifies H(proof XOR sig) ==
+# StoredKey); the client authenticates the SERVER by checking the
+# ServerSignature in the final message. Passwords are used as UTF-8
+# verbatim (SASLprep normalization is a no-op for the ASCII passwords
+# this harness exercises). Channel binding is NOT supported (no TLS in
+# the replay harness): the server advertises only SCRAM-SHA-256, accepts
+# gs2 headers "n" (client has no binding) and "y" (client supports it
+# but sees the server does not), and rejects "p=..." per RFC 5802 §6.
+
+SCRAM_MECHANISM = "SCRAM-SHA-256"
+SCRAM_ITERATIONS = 4096
+
+AUTH_OK = 0
+AUTH_SASL = 10
+AUTH_SASL_CONTINUE = 11
+AUTH_SASL_FINAL = 12
+
+
+def _hmac256(key: bytes, msg: bytes) -> bytes:
+    return hmac.new(key, msg, hashlib.sha256).digest()
+
+
+def _scram_attrs(msg: str) -> dict[str, str]:
+    """Parse 'k=v,k=v' SCRAM attributes (values may contain '=': base64)."""
+    out: dict[str, str] = {}
+    for part in msg.split(","):
+        if "=" in part:
+            k, v = part.split("=", 1)
+            out[k] = v
+    return out
+
+
+def scram_salted_password(password: str, salt: bytes, iterations: int) -> bytes:
+    return hashlib.pbkdf2_hmac("sha256", password.encode(), salt, iterations)
+
+
+class ScramClient:
+    """Client half of the SCRAM-SHA-256 exchange (three messages)."""
+
+    def __init__(self, user: str, password: str, gs2: str = "n,,"):
+        if gs2 not in ("n,,", "y,,"):
+            raise PgOutputError(f"unsupported gs2 header {gs2!r}")
+        self.gs2 = gs2
+        self.password = password
+        self.nonce = secrets.token_urlsafe(18).replace(",", "-")
+        # PostgreSQL ignores the SCRAM username (the startup user wins);
+        # send n= empty like libpq does
+        self.bare = f"n=,r={self.nonce}"
+        self._server_signature: bytes | None = None
+
+    def first(self) -> str:
+        return self.gs2 + self.bare
+
+    def final(self, server_first: str) -> str:
+        a = _scram_attrs(server_first)
+        nonce, salt_b64, iters = a["r"], a["s"], int(a["i"])
+        if not nonce.startswith(self.nonce):
+            raise PgOutputError("server nonce does not extend client nonce")
+        salted = scram_salted_password(
+            self.password, base64.b64decode(salt_b64), iters
+        )
+        client_key = _hmac256(salted, b"Client Key")
+        stored_key = hashlib.sha256(client_key).digest()
+        without_proof = (
+            f"c={base64.b64encode(self.gs2.encode()).decode()},r={nonce}"
+        )
+        auth_message = f"{self.bare},{server_first},{without_proof}".encode()
+        proof = bytes(
+            x ^ y for x, y in zip(client_key, _hmac256(stored_key, auth_message))
+        )
+        self._server_signature = _hmac256(
+            _hmac256(salted, b"Server Key"), auth_message
+        )
+        return f"{without_proof},p={base64.b64encode(proof).decode()}"
+
+    def verify_server(self, server_final: str) -> None:
+        """Check the v= signature — proves the server knows ServerKey
+        (i.e. holds the real verifier, not a spoofed walsender)."""
+        a = _scram_attrs(server_final)
+        if "e" in a:
+            raise PgOutputError(f"SCRAM server error: {a['e']}")
+        expect = self._server_signature
+        if expect is None or not hmac.compare_digest(
+            base64.b64decode(a.get("v", "")), expect
+        ):
+            raise PgOutputError("server signature mismatch (spoofed server?)")
+
+
+class ScramVerifier:
+    """Server half: holds the derived verifier (StoredKey/ServerKey —
+    never the password), issues server-first, checks the client proof."""
+
+    def __init__(self, password: str, iterations: int = SCRAM_ITERATIONS):
+        self.salt = secrets.token_bytes(16)
+        self.iterations = iterations
+        salted = scram_salted_password(password, self.salt, iterations)
+        self.stored_key = hashlib.sha256(_hmac256(salted, b"Client Key")).digest()
+        self.server_key = _hmac256(salted, b"Server Key")
+        self._bare: str | None = None
+        self._first: str | None = None
+        self._gs2: str | None = None
+
+    def server_first(self, client_first: str) -> str:
+        if client_first.startswith("p="):
+            raise PgOutputError("channel binding not supported")
+        for prefix in ("n,,", "y,,"):
+            if client_first.startswith(prefix):
+                self._gs2 = prefix
+                self._bare = client_first[len(prefix):]
+                break
+        else:
+            raise PgOutputError(f"malformed gs2 header in {client_first!r}")
+        nonce = _scram_attrs(self._bare)["r"]
+        self._first = (
+            f"r={nonce}{secrets.token_urlsafe(18).replace(',', '-')},"
+            f"s={base64.b64encode(self.salt).decode()},i={self.iterations}"
+        )
+        return self._first
+
+    def check_final(self, client_final: str) -> str:
+        """Returns the server-final message; raises on a bad proof."""
+        a = _scram_attrs(client_final)
+        if base64.b64decode(a["c"]).decode() != self._gs2:
+            raise PgOutputError("channel-binding data mismatch")
+        if a["r"] != _scram_attrs(self._first)["r"]:
+            raise PgOutputError("nonce mismatch")
+        without_proof = client_final.rsplit(",p=", 1)[0]
+        auth_message = f"{self._bare},{self._first},{without_proof}".encode()
+        proof = base64.b64decode(a["p"])
+        client_key = bytes(
+            x ^ y
+            for x, y in zip(proof, _hmac256(self.stored_key, auth_message))
+        )
+        if not hmac.compare_digest(
+            hashlib.sha256(client_key).digest(), self.stored_key
+        ):
+            raise PgOutputError("password authentication failed")
+        return (
+            "v="
+            + base64.b64encode(_hmac256(self.server_key, auth_message)).decode()
+        )
+
+
 # ------------------------------ replay server ------------------------------
 
 
@@ -210,8 +382,10 @@ class WalsenderReplayServer:
         keepalive_every: int = 0,
         system_id: str = "7000000000000000001",
         drop_mid_stream_after: int | None = None,
+        password: str | None = None,
     ):
         self.keepalive_every = keepalive_every
+        self._password = password
         self.system_id = system_id
         self.acks: list[int] = []
         self.commands: list[str] = []
@@ -291,7 +465,9 @@ class WalsenderReplayServer:
                 conn, b"E", encode_error("08P01", "replication=database required")
             )
             return
-        send_wire_message(conn, b"R", struct.pack(">i", 0))  # AuthenticationOk
+        if self._password is not None and not self._scram_auth(conn, params):
+            return
+        send_wire_message(conn, b"R", struct.pack(">i", AUTH_OK))
         send_wire_message(conn, b"S", b"server_version\x00replay\x00")
         send_wire_message(conn, b"Z", b"I")  # ReadyForQuery (idle)
         while True:
@@ -311,6 +487,61 @@ class WalsenderReplayServer:
             self.commands.append(sql)
             self._dispatch(conn, sql)
             send_wire_message(conn, b"Z", b"I")
+
+    def _scram_auth(self, conn: socket.socket, params: dict[str, str]) -> bool:
+        """Run the server side of SCRAM-SHA-256 (§55.2.1: Authentication
+        SASL → SASLInitialResponse → SASLContinue → SASLResponse →
+        SASLFinal). Returns True on success; on failure sends the same
+        ErrorResponse a real server does (28P01) and closes."""
+        verifier = ScramVerifier(self._password)
+        send_wire_message(
+            conn,
+            b"R",
+            struct.pack(">i", AUTH_SASL) + SCRAM_MECHANISM.encode() + b"\x00\x00",
+        )
+        msg = recv_wire_message(conn)
+        if msg is None or msg[0] != b"p":
+            return False
+        body = msg[1]
+        nul = body.index(b"\x00")
+        mech = body[:nul].decode()
+        if mech != SCRAM_MECHANISM:
+            send_wire_message(
+                conn, b"E",
+                encode_error("28000", f"unsupported SASL mechanism {mech}"),
+            )
+            return False
+        (ln,) = struct.unpack(">i", body[nul + 1 : nul + 5])
+        client_first = body[nul + 5 : nul + 5 + ln].decode()
+        try:
+            server_first = verifier.server_first(client_first)
+        except PgOutputError as exc:
+            send_wire_message(conn, b"E", encode_error("28000", str(exc)))
+            return False
+        send_wire_message(
+            conn,
+            b"R",
+            struct.pack(">i", AUTH_SASL_CONTINUE) + server_first.encode(),
+        )
+        msg = recv_wire_message(conn)
+        if msg is None or msg[0] != b"p":
+            return False
+        try:
+            server_final = verifier.check_final(msg[1].decode())
+        except PgOutputError:
+            send_wire_message(
+                conn, b"E",
+                encode_error(
+                    "28P01",
+                    "password authentication failed for user "
+                    f"\"{params.get('user', '?')}\"",
+                ),
+            )
+            return False
+        send_wire_message(
+            conn, b"R", struct.pack(">i", AUTH_SASL_FINAL) + server_final.encode()
+        )
+        return True
 
     def _dispatch(self, conn: socket.socket, sql: str) -> None:
         up = sql.upper()
@@ -433,15 +664,29 @@ class WalsenderReplayServer:
         )
         reader.start()
         sent = 0
+        # keepalive walEnd must be the SENT position, never the global
+        # timeline end: a real walsender's keepalive advertises how far
+        # it has streamed. Advertising self.wal_end here let a keepalive
+        # landing at a txn boundary make the client ack WAL it had not
+        # received — slot.restart_lsn would jump past undelivered
+        # transactions and a drop at that instant would silently skip
+        # them on resume. `sent_wal_end` advances when a txn's commit
+        # frame is on the socket (or when the slot already confirmed the
+        # txn and it is skipped — the client provably has it).
+        sent_wal_end = max(start - 1, 0)
         with self._frames_lock:
             units = list(self._units)
         try:
             for unit in units:
                 if unit["kind"] == "txn" and unit["end_lsn"] + 1 <= start:
+                    sent_wal_end = max(sent_wal_end, unit["end_lsn"])
                     continue  # already confirmed — walsender skips it
-                for f in unit["frames"]:
+                last = len(unit["frames"]) - 1
+                for i, f in enumerate(unit["frames"]):
                     send_wire_message(conn, COPY_DATA_BYTE, f)
                     sent += 1
+                    if i == last and unit["end_lsn"] is not None:
+                        sent_wal_end = max(sent_wal_end, unit["end_lsn"])
                     if self.drop_mid_stream_after and sent >= self.drop_mid_stream_after:
                         # simulate a walsender crash: collect the ack in
                         # flight (reply-requested keepalive, as a real
@@ -449,26 +694,27 @@ class WalsenderReplayServer:
                         # interval), then hard-close at a frame boundary.
                         # One drop only — the reconnect streams to the end.
                         self.drop_mid_stream_after = None
-                        self._nudge(conn)
+                        self._nudge(conn, sent_wal_end)
                         conn.shutdown(socket.SHUT_RDWR)
                         raise OSError("simulated mid-stream drop")
                     if self.keepalive_every and sent % self.keepalive_every == 0:
-                        self._nudge(conn)
-            self._nudge(conn)
+                        self._nudge(conn, sent_wal_end)
+            self._nudge(conn, sent_wal_end)
             send_wire_message(conn, COPY_DONE_BYTE, b"")
         finally:
             reader.join(timeout=10)
 
-    def _nudge(self, conn: socket.socket) -> None:
-        """Send a reply-requested keepalive and block until a NEW ack
-        arrives (an ack count watermark, not an event — an event can be
-        set by an earlier in-flight ack between clear() and wait(),
-        silently voiding the blocking guarantee)."""
+    def _nudge(self, conn: socket.socket, sent_wal_end: int) -> None:
+        """Send a reply-requested keepalive advertising the SENT wal
+        position and block until a NEW ack arrives (an ack count
+        watermark, not an event — an event can be set by an earlier
+        in-flight ack between clear() and wait(), silently voiding the
+        blocking guarantee)."""
         with self._ack_cv:
             watermark = len(self.acks)
         send_wire_message(
             conn, COPY_DATA_BYTE,
-            encode_primary_keepalive(PrimaryKeepalive(self.wal_end, 0, True)),
+            encode_primary_keepalive(PrimaryKeepalive(sent_wal_end, 0, True)),
         )
         with self._ack_cv:
             self._ack_cv.wait_for(lambda: len(self.acks) > watermark, timeout=10)
@@ -510,7 +756,19 @@ class ReplicationSession:
     connection into copy-both mode (stream.go:53-68,136-140).
     """
 
-    def __init__(self, host: str, port: int, user: str = "sync", database: str = "app"):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        user: str = "sync",
+        database: str = "app",
+        password: str | None = None,
+        gs2: str = "n,,",
+    ):
+        self._user = user
+        self._password = password
+        self._gs2 = gs2  # "y,," = client supports channel binding, server doesn't
+        self._scram: ScramClient | None = None
         self.sock = socket.create_connection((host, port))
         self.sock.sendall(
             encode_startup({"user": user, "database": database, "replication": "database"})
@@ -526,9 +784,37 @@ class ReplicationSession:
                 raise PgOutputError("server closed during startup")
             tag, body = msg
             if tag == b"R":
-                if struct.unpack(">i", body[:4])[0] != 0:
-                    raise PgOutputError("unsupported auth method")
-                authed = True
+                (code,) = struct.unpack(">i", body[:4])
+                if code == AUTH_OK:
+                    authed = True
+                elif code == AUTH_SASL:
+                    mechs = [m.decode() for m in body[4:].split(b"\x00") if m]
+                    if SCRAM_MECHANISM not in mechs:
+                        raise PgOutputError(f"no common SASL mechanism in {mechs}")
+                    if self._password is None:
+                        raise PgOutputError(
+                            "server requires SCRAM-SHA-256 but no password given"
+                        )
+                    self._scram = ScramClient(self._user, self._password, self._gs2)
+                    first = self._scram.first().encode()
+                    send_wire_message(
+                        self.sock,
+                        b"p",
+                        SCRAM_MECHANISM.encode()
+                        + b"\x00"
+                        + struct.pack(">i", len(first))
+                        + first,
+                    )
+                elif code == AUTH_SASL_CONTINUE:
+                    send_wire_message(
+                        self.sock, b"p",
+                        self._scram.final(body[4:].decode()).encode(),
+                    )
+                elif code == AUTH_SASL_FINAL:
+                    # authenticate the SERVER before trusting the stream
+                    self._scram.verify_server(body[4:].decode())
+                else:
+                    raise PgOutputError(f"unsupported auth method {code}")
             elif tag == b"E":
                 f = parse_error(body)
                 raise WalsenderError(f.get("C", "?????"), f.get("M", "startup failed"))

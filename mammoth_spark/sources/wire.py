@@ -33,6 +33,7 @@ from __future__ import annotations
 import socket
 import struct
 import threading
+import time
 from dataclasses import dataclass, field
 
 from .pgoutput import (
@@ -155,11 +156,14 @@ class ReplayServer:
                 PrimaryKeepalive(wal_end, 0, True)
             )
         )
-        remaining = 10.0
-        while len(self.acks) <= watermark and remaining > 0:
+        # wall-clock deadline, not an iteration budget: wait() returns
+        # immediately whenever an earlier in-flight ack set the event, so
+        # counting iterations would burn the whole budget in near-zero
+        # real time and give up long before 10 s
+        deadline = time.monotonic() + 10.0
+        while len(self.acks) <= watermark and time.monotonic() < deadline:
             self._ack_seen.wait(timeout=0.05)
             self._ack_seen.clear()
-            remaining -= 0.05
 
     def _drain_acks(self, conn: socket.socket) -> None:
         try:

@@ -216,6 +216,20 @@ def test_cli_pullwire_stages_batches(tmp_path):
     assert server.acks and all(a <= b for a, b in zip(server.acks, server.acks[1:]))
 
 
+def test_cli_pullwire_libpq_rejects_explicit_start_lsn(tmp_path, capsys):
+    """--start-lsn with --libpq used to be silently discarded (the slot
+    owns the position); it must now fail fast with a clear message,
+    before any connection attempt."""
+    from mammoth_spark.__main__ import main
+
+    rc = main([
+        "pullwire", "--libpq", "--port", "1", "--start-lsn", "5",
+        "--out", str(tmp_path / "x"),
+    ])
+    assert rc == 2
+    assert "--start-lsn conflicts with --libpq" in capsys.readouterr().err
+
+
 def test_cli_pullwire_libpq_create_then_resume(tmp_path, capsys):
     """pullwire --libpq: the full session front door from the CLI —
     first invocation performs the startup handshake, creates the slot

@@ -136,6 +136,75 @@ def test_slot_persists_and_resume_skips_confirmed():
     assert replayed == [payloads[0]]
 
 
+def test_keepalive_at_txn_boundary_never_overadvertises():
+    """A mid-stream keepalive must advertise the SENT wal position, not
+    the global timeline end. keepalive_every=4 fires exactly at the
+    txn-1 boundary (relation + 3 txn frames); the server then crashes at
+    frame 5. If the keepalive advertised wal_end=61 the client would ack
+    62, the slot would jump past the two undelivered transactions, and
+    the resume would silently skip them — the opposite of exactly-once.
+    With the sent-position fix the slot holds 22 and the resume serves
+    txns 2 and 3."""
+    payloads, frames = _capture()
+    server = WalsenderReplayServer(keepalive_every=4, drop_mid_stream_after=5)
+
+    s1 = ReplicationSession("127.0.0.1", server.port)
+    start1, _ = negotiate_start(s1, "slot_ka")
+    server.add_frames(frames)
+    pump1 = s1.start_replication("slot_ka", start1)
+    events1 = list(pump1.stream())  # ends at the simulated crash
+    s1.close()
+    got1 = [v for k, v in events1 if k == "payload"]
+
+    # the boundary keepalive and the crash nudge both advertised 21:
+    # nothing past txn 1 is acked, the slot cannot skip WAL it never sent
+    assert server.slots["slot_ka"].restart_lsn == 22
+    assert max(server.acks) == 22
+
+    s2 = ReplicationSession("127.0.0.1", server.port)
+    start2, snapshot2 = negotiate_start(s2, "slot_ka")
+    assert snapshot2 is None and start2 == 22
+    _, events2 = _stream_all(s2, "slot_ka", start2)
+    s2.close()
+    server.close()
+    got2 = [v for k, v in events2 if k == "payload"]
+
+    committed = [
+        r
+        for r in decode_to_change_messages(
+            got1[: _committed_prefix(got1)] + got2[1:]  # drop re-served Relation
+        )
+        if r["msg_type"] in ("INSERT", "UPDATE", "DELETE")
+    ]
+    keys = [(r["msg_type"], tuple(r["key_after"])) for r in committed]
+    assert keys == [
+        ("INSERT", ("1",)),
+        ("INSERT", ("2",)),
+        ("UPDATE", ("2",)),
+        ("INSERT", ("3",)),
+    ]
+
+
+def test_short_startup_does_not_kill_accept_loop():
+    """A client that sends the 4-byte startup length and vanishes used
+    to TypeError the accept thread (struct.unpack on None), hanging all
+    later connections; it must now be treated like any mid-frame drop
+    and the server must keep serving."""
+    import socket as socketlib
+    import struct as structlib
+
+    _, frames = _capture()
+    server = WalsenderReplayServer(frames)
+    sock = socketlib.create_connection(("127.0.0.1", server.port))
+    sock.sendall(structlib.pack(">i", 100))  # promises 96 more bytes
+    sock.close()
+
+    s = ReplicationSession("127.0.0.1", server.port)
+    assert s.identify_system()["timeline"] == 1
+    s.close()
+    server.close()
+
+
 def test_error_surface():
     _, frames = _capture()
     server = WalsenderReplayServer(frames)
@@ -155,6 +224,110 @@ def test_error_surface():
     assert s.read_slot("dup") is None
     s.close()
     server.close()
+
+
+def test_scram_handshake_and_stream():
+    """SCRAM-SHA-256 front door: a password-holding server authenticates
+    the client (proof against the stored verifier) and the client
+    authenticates the server (v= signature) before any command flows;
+    the streamed bytes are identical to the trust-auth path."""
+    payloads, frames = _capture()
+    server = WalsenderReplayServer(password="s3cret")
+    s = ReplicationSession("127.0.0.1", server.port, password="s3cret")
+    consistent, _ = s.create_slot("slot_s")
+    server.add_frames(frames)
+    _, events = _stream_all(s, "slot_s", consistent)
+    s.close()
+    server.close()
+    assert [v for k, v in events if k == "payload"] == payloads
+
+
+def test_scram_wrong_password_rejected():
+    _, frames = _capture()
+    server = WalsenderReplayServer(frames, password="s3cret")
+    with pytest.raises(WalsenderError) as ei:
+        ReplicationSession("127.0.0.1", server.port, password="wrong")
+    assert ei.value.sqlstate == "28P01"
+    # the server survives the failed attempt: correct creds still work
+    s = ReplicationSession("127.0.0.1", server.port, password="s3cret")
+    assert s.identify_system()["timeline"] == 1
+    s.close()
+    server.close()
+
+
+def test_scram_password_required():
+    """A passwordless client against a SCRAM server fails fast with a
+    clear message (no half-run handshake)."""
+    from mammoth_spark.sources.pgoutput import PgOutputError
+
+    _, frames = _capture()
+    server = WalsenderReplayServer(frames, password="s3cret")
+    with pytest.raises(PgOutputError, match="no password given"):
+        ReplicationSession("127.0.0.1", server.port)
+    server.close()
+
+
+def test_scram_channel_binding_not_supported_paths():
+    """gs2 'y,,' (client supports channel binding, sees the server does
+    not advertise PLUS) must authenticate; a client REQUIRING binding
+    ('p=...') must be refused — RFC 5802 §6."""
+    import socket as socketlib
+    import struct as structlib
+
+    from mammoth_spark.sources.libpq import (
+        SCRAM_MECHANISM,
+        encode_startup,
+        parse_error,
+    )
+    from mammoth_spark.sources.wire import recv_wire_message, send_wire_message
+
+    _, frames = _capture()
+    server = WalsenderReplayServer(frames, password="s3cret")
+
+    # y,, — accepted end-to-end
+    s = ReplicationSession("127.0.0.1", server.port, password="s3cret", gs2="y,,")
+    assert s.identify_system()["timeline"] == 1
+    s.close()
+
+    # p=... — server refuses with 28000
+    sock = socketlib.create_connection(("127.0.0.1", server.port))
+    sock.sendall(
+        encode_startup({"user": "x", "database": "app", "replication": "database"})
+    )
+    tag, body = recv_wire_message(sock)
+    assert tag == b"R" and structlib.unpack(">i", body[:4])[0] == 10
+    first = b"p=tls-server-end-point,,n=,r=abc"
+    send_wire_message(
+        sock, b"p",
+        SCRAM_MECHANISM.encode() + b"\x00" + structlib.pack(">i", len(first)) + first,
+    )
+    tag, body = recv_wire_message(sock)
+    assert tag == b"E" and parse_error(body)["C"] == "28000"
+    sock.close()
+    server.close()
+
+
+def test_scram_client_rejects_forged_server_signature():
+    """The client half must not trust a server that cannot produce the
+    ServerSignature (it never knew the password): unit-level, both
+    directions of the RFC 5802 key schedule."""
+    import base64
+
+    from mammoth_spark.sources.libpq import ScramClient, ScramVerifier
+    from mammoth_spark.sources.pgoutput import PgOutputError
+
+    v = ScramVerifier("pw")
+    c = ScramClient("u", "pw")
+    first = v.server_first(c.first())
+    final = v.check_final(c.final(first))
+    c.verify_server(final)  # genuine: passes
+
+    c2 = ScramClient("u", "pw")
+    first2 = v.server_first(c2.first())
+    c2.final(first2)
+    forged = "v=" + base64.b64encode(b"x" * 32).decode()
+    with pytest.raises(PgOutputError, match="server signature"):
+        c2.verify_server(forged)
 
 
 def test_non_replication_startup_rejected():

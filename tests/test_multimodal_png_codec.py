@@ -75,6 +75,39 @@ def test_decode_rejects_corruption():
         png_decode(bytes(enc))
 
 
+def _rewrite_chunk(enc: bytes, target: bytes, new_data: bytes) -> bytes:
+    """Rebuild a PNG with one chunk's data replaced and its CRC fixed —
+    corruption that only content validation (not the CRC) can catch."""
+    import struct
+    import zlib
+
+    out, pos = bytearray(enc[:8]), 8
+    while pos < len(enc):
+        (length,) = struct.unpack(">I", enc[pos : pos + 4])
+        tag = enc[pos + 4 : pos + 8]
+        data = enc[pos + 8 : pos + 8 + length]
+        if tag == target:
+            data = new_data
+        out += struct.pack(">I", len(data)) + tag + data
+        out += struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        pos += 12 + length
+    return bytes(out)
+
+
+def test_decode_wraps_zlib_and_ihdr_shape_errors():
+    """Corrupt-but-CRC-valid content must still surface as PngError:
+    garbage IDAT used to leak a raw zlib.error to decode_image callers,
+    and a wrong-length IHDR reached struct.unpack."""
+    enc = png_encode(4, 4, _gradient(4, 4))
+    with pytest.raises(PngError, match="IDAT"):
+        png_decode(_rewrite_chunk(enc, b"IDAT", b"not a zlib stream"))
+    with pytest.raises(PngError, match="IDAT"):
+        png_decode(_rewrite_chunk(enc, b"IDAT", b""))
+    ihdr = enc[16 : 16 + 13]  # original IHDR data
+    with pytest.raises(PngError, match="IHDR length"):
+        png_decode(_rewrite_chunk(enc, b"IHDR", ihdr + b"\x00"))
+
+
 def test_compression_is_real():
     """The encoded payload must be materially smaller than the raw
     pixels — the pipeline below moves genuinely compressed data, not
