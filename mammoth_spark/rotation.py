@@ -32,16 +32,21 @@ import re
 # The round whose contract registry.DRIVER_EXPORT currently encodes.
 # Bump this (and regenerate the export with `python tools/rotation_ledger.py
 # --cut`) at the start of each round.
-CONTRACT_ROUND = 7
+CONTRACT_ROUND = 8
 
-# Queries whose implementation paths were refactored in round 6
-# (TxnCatalog / TransactionBatcher landed under them) while their last
-# driver rows predate the refactor (r01–r03 trees) — VERDICT r06 #1.
-# Drop entries from this list once they hold a row on the current tree.
+# Queries whose implementation paths were refactored AFTER their last
+# driver row and must re-verify on the current tree before anything
+# else already-green. Round 8: the curriculum staging rewrite
+# (distributed rank replaces the unpartitioned ntile window), the
+# libm-free nDCG discount table, and the semi-join history probe in
+# incremental dedup all changed result-producing code whose last rows
+# are r03–r07 trees. (The round-6 CDC trio re-verified green in r07 and
+# rotated out.) Drop entries once they hold a row on the current tree.
 FLAGSHIPS: list[str] = [
-    "cdc_compact_exact",
-    "cdc_apply",
-    "streaming_cdc_apply",
+    "curriculum_buckets",
+    "ndcg_at_k",
+    "dedup_incremental_minhash",
+    "streaming_dedup_ingest",
 ]
 
 CONTRACT_SIZE = 50
