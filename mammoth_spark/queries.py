@@ -556,6 +556,7 @@ from . import queries_curation  # noqa: E402,F401
 from . import queries_decision  # noqa: E402,F401
 from . import queries_drift  # noqa: E402,F401
 from . import queries_embed_eval  # noqa: E402,F401
+from . import queries_evalmetrics  # noqa: E402,F401
 from . import queries_evalprep  # noqa: E402,F401
 from . import queries_flagged  # noqa: E402,F401
 from . import queries_governance  # noqa: E402,F401
