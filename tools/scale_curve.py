@@ -84,6 +84,15 @@ PANEL = [
     "kn_lm_train",            # bigram count shuffle folded to the
                               # distinct-bigram table; smoothing is
                               # vocab-sized integer arithmetic
+    # round-8: the rewritten curriculum staging (histogram-offset rank —
+    # the round-7 weak plan's replacement must prove its decades) and
+    # its window-free approx variant
+    "curriculum_buckets",
+    "curriculum_buckets_approx",
+    # round-8 eval-metrology reps: sample-explode fold and the
+    # one-scan-to-one-row span report
+    "pass_at_k",
+    "span_f1_report",
 ]
 
 
