@@ -548,3 +548,122 @@ def fuzzy_match_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", dist.cast("bigint").alias("edit_dist"))
         .filter(F.col("edit_dist") >= 0)
     )
+
+
+# ----------------------- sequence packing report -----------------------
+
+SEQ_LEN = 512  # training sequence length (tokens)
+
+
+def _packing_oracle() -> str:
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         CAST({hash_bucket_sql("doc_id", SHUF_SHARDS, "shufshard")} AS BIGINT) AS shard,
+         md5('shufpos' || CAST(doc_id AS VARCHAR)) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM a
+),
+sizes AS (SELECT shard, CAST(sum(n_tokens) AS BIGINT) AS tok FROM c GROUP BY shard),
+offs AS (
+  SELECT shard,
+         CAST(coalesce(sum(tok) OVER (ORDER BY shard
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM sizes
+),
+g AS (
+  SELECT c.doc_id, c.n_tokens,
+         c.cum + o.off - c.n_tokens AS gstart,
+         c.cum + o.off AS gend
+  FROM c JOIN offs o USING (shard)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((sum(n_tokens) + {SEQ_LEN - 1}) // {SEQ_LEN} AS BIGINT) AS n_sequences,
+       CAST(sum(CASE WHEN n_tokens > 0
+                      AND gstart // {SEQ_LEN} <> (gend - 1) // {SEQ_LEN}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
+       CAST((1000000 * sum(CASE WHEN n_tokens > 0
+                      AND gstart // {SEQ_LEN} <> (gend - 1) // {SEQ_LEN}
+                     THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS crossing_micro,
+       CAST((1000000 * sum(n_tokens))
+            // (((sum(n_tokens) + {SEQ_LEN - 1}) // {SEQ_LEN}) * {SEQ_LEN})
+            AS BIGINT) AS fill_micro
+FROM g
+"""
+
+
+@register("sequence_packing_report", driver=False, oracle=_packing_oracle())
+def sequence_packing_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing audit: lay the corpus out in
+    the deterministic corpus_shuffle order, concatenate token streams,
+    split at SEQ_LEN, and report what a packed training run pays —
+    how many documents straddle a sequence boundary (the fraction that
+    needs cross-document attention masking) and the fill factor of the
+    last sequence. Packing itself wastes zero tokens by construction;
+    the boundary-crossing rate is the real cost knob (longer SEQ_LEN
+    -> fewer sequences but more crossings).
+
+    Scale shape: identical to corpus_shuffle — per-shard token cumsum
+    (ONE rank-window exchange over hash shards), a shards-row offset
+    table broadcast back, then a single fold to one row. The global
+    concatenation order is a pure function of doc_id, so the report is
+    reproducible under any input partitioning."""
+    docs = read_table(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), SHUF_SHARDS, "shufshard")
+        .cast("bigint")
+        .alias("shard"),
+        F.md5(F.concat(F.lit("shufpos"), F.col("doc_id").cast("string"))).alias("h"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = a.select(
+        "doc_id", "shard", "n_tokens", F.sum("n_tokens").over(w).alias("cum")
+    )
+    sizes = c.groupBy("shard").agg(F.sum("n_tokens").cast("bigint").alias("tok"))
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "shard",
+        F.coalesce(F.sum("tok").over(w_off), F.lit(0)).cast("bigint").alias("off"),
+    )
+    g = c.join(F.broadcast(offs), "shard").select(
+        "n_tokens",
+        (F.col("cum") + F.col("off") - F.col("n_tokens")).alias("gstart"),
+        (F.col("cum") + F.col("off")).alias("gend"),
+    )
+    crossing = F.when(
+        (F.col("n_tokens") > 0)
+        & (
+            F.expr(f"gstart div {SEQ_LEN}") != F.expr(f"(gend - 1) div {SEQ_LEN}")
+        ),
+        1,
+    ).otherwise(0)
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr(f"CAST((sum(n_tokens) + {SEQ_LEN - 1}) div {SEQ_LEN} AS BIGINT)").alias(
+            "n_sequences"
+        ),
+        F.sum(crossing).cast("bigint").alias("n_crossing"),
+        F.expr(
+            f"CAST((1000000 * sum(CASE WHEN n_tokens > 0 AND gstart div {SEQ_LEN}"
+            f" <> (gend - 1) div {SEQ_LEN} THEN 1 ELSE 0 END)) div count(*) AS BIGINT)"
+        ).alias("crossing_micro"),
+        F.expr(
+            f"CAST((1000000 * sum(n_tokens)) div"
+            f" (((sum(n_tokens) + {SEQ_LEN - 1}) div {SEQ_LEN}) * {SEQ_LEN})"
+            " AS BIGINT)"
+        ).alias("fill_micro"),
+    )

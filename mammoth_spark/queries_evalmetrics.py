@@ -364,3 +364,134 @@ def span_f1_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("macro_f1_micro"),
     )
+
+
+# ----------------------- confidence calibration -----------------------
+
+CAL_CONF_BASE = 250_000  # conf_micro = base + nibble * step: 0.25 .. 0.953125
+CAL_CONF_STEP = 46_875
+CAL_LABEL_STEP = 62_500  # label ~ Bernoulli(conf): nibble*step < conf
+CAL_BIN_W = 100_000  # five top-label bins over [0.5, 1.0)
+
+_CAL_SQL = f"""
+cal AS (
+  SELECT doc_id, conf_micro,
+         CASE WHEN {_nibble_sql("lab", "doc_id")} * {CAL_LABEL_STEP} < conf_micro
+              THEN 1 ELSE 0 END AS label,
+         CASE WHEN conf_micro >= 500000 THEN 1 ELSE 0 END AS predicted
+  FROM (
+    SELECT doc_id,
+           {CAL_CONF_BASE} + {_nibble_sql("c", "doc_id")} * {CAL_CONF_STEP}
+             AS conf_micro
+    FROM documents
+  )
+),
+binned AS (
+  SELECT (conf_top - 500000) // {CAL_BIN_W} AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(correct) AS BIGINT) AS n_correct,
+         CAST(sum(conf_top) AS BIGINT) AS sum_conf
+  FROM (
+    SELECT CASE WHEN predicted = 1 THEN conf_micro
+                ELSE 1000000 - conf_micro END AS conf_top,
+           CASE WHEN predicted = label THEN 1 ELSE 0 END AS correct
+    FROM cal
+  ) GROUP BY bin
+)
+"""
+
+
+def _cal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bin, n, n_correct, sum_conf) — the binned top-label calibration
+    table both calibration queries fold. Labels are Bernoulli(conf) by
+    md5 nibble, so the synthetic model is near-calibrated by
+    construction and the gap columns measure sampling noise, not a
+    broken fixture."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    conf = (CAL_CONF_BASE + _nibble_col("c", F.col("doc_id")) * CAL_CONF_STEP).alias(
+        "conf_micro"
+    )
+    cal = docs.select("doc_id", conf).select(
+        "conf_micro",
+        (
+            _nibble_col("lab", F.col("doc_id")) * CAL_LABEL_STEP
+            < F.col("conf_micro")
+        )
+        .cast("int")
+        .alias("label"),
+        (F.col("conf_micro") >= 500_000).cast("int").alias("predicted"),
+    )
+    top = cal.select(
+        F.when(F.col("predicted") == 1, F.col("conf_micro"))
+        .otherwise(1_000_000 - F.col("conf_micro"))
+        .alias("conf_top"),
+        (F.col("predicted") == F.col("label")).cast("int").alias("correct"),
+    )
+    return (
+        top.groupBy(((F.col("conf_top") - 500_000) / CAL_BIN_W).cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("correct").cast("bigint").alias("n_correct"),
+            F.sum("conf_top").cast("bigint").alias("sum_conf"),
+        )
+    )
+
+
+@register(
+    "calibration_report",
+    driver=False,
+    oracle=f"""
+WITH {_CAL_SQL}
+SELECT CAST(bin AS BIGINT) AS bin, n, n_correct,
+       CAST(({MICRO} * n_correct) // n AS BIGINT) AS acc_micro,
+       CAST(sum_conf // n AS BIGINT) AS avg_conf_micro,
+       CAST(abs(({MICRO} * n_correct) // n - sum_conf // n) AS BIGINT)
+         AS gap_micro
+FROM binned ORDER BY bin
+""",
+)
+def calibration_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reliability diagram as a table: five top-label confidence
+    bins over [0.5, 1.0), each with accuracy, mean confidence, and the
+    |acc - conf| gap in exact micros. One scan to five rows; the md5
+    label model is Bernoulli(conf), so gaps stay small and nonzero —
+    a real miscalibrated model shows up as a monotone gap ramp here."""
+    return _cal(spark, sf_dir).selectExpr(
+        "CAST(bin AS BIGINT) AS bin",
+        "n",
+        "n_correct",
+        f"CAST(({MICRO} * n_correct) div n AS BIGINT) AS acc_micro",
+        "CAST(sum_conf div n AS BIGINT) AS avg_conf_micro",
+        f"CAST(abs(({MICRO} * n_correct) div n - sum_conf div n) AS BIGINT)"
+        " AS gap_micro",
+    ).orderBy("bin")
+
+
+@register(
+    "calibration_ece",
+    driver=False,
+    oracle=f"""
+WITH {_CAL_SQL}
+SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(n * abs(({MICRO} * n_correct) // n - sum_conf // n))
+            // sum(n) AS BIGINT) AS ece_micro,
+       CAST(max(abs(({MICRO} * n_correct) // n - sum_conf // n)) AS BIGINT)
+         AS mce_micro
+FROM binned
+""",
+)
+def calibration_ece_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and Maximum Calibration Error over the top-label bins:
+    ECE = sum_b (n_b/N) * |acc_b - conf_b|, MCE = max_b of the gap —
+    the two numbers a model card quotes. Every division is integer on
+    a per-bin exact count, so both are bit-identical cross-engine.
+    The final fold runs on the five-row binned table."""
+    b = _cal(spark, sf_dir).selectExpr(
+        "n",
+        f"abs(({MICRO} * n_correct) div n - sum_conf div n) AS gap",
+    )
+    return b.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.expr("CAST(sum(n * gap) div sum(n) AS BIGINT)").alias("ece_micro"),
+        F.max("gap").cast("bigint").alias("mce_micro"),
+    )

@@ -1564,3 +1564,124 @@ def range_partition_sort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         nonoverlap.alias("ranges_nonoverlapping"),
         (nonoverlap & (F.sum("n_unsorted") == 0)).alias("globally_sorted"),
     )
+
+
+# ----------------------- corpus version diff -----------------------
+
+_VDIFF_ADD_OFFSET = 10**12  # synthetic v2-only doc ids sit above every fixture id
+
+
+def _vdiff_nibble_sql(salt: str) -> str:
+    return (
+        f"(strpos('0123456789abcdef', substr(md5('{salt}:' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+    )
+
+
+def _vdiff_nibble_col(salt: str) -> F.Column:
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")))
+    return F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+
+
+@register(
+    "corpus_version_diff",
+    driver=False,
+    oracle=f"""
+WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN {_vdiff_nibble_sql("mod")} = 1 THEN md5(text || ' rev2')
+              ELSE md5(text) END AS fp
+  FROM documents WHERE {_vdiff_nibble_sql("del")} <> 0
+  UNION ALL
+  SELECT doc_id + {_VDIFF_ADD_OFFSET} AS doc_id, md5(text || ' new') AS fp
+  FROM documents WHERE {_vdiff_nibble_sql("add")} = 2
+),
+d AS (
+  SELECT CASE WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v1.fp <> v2.fp THEN 'modified'
+              ELSE 'unchanged' END AS kind
+  FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+)
+SELECT CAST((SELECT count(*) FROM v1) AS BIGINT) AS n_v1,
+       CAST((SELECT count(*) FROM v2) AS BIGINT) AS n_v2,
+       CAST(sum(CASE WHEN kind = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN kind = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN kind = 'modified' THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+       CAST(sum(CASE WHEN kind = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       CAST((1000000 * sum(CASE WHEN kind <> 'unchanged' THEN 1 ELSE 0 END))
+            // (SELECT count(*) FROM v1) AS BIGINT) AS churn_micro
+FROM d
+""",
+)
+def corpus_version_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the audit an incremental
+    export runs before publishing version 2: how many documents were
+    added, removed, or modified, and the resulting churn rate. Version
+    2 is derived deterministically from version 1 (md5 nibbles pick
+    ~6% deletions, ~6% text revisions, ~6% additions), so the report is
+    a pure function of the fixtures on both engines.
+
+    Scale shape: fingerprint both versions (md5 of the text — content
+    hashing means the diff never compares full texts), FULL OUTER join
+    co-partitioned on doc_id (one shuffle per side, no skew: doc_id is
+    unique), fold to one row. At 100 TB this replaces re-exporting the
+    corpus: downstream consumers pull only the added/modified set —
+    the same delta discipline as the CDC target tables, applied to the
+    training corpus itself."""
+    docs = read_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("fp"))
+    v2 = (
+        docs.filter(_vdiff_nibble_col("del") != 0)
+        .select(
+            "doc_id",
+            F.when(
+                _vdiff_nibble_col("mod") == 1,
+                F.md5(F.concat(F.col("text"), F.lit(" rev2"))),
+            )
+            .otherwise(F.md5("text"))
+            .alias("fp"),
+        )
+        .unionByName(
+            docs.filter(_vdiff_nibble_col("add") == 2).select(
+                (F.col("doc_id") + _VDIFF_ADD_OFFSET).alias("doc_id"),
+                F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("fp"),
+            )
+        )
+    )
+    d = (
+        v1.withColumnRenamed("fp", "fp1")
+        .join(v2.withColumnRenamed("fp", "fp2"), "doc_id", "full_outer")
+        .select(
+            F.when(F.col("fp2").isNull(), "removed")
+            .when(F.col("fp1").isNull(), "added")
+            .when(F.col("fp1") != F.col("fp2"), "modified")
+            .otherwise("unchanged")
+            .alias("kind")
+        )
+    )
+    n_v1 = v1.agg(F.count(F.lit(1)).cast("bigint").alias("n_v1"))
+    n_v2 = v2.agg(F.count(F.lit(1)).cast("bigint").alias("n_v2"))
+    kinds = d.agg(
+        *[
+            F.sum(F.when(F.col("kind") == k, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{k}")
+            for k in ("added", "removed", "modified", "unchanged")
+        ]
+    )
+    return (
+        n_v1.crossJoin(F.broadcast(n_v2))  # 1-row scalars: bounded
+        .crossJoin(F.broadcast(kinds))
+        .selectExpr(
+            "n_v1",
+            "n_v2",
+            "n_added",
+            "n_removed",
+            "n_modified",
+            "n_unchanged",
+            "CAST((1000000 * (n_added + n_removed + n_modified)) div n_v1"
+            " AS BIGINT) AS churn_micro",
+        )
+    )

@@ -289,3 +289,124 @@ def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sel_rank int, vec_id bigint, mrel bigint, max_msim bigint,"
         " score_micro bigint",
     )
+
+
+# ------------------- Neyman stratified allocation -------------------
+
+STRAT_BUDGET = 10_000  # documents to allocate across source strata
+_S_MILLI = 1_000  # milli fixed-point for the per-stratum stddev
+
+
+@register(
+    "stratified_sample_alloc",
+    driver=False,
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sx,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY source
+),
+v AS (
+  SELECT source, n_docs,
+         CAST((n_docs * sxx - sx * sx) // (n_docs * (n_docs - 1)) AS BIGINT)
+           AS var_floor
+  FROM s WHERE n_docs > 1
+),
+w AS (
+  SELECT source, n_docs, var_floor,
+         CAST(floor(sqrt(CAST(var_floor AS DOUBLE)) * {_S_MILLI}) AS BIGINT)
+           AS s_milli,
+         CAST(n_docs * CAST(floor(sqrt(CAST(var_floor AS DOUBLE)) * {_S_MILLI})
+                            AS BIGINT) AS BIGINT) AS weight
+  FROM v
+),
+quota AS (
+  SELECT source, n_docs, var_floor, s_milli, weight,
+         CAST((CAST(weight AS HUGEINT) * {STRAT_BUDGET})
+              // (SELECT sum(CAST(weight AS HUGEINT)) FROM w) AS BIGINT)
+           AS base_alloc,
+         CAST((CAST(weight AS HUGEINT) * {STRAT_BUDGET})
+              % (SELECT sum(CAST(weight AS HUGEINT)) FROM w) AS BIGINT)
+           AS remainder
+  FROM w
+),
+ranked AS (
+  SELECT *, rank() OVER (ORDER BY remainder DESC, source) AS rem_rank,
+         (SELECT {STRAT_BUDGET} - sum(base_alloc) FROM quota) AS leftover
+  FROM quota
+)
+SELECT source, n_docs, var_floor, s_milli,
+       CAST(base_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked ORDER BY source
+""",
+)
+def stratified_sample_alloc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: budget shares
+    proportional to N_h * S_h (stratum size times stddev — the
+    allocation that minimizes the estimator's variance for a fixed
+    budget), apportioned EXACTLY to STRAT_BUDGET with the
+    largest-remainder step (the token_budget_allocation pattern).
+
+    Exactness discipline: the sample variance is floored to an integer
+    FIRST ((n*Σx² - (Σx)²) div (n(n-1)) — exact bigint arithmetic),
+    then S_h = floor(sqrt(var_floor)*1e3): int64→double conversion and
+    sqrt are both correctly rounded under IEEE 754, and the once-scaled
+    product rounds identically on both engines (the
+    temperature_mixture_weights argument — no libm caveat, sqrt is the
+    one root IEEE mandates). Scale shape: one corpus pass to a
+    domain-sized moment table; everything after runs on strata rows
+    (bounded windows, the Hamilton class)."""
+    from pyspark.sql import Window
+
+    s = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sx"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sxx"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    w = s.selectExpr(
+        "source",
+        "n_docs",
+        "CAST((n_docs * sxx - sx * sx) div (n_docs * (n_docs - 1)) AS BIGINT)"
+        " AS var_floor",
+    ).selectExpr(
+        "source",
+        "n_docs",
+        "var_floor",
+        f"CAST(floor(sqrt(CAST(var_floor AS DOUBLE)) * {_S_MILLI}) AS BIGINT)"
+        " AS s_milli",
+    ).withColumn("weight", F.col("n_docs") * F.col("s_milli"))
+    total = w.select(F.sum(F.col("weight").cast("decimal(38,0)")).alias("_t"))
+    quota = w.crossJoin(F.broadcast(total)).selectExpr(
+        "source",
+        "n_docs",
+        "var_floor",
+        "s_milli",
+        f"CAST((CAST(weight AS DECIMAL(38,0)) * {STRAT_BUDGET}) div _t AS BIGINT)"
+        " AS base_alloc",
+        f"CAST((CAST(weight AS DECIMAL(38,0)) * {STRAT_BUDGET}) % _t AS BIGINT)"
+        " AS remainder",
+    )
+    w_all = Window.partitionBy()  # strata-sized: bounded single partition
+    ranked = quota.select(
+        "*",
+        F.rank().over(w_all.orderBy(F.desc("remainder"), F.asc("source"))).alias(
+            "rem_rank"
+        ),
+        (F.lit(STRAT_BUDGET) - F.sum("base_alloc").over(w_all)).alias("leftover"),
+    )
+    extra = F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "source",
+        "n_docs",
+        "var_floor",
+        "s_milli",
+        (F.col("base_alloc") + extra).cast("bigint").alias("alloc"),
+    ).orderBy("source")
