@@ -90,6 +90,31 @@ def test_curriculum_staged_is_bit_identical_to_ntile(spark):
     assert got == expect
 
 
+def test_ntile_stage_formula_property():
+    """The closed-form stage arithmetic used by _curriculum_staged is
+    ntile for EVERY (n, k), including n < k and exact multiples — a
+    pure-arithmetic hypothesis sweep, no Spark needed (both engines
+    evaluate this same integer expression)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(1, 400), st.integers(1, 9))
+    def check(n, k):
+        q, r = divmod(n, k)
+        cut = (q + 1) * r
+        reference = []
+        for b in range(1, k + 1):
+            reference += [b] * ((q + 1) if b <= r else q)
+        formula = [
+            (g - 1) // (q + 1) + 1 if g <= cut else r + (g - cut - 1) // q + 1
+            for g in range(1, n + 1)
+        ]
+        assert formula == reference
+
+    check()
+
+
 def test_curriculum_approx_agrees_with_exact(spark):
     """The boundary-cut variant differs from exact ntile only where a
     tie run straddles a stage boundary; at fixture scale >= 99% of

@@ -93,6 +93,10 @@ PANEL = [
     # one-scan-to-one-row span report
     "pass_at_k",
     "span_f1_report",
+    # round-8b: the packing cumsum (corpus_shuffle shape under token
+    # weights) and the co-partitioned full-outer version diff
+    "sequence_packing_report",
+    "corpus_version_diff",
 ]
 
 
