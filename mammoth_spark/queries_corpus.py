@@ -1688,3 +1688,68 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_syms"), F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+# ----------------------- lexical diversity (exact) -----------------------
+
+
+@register(
+    "token_diversity_report",
+    driver=False,
+    oracle=f"""
+WITH toks AS (SELECT unnest({_SQL_TOKS}) AS term FROM documents),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(c) AS BIGINT) AS n_tok,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS c2,
+         CAST(max(c) AS BIGINT) AS cmax,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+  FROM tc
+)
+SELECT vocab, n_tok, cmax AS top1_count, hapax,
+       CAST(1000000 - (1000000 * c2)
+            // (CAST(n_tok AS HUGEINT) * n_tok) AS BIGINT) AS gini_micro,
+       CAST((1000000 * cmax) // n_tok AS BIGINT) AS top1_share_micro,
+       CAST((1000000 * hapax) // vocab AS BIGINT) AS hapax_share_micro,
+       CAST((1000000 * vocab) // n_tok AS BIGINT) AS ttr_micro
+FROM s
+""",
+)
+def token_diversity_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus lexical-diversity panel, all EXACT rationals (no
+    entropy/log, so no libm anywhere): Gini-Simpson index
+    1 - sum(p_i^2) — the collision probability complement that tracks
+    entropy monotonically for screening purposes — plus top-1 token
+    share, hapax-legomena share (the Heaps'-law tail mass), and the
+    type-token ratio. Degenerate corpora (template spam, mode
+    collapse in synthetic data) crater gini/hapax and spike top1 —
+    the cheap tripwire before the expensive dedup passes.
+
+    Physical shape: one token explode folded to the vocab table
+    (map-side combined), then a scalar fold over vocab rows. sum(c^2)
+    runs in DECIMAL(38,0)/HUGEINT — at web scale n_tok^2 is ~10^22
+    and would silently wrap int64."""
+    tc = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return tc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("_c2"),
+        F.max("c").cast("bigint").alias("top1_count"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("hapax"),
+    ).selectExpr(
+        "vocab",
+        "n_tok",
+        "top1_count",
+        "hapax",
+        "CAST(1000000 - (1000000 * _c2) div (CAST(n_tok AS DECIMAL(38,0)) * n_tok)"
+        " AS BIGINT) AS gini_micro",
+        "CAST((1000000 * top1_count) div n_tok AS BIGINT) AS top1_share_micro",
+        "CAST((1000000 * hapax) div vocab AS BIGINT) AS hapax_share_micro",
+        "CAST((1000000 * vocab) div n_tok AS BIGINT) AS ttr_micro",
+    )

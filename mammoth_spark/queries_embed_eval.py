@@ -300,3 +300,185 @@ def nearest_centroid_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy(
         F.col("label").alias("true_label"), "pred_label"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+# ------------------- embedding second-moment statistics -------------------
+
+_COV_SCALE = 1_000_000  # per-element micro fixed point
+
+
+def _dims_sql() -> str:
+    """(vec_id, i, m): micro-floored embedding elements, 1-based dim."""
+    return f"""
+dims AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_COV_SCALE}) AS BIGINT) AS m
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+)
+"""
+
+
+@register(
+    "embedding_dim_stats",
+    driver=False,
+    oracle=f"""
+WITH {_dims_sql()}
+SELECT CAST(i AS INTEGER) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       -- sign * (abs // n): truncation toward zero, matching Spark's
+       -- `div` (DuckDB's bare // FLOORS, which differs on negatives)
+       CAST(CASE WHEN sum(m) < 0 THEN -((-sum(m)) // count(*))
+                 ELSE sum(m) // count(*) END AS BIGINT) AS mean_micro,
+       CAST((CAST(count(*) AS HUGEINT) * sum(CAST(m AS HUGEINT) * m)
+             - CAST(sum(m) AS HUGEINT) * sum(m))
+            // (CAST(count(*) AS HUGEINT) * (count(*) - 1)) AS BIGINT)
+         AS var_micro2
+FROM dims GROUP BY i ORDER BY dim
+""",
+)
+def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean and sample variance of the embedding store in
+    exact fixed point: elements floor to micros, so the moment sums are
+    bigint-exact and the variance is one integer division (means in
+    micros, variances in micro^2). The whitening/normalization
+    diagnostic every embedding pipeline checks before cosine math —
+    a dimension with variance far off the others dominates distances.
+
+    Physical shape: one posexplode scan folded by (dim) — 64 keys,
+    map-side combined, so the shuffle carries 64 rows per task no
+    matter the corpus size. Wide sums run in DECIMAL(38,0) because
+    n * sum(m^2) overflows int64 past ~100k vectors."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+                f" * {_COV_SCALE}) AS BIGINT))"
+            )
+        ).alias("i0", "m")
+    ).select((F.col("i0") + 1).cast("int").alias("dim"), "m")
+    return (
+        dims.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("m").alias("_s"),
+            F.sum(F.expr("CAST(m AS DECIMAL(38,0)) * m")).alias("_ss"),
+        )
+        .selectExpr(
+            "dim",
+            "n_vecs",
+            "CAST(_s div n_vecs AS BIGINT) AS mean_micro",
+            "CAST((CAST(n_vecs AS DECIMAL(38,0)) * _ss - CAST(_s AS DECIMAL(38,0))"
+            " * _s) div (CAST(n_vecs AS DECIMAL(38,0)) * (n_vecs - 1)) AS BIGINT)"
+            " AS var_micro2",
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
+    "embedding_covariance_summary",
+    driver=False,
+    oracle=f"""
+WITH {_dims_sql()},
+sums AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.m) AS BIGINT) AS si,
+         CAST(sum(b.m) AS BIGINT) AS sj,
+         CAST(sum(CAST(a.m AS HUGEINT) * b.m) AS HUGEINT) AS sij
+  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+),
+cov AS (
+  -- sign * (abs // d): truncation toward zero (covariances go
+  -- negative; DuckDB // floors, Spark div truncates)
+  SELECT i, j,
+         CAST(CASE WHEN num < 0 THEN -((-num) // den) ELSE num // den END
+              AS BIGINT) AS c
+  FROM (
+    SELECT i, j,
+           CAST(n AS HUGEINT) * sij - CAST(si AS HUGEINT) * sj AS num,
+           CAST(n AS HUGEINT) * (n - 1) AS den
+    FROM sums
+  )
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CASE WHEN i = j THEN c ELSE 0 END) AS BIGINT) AS trace_micro2,
+       CAST(sum(CASE WHEN i < j THEN abs(c) ELSE 0 END) AS BIGINT)
+         AS offdiag_abs_sum_micro2,
+       CAST(max(CASE WHEN i < j THEN abs(c) ELSE 0 END) AS BIGINT)
+         AS offdiag_abs_max_micro2,
+       CAST((1000000 * CAST(sum(CASE WHEN i < j THEN abs(c) ELSE 0 END) AS HUGEINT))
+            // sum(CASE WHEN i = j THEN c ELSE 0 END) AS BIGINT)
+         AS offdiag_ratio_micro
+FROM cov
+""",
+)
+def embedding_covariance_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the embedding space: the exact covariance
+    matrix's trace vs off-diagonal mass (all in micro^2 fixed point).
+    A well-conditioned space for cosine retrieval has small
+    offdiag_ratio; a collapsed/anisotropic one (the classic
+    representation-collapse failure) shows off-diagonal mass rivaling
+    the trace — the go/no-go check before shipping an embedding store
+    to the semdedup/ANN family.
+
+    Physical shape: the pair products are generated INSIDE the row
+    (nested transform over the 64-element array -> 2080 (i<=j) cells
+    per vector, whole-stage codegen, no self-join), then one hash
+    aggregation keyed by (i,j) — map-side combine means the shuffle
+    carries 2080 rows per task regardless of corpus size, and the
+    final fold runs on the 2080-row cell table. At 100 TB the same
+    plan holds; the per-row cost is D^2/2 multiplies, the classic
+    gram-matrix map-reduce (a Pandas-UDF BLAS kernel per partition is
+    the constant-factor upgrade, plan shape unchanged)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    d = EMB_DIM
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(0, {d - 1}), i ->
+                     transform(sequence(i, {d - 1}), j -> struct(
+                       i AS i, j AS j,
+                       CAST(floor(CAST(embedding[i] AS DOUBLE) * {_COV_SCALE}) AS BIGINT)
+                         AS mi,
+                       CAST(floor(CAST(embedding[j] AS DOUBLE) * {_COV_SCALE}) AS BIGINT)
+                         AS mj))))"""
+            )
+        ).alias("p")
+    ).select(
+        (F.col("p.i") + 1).alias("i"),
+        (F.col("p.j") + 1).alias("j"),
+        F.col("p.mi").alias("mi"),
+        F.col("p.mj").alias("mj"),
+    )
+    sums = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("mi").alias("si"),
+        F.sum("mj").alias("sj"),
+        F.sum(F.expr("CAST(mi AS DECIMAL(38,0)) * mj")).alias("sij"),
+    )
+    cov = sums.selectExpr(
+        "i",
+        "j",
+        "CAST((CAST(n AS DECIMAL(38,0)) * sij - CAST(si AS DECIMAL(38,0)) * sj)"
+        " div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT) AS c",
+    )
+    return cov.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("trace_micro2"),
+        F.sum(F.when(F.col("i") < F.col("j"), F.abs("c")).otherwise(0))
+        .cast("bigint")
+        .alias("offdiag_abs_sum_micro2"),
+        F.max(F.when(F.col("i") < F.col("j"), F.abs("c")).otherwise(0))
+        .cast("bigint")
+        .alias("offdiag_abs_max_micro2"),
+        F.expr(
+            "CAST((1000000 * CAST(sum(CASE WHEN i < j THEN abs(c) ELSE 0 END)"
+            " AS DECIMAL(38,0))) div sum(CASE WHEN i = j THEN c ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("offdiag_ratio_micro"),
+    )

@@ -133,3 +133,39 @@ def test_round8b_plans_stay_bounded(spark):
     sp = plan.find("Exchange SinglePartition")
     if sp >= 0:
         assert "HashAggregate" in plan[sp:]
+
+
+def test_embedding_dim_stats_and_covariance_agree(rows):
+    """Two independent implementations of the same second moments —
+    the per-dimension variance (single explode) and the pair-table
+    covariance diagonal (nested-transform gram cells) — must agree
+    EXACTLY, and the pair table must hold all D*(D+1)/2 cells."""
+    from mammoth_spark.queries_embed_eval import EMB_DIM
+
+    dims = rows("embedding_dim_stats")
+    (cov,) = rows("embedding_covariance_summary")
+    assert len(dims) == EMB_DIM
+    n = {r["n_vecs"] for r in dims}
+    assert len(n) == 1  # every dimension sees every vector
+    assert all(r["var_micro2"] >= 0 for r in dims)
+    assert cov["n_cells"] == EMB_DIM * (EMB_DIM + 1) // 2
+    assert cov["trace_micro2"] == sum(r["var_micro2"] for r in dims)
+    assert 0 <= cov["offdiag_abs_max_micro2"] <= cov["offdiag_abs_sum_micro2"]
+    assert (
+        cov["offdiag_ratio_micro"]
+        == (1_000_000 * cov["offdiag_abs_sum_micro2"]) // cov["trace_micro2"]
+    )
+
+
+def test_token_diversity_panel_consistent(rows):
+    (r,) = rows("token_diversity_report")
+    assert 0 < r["vocab"] <= r["n_tok"]
+    assert 0 <= r["hapax"] <= r["vocab"]
+    assert 0 < r["top1_count"] <= r["n_tok"]
+    assert 0 <= r["gini_micro"] < 1_000_000
+    assert r["ttr_micro"] == (1_000_000 * r["vocab"]) // r["n_tok"]
+    assert r["top1_share_micro"] == (1_000_000 * r["top1_count"]) // r["n_tok"]
+    assert r["hapax_share_micro"] == (1_000_000 * r["hapax"]) // r["vocab"]
+    # a natural-language fixture is diverse: high gini, minority top-1
+    assert r["gini_micro"] > 900_000
+    assert r["top1_share_micro"] < 100_000
