@@ -169,3 +169,37 @@ def test_token_diversity_panel_consistent(rows):
     # a natural-language fixture is diverse: high gini, minority top-1
     assert r["gini_micro"] > 900_000
     assert r["top1_share_micro"] < 100_000
+
+
+def test_embedding_covariance_plan_no_self_join(spark):
+    """The gram cells are generated INSIDE the row (nested transform +
+    one explode) — the plan must contain no join at all, no Python,
+    and exactly one embeddings scan; the (i,j) aggregation must
+    partial-aggregate map-side so the shuffle is cell-count-sized."""
+    plan = (
+        QUERIES["embedding_covariance_summary"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "CartesianProduct", "EvalPython"):
+        assert bad not in plan, bad
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_sum" in plan  # map-side combine before the (i,j) shuffle
+
+
+def test_token_diversity_plan_single_vocab_fold(spark):
+    """One token explode -> vocab hash-agg -> scalar fold: no joins,
+    no windows, no Python; single-partition hops only above aggregates."""
+    plan = (
+        QUERIES["token_diversity_report"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Window" not in plan
+    assert "EvalPython" not in plan
+    sp = plan.find("Exchange SinglePartition")
+    if sp >= 0:
+        assert "HashAggregate" in plan[sp:]

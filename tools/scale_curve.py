@@ -97,6 +97,10 @@ PANEL = [
     # weights) and the co-partitioned full-outer version diff
     "sequence_packing_report",
     "corpus_version_diff",
+    # round-8c: the D^2-cells-per-row gram fold and the vocab-sized
+    # diversity fold
+    "embedding_covariance_summary",
+    "token_diversity_report",
 ]
 
 
