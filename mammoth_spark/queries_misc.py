@@ -1661,8 +1661,6 @@ def corpus_version_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kind")
         )
     )
-    n_v1 = v1.agg(F.count(F.lit(1)).cast("bigint").alias("n_v1"))
-    n_v2 = v2.agg(F.count(F.lit(1)).cast("bigint").alias("n_v2"))
     kinds = d.agg(
         *[
             F.sum(F.when(F.col("kind") == k, 1).otherwise(0))
@@ -1671,17 +1669,16 @@ def corpus_version_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in ("added", "removed", "modified", "unchanged")
         ]
     )
-    return (
-        n_v1.crossJoin(F.broadcast(n_v2))  # 1-row scalars: bounded
-        .crossJoin(F.broadcast(kinds))
-        .selectExpr(
-            "n_v1",
-            "n_v2",
-            "n_added",
-            "n_removed",
-            "n_modified",
-            "n_unchanged",
-            "CAST((1000000 * (n_added + n_removed + n_modified)) div n_v1"
-            " AS BIGINT) AS churn_micro",
-        )
+    # version totals fall out of the kind partition (v1 = removed +
+    # modified + unchanged; v2 = added + modified + unchanged) — no
+    # extra counting scans of either version
+    return kinds.selectExpr(
+        "CAST(n_removed + n_modified + n_unchanged AS BIGINT) AS n_v1",
+        "CAST(n_added + n_modified + n_unchanged AS BIGINT) AS n_v2",
+        "n_added",
+        "n_removed",
+        "n_modified",
+        "n_unchanged",
+        "CAST((1000000 * (n_added + n_removed + n_modified))"
+        " div (n_removed + n_modified + n_unchanged) AS BIGINT) AS churn_micro",
     )

@@ -399,3 +399,37 @@ def _committed_prefix(payloads):
         if isinstance(parse_message(p), Commit):
             last = i + 1
     return last
+
+
+def test_scram_roundtrip_property():
+    """RFC 5802 key-schedule property sweep: for arbitrary passwords the
+    genuine exchange authenticates in BOTH directions and any other
+    password's proof is rejected — pure key math, no sockets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mammoth_spark.sources.libpq import ScramClient, ScramVerifier
+    from mammoth_spark.sources.pgoutput import PgOutputError
+
+    pw = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=24,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(pw, pw)
+    def check(good, bad):
+        v = ScramVerifier(good, iterations=256)  # low i: keep the sweep fast
+        c = ScramClient("u", good)
+        first = v.server_first(c.first())
+        final = v.check_final(c.final(first))
+        c.verify_server(final)  # server proves knowledge of ServerKey
+        if bad != good:
+            v2 = ScramVerifier(good, iterations=256)
+            c2 = ScramClient("u", bad)
+            f2 = v2.server_first(c2.first())
+            with pytest.raises(PgOutputError, match="password"):
+                v2.check_final(c2.final(f2))
+
+    check()
