@@ -175,11 +175,12 @@ def cmd_pullwire(args: argparse.Namespace) -> int:
         # (sync_service.go:76-91 — resume from the slot's restart_lsn,
         # or create it and report the snapshot that brackets the
         # backfill), then START_REPLICATION into the shared pump
-        if args.start_lsn:
+        if args.start_lsn is not None:
             # slot-owned positioning: negotiate_start always resumes from
             # the slot's restart_lsn (or the new consistent point), so an
             # explicit position would be silently discarded — refuse
-            # instead of surprising the operator
+            # instead of surprising the operator (including an explicit
+            # `--start-lsn 0`, which is why the default is None)
             print(
                 "error: --start-lsn conflicts with --libpq (the slot owns "
                 "the start position; drop --start-lsn or use the plain "
@@ -205,7 +206,9 @@ def cmd_pullwire(args: argparse.Namespace) -> int:
             print(f"resuming slot {args.slot} from lsn {start_lsn}")
         client = session.start_replication(args.slot, start_lsn)
     else:
-        client = SocketReplicationClient(args.host, args.port, args.slot, args.start_lsn)
+        client = SocketReplicationClient(
+            args.host, args.port, args.slot, args.start_lsn or 0
+        )
     payloads = (v for k, v in client.stream() if k == "payload")
     msgs = decode_to_change_messages(payloads)
     plain = plain_rows_from_change_messages(msgs, value_cols)
@@ -246,9 +249,10 @@ def main(argv: list[str] | None = None) -> int:
     p_w.add_argument(
         "--start-lsn",
         type=int,
-        default=0,
-        help="explicit start position (plain wire mode only; with "
-        "--libpq the slot owns the position and this flag is an error)",
+        default=None,
+        help="explicit start position (plain wire mode only, default 0; "
+        "with --libpq the slot owns the position and this flag is an "
+        "error — even an explicit 0)",
     )
     p_w.add_argument("--out", required=True)
     p_w.add_argument("--value-cols", default="")

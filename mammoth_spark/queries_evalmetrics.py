@@ -225,8 +225,12 @@ m AS (
   FROM tot, pe
 )
 SELECT n_docs, n_agree, po_micro, pe_micro,
-       CAST(({MICRO} * (po_micro - pe_micro)) // ({MICRO} - pe_micro) AS BIGINT)
-         AS kappa_micro
+       -- kappa is NEGATIVE for below-chance agreement: emulate Spark's
+       -- truncating div (DuckDB // floors) with sign * (abs // d)
+       CAST(CASE WHEN po_micro < pe_micro
+                 THEN -(({MICRO} * (pe_micro - po_micro)) // ({MICRO} - pe_micro))
+                 ELSE ({MICRO} * (po_micro - pe_micro)) // ({MICRO} - pe_micro)
+            END AS BIGINT) AS kappa_micro
 FROM m
 """,
 )

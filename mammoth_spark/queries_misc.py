@@ -1572,29 +1572,33 @@ _VDIFF_ADD_OFFSET = 10**12  # synthetic v2-only doc ids sit above every fixture 
 
 
 def _vdiff_nibble_sql(salt: str) -> str:
-    return (
-        f"(strpos('0123456789abcdef', substr(md5('{salt}:' || "
-        f"CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
-    )
+    from .queries_evalmetrics import _nibble_sql
+
+    return _nibble_sql(salt, "doc_id")
 
 
 def _vdiff_nibble_col(salt: str) -> F.Column:
-    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")))
-    return F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    from .queries_evalmetrics import _nibble_col
+
+    return _nibble_col(salt, F.col("doc_id"))
 
 
 @register(
     "corpus_version_diff",
     driver=False,
     oracle=f"""
-WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+WITH v1 AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents
+),
 v2 AS (
   SELECT doc_id,
-         CASE WHEN {_vdiff_nibble_sql("mod")} = 1 THEN md5(text || ' rev2')
-              ELSE md5(text) END AS fp
+         CASE WHEN {_vdiff_nibble_sql("mod")} = 1
+              THEN md5(coalesce(text, '') || ' rev2')
+              ELSE md5(coalesce(text, '')) END AS fp
   FROM documents WHERE {_vdiff_nibble_sql("del")} <> 0
   UNION ALL
-  SELECT doc_id + {_VDIFF_ADD_OFFSET} AS doc_id, md5(text || ' new') AS fp
+  SELECT doc_id + {_VDIFF_ADD_OFFSET} AS doc_id,
+         md5(coalesce(text, '') || ' new') AS fp
   FROM documents WHERE {_vdiff_nibble_sql("add")} = 2
 ),
 d AS (
@@ -1631,22 +1635,27 @@ def corpus_version_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same delta discipline as the CDC target tables, applied to the
     training corpus itself."""
     docs = read_table(spark, sf_dir, "documents")
-    v1 = docs.select("doc_id", F.md5("text").alias("fp"))
+    # null-safe fingerprints: md5(NULL) is NULL, and the diff kind is
+    # classified by fp NULL-ness after the full-outer join — a NULL
+    # text present in both versions must read 'unchanged', not
+    # 'removed' (the oracle keys the same way, on coalesced text)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    v1 = docs.select("doc_id", F.md5(txt).alias("fp"))
     v2 = (
         docs.filter(_vdiff_nibble_col("del") != 0)
         .select(
             "doc_id",
             F.when(
                 _vdiff_nibble_col("mod") == 1,
-                F.md5(F.concat(F.col("text"), F.lit(" rev2"))),
+                F.md5(F.concat(txt, F.lit(" rev2"))),
             )
-            .otherwise(F.md5("text"))
+            .otherwise(F.md5(txt))
             .alias("fp"),
         )
         .unionByName(
             docs.filter(_vdiff_nibble_col("add") == 2).select(
                 (F.col("doc_id") + _VDIFF_ADD_OFFSET).alias("doc_id"),
-                F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("fp"),
+                F.md5(F.concat(txt, F.lit(" new"))).alias("fp"),
             )
         )
     )

@@ -503,20 +503,29 @@ class WalsenderReplayServer:
         if msg is None or msg[0] != b"p":
             return False
         body = msg[1]
-        nul = body.index(b"\x00")
-        mech = body[:nul].decode()
-        if mech != SCRAM_MECHANISM:
-            send_wire_message(
-                conn, b"E",
-                encode_error("28000", f"unsupported SASL mechanism {mech}"),
-            )
-            return False
-        (ln,) = struct.unpack(">i", body[nul + 1 : nul + 5])
-        client_first = body[nul + 5 : nul + 5 + ln].decode()
+        # every parse below runs on CLIENT-controlled bytes: a missing
+        # NUL, short body, bad UTF-8, absent SCRAM attribute, or bad
+        # base64 must become a protocol ErrorResponse, never an
+        # uncaught ValueError/struct.error/KeyError that escapes the
+        # accept loop's (OSError, PgOutputError) net and kills the
+        # accept thread (the recv_startup bug class, ADVICE r07)
         try:
+            nul = body.index(b"\x00")
+            mech = body[:nul].decode()
+            if mech != SCRAM_MECHANISM:
+                send_wire_message(
+                    conn, b"E",
+                    encode_error("28000", f"unsupported SASL mechanism {mech}"),
+                )
+                return False
+            (ln,) = struct.unpack(">i", body[nul + 1 : nul + 5])
+            client_first = body[nul + 5 : nul + 5 + ln].decode()
             server_first = verifier.server_first(client_first)
-        except PgOutputError as exc:
-            send_wire_message(conn, b"E", encode_error("28000", str(exc)))
+        except (PgOutputError, ValueError, KeyError, struct.error,
+                UnicodeDecodeError) as exc:
+            send_wire_message(
+                conn, b"E", encode_error("28000", f"malformed SASL message: {exc}")
+            )
             return False
         send_wire_message(
             conn,
@@ -528,7 +537,7 @@ class WalsenderReplayServer:
             return False
         try:
             server_final = verifier.check_final(msg[1].decode())
-        except PgOutputError:
+        except (PgOutputError, ValueError, KeyError, UnicodeDecodeError):
             send_wire_message(
                 conn, b"E",
                 encode_error(
@@ -806,11 +815,17 @@ class ReplicationSession:
                         + first,
                     )
                 elif code == AUTH_SASL_CONTINUE:
+                    if self._scram is None:
+                        raise PgOutputError(
+                            "SASLContinue before AuthenticationSASL"
+                        )
                     send_wire_message(
                         self.sock, b"p",
                         self._scram.final(body[4:].decode()).encode(),
                     )
                 elif code == AUTH_SASL_FINAL:
+                    if self._scram is None:
+                        raise PgOutputError("SASLFinal before AuthenticationSASL")
                     # authenticate the SERVER before trusting the stream
                     self._scram.verify_server(body[4:].decode())
                 else:

@@ -283,3 +283,16 @@ def test_cli_pullwire_libpq_create_then_resume(tmp_path, capsys):
     assert rc == 0
     assert "resuming slot cli_slot from lsn 22" in capsys.readouterr().out
     assert glob.glob(out2 + "/batch_*.json") == []  # nothing re-served
+
+
+def test_cli_pullwire_libpq_rejects_explicit_zero_start_lsn(tmp_path, capsys):
+    """`--start-lsn 0` is still an explicit position: the truthiness
+    guard used to let it slip through and be silently discarded."""
+    from mammoth_spark.__main__ import main
+
+    rc = main([
+        "pullwire", "--libpq", "--port", "1", "--start-lsn", "0",
+        "--out", str(tmp_path / "x"),
+    ])
+    assert rc == 2
+    assert "--start-lsn conflicts with --libpq" in capsys.readouterr().err

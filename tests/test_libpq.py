@@ -433,3 +433,66 @@ def test_scram_roundtrip_property():
                 v2.check_final(c2.final(f2))
 
     check()
+
+
+def test_malformed_sasl_messages_do_not_kill_accept_loop():
+    """Garbage in the SASL exchange (no NUL, short body, missing SCRAM
+    attributes, bad base64) must come back as an ErrorResponse and
+    leave the server serving — the recv_startup bug class applied to
+    the new auth path."""
+    import socket as socketlib
+    import struct as structlib
+
+    from mammoth_spark.sources.libpq import SCRAM_MECHANISM, encode_startup
+    from mammoth_spark.sources.wire import recv_wire_message, send_wire_message
+
+    _, frames = _capture()
+    server = WalsenderReplayServer(frames, password="s3cret")
+
+    def _auth_then(payload: bytes) -> bytes:
+        sock = socketlib.create_connection(("127.0.0.1", server.port))
+        sock.sendall(
+            encode_startup(
+                {"user": "x", "database": "app", "replication": "database"}
+            )
+        )
+        tag, body = recv_wire_message(sock)
+        assert tag == b"R" and structlib.unpack(">i", body[:4])[0] == 10
+        send_wire_message(sock, b"p", payload)
+        tag, _ = recv_wire_message(sock)
+        sock.close()
+        return tag
+
+    good_mech = SCRAM_MECHANISM.encode()
+    cases = [
+        b"no-nul-terminator-anywhere",  # ValueError: no NUL
+        good_mech + b"\x00\x01",  # struct.error: short length field
+        good_mech + b"\x00" + structlib.pack(">i", 4) + b"n,,x",  # KeyError: no r=
+        good_mech + b"\x00" + structlib.pack(">i", 8) + b"n,,r=\xff\xfe\x00x",
+    ]
+    for payload in cases:
+        assert _auth_then(payload) == b"E", payload
+
+    # bad base64 proof in client-final
+    sock = socketlib.create_connection(("127.0.0.1", server.port))
+    sock.sendall(
+        encode_startup({"user": "x", "database": "app", "replication": "database"})
+    )
+    recv_wire_message(sock)  # AuthenticationSASL
+    first = b"n,,n=,r=abc"
+    send_wire_message(
+        sock, b"p",
+        good_mech + b"\x00" + structlib.pack(">i", len(first)) + first,
+    )
+    tag, _ = recv_wire_message(sock)  # SASLContinue
+    assert tag == b"R"
+    send_wire_message(sock, b"p", b"c=biws,r=abc,p=!!!notbase64!!!")
+    tag, _ = recv_wire_message(sock)
+    assert tag == b"E"
+    sock.close()
+
+    # after all that abuse, an honest session still authenticates
+    s = ReplicationSession("127.0.0.1", server.port, password="s3cret")
+    assert s.identify_system()["timeline"] == 1
+    s.close()
+    server.close()

@@ -395,7 +395,15 @@ def main() -> None:
         "queries": results,
         "n_superlinear": sum(1 for r in results.values() if r["superlinear"]),
     }
-    with open(os.path.join(REPO, "BENCH_CURVE.json"), "w") as fh:
+    # merge, don't overwrite: a panel refresh must not discard the
+    # history_flatness section (or any other axis) measured separately
+    path = os.path.join(REPO, "BENCH_CURVE.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+        for k, v in prev.items():
+            out.setdefault(k, v)
+    with open(path, "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out))
 
