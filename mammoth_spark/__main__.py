@@ -194,7 +194,14 @@ def cmd_pullwire(args: argparse.Namespace) -> int:
             args.host,
             args.port,
             user=args.user,
-            password=args.password or os.environ.get("PGPASSWORD"),
+            # `is None`, not truthiness: an explicit `--password ""` must
+            # be used verbatim, not silently replaced by $PGPASSWORD
+            password=(
+                args.password
+                if args.password is not None
+                else os.environ.get("PGPASSWORD")
+            ),
+            sslmode=args.sslmode,
         )
         start_lsn, snapshot = negotiate_start(session, args.slot)
         if snapshot is not None:
@@ -269,6 +276,14 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="password for SCRAM-SHA-256 (libpq mode; falls back to "
         "$PGPASSWORD, like a real client)",
+    )
+    p_w.add_argument(
+        "--sslmode",
+        choices=("disable", "prefer", "require"),
+        default="disable",
+        help="TLS negotiation tier (libpq mode): disable = never probe, "
+        "prefer = encrypt when the server supports it, require = refuse "
+        "a plaintext-only server",
     )
     p_w.set_defaults(fn=cmd_pullwire)
 

@@ -87,6 +87,18 @@ def recv_wire_message(sock: socket.socket) -> tuple[bytes, bytes] | None:
 # ----------------------------- replay server -----------------------------
 
 
+def _commit_end_lsn(frame: bytes) -> int:
+    """The commit end LSN a captured copy-data frame delivers (0 for
+    anything that is not an XLogData-wrapped Commit): the unit by which
+    a walsender's sent position advances."""
+    parsed = parse_copy_data(frame)
+    if isinstance(parsed, XLogData):
+        msg = parse_message(parsed.payload)
+        if isinstance(msg, Commit):
+            return msg.end_lsn
+    return 0
+
+
 @dataclass
 class ReplayServer:
     """Serves captured copy-data frames over TCP like a walsender.
@@ -133,27 +145,34 @@ class ReplayServer:
             )
             reader.start()
             sent = 0
+            # keepalive walEnd must be the SENT position, never the
+            # timeline end (byte parity with the libpq walsender,
+            # libpq.py WalsenderReplayServer._copy_both): a keepalive
+            # landing at a txn boundary that advertised frames[-1]'s
+            # server_wal_end made the client ack WAL it had not received
+            # — this fixture exists to pin byte behavior, so it must pin
+            # the RIGHT bytes. The position advances when a transaction's
+            # commit frame is on the socket.
+            sent_wal_end = 0
             for frame in self.frames:
                 send_wire_message(conn, COPY_DATA_BYTE, frame)
                 sent += 1
+                sent_wal_end = max(sent_wal_end, _commit_end_lsn(frame))
                 if self.keepalive_every and sent % self.keepalive_every == 0:
-                    self._nudge(conn)
-            self._nudge(conn)  # final reply-requested keepalive
+                    self._nudge(conn, sent_wal_end)
+            self._nudge(conn, sent_wal_end)  # final reply-requested keepalive
             send_wire_message(conn, COPY_DONE_BYTE, b"")
             reader.join(timeout=10)
 
-    def _nudge(self, conn: socket.socket) -> None:
+    def _nudge(self, conn: socket.socket, sent_wal_end: int) -> None:
         # wait for a NEW ack (count watermark — an Event alone can be
         # set by an earlier in-flight ack between clear() and wait(),
         # voiding the blocking guarantee; see libpq._nudge)
         watermark = len(self.acks)
         self._ack_seen.clear()
-        last = self.frames[-1] if self.frames else b"k" + b"\x00" * 17
-        wal_end = parse_copy_data(last)
-        wal_end = getattr(wal_end, "server_wal_end", 0)
         send_wire_message(
             conn, COPY_DATA_BYTE, encode_primary_keepalive(
-                PrimaryKeepalive(wal_end, 0, True)
+                PrimaryKeepalive(sent_wal_end, 0, True)
             )
         )
         # wall-clock deadline, not an iteration budget: wait() returns

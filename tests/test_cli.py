@@ -296,3 +296,95 @@ def test_cli_pullwire_libpq_rejects_explicit_zero_start_lsn(tmp_path, capsys):
     ])
     assert rc == 2
     assert "--start-lsn conflicts with --libpq" in capsys.readouterr().err
+
+def test_cli_pullwire_libpq_sslmode_require_over_tls(tmp_path, capsys):
+    """pullwire --libpq --sslmode require: the CLI front door negotiates
+    TLS (SSLRequest probe) and runs SCRAM-SHA-256-PLUS inside the tunnel
+    — the session layer the reference inherits from pgx conninfo
+    (config/config.go:31-40)."""
+    import glob
+
+    from mammoth_spark.__main__ import main
+    from mammoth_spark.sources.libpq import (
+        SCRAM_PLUS_MECHANISM,
+        ReplicationSession,
+        WalsenderReplayServer,
+        negotiate_start,
+    )
+    from mammoth_spark.sources.pgoutput import XLogData, encode_xlog_data
+
+    from test_libpq_tls import mint_tls_pair
+    from test_pgoutput import enc_begin, enc_commit, enc_insert, enc_relation
+
+    cert, key = mint_tls_pair(tmp_path)
+    payloads = [
+        enc_relation(1000, "public", "users", [(1, "id"), (0, "name")]),
+        enc_begin(10, 0, 1),
+        enc_insert(1000, ["1", "a"]),
+        enc_commit(10, 11, 0),
+    ]
+    frames = [encode_xlog_data(XLogData(5, 11, 0, p)) for p in payloads]
+    server = WalsenderReplayServer(
+        password="pw", tls_certfile=cert, tls_keyfile=key
+    )
+    s0 = ReplicationSession(
+        "127.0.0.1", server.port, password="pw", sslmode="require"
+    )
+    negotiate_start(s0, "tls_slot")
+    s0.close()
+    server.add_frames(frames)
+
+    out = str(tmp_path / "staged")
+    rc = main([
+        "pullwire", "--libpq", "--port", str(server.port),
+        "--slot", "tls_slot", "--out", out, "--value-cols", "name",
+        "--password", "pw", "--sslmode", "require",
+    ])
+    server.close()
+    assert rc == 0
+    assert glob.glob(out + "/batch_*.json")
+    assert all(m == SCRAM_PLUS_MECHANISM for m, _ in server.auth_log)
+
+
+def test_cli_pullwire_explicit_empty_password_not_replaced_by_env(
+    tmp_path, monkeypatch, capsys
+):
+    """ADVICE r08: `--password ""` must be used verbatim — the old
+    truthiness check silently substituted $PGPASSWORD. With the env var
+    holding the WRONG password, the empty-password account must still
+    authenticate."""
+    import glob
+
+    from mammoth_spark.__main__ import main
+    from mammoth_spark.sources.libpq import (
+        ReplicationSession,
+        WalsenderReplayServer,
+        negotiate_start,
+    )
+    from mammoth_spark.sources.pgoutput import XLogData, encode_xlog_data
+
+    from test_pgoutput import enc_begin, enc_commit, enc_insert, enc_relation
+
+    payloads = [
+        enc_relation(1000, "public", "users", [(1, "id"), (0, "name")]),
+        enc_begin(10, 0, 1),
+        enc_insert(1000, ["1", "a"]),
+        enc_commit(10, 11, 0),
+    ]
+    frames = [encode_xlog_data(XLogData(5, 11, 0, p)) for p in payloads]
+    server = WalsenderReplayServer(password="")  # empty-password account
+    s0 = ReplicationSession("127.0.0.1", server.port, password="")
+    negotiate_start(s0, "pw_slot")
+    s0.close()
+    server.add_frames(frames)
+
+    monkeypatch.setenv("PGPASSWORD", "definitely-wrong")
+    out = str(tmp_path / "staged")
+    rc = main([
+        "pullwire", "--libpq", "--port", str(server.port),
+        "--slot", "pw_slot", "--out", out, "--value-cols", "name",
+        "--password", "",
+    ])
+    server.close()
+    assert rc == 0
+    assert glob.glob(out + "/batch_*.json")

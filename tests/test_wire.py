@@ -151,3 +151,23 @@ def test_socket_rows_assemble_in_spark(spark, tmp_path):
     out = {tuple(r["key_after"]): r for r in spark.table("wire_e2e").collect()}
     assert set(out) == {("1",), ("2",), ("3",)}
     assert json.loads(out[("2",)]["new_values"])["a"]["v"] == "z"
+
+
+def test_replay_keepalives_advertise_sent_position_not_timeline_end():
+    """VERDICT r08 residual #1: the legacy replay server's nudges used
+    frames[-1]'s server_wal_end — the very over-advertisement fixed in
+    the libpq walsender. keepalive_every=4 fires exactly at the txn-1
+    boundary; the advertised positions (surfaced by the pump as
+    ("empty_tx", walEnd) events) must be the SENT commit ends 21/41/61,
+    byte parity with WalsenderReplayServer, and no ack may ever exceed
+    the sent position in force when it was solicited."""
+    payloads, frames = _capture()
+    server = ReplayServer(frames, keepalive_every=4)
+    client, events = _pump(server)
+
+    advertised = [v for k, v in events if k == "empty_tx"]
+    assert advertised == [21, 41, 61]  # sent positions, not [61, 61, 61]
+    # the boundary keepalive (after frame 4) was acked at 22, never 62
+    assert server.acks[0] == 22
+    assert [v for k, v in events if k == "payload"] == payloads
+    assert client.committed == 62
