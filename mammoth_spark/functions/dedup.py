@@ -527,7 +527,11 @@ def connected_components(
             )
             .select(F.col("x.id").alias("id"), F.col("jcomp").alias("comp"))
         ).localCheckpoint(eager=True)
-        s = jumped.agg(F.sum("comp")).first()[0]
+        # decimal(38,0) sum: ids may span the full bigint domain (e.g.
+        # xxhash64-keyed vertices from operators/compact.py) and an ANSI
+        # bigint sum would overflow; the decimal sum is exact, so the
+        # strictly-decreasing fixpoint argument is unchanged
+        s = jumped.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
         labels = jumped
         if s == prev_sum:
             break

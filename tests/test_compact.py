@@ -226,3 +226,55 @@ def test_compact_last_wins_matches_fold_on_stable_identity(spark):
         for a in folded
     }
     assert fast == exact
+
+
+def test_rename_overflow_uses_distributed_components_not_relation_fold(spark):
+    """VERDICT r08 residual #2: when rename edges exceed
+    ``max_rename_edges`` the components must be resolved by the
+    distributed pointer-jumping connected-components pass — same
+    per-component/per-key fold granularity as the driver fast path —
+    and NO per-relation pandas group may form (the old fallback's
+    straggler shape, one group per relation). Result must be
+    bit-identical to the fast path on the same input."""
+    rows = []
+    seq = 0
+    # two relations, each with rename CHAINS (1->2->3) plus plain churn:
+    # 8 rename edges total, far above the forced bound of 2
+    for tbl in ("r1", "r2"):
+        for base in (10, 20):
+            a, b, c = str(base), str(base + 1), str(base + 2)
+            seq += 1
+            rows.append(("public", tbl, seq, "INSERT", [a], [a],
+                         json.dumps({"id": cell(a), "v": cell("x")})))
+            seq += 1
+            rows.append(("public", tbl, seq, "UPDATE", [a], [b],
+                         json.dumps({"id": cell(b), "v": cell("y")})))
+            seq += 1
+            rows.append(("public", tbl, seq, "UPDATE", [b], [c],
+                         json.dumps({"id": cell(c), "v": cell("z")})))
+        seq += 1
+        rows.append(("public", tbl, seq, "INSERT", ["99"], ["99"],
+                     json.dumps({"id": cell("99"), "v": cell("w")})))
+    df = _changelog_df(spark, rows)
+
+    def canon(res):
+        return sorted(
+            (r["schema"], r["tbl"], r["kind"], tuple(r["key_before"]),
+             tuple(r["key_after"]), r["new_values"])
+            for r in res.collect()
+        )
+
+    distributed = compact_exact(df, max_rename_edges=2)
+    plan = distributed._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan  # no per-relation group
+    assert "MapInPandas" in plan  # the partition-level fold
+
+    got = canon(distributed)
+    assert got == canon(compact_exact(df))  # bit-identical to the fast path
+    # the chains folded: each nets ONE insert keyed at the ORIGINAL key
+    # with the final identity and values
+    chain_rows = [r for r in got if r[3] == ("10",)]
+    assert len(chain_rows) == 2  # one per relation
+    for r in chain_rows:
+        assert r[2] == "INSERT" and r[4] == ("12",)
+        assert json.loads(r[5])["v"]["v"] == "z"
