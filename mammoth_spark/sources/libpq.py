@@ -266,9 +266,19 @@ SCRAM_CBIND_GS2 = "p=tls-server-end-point,,"
 SCRAM_ITERATIONS = 4096
 
 AUTH_OK = 0
+AUTH_MD5 = 5
 AUTH_SASL = 10
 AUTH_SASL_CONTINUE = 11
 AUTH_SASL_FINAL = 12
+
+
+def md5_password_hash(user: str, password: str, salt: bytes) -> str:
+    """The AuthenticationMD5Password response (protocol docs §55.2.1,
+    pre-v10 servers): ``"md5" + hex(md5(hex(md5(password||user)) ||
+    salt))``. The inner hash is the pg shadow form, so the server can
+    verify while storing only ``md5(password||user)``."""
+    inner = hashlib.md5(password.encode() + user.encode()).hexdigest()
+    return "md5" + hashlib.md5(inner.encode() + salt).hexdigest()
 
 
 def _hmac256(key: bytes, msg: bytes) -> bytes:
@@ -596,9 +606,13 @@ class WalsenderReplayServer:
         tls_certfile: str | None = None,
         tls_keyfile: str | None = None,
         require_tls: bool = False,
+        auth_method: str = "scram",
     ):
+        if auth_method not in ("scram", "md5"):
+            raise PgOutputError(f"unsupported auth_method {auth_method!r}")
         self.keepalive_every = keepalive_every
         self._password = password
+        self._auth_method = auth_method
         self.system_id = system_id
         # TLS front door: with a cert the server answers the SSLRequest
         # probe with 'S' and wraps the connection (§55.2.10); with
@@ -739,10 +753,16 @@ class WalsenderReplayServer:
                 conn, b"E", encode_error("08P01", "replication=database required")
             )
             return
-        if self._password is not None and not self._scram_auth(
-            conn, params, tls_active
-        ):
-            return
+        if self._password is not None:
+            if self._auth_method == "md5":
+                # pre-v10 server posture (AuthenticationMD5Password):
+                # what the reference tolerates through pgconn's
+                # negotiated auth — kept for old-server parity; SCRAM is
+                # the default and the md5 server never offers SASL
+                if not self._md5_auth(conn, params):
+                    return
+            elif not self._scram_auth(conn, params, tls_active):
+                return
         send_wire_message(conn, b"R", struct.pack(">i", AUTH_OK))
         send_wire_message(conn, b"S", b"server_version\x00replay\x00")
         send_wire_message(conn, b"Z", b"I")  # ReadyForQuery (idle)
@@ -763,6 +783,31 @@ class WalsenderReplayServer:
             self.commands.append(sql)
             self._dispatch(conn, sql)
             send_wire_message(conn, b"Z", b"I")
+
+    def _md5_auth(self, conn: socket.socket, params: dict[str, str]) -> bool:
+        """AuthenticationMD5Password (§55.2.1, pre-v10 fallback): 4-byte
+        salt out, double-md5 PasswordMessage back. Same failure surface
+        as SCRAM: wrong/garbled responses get the 28P01 ErrorResponse and
+        the accept loop keeps serving."""
+        salt = secrets.token_bytes(4)
+        send_wire_message(conn, b"R", struct.pack(">i", AUTH_MD5) + salt)
+        msg = recv_wire_message(conn)
+        if msg is None or msg[0] != b"p":
+            return False
+        got = msg[1].rstrip(b"\x00").decode(errors="replace")
+        expect = md5_password_hash(params.get("user", ""), self._password, salt)
+        if not hmac.compare_digest(got.encode(), expect.encode()):
+            send_wire_message(
+                conn, b"E",
+                encode_error(
+                    "28P01",
+                    "password authentication failed for user "
+                    f"\"{params.get('user', '?')}\"",
+                ),
+            )
+            return False
+        self.auth_log.append(("md5", ""))
+        return True
 
     def _scram_auth(
         self, conn: socket.socket, params: dict[str, str], tls_active: bool
@@ -1141,6 +1186,25 @@ class ReplicationSession:
                 (code,) = struct.unpack(">i", body[:4])
                 if code == AUTH_OK:
                     authed = True
+                elif code == AUTH_MD5:
+                    # pre-v10 fallback: the server chose md5, the client
+                    # follows (matching pgconn's negotiate-whatever
+                    # posture the reference inherits)
+                    if self._password is None:
+                        raise PgOutputError(
+                            "server requires md5 password but none given"
+                        )
+                    salt = body[4:8]
+                    if len(salt) != 4:
+                        raise PgOutputError("short md5 salt in authentication")
+                    send_wire_message(
+                        self.sock,
+                        b"p",
+                        md5_password_hash(
+                            self._user, self._password, salt
+                        ).encode()
+                        + b"\x00",
+                    )
                 elif code == AUTH_SASL:
                     mechs = [m.decode() for m in body[4:].split(b"\x00") if m]
                     if self._password is None:
