@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 from ..model import change_log_schema
 from ..operators import compact_last_wins
 from ..types import Relation, RelationChangedError
-from ..sources.target import ParquetMergeTarget
+from ..sources.target import ParquetMergeTarget, compact_for_mor
 
 # wide change-log schema used by the file stream source: plain columns
 # (one table per pipeline run keeps the demo schema concrete; multi-table
@@ -125,6 +125,25 @@ class ChangeLogPipeline:
                 if tbl not in present:
                     continue
                 rel_batch = batch.filter(F.col("tbl") == tbl)
+                # storage-strategy dispatch: a merge-on-read target
+                # (ParquetMorTarget) appends an O(batch) delta per epoch
+                # — the write-optimized trade a high-velocity stream
+                # needs at 100 TB — and its compaction must KEEP delete
+                # tombstones + last_seq so deltas shadow older state at
+                # read time; the copy-on-write target takes the plain
+                # net-effect form. Same loop, same checkpoint contract.
+                if hasattr(target, "write_delta"):
+                    if self.txn_catalog is not None:
+                        raise NotImplementedError(
+                            "TxnCatalog cross-table commit is defined over "
+                            "copy-on-write targets; register the MOR table "
+                            "in its own pipeline"
+                        )
+                    compacted = compact_for_mor(
+                        rel_batch, ["key"], self.value_cols
+                    ).withColumnRenamed("key", target.key_cols[0])
+                    target.write_delta(compacted)
+                    continue
                 compacted = compact_last_wins(
                     rel_batch, ["key"], self.value_cols
                 ).drop("last_seq", "n_actions")

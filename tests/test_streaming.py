@@ -668,3 +668,66 @@ def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
         .collect()
     }
     assert final == expected
+
+
+def test_mor_target_pipeline_matches_cow_end_state(spark, tmp_path):
+    """Storage-strategy dispatch (round 9): the SAME foreachBatch loop
+    applied to a merge-on-read target (O(batch) delta appends) and a
+    copy-on-write target (whole-table MERGE) must converge to identical
+    table state — including a net-nothing chain inside one batch, which
+    the MOR form must tombstone (compact_for_mor) so the base's older
+    row cannot resurrect at read time."""
+    from mammoth_spark.sources.target import ParquetMorTarget
+
+    seed = spark.createDataFrame(
+        [("1", "a"), ("2", "b"), ("3", "c")],
+        T.StructType(
+            [T.StructField("key", T.StringType()), T.StructField("name", T.StringType())]
+        ),
+    )
+    batches = [
+        ("b1.json", [
+            change(10, 1, "INSERT", 4, "d"),
+            change(11, 2, "UPDATE", 2, "b2"),
+            change(12, 3, "DELETE", 3),
+        ]),
+        # net-nothing chain (I,U,D on a fresh key) + delete of a BASE row:
+        # both need tombstones on the MOR side
+        ("b2.json", [
+            change(20, 4, "INSERT", 7, "tmp"),
+            change(20, 5, "UPDATE", 7, "tmp2"),
+            change(20, 6, "DELETE", 7),
+            change(21, 7, "DELETE", 1),
+            change(22, 8, "UPDATE", 4, "d2"),
+        ]),
+    ]
+
+    ends = {}
+    n_versions = {}
+    for flavor in ("cow", "mor"):
+        src = str(tmp_path / flavor / "changes")
+        os.makedirs(src, exist_ok=True)
+        cls = ParquetMergeTarget if flavor == "cow" else ParquetMorTarget
+        target = cls(spark, str(tmp_path / flavor / "tgt"), ["key"], ["name"])
+        target.initialize(seed)
+        pipeline = ChangeLogPipeline(
+            spark,
+            source_dir=src,
+            checkpoint_dir=str(tmp_path / flavor / "ckpt"),
+            targets={"users": target},
+            value_cols=["name"],
+        )
+        for name, rows in batches:
+            write_changes(src, name, rows)
+            pipeline.run_available()
+        ends[flavor] = {r["key"]: r["name"] for r in target.read().collect()}
+        if flavor == "mor":
+            m = target._manifest()
+            n_versions["mor_deltas"] = m["deltas"]
+            n_versions["mor_base"] = m["base"]
+
+    assert ends["cow"] == ends["mor"] == {"2": "b2", "4": "d2"}
+    # the MOR base was written ONCE (initialize); every epoch appended a
+    # delta instead of rewriting the table — the O(batch) write shape
+    assert n_versions["mor_base"] == 0
+    assert n_versions["mor_deltas"] == 2

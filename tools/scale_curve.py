@@ -301,6 +301,129 @@ def measure_history_flatness(spark, sf10_dir: str) -> dict:
         print(f"  hll_merge_epoch @ {label}: {times[label]}s", flush=True)
     out["hll_merge_epoch"] = times
 
+    # -- streaming CDC apply: ONE foreachBatch epoch against a target
+    # whose accumulated state grows 1x/10x/100x. The merge-on-read
+    # target is the 100 TB write path (ChangeLogPipeline dispatches to
+    # write_delta): the epoch reads the staged change files, compacts,
+    # and appends an O(batch) delta — it never scans the base, so the
+    # measured epoch cost must be flat in target history (VERDICT r08
+    # #5: put the foreachBatch path itself on this axis).
+    from mammoth_spark.sources.target import ParquetMorTarget
+    from mammoth_spark.streaming.pipeline import ChangeLogPipeline
+
+    epoch_changes = (
+        spark.read.parquet(f"{SRC}/events.parquet")
+        .limit(HIST_EPOCH_EVENTS)
+        .select(
+            F.col("event_id").alias("lsn"),
+            F.col("event_id").alias("seq"),
+            F.lit("public").alias("schema"),
+            F.lit("users").alias("tbl"),
+            F.lit("UPDATE").alias("kind"),
+            (F.col("user_id") + _HIST_ID_BASE).cast("string").alias("key"),
+            F.array(F.lit("value_c")).alias("rel_cols"),
+            F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    times = {}
+    for label, hist_dir in depths:
+        base_rows = (
+            spark.read.parquet(f"{hist_dir}/events.parquet")
+            .select(F.col("user_id").cast("string").alias("key"))
+            .distinct()
+            .withColumn("value_c", F.lit("0"))
+        )
+        root = tempfile.mkdtemp(prefix=f"histcdc_{label}_")
+        target = ParquetMorTarget(spark, root + "/tgt", ["key"], ["value_c"])
+        target.initialize(base_rows)
+        src_dir = root + "/src"
+        epoch_changes.coalesce(4).write.mode("overwrite").json(src_dir)
+
+        def _epoch():
+            ckpt = tempfile.mkdtemp(prefix="histcdc_ck_")
+            ChangeLogPipeline(
+                spark, src_dir, ckpt, {"users": target}, ["value_c"]
+            ).run_available()
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+        times[label] = _timed(_epoch)
+        shutil.rmtree(root, ignore_errors=True)
+        print(f"  streaming_cdc_apply_epoch @ {label}: {times[label]}s", flush=True)
+    out["streaming_cdc_apply_epoch"] = times
+
+    # -- streaming chunk clean: ONE foreachBatch epoch of novel docs
+    # against a chunk-hash store accumulated from 1x/10x/100x history.
+    # The probe join carries only (cb, ch_h) 16-byte hashes; the epoch's
+    # own window+rebuild work dominates, and the store scan is pruned by
+    # the cb partition column (fan-out is the production knob — the
+    # fixture's 16 buckets make this the most store-exposed entry).
+    from mammoth_spark.queries_cleaning import (
+        CHUNK_STORE_BUCKETS,
+        _chunks,
+        chunk_clean_increment,
+    )
+
+    epoch_docs2 = (
+        _novel_docs(spark, HIST_EPOCH_DOCS)
+        .withColumn("source", F.lit("synthetic"))
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=True)
+    )
+    times = {}
+    for label, hist_dir in depths:
+        root = tempfile.mkdtemp(prefix=f"histchunk_{label}_")
+        store_dir = root + "/store"
+        hist_docs = spark.read.parquet(f"{hist_dir}/documents.parquet").select(
+            "doc_id", "source", "text"
+        )
+        (
+            _chunks(hist_docs)
+            .select(F.md5("chunk").alias("ch_h"))
+            .distinct()
+            .withColumn(
+                "cb",
+                (
+                    F.conv(F.substring("ch_h", 1, 4), 16, 10).cast("bigint")
+                    % CHUNK_STORE_BUCKETS
+                ).cast("int"),
+            )
+            .repartition("cb")
+            .write.partitionBy("cb")
+            .parquet(store_dir)
+        )
+        src_dir = root + "/src"
+        epoch_docs2.coalesce(1).write.parquet(src_dir)
+
+        def _step(batch_df, epoch_id):
+            seen = batch_df.sparkSession.read.parquet(store_dir)
+            cleaned, delta = chunk_clean_increment(batch_df, seen)
+            delta.write.format("noop").mode("overwrite").save()
+            cleaned.write.format("noop").mode("overwrite").save()
+
+        def _epoch():
+            ckpt = tempfile.mkdtemp(prefix="histchunk_ck_")
+            q = (
+                spark.readStream.schema(epoch_docs2.schema)
+                .parquet(src_dir)
+                .writeStream.foreachBatch(_step)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            times[label] = _timed(_epoch)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
+        print(f"  streaming_chunk_clean_epoch @ {label}: {times[label]}s", flush=True)
+    out["streaming_chunk_clean_epoch"] = times
+
     for name, times in out.items():
         times["history_ratio"] = (
             round(times["h100"] / times["h1"], 2) if times["h1"] > 0 else None
@@ -310,6 +433,8 @@ def measure_history_flatness(spark, sf10_dir: str) -> dict:
             "dedup_ingest_epoch": HIST_EPOCH_DOCS,
             "ann_append_epoch": HIST_EPOCH_VECS,
             "hll_merge_epoch": HIST_EPOCH_EVENTS,
+            "streaming_cdc_apply_epoch": HIST_EPOCH_EVENTS,
+            "streaming_chunk_clean_epoch": HIST_EPOCH_DOCS,
         },
         "history_depths": {"h1": "sf0.1", "h10": "sf1", "h100": "sf10"},
         "queries": out,
