@@ -202,6 +202,7 @@ def cmd_pullwire(args: argparse.Namespace) -> int:
                 else os.environ.get("PGPASSWORD")
             ),
             sslmode=args.sslmode,
+            sslrootcert=args.sslrootcert,
         )
         start_lsn, snapshot = negotiate_start(session, args.slot)
         if snapshot is not None:
@@ -279,11 +280,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_w.add_argument(
         "--sslmode",
-        choices=("disable", "prefer", "require"),
+        choices=("disable", "prefer", "require", "verify-ca", "verify-full"),
         default="disable",
         help="TLS negotiation tier (libpq mode): disable = never probe, "
         "prefer = encrypt when the server supports it, require = refuse "
-        "a plaintext-only server",
+        "a plaintext-only server (no cert verification, like libpq), "
+        "verify-ca / verify-full = verify the chain against --sslrootcert "
+        "(verify-full also matches the host)",
+    )
+    p_w.add_argument(
+        "--sslrootcert",
+        default=None,
+        help="trust anchor PEM for sslmode=verify-ca/verify-full",
     )
     p_w.set_defaults(fn=cmd_pullwire)
 

@@ -1117,7 +1117,7 @@ class ReplicationSession:
     connection into copy-both mode (stream.go:53-68,136-140).
     """
 
-    SSLMODES = ("disable", "prefer", "require")
+    SSLMODES = ("disable", "prefer", "require", "verify-ca", "verify-full")
 
     def __init__(
         self,
@@ -1129,19 +1129,24 @@ class ReplicationSession:
         gs2: str | None = None,
         sslmode: str = "disable",
         ssl_context: ssl.SSLContext | None = None,
+        sslrootcert: str | None = None,
     ):
         """``sslmode`` follows libpq's tiers the reference inherits from
         pgx conninfo (config/config.go:31-40): ``disable`` never probes,
         ``prefer`` probes and falls back to plaintext on 'N', ``require``
-        probes and refuses a plaintext-only server. ``require`` encrypts
-        without verifying the peer certificate, exactly like libpq —
-        callers wanting verify-ca/verify-full semantics pass a verifying
-        ``ssl_context``. ``gs2`` overrides SASL channel-binding header
+        probes and refuses a plaintext-only server but does NOT verify
+        the peer certificate (exactly libpq's semantics), ``verify-ca``
+        additionally requires the chain to anchor at ``sslrootcert``,
+        and ``verify-full`` also matches the certificate against
+        ``host``. An explicit ``ssl_context`` overrides the built
+        context entirely. ``gs2`` overrides SASL channel-binding header
         selection (None = automatic: SCRAM-SHA-256-PLUS with
         tls-server-end-point binding when the tunnel is up and the
         server advertises it, plain "n,," otherwise)."""
         if sslmode not in self.SSLMODES:
             raise PgOutputError(f"unsupported sslmode {sslmode!r}")
+        if sslmode.startswith("verify-") and ssl_context is None and sslrootcert is None:
+            raise PgOutputError(f"sslmode={sslmode} requires sslrootcert")
         self._user = user
         self._password = password
         self._gs2 = gs2
@@ -1155,15 +1160,27 @@ class ReplicationSession:
                 ctx = ssl_context
                 if ctx is None:
                     ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
-                    ctx.check_hostname = False
-                    ctx.verify_mode = ssl.CERT_NONE
-                self.sock = ctx.wrap_socket(self.sock, server_hostname=host)
-                self.tls_established = True
-            elif resp == b"N":
-                if sslmode == "require":
+                    if sslmode.startswith("verify-"):
+                        ctx.check_hostname = sslmode == "verify-full"
+                        ctx.verify_mode = ssl.CERT_REQUIRED
+                        ctx.load_verify_locations(sslrootcert)
+                    else:
+                        ctx.check_hostname = False
+                        ctx.verify_mode = ssl.CERT_NONE
+                try:
+                    self.sock = ctx.wrap_socket(self.sock, server_hostname=host)
+                except ssl.SSLError as exc:
                     self.sock.close()
                     raise PgOutputError(
-                        "server does not support SSL, but sslmode=require was given"
+                        f"TLS certificate verification failed ({sslmode}): {exc}"
+                    ) from exc
+                self.tls_established = True
+            elif resp == b"N":
+                if sslmode != "prefer":
+                    self.sock.close()
+                    raise PgOutputError(
+                        "server does not support SSL, but "
+                        f"sslmode={sslmode} was given"
                     )
                 # prefer: continue in plaintext, like libpq
             else:

@@ -66,6 +66,10 @@ def mint_tls_pair(d):
                 openssl, "req", "-x509", "-newkey", "rsa:2048", "-sha256",
                 "-keyout", key, "-out", cert, "-days", "2", "-nodes",
                 "-subj", "/CN=localhost",
+                # SAN: modern TLS stacks ignore the CN for hostname
+                # matching, and verify-full needs the IP entry because
+                # the harness dials 127.0.0.1
+                "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1",
             ],
             check=True,
             capture_output=True,
@@ -80,6 +84,8 @@ def mint_tls_pair(d):
         from cryptography.x509.oid import NameOID
     except ImportError:
         pytest.skip("no openssl CLI and no cryptography module to mint a cert")
+    import ipaddress
+
     k = rsa.generate_private_key(public_exponent=65537, key_size=2048)
     name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "localhost")])
     now = datetime.datetime.now(datetime.timezone.utc)
@@ -91,6 +97,15 @@ def mint_tls_pair(d):
         .serial_number(x509.random_serial_number())
         .not_valid_before(now)
         .not_valid_after(now + datetime.timedelta(days=2))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [
+                    x509.DNSName("localhost"),
+                    x509.IPAddress(ipaddress.ip_address("127.0.0.1")),
+                ]
+            ),
+            critical=False,
+        )
         .sign(k, hashes.SHA256())
     )
     with open(key, "wb") as fh:
@@ -182,8 +197,8 @@ def test_sslmode_prefer_upgrades_when_offered(tls_pair):
 
 
 def test_invalid_sslmode_rejected():
-    with pytest.raises(PgOutputError, match="sslmode"):
-        ReplicationSession("127.0.0.1", 1, sslmode="verify-full")
+    with pytest.raises(PgOutputError, match="unsupported sslmode"):
+        ReplicationSession("127.0.0.1", 1, sslmode="allow-insecure")
 
 
 def test_require_tls_server_refuses_plaintext_startup(tls_pair):
@@ -458,6 +473,48 @@ def test_sasl_initial_response_minus_one_rejected_cleanly():
     sock.close()
     # server still serves
     s = ReplicationSession("127.0.0.1", server.port, password="s3cret")
+    assert s.identify_system()["timeline"] == 1
+    s.close()
+    server.close()
+
+
+def test_sslmode_verify_ca_and_verify_full(tls_pair, tmp_path):
+    """The verification tiers above `require`: verify-ca anchors the
+    chain at sslrootcert (the self-signed cert is its own root) and
+    rejects an unrelated root; verify-full additionally matches the
+    certificate's SAN against the dialed host (IP:127.0.0.1 here).
+    `require` stays non-verifying, exactly libpq's semantics."""
+    cert, key = tls_pair
+    _, frames = _capture()
+    server = WalsenderReplayServer(frames, tls_certfile=cert, tls_keyfile=key)
+
+    # verify-ca with the right root: accepted
+    s = ReplicationSession(
+        "127.0.0.1", server.port, sslmode="verify-ca", sslrootcert=cert
+    )
+    assert s.tls_established and s.identify_system()["timeline"] == 1
+    s.close()
+
+    # verify-full: SAN carries IP:127.0.0.1, so the hostname check passes
+    s = ReplicationSession(
+        "127.0.0.1", server.port, sslmode="verify-full", sslrootcert=cert
+    )
+    assert s.tls_established and s.identify_system()["timeline"] == 1
+    s.close()
+
+    # verify-ca against an UNRELATED root: refused at the handshake
+    other_cert, _ = mint_tls_pair(tmp_path)
+    with pytest.raises(PgOutputError, match="certificate verification failed"):
+        ReplicationSession(
+            "127.0.0.1", server.port, sslmode="verify-ca", sslrootcert=other_cert
+        )
+
+    # missing root cert is an immediate configuration error
+    with pytest.raises(PgOutputError, match="requires sslrootcert"):
+        ReplicationSession("127.0.0.1", server.port, sslmode="verify-ca")
+
+    # and the failed verifications did not wedge the accept loop
+    s = ReplicationSession("127.0.0.1", server.port, sslmode="require")
     assert s.identify_system()["timeline"] == 1
     s.close()
     server.close()
