@@ -473,9 +473,7 @@ def cdc_compact_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "streaming_cdc_apply",
-    oracle=f"""
+_STREAMING_CDC_ORACLE = f"""
 WITH change_log AS (
   SELECT CAST(floor(event_id / 50) AS BIGINT) AS lsn,
          event_id AS seq,
@@ -502,8 +500,10 @@ SELECT key,
 FROM valid
 GROUP BY key
 HAVING arg_max(kind, seq) <> 'DELETE'
-""",
-)
+"""
+
+
+@register("streaming_cdc_apply", oracle=_STREAMING_CDC_ORACLE)
 def streaming_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4-A7+A14-A17 end-to-end through Structured Streaming: the events
     change log (normalized to valid chains) is staged as a JSONL change
@@ -511,12 +511,36 @@ def streaming_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a fresh checkpoint (ChangeLogPipeline), applied to a versioned
     ParquetMergeTarget, and the published table state is returned — it
     must equal the oracle's one-shot net effect."""
+    from .sources.target import ParquetMergeTarget
+
+    return _streaming_cdc_apply(spark, sf_dir, ParquetMergeTarget)
+
+
+@register("streaming_cdc_apply_mor", oracle=_STREAMING_CDC_ORACLE)
+def streaming_cdc_apply_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME end-to-end stream applied through the merge-on-read
+    target (ParquetMorTarget): ChangeLogPipeline dispatches to the
+    tombstone-preserving compaction + O(batch) ``write_delta``, and the
+    reconciling read must produce the identical net table state the
+    copy-on-write MERGE publishes — the write-optimized storage trade a
+    100 TB high-velocity stream needs, driver-verified against the same
+    one-shot oracle. The base is written once at initialize; every
+    micro-batch thereafter appends cost ∝ batch (measured flat at 100x
+    history: BENCH_CURVE history_flatness.streaming_cdc_apply_epoch)."""
+    from .sources.target import ParquetMorTarget
+
+    return _streaming_cdc_apply(spark, sf_dir, ParquetMorTarget)
+
+
+def _streaming_cdc_apply(spark: SparkSession, sf_dir: str, target_cls) -> DataFrame:
+    """Shared body of the COW/MOR streaming-apply queries: stage the
+    normalized change stream, run ChangeLogPipeline (which dispatches on
+    the target's storage strategy), return the published table state."""
     from .scratch import scratch_dir
 
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
-    from .sources.target import ParquetMergeTarget
     from .streaming.pipeline import ChangeLogPipeline
 
     log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
@@ -549,7 +573,7 @@ def streaming_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = scratch_dir(prefix="cdc_stream_src_")
     stream_rows.coalesce(4).write.mode("overwrite").json(src)
 
-    target = ParquetMergeTarget(
+    target = target_cls(
         spark, scratch_dir(prefix="cdc_stream_tgt_"), ["key"], ["value_c"]
     )
     empty = spark.createDataFrame(

@@ -44,6 +44,10 @@ CONTRACT_ROUND = 9
 # entries once they hold a row on the current tree.
 FLAGSHIPS: list[str] = [
     "cdc_compact_exact",
+    # round 9: the streaming-apply body was extracted into a shared
+    # helper when the MOR variant registered — same plan, but the
+    # result-producing code moved, so the COW flagship re-verifies too
+    "streaming_cdc_apply",
 ]
 
 CONTRACT_SIZE = 50

@@ -731,3 +731,44 @@ def test_mor_target_pipeline_matches_cow_end_state(spark, tmp_path):
     # delta instead of rewriting the table — the O(batch) write shape
     assert n_versions["mor_base"] == 0
     assert n_versions["mor_deltas"] == 2
+
+
+def test_mor_target_redelivery_is_effect_idempotent(spark, tmp_path):
+    """Crash between write_delta and checkpoint commit: the replayed
+    epoch appends a DUPLICATE delta. Rows duplicate with identical
+    (key, last_seq, values), so the reconciling max_by read resolves to
+    the same state — redelivery changes the file count, never the
+    table."""
+    from mammoth_spark.sources.target import ParquetMorTarget
+
+    seed = spark.createDataFrame(
+        [("1", "a")],
+        T.StructType(
+            [T.StructField("key", T.StringType()), T.StructField("name", T.StringType())]
+        ),
+    )
+    src = str(tmp_path / "changes")
+    os.makedirs(src, exist_ok=True)
+    target = ParquetMorTarget(spark, str(tmp_path / "tgt"), ["key"], ["name"])
+    target.initialize(seed)
+    write_changes(src, "b1.json", [
+        change(10, 1, "INSERT", 2, "b"),
+        change(11, 2, "DELETE", 1),
+    ])
+
+    def run(ckpt):
+        ChangeLogPipeline(
+            spark,
+            source_dir=src,
+            checkpoint_dir=str(tmp_path / ckpt),
+            targets={"users": target},
+            value_cols=["name"],
+        ).run_available()
+
+    run("ckpt1")
+    state1 = {r["key"]: r["name"] for r in target.read().collect()}
+    # simulate the lost checkpoint: a fresh checkpoint replays the epoch
+    run("ckpt2")
+    state2 = {r["key"]: r["name"] for r in target.read().collect()}
+    assert state1 == state2 == {"2": "b"}
+    assert target._manifest()["deltas"] == 2  # duplicate delta, same effect
