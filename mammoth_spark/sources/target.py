@@ -204,11 +204,26 @@ class ParquetMorTarget:
     as the COW target (readers never see a torn state).
     """
 
-    def __init__(self, spark: SparkSession, root: str, key_cols: list[str], value_cols: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols: list[str],
+        value_cols: list[str],
+        compact_every: int | None = None,
+    ):
+        """``compact_every``: fold deltas into a fresh base whenever the
+        delta count reaches this bound (the automatic OPTIMIZE cadence) —
+        read amplification stays <= compact_every deltas while writes
+        stay O(batch) between folds. None = operator-scheduled compaction
+        only."""
+        if compact_every is not None and compact_every < 1:
+            raise ValueError(f"compact_every must be >= 1, got {compact_every}")
         self.spark = spark
         self.root = root
         self.key_cols = key_cols
         self.value_cols = value_cols
+        self.compact_every = compact_every
         os.makedirs(root, exist_ok=True)
 
     @property
@@ -255,6 +270,12 @@ class ParquetMorTarget:
             *self.key_cols, "kind", "last_seq", *self.value_cols
         ).write.mode("overwrite").parquet(self._delta_dir(m["base"], i))
         self._publish({"base": m["base"], "deltas": i + 1})
+        if self.compact_every is not None and i + 1 >= self.compact_every:
+            # automatic OPTIMIZE: the fold is itself published with the
+            # same manifest swap, so a reader sees either (base, deltas)
+            # or the fresh base — never a torn mixture
+            self.compact()
+            return 0
         return i + 1
 
     def read(self) -> DataFrame:

@@ -518,3 +518,24 @@ def test_sslmode_verify_ca_and_verify_full(tls_pair, tmp_path):
     assert s.identify_system()["timeline"] == 1
     s.close()
     server.close()
+
+
+def test_garbage_tls_handshake_does_not_kill_accept_loop(tls_pair):
+    """A client that sends SSLRequest, receives 'S', then writes garbage
+    instead of a ClientHello: the server-side wrap raises inside that
+    session only — the accept loop keeps serving TLS and plaintext
+    clients alike."""
+    cert, key = tls_pair
+    _, frames = _capture()
+    server = WalsenderReplayServer(frames, tls_certfile=cert, tls_keyfile=key)
+
+    sock = socketlib.create_connection(("127.0.0.1", server.port))
+    sock.sendall(structlib.pack(">ii", 8, 80877103))
+    assert sock.recv(1) == b"S"
+    sock.sendall(b"this is not a ClientHello")
+    sock.close()
+
+    s = ReplicationSession("127.0.0.1", server.port, sslmode="require")
+    assert s.tls_established and s.identify_system()["timeline"] == 1
+    s.close()
+    server.close()

@@ -772,3 +772,46 @@ def test_mor_target_redelivery_is_effect_idempotent(spark, tmp_path):
     state2 = {r["key"]: r["name"] for r in target.read().collect()}
     assert state1 == state2 == {"2": "b"}
     assert target._manifest()["deltas"] == 2  # duplicate delta, same effect
+
+
+def test_mor_auto_compact_bounds_read_amplification(spark, tmp_path):
+    """compact_every=2: the second delta triggers the automatic OPTIMIZE
+    fold — base advances, deltas reset — so read amplification never
+    exceeds the bound while epoch writes stay O(batch). State is correct
+    across the fold boundary."""
+    from mammoth_spark.sources.target import ParquetMorTarget
+
+    seed = spark.createDataFrame(
+        [("1", "a")],
+        T.StructType(
+            [T.StructField("key", T.StringType()), T.StructField("name", T.StringType())]
+        ),
+    )
+    src = str(tmp_path / "changes")
+    os.makedirs(src, exist_ok=True)
+    target = ParquetMorTarget(
+        spark, str(tmp_path / "tgt"), ["key"], ["name"], compact_every=2
+    )
+    target.initialize(seed)
+    pipeline = ChangeLogPipeline(
+        spark,
+        source_dir=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        targets={"users": target},
+        value_cols=["name"],
+    )
+
+    write_changes(src, "b1.json", [change(10, 1, "INSERT", 2, "b")])
+    pipeline.run_available()
+    assert target._manifest() == {"base": 0, "deltas": 1}
+
+    write_changes(src, "b2.json", [change(11, 2, "DELETE", 1)])
+    pipeline.run_available()
+    # second delta hit the bound: folded into base v1, deltas reset
+    assert target._manifest() == {"base": 1, "deltas": 0}
+    assert {r["key"]: r["name"] for r in target.read().collect()} == {"2": "b"}
+
+    write_changes(src, "b3.json", [change(12, 3, "UPDATE", 2, "b2")])
+    pipeline.run_available()
+    assert target._manifest() == {"base": 1, "deltas": 1}
+    assert {r["key"]: r["name"] for r in target.read().collect()} == {"2": "b2"}

