@@ -539,3 +539,27 @@ def test_garbage_tls_handshake_does_not_kill_accept_loop(tls_pair):
     assert s.tls_established and s.identify_system()["timeline"] == 1
     s.close()
     server.close()
+
+
+def test_saslprep_rfc4013_examples():
+    """The RFC 4013 §3 example table, verbatim (public spec goldens),
+    plus PostgreSQL's all-ASCII short-circuit divergence documented
+    where it applies."""
+    # "I<SOFT HYPHEN>X" -> "IX" (B.1 map-to-nothing)
+    assert saslprep("I­X") == "IX"
+    # "user" / "USER" unchanged (case preserved)
+    assert saslprep("user") == "user"
+    assert saslprep("USER") == "USER"
+    # U+00AA FEMININE ORDINAL -> "a" (NFKC)
+    assert saslprep("ª") == "a"
+    # U+2168 ROMAN NUMERAL NINE -> "IX" (NFKC)
+    assert saslprep("Ⅸ") == "IX"
+    # RFC: U+0007 BEL is prohibited output — PostgreSQL (and we)
+    # short-circuit pure-ASCII input instead, so it passes through; the
+    # non-ASCII control equivalent IS rejected
+    assert saslprep("\x07") == "\x07"
+    with pytest.raises(PgOutputError):
+        saslprep("\x85")
+    # U+0627 U+0031 (ALEF then "1"): bidi requirement 3 violation
+    with pytest.raises(PgOutputError, match="RTL"):
+        saslprep("ا1")
