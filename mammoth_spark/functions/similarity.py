@@ -282,6 +282,7 @@ def ann_topk_ivf(
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
+    honor_tombstones: bool = False,
 ) -> DataFrame:
     """Probe a built IVF index: join the broadcast query set on the
     partition column so dynamic partition pruning (DPP) restricts the
@@ -300,6 +301,13 @@ def ann_topk_ivf(
     v = idx.select(
         F.col(id_col), _as_double(F.col("embedding")).alias("emb"), "_norm", "_bucket"
     )
+    if honor_tombstones:
+        ts = read_ivf_tombstones(spark, index_dir)
+        if ts is not None:
+            # deleted vectors drop BEFORE scoring: the tombstone set is
+            # delete-batch-sized, so this broadcasts — the bucket-pruned
+            # scan shape of the probe is unchanged
+            v = v.join(F.broadcast(ts), id_col, "left_anti")
     joined = v.join(
         F.broadcast(queries),
         (F.col("_bucket") == F.col("q_bucket")) & (F.col(id_col) != F.col("query_id")),
@@ -344,3 +352,51 @@ def append_ivf_index(
         F.col(id_col), F.col(emb_col), "_norm", "_bucket"
     )
     v.write.partitionBy("_bucket").mode("append").parquet(index_dir)
+
+
+def _tombstone_dir(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "_tombstones"
+
+
+def delete_from_ivf_index(
+    del_ids: DataFrame, index_dir: str, id_col: str = "vec_id"
+) -> None:
+    """Incremental IVF "delete": append an id-only tombstone delta next
+    to the index — cost ∝ the delete batch, bucket files are never
+    rewritten (the merge-on-read discipline of sources/target.py applied
+    to the vector index). Probes anti-join the tombstones; the rewrite
+    is deferred to ``compact_ivf_index`` on an operator-chosen schedule.
+    This is the deletion-propagation half a real pipeline needs (user
+    data erasure reaching derived embedding stores, cf. the row-side
+    ``user_purge_audit``): O(batch) to honor, O(corpus) only when
+    compacting."""
+    del_ids.select(id_col).distinct().write.mode("append").parquet(
+        _tombstone_dir(index_dir)
+    )
+
+
+def read_ivf_tombstones(spark, index_dir: str) -> DataFrame | None:
+    """The accumulated tombstone set, or None when no delete was ever
+    issued (probes skip the anti-join entirely in that case)."""
+    import os
+
+    td = _tombstone_dir(index_dir)
+    if not os.path.isdir(td):
+        return None
+    return spark.read.parquet(td).distinct()
+
+
+def compact_ivf_index(spark, index_dir: str, id_col: str = "vec_id") -> None:
+    """Fold tombstones into the bucket files (the OPTIMIZE pass): one
+    anti-join scan, one partitioned rewrite, tombstones cleared. Probe
+    results before and after are identical — pinned in
+    tests/test_round4_ops.py."""
+    import shutil
+
+    ts = read_ivf_tombstones(spark, index_dir)
+    if ts is None:
+        return
+    kept = spark.read.parquet(index_dir).join(ts, id_col, "left_anti")
+    kept = kept.localCheckpoint(eager=True)  # read fully before overwrite
+    kept.write.partitionBy("_bucket").mode("overwrite").parquet(index_dir)
+    shutil.rmtree(_tombstone_dir(index_dir), ignore_errors=True)

@@ -2338,6 +2338,71 @@ def ann_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(spark, index_dir, q, k=ANN_K)
 
 
+@register(
+    "ann_index_delete",
+    oracle=f"""
+WITH {_vec_cte()},
+q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+      FROM vn WHERE vec_id < {ANN_QUERIES}),
+vd AS (SELECT * FROM vn
+       WHERE NOT (vec_id % 7 = 3 AND vec_id >= {ANN_QUERIES})),
+scored AS (
+  SELECT q.query_id, vd.vec_id AS neighbor_id,
+         floor(({_DOT.format(a="vd.emb", b="q.q_emb")} / (vd.nrm * q.q_nrm)) * 1000000) / 1000000 AS cos_sim
+  FROM vd JOIN q ON vd.bucket = q.q_bucket AND vd.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+""",
+)
+def ann_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion propagation into the vector index (the erasure half of
+    streaming index maintenance — user data removal must reach derived
+    embedding stores, the embedding-side twin of ``user_purge_audit``):
+    build the IVF index, DELETE every ``vec_id % 7 == 3`` (query panel
+    excluded) as an O(batch) tombstone append — bucket files are never
+    rewritten — then probe honoring tombstones. The top-k must equal
+    the bucketed answer over the surviving corpus (the oracle's ``vd``),
+    i.e. deleted vectors can never surface as neighbors, and the ranks
+    re-close over the survivors. ``compact_ivf_index`` folds tombstones
+    into the bucket files on an operator schedule; probe-before ==
+    probe-after is pinned in tests/test_round4_ops.py.
+
+    Scale shape: the delete is one id-only append; the probe adds one
+    broadcast anti-join (tombstone set is delete-sized) to the same
+    DPP-pruned bucket scan — nothing O(corpus) happens until OPTIMIZE."""
+    from .functions.similarity import (
+        ann_topk_ivf,
+        build_ivf_index,
+        delete_from_ivf_index,
+        with_norm_and_bucket,
+    )
+    from .scratch import scratch_dir
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    index_dir = scratch_dir(prefix="ivf_del_")
+    build_ivf_index(emb, index_dir)
+    delete_from_ivf_index(
+        emb.filter(
+            (F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= ANN_QUERIES)
+        ).select("vec_id"),
+        index_dir,
+    )
+    q = (
+        with_norm_and_bucket(emb)
+        .filter(F.col("vec_id") < ANN_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("_norm").alias("q_norm"),
+            F.col("_bucket").alias("q_bucket"),
+        )
+    )
+    return ann_topk_ivf(spark, index_dir, q, k=ANN_K, honor_tombstones=True)
+
+
 # ----------------------- PMI collocations (round 6) -----------------------
 
 PMI_WINDOW = 2  # forward skip-gram window (center i -> contexts i+1, i+2)

@@ -658,3 +658,65 @@ def test_streaming_chunk_clean_history_probe_is_replay_safe(tmp_path):
         "chunk_e000000",
         "chunk_e000001",
     ]
+
+
+def test_ivf_delete_tombstones_then_compact_probe_identical(spark):
+    """Deletion propagation (round 9): tombstoned probe results must (a)
+    never surface a deleted vector, (b) equal a from-scratch index built
+    over the survivors, and (c) be identical before and after
+    compact_ivf_index folds the tombstones into the bucket files —
+    with the tombstone dir gone and the files actually shrunk."""
+    import glob
+    import os
+
+    from mammoth_spark.functions.similarity import (
+        ann_topk_ivf,
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        read_ivf_tombstones,
+        with_norm_and_bucket,
+    )
+    from mammoth_spark.model import read_table
+    from mammoth_spark.scratch import scratch_dir
+
+    emb = read_table(spark, SF, "embeddings")
+    idx_dir, truth_dir = scratch_dir("ivf_del_t_"), scratch_dir("ivf_del_truth_")
+    deleted = emb.filter((F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= 16))
+
+    build_ivf_index(emb, idx_dir)
+    files_before = set(glob.glob(f"{idx_dir}/**/*.parquet", recursive=True))
+    delete_from_ivf_index(deleted.select("vec_id"), idx_dir)
+    # the delete touched ZERO bucket files — O(batch) by construction
+    assert set(glob.glob(f"{idx_dir}/**/*.parquet", recursive=True)) == files_before
+
+    q = (
+        with_norm_and_bucket(emb)
+        .filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("_norm").alias("q_norm"),
+            F.col("_bucket").alias("q_bucket"),
+        )
+    )
+    tomb = sorted(
+        map(tuple, ann_topk_ivf(spark, idx_dir, q, honor_tombstones=True).collect())
+    )
+    del_ids = {r["vec_id"] for r in deleted.select("vec_id").collect()}
+    assert del_ids, "fixture must contain deletable vectors"
+    assert not {n for _, n, _, _ in tomb} & del_ids
+
+    build_ivf_index(emb.join(deleted.select("vec_id"), "vec_id", "left_anti"), truth_dir)
+    truth = sorted(map(tuple, ann_topk_ivf(spark, truth_dir, q).collect()))
+    assert tomb == truth
+
+    compact_ivf_index(spark, idx_dir)
+    assert read_ivf_tombstones(spark, idx_dir) is None
+    assert not os.path.isdir(idx_dir.rstrip("/") + "_tombstones")
+    after = sorted(
+        map(tuple, ann_topk_ivf(spark, idx_dir, q, honor_tombstones=True).collect())
+    )
+    assert after == tomb
+    n_left = spark.read.parquet(idx_dir).count()
+    assert n_left == emb.count() - len(del_ids)
