@@ -338,10 +338,30 @@ def write_sig_store(delta: SigStore, path: str) -> None:
     delta.fps.coalesce(1).write.mode("overwrite").parquet(path + "/fps")
 
 
-def read_sig_store(spark, delta_paths) -> SigStore | None:
+def write_sig_tombstones(del_ids: DataFrame, path: str, id_col: str = "doc_id") -> None:
+    """Erasure delta for the signature store (the dedup-side half of
+    user-data removal, cf. ``user_purge_audit`` rows and
+    ``delete_from_ivf_index`` vectors): a doc_id-only tombstone
+    directory published next to the band/fps deltas — O(purge batch),
+    no band or fingerprint file is ever rewritten. ``read_sig_store``
+    anti-joins tombstones out, so a future re-ingest of a purged
+    document's content is matched only against the SURVIVING history:
+    the purged doc can never again suppress a newcomer (the semantics
+    erasure requires — the removed copy no longer exists, so the new
+    one IS the first occurrence). Decisions already made at earlier
+    epochs are history and stay made."""
+    del_ids.select(F.col(id_col).alias("doc_id")).distinct().coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def read_sig_store(spark, delta_paths, tombstone_paths=()) -> SigStore | None:
     """Open the union of all published deltas. Each root keeps its
     ``band_bucket`` partition discovery, so a bucket filter prunes files
-    across every delta."""
+    across every delta. ``tombstone_paths`` (erasure deltas from
+    ``write_sig_tombstones``) are anti-joined out of both datasets —
+    the tombstone set is purge-sized, so it broadcasts and the pruned
+    band-scan shape is unchanged."""
     from functools import reduce
 
     paths = sorted(delta_paths)
@@ -353,10 +373,13 @@ def read_sig_store(spark, delta_paths) -> SigStore | None:
     bands = reduce(
         DataFrame.unionByName, [spark.read.parquet(p + "/bands") for p in paths]
     )
-    return SigStore(
-        bands=bands,
-        fps=spark.read.parquet(*[p + "/fps" for p in paths]),
-    )
+    fps = spark.read.parquet(*[p + "/fps" for p in paths])
+    ts_paths = sorted(tombstone_paths)
+    if ts_paths:
+        ts = spark.read.parquet(*ts_paths).select("doc_id").distinct()
+        bands = bands.join(F.broadcast(ts), "doc_id", "left_anti")
+        fps = fps.join(F.broadcast(ts), "doc_id", "left_anti")
+    return SigStore(bands=bands, fps=fps)
 
 
 def dedup_incremental(

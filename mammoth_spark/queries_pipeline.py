@@ -308,6 +308,64 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s1.unionByName(s2)
 
 
+@register(
+    "dedup_ingest_after_purge",
+    # drop rule with erasure between the epochs: pairs whose EARLIER doc
+    # was purged from the store (id_a in the epoch-1 purge set) no
+    # longer suppress epoch-2 docs; epoch-1-internal decisions were made
+    # before the purge and stand
+    oracle=_minhash_pairs_ctes()
+    + """
+SELECT doc_id FROM documents WHERE doc_id NOT IN (
+  SELECT id_b FROM pairs
+  WHERE NOT (id_b >= 200 AND id_a < 200 AND id_a % 5 = 2)
+)""",
+)
+def dedup_ingest_after_purge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure propagation into the dedup signature store — the third
+    derived store the purge path must reach (rows: ``user_purge_audit``;
+    vectors: ``ann_index_delete``; signatures: here). Epoch 1 ingests
+    ``doc_id < 200`` and publishes its delta; every seen epoch-1 doc
+    with ``doc_id % 5 == 2`` is then purged as an O(batch) tombstone
+    delta (``write_sig_tombstones`` — band/fps files untouched); epoch 2
+    ingests the rest against the tombstone-filtered store. Semantics the
+    oracle pins: a purged doc can never again suppress a newcomer (its
+    epoch-2 near-dups SURVIVE — the removed copy no longer exists, so
+    the newcomer is the first occurrence), while epoch-1-internal
+    decisions made before the purge stand.
+
+    Scale shape: identical to dedup_incremental_minhash plus one
+    broadcast anti-join (purge-sized) inside the store read — the
+    band-bucket pruning of the history probe is unchanged."""
+    from .scratch import scratch_dir
+
+    from .functions.dedup import (
+        dedup_incremental,
+        read_sig_store,
+        write_sig_store,
+        write_sig_tombstones,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") < 200)
+    second = docs.filter(F.col("doc_id") >= 200)
+
+    s1, delta1 = dedup_incremental(None, first, jaccard_threshold=MINHASH_JACCARD_T)
+    store_dir = scratch_dir(prefix="sig_store_purge_")
+    write_sig_store(delta1, store_dir + "/delta_000000")
+    write_sig_tombstones(
+        first.filter(F.col("doc_id") % 5 == 2).select("doc_id"),
+        store_dir + "/purge_000001",
+    )
+    store = read_sig_store(
+        spark,
+        [store_dir + "/delta_000000"],
+        tombstone_paths=[store_dir + "/purge_000001"],
+    )
+    s2, _ = dedup_incremental(store, second, jaccard_threshold=MINHASH_JACCARD_T)
+    return s1.unionByName(s2)
+
+
 def _clusters_oracle() -> str:
     """Connected components via transitive closure: a recursive CTE
     accumulates every (vertex, reachable-vertex) pair over the near-dup

@@ -270,3 +270,57 @@ def test_unicode_normalization_composed_equals_decomposed(spark):
         for i, t in edge_rows
     }
     assert duck == out2
+
+
+def test_sig_store_purge_rescues_newcomers_without_rewrites(spark, sf_dir, tmp_path):
+    """Erasure propagation into the signature store (round 9): purging
+    epoch-1 docs (a) touches ZERO band/fps files — tombstones are their
+    own delta, (b) makes epoch-2 near-dups of purged docs SURVIVE (the
+    removed copy no longer exists, so the newcomer is the first
+    occurrence), and (c) changes nothing else — every other epoch-2
+    decision is identical to the un-purged run."""
+    import glob
+
+    from mammoth_spark.functions.dedup import (
+        dedup_incremental,
+        read_sig_store,
+        write_sig_store,
+        write_sig_tombstones,
+    )
+    from mammoth_spark.model import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") < 200)
+    second = docs.filter(F.col("doc_id") >= 200)
+
+    _, delta1 = dedup_incremental(None, first, jaccard_threshold=0.2)
+    base = str(tmp_path / "store")
+    write_sig_store(delta1, base + "/delta_000000")
+    files_before = set(glob.glob(base + "/delta_000000/**/*.parquet", recursive=True))
+
+    purged = first.filter(F.col("doc_id") % 5 == 2).select("doc_id")
+    purged_ids = {r["doc_id"] for r in purged.collect()}
+    assert purged_ids
+    write_sig_tombstones(purged, base + "/purge_000001")
+    assert (
+        set(glob.glob(base + "/delta_000000/**/*.parquet", recursive=True))
+        == files_before
+    )  # purge never rewrites the published band/fps deltas
+
+    plain = read_sig_store(spark, [base + "/delta_000000"])
+    filtered = read_sig_store(
+        spark, [base + "/delta_000000"], tombstone_paths=[base + "/purge_000001"]
+    )
+    s_plain, _ = dedup_incremental(plain, second, jaccard_threshold=0.2)
+    s_purged, _ = dedup_incremental(filtered, second, jaccard_threshold=0.2)
+    ids_plain = {r["doc_id"] for r in s_plain.collect()}
+    ids_purged = {r["doc_id"] for r in s_purged.collect()}
+    # purge can only RESCUE epoch-2 docs, never drop more
+    assert ids_plain <= ids_purged
+    rescued = ids_purged - ids_plain
+    assert rescued, "fixture must contain epoch-2 near-dups of purged docs"
+    # the store no longer knows the purged ids at all
+    assert not (
+        {r["doc_id"] for r in filtered.bands.select("doc_id").distinct().collect()}
+        & purged_ids
+    )
