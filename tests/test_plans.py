@@ -1501,3 +1501,36 @@ def test_event_transition_window_partitions_by_user(spark):
     assert "Window" in plan
     assert plan.count("events.parquet") == 1
     assert "EvalPython" not in plan
+
+
+def test_ann_ivf_tombstoned_probe_keeps_partition_pruning(spark):
+    """The erasure anti-join (round 9) must not cost the probe its DPP:
+    ann_index_delete's executed plan carries BOTH the broadcast LeftAnti
+    tombstone filter and the dynamicpruningexpression PartitionFilter on
+    the bucket-partitioned index scan — bytes read still scale with
+    probed buckets, and the delete-sized tombstone set broadcasts."""
+    df = ALL_QUERIES["ann_index_delete"](spark, SF)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, "tombstones must filter via an anti-join"
+    assert "BroadcastHashJoin" in plan
+    assert "dynamicpruningexpression" in plan, (
+        "the tombstone anti-join must not break bucket DPP"
+    )
+    assert "ivf_del_" in plan  # probing the physical index
+    assert "SortMergeJoin" not in plan
+
+
+def test_sig_store_purge_probe_keeps_band_pruning(spark):
+    """dedup_ingest_after_purge: the tombstone anti-join inside
+    read_sig_store must coexist with the round-8 probe shape — broadcast
+    LeftSemi history pruning whose keys still reach the partitioned
+    store scan as dynamic partition pruning, no driver IN-literal."""
+    df = ALL_QUERIES["dedup_ingest_after_purge"](spark, SF)
+    plan = _executed_plan(df)
+    assert "LeftAnti" in plan, "purge tombstones must filter via an anti-join"
+    assert "LeftSemi" in plan, "history pruning must stay a semi-join"
+    assert "dynamicpruningexpression" in plan, (
+        "the purge anti-join must not break band-bucket DPP"
+    )
+    assert "In(band_bucket, [" not in plan, "no driver-collected IN-literal"

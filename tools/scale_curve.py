@@ -101,6 +101,12 @@ PANEL = [
     # diversity fold
     "embedding_covariance_summary",
     "token_diversity_report",
+    # round-9: the erasure wave — tombstoned IVF probe (delete-sized
+    # broadcast anti-join on the DPP-pruned bucket scan) and the
+    # purge-filtered incremental dedup (one broadcast anti-join inside
+    # the store read; band-bucket pruning unchanged)
+    "ann_index_delete",
+    "dedup_ingest_after_purge",
 ]
 
 
@@ -622,14 +628,23 @@ def main() -> None:
         "queries": results,
         "n_superlinear": sum(1 for r in results.values() if r["superlinear"]),
     }
-    # merge, don't overwrite: a panel refresh must not discard the
-    # history_flatness section (or any other axis) measured separately
+    # merge, don't overwrite — at BOTH levels: other axes
+    # (history_flatness, rename_overflow) survive a panel refresh, and
+    # so do per-query rows measured by an earlier panel that the current
+    # PANEL list no longer re-runs (a refresh must never silently shrink
+    # the recorded coverage; n_superlinear is recomputed over the merged
+    # set)
     path = os.path.join(REPO, "BENCH_CURVE.json")
     if os.path.exists(path):
         with open(path) as fh:
             prev = json.load(fh)
+        for name, row in prev.get("queries", {}).items():
+            out["queries"].setdefault(name, row)
         for k, v in prev.items():
             out.setdefault(k, v)
+        out["n_superlinear"] = sum(
+            1 for r in out["queries"].values() if r.get("superlinear")
+        )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out))
