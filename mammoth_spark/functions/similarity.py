@@ -255,6 +255,54 @@ def ann_topk_bucketed(
     )
 
 
+# The IVF index root is VERSIONED like every other store in the repo
+# (sources/target.py: versioned dirs + write-then-rename pointer): data
+# lives under ``<root>/v_<n>/`` with tombstones in ``<root>/v_<n>_ts/``,
+# and ``_CURRENT`` names the published version. Probes resolve the
+# pointer once, so a compaction publishing v_{n+1} never tears a
+# concurrent reader of v_n — the same swap discipline as A12.
+
+
+def _ivf_pointer(index_dir: str) -> str:
+    import os
+
+    return os.path.join(index_dir, "_CURRENT")
+
+
+def ivf_current_version(index_dir: str) -> int | None:
+    try:
+        with open(_ivf_pointer(index_dir)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def ivf_current_dir(index_dir: str) -> str:
+    """The published version's data directory (probe target)."""
+    import os
+
+    v = ivf_current_version(index_dir)
+    if v is None:
+        raise FileNotFoundError(f"IVF index {index_dir} not initialized")
+    return os.path.join(index_dir, f"v_{v}")
+
+
+def _ivf_publish(index_dir: str, version: int) -> None:
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=index_dir, prefix="_CURRENT.")
+    with os.fdopen(fd, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, _ivf_pointer(index_dir))
+
+
+def _ivf_tombstone_dir(index_dir: str, version: int) -> str:
+    import os
+
+    return os.path.join(index_dir, f"v_{version}_ts")
+
+
 def build_ivf_index(
     df: DataFrame,
     index_dir: str,
@@ -262,7 +310,8 @@ def build_ivf_index(
     id_col: str = "vec_id",
 ) -> None:
     """IVF index build: write the corpus as parquet physically
-    partitioned by the sign-bucket coarse quantizer, norms precomputed.
+    partitioned by the sign-bucket coarse quantizer, norms precomputed,
+    into a fresh version directory published by pointer swap.
 
     This is the materialization step every real IVF system has (the
     "train + add" phase): pay one full pass + shuffle-free partitioned
@@ -270,10 +319,17 @@ def build_ivf_index(
     At 100 TB with 2^bits buckets the layout also bounds file sizes per
     bucket directory, and the write is append-friendly — new vectors
     land in their bucket partition without touching the rest."""
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+    ver = (ivf_current_version(index_dir) or 0) + 1
     v = with_norm_and_bucket(df, emb_col).select(
         F.col(id_col), F.col(emb_col), "_norm", "_bucket"
     )
-    v.write.partitionBy("_bucket").mode("overwrite").parquet(index_dir)
+    v.write.partitionBy("_bucket").mode("overwrite").parquet(
+        os.path.join(index_dir, f"v_{ver}")
+    )
+    _ivf_publish(index_dir, ver)
 
 
 def ann_topk_ivf(
@@ -297,7 +353,7 @@ def ann_topk_ivf(
     difference is purely physical (bytes read per probe)."""
     from pyspark.sql import Window
 
-    idx = spark.read.parquet(index_dir)
+    idx = spark.read.parquet(ivf_current_dir(index_dir))
     v = idx.select(
         F.col(id_col), _as_double(F.col("embedding")).alias("emb"), "_norm", "_bucket"
     )
@@ -351,52 +407,79 @@ def append_ivf_index(
     v = with_norm_and_bucket(df, emb_col).select(
         F.col(id_col), F.col(emb_col), "_norm", "_bucket"
     )
-    v.write.partitionBy("_bucket").mode("append").parquet(index_dir)
-
-
-def _tombstone_dir(index_dir: str) -> str:
-    return index_dir.rstrip("/") + "_tombstones"
+    v.write.partitionBy("_bucket").mode("append").parquet(ivf_current_dir(index_dir))
 
 
 def delete_from_ivf_index(
     del_ids: DataFrame, index_dir: str, id_col: str = "vec_id"
 ) -> None:
     """Incremental IVF "delete": append an id-only tombstone delta next
-    to the index — cost ∝ the delete batch, bucket files are never
-    rewritten (the merge-on-read discipline of sources/target.py applied
-    to the vector index). Probes anti-join the tombstones; the rewrite
-    is deferred to ``compact_ivf_index`` on an operator-chosen schedule.
-    This is the deletion-propagation half a real pipeline needs (user
-    data erasure reaching derived embedding stores, cf. the row-side
-    ``user_purge_audit``): O(batch) to honor, O(corpus) only when
-    compacting."""
+    to the current version — cost ∝ the delete batch, bucket files are
+    never rewritten (the merge-on-read discipline of sources/target.py
+    applied to the vector index). Probes anti-join the tombstones; the
+    rewrite is deferred to ``compact_ivf_index`` on an operator-chosen
+    schedule. This is the deletion-propagation half a real pipeline
+    needs (user data erasure reaching derived embedding stores, cf. the
+    row-side ``user_purge_audit``): O(batch) to honor, O(corpus) only
+    when compacting. Tombstones are keyed to the version they shadow,
+    so the compaction's pointer swap atomically retires them with it."""
+    ver = ivf_current_version(index_dir)
+    if ver is None:
+        raise FileNotFoundError(f"IVF index {index_dir} not initialized")
     del_ids.select(id_col).distinct().write.mode("append").parquet(
-        _tombstone_dir(index_dir)
+        _ivf_tombstone_dir(index_dir, ver)
     )
 
 
 def read_ivf_tombstones(spark, index_dir: str) -> DataFrame | None:
-    """The accumulated tombstone set, or None when no delete was ever
-    issued (probes skip the anti-join entirely in that case)."""
+    """The current version's tombstone set, or None when no delete is
+    pending against it (probes skip the anti-join entirely then)."""
     import os
 
-    td = _tombstone_dir(index_dir)
+    ver = ivf_current_version(index_dir)
+    if ver is None:
+        return None
+    td = _ivf_tombstone_dir(index_dir, ver)
     if not os.path.isdir(td):
         return None
     return spark.read.parquet(td).distinct()
 
 
 def compact_ivf_index(spark, index_dir: str, id_col: str = "vec_id") -> None:
-    """Fold tombstones into the bucket files (the OPTIMIZE pass): one
-    anti-join scan, one partitioned rewrite, tombstones cleared. Probe
-    results before and after are identical — pinned in
-    tests/test_round4_ops.py."""
-    import shutil
+    """Fold tombstones into a FRESH version (the OPTIMIZE pass): one
+    anti-join scan, one partitioned write of v_{n+1}, one pointer swap —
+    a concurrent probe keeps reading v_n untorn and the swap retires
+    v_n's tombstones with it (the A12 discipline; the old version
+    becomes garbage for ``vacuum_ivf_index``). Probe results before and
+    after are identical — pinned in tests/test_round4_ops.py."""
+    import os
 
+    ver = ivf_current_version(index_dir)
     ts = read_ivf_tombstones(spark, index_dir)
     if ts is None:
         return
-    kept = spark.read.parquet(index_dir).join(ts, id_col, "left_anti")
-    kept = kept.localCheckpoint(eager=True)  # read fully before overwrite
-    kept.write.partitionBy("_bucket").mode("overwrite").parquet(index_dir)
-    shutil.rmtree(_tombstone_dir(index_dir), ignore_errors=True)
+    kept = spark.read.parquet(ivf_current_dir(index_dir)).join(
+        ts, id_col, "left_anti"
+    )
+    kept.write.partitionBy("_bucket").mode("overwrite").parquet(
+        os.path.join(index_dir, f"v_{ver + 1}")
+    )
+    _ivf_publish(index_dir, ver + 1)
+
+
+def vacuum_ivf_index(index_dir: str) -> list[str]:
+    """Drop every version/tombstone directory not reachable from the
+    pointer. Pointer-file commit makes removal order safe."""
+    import os
+    import shutil
+
+    ver = ivf_current_version(index_dir)
+    dropped = []
+    for name in os.listdir(index_dir):
+        if not name.startswith("v_"):
+            continue
+        stem = name[2:].removesuffix("_ts")
+        if stem.isdigit() and int(stem) != ver:
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+            dropped.append(name)
+    return sorted(dropped)

@@ -674,7 +674,9 @@ def test_ivf_delete_tombstones_then_compact_probe_identical(spark):
         build_ivf_index,
         compact_ivf_index,
         delete_from_ivf_index,
+        ivf_current_dir,
         read_ivf_tombstones,
+        vacuum_ivf_index,
         with_norm_and_bucket,
     )
     from mammoth_spark.model import read_table
@@ -685,10 +687,12 @@ def test_ivf_delete_tombstones_then_compact_probe_identical(spark):
     deleted = emb.filter((F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= 16))
 
     build_ivf_index(emb, idx_dir)
-    files_before = set(glob.glob(f"{idx_dir}/**/*.parquet", recursive=True))
+    data_dir = ivf_current_dir(idx_dir)
+    files_before = set(glob.glob(f"{data_dir}/**/*.parquet", recursive=True))
     delete_from_ivf_index(deleted.select("vec_id"), idx_dir)
     # the delete touched ZERO bucket files — O(batch) by construction
-    assert set(glob.glob(f"{idx_dir}/**/*.parquet", recursive=True)) == files_before
+    # (tombstones land in their own v_1_ts dir beside the data)
+    assert set(glob.glob(f"{data_dir}/**/*.parquet", recursive=True)) == files_before
 
     q = (
         with_norm_and_bucket(emb)
@@ -712,11 +716,15 @@ def test_ivf_delete_tombstones_then_compact_probe_identical(spark):
     assert tomb == truth
 
     compact_ivf_index(spark, idx_dir)
+    # the pointer swap retired v_1 AND its tombstones together
     assert read_ivf_tombstones(spark, idx_dir) is None
-    assert not os.path.isdir(idx_dir.rstrip("/") + "_tombstones")
+    assert ivf_current_dir(idx_dir).endswith("v_2")
     after = sorted(
         map(tuple, ann_topk_ivf(spark, idx_dir, q, honor_tombstones=True).collect())
     )
     assert after == tomb
-    n_left = spark.read.parquet(idx_dir).count()
+    n_left = spark.read.parquet(ivf_current_dir(idx_dir)).count()
     assert n_left == emb.count() - len(del_ids)
+    # vacuum drops exactly the unreachable version + its tombstones
+    assert vacuum_ivf_index(idx_dir) == ["v_1", "v_1_ts"]
+    assert os.path.isdir(os.path.join(idx_dir, "v_2"))

@@ -118,3 +118,83 @@ def test_full_sync_loop_socket_to_catalog(spark, tmp_path):
     # replay the whole stream: checkpoint + epoch record make it a no-op
     pipeline.run_available()
     assert cat.manifest() == m
+
+
+def test_full_sync_loop_tls_scram_to_catalog(spark, tmp_path):
+    """Round 9: the SAME complete loop through the hardened front door —
+    SSLRequest -> TLS tunnel -> SCRAM-SHA-256-PLUS (certificate-bound)
+    -> slot negotiation -> copy-both -> decode -> exact txn-aligned
+    batches -> one atomic cross-table catalog commit per micro-batch.
+    Everything the reference's conninfo gives it (TLS + auth) now wraps
+    the full pipeline, with byte-identical results to the plaintext
+    path and acks flowing back through the tunnel into the slot."""
+    import pyspark.sql.types as T
+
+    from mammoth_spark.sources.libpq import (
+        SCRAM_PLUS_MECHANISM,
+        ReplicationSession,
+        WalsenderReplayServer,
+        negotiate_start,
+    )
+
+    from test_libpq_tls import mint_tls_pair
+
+    cert, key = mint_tls_pair(tmp_path)
+    payloads = _capture()
+    frames = [encode_xlog_data(XLogData(5, 401, 0, p)) for p in payloads]
+    server = WalsenderReplayServer(
+        password="pipeline-pw", tls_certfile=cert, tls_keyfile=key,
+        require_tls=True, keepalive_every=6,
+    )
+
+    s = ReplicationSession(
+        "127.0.0.1", server.port, password="pipeline-pw", sslmode="require"
+    )
+    assert s.tls_established
+    start, snapshot = negotiate_start(s, "slot_tls_e2e")
+    assert snapshot is not None  # fresh slot: backfill bracket
+    server.add_frames(frames)
+    pump = s.start_replication("slot_tls_e2e", start)
+    wire_payloads = [v for k, v in pump.stream() if k == "payload"]
+    s.finish_copy()
+    s.close()
+    assert wire_payloads == payloads  # byte-identical through the tunnel
+    assert server.auth_log[0][0] == SCRAM_PLUS_MECHANISM
+    assert server.slots["slot_tls_e2e"].restart_lsn == 402  # acks landed
+    server.close()
+
+    msgs = list(decode_to_change_messages(wire_payloads))
+    plain = list(plain_rows_from_change_messages(msgs, ["name", "title"]))
+    batches = list(batches_from_plain_rows(plain, batch_max_items=3))
+    src = str(tmp_path / "staged")
+    assert stage_batches(batches, src) == 2
+
+    targets = {
+        "users": ParquetMergeTarget(spark, str(tmp_path / "users"), ["id"], ["name", "title"]),
+        "albums": ParquetMergeTarget(spark, str(tmp_path / "albums"), ["id"], ["name", "title"]),
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "catalog"), targets)
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("id", T.StringType())]
+            + [T.StructField(c, T.StringType()) for c in ("name", "title")]
+        ),
+    )
+    cat.initialize({"users": empty, "albums": empty})
+    pipeline = ChangeLogPipeline(
+        spark,
+        source_dir=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        targets=targets,
+        value_cols=["name", "title"],
+        max_files_per_trigger=1,
+        txn_catalog=cat,
+    )
+    pipeline.run_available()
+    assert pipeline.batches_applied == 2
+    users = {r["id"]: r["name"] for r in cat.read("users").collect()}
+    albums = {r["id"]: r["title"] for r in cat.read("albums").collect()}
+    assert users == {"2": "Van The Man"}
+    assert albums == {"a": "Astral Weeks", "b": "His Band and the Street Choir"}
+    assert cat.manifest()["epoch"] == 1
