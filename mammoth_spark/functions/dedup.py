@@ -382,6 +382,29 @@ def read_sig_store(spark, delta_paths, tombstone_paths=()) -> SigStore | None:
     return SigStore(bands=bands, fps=fps)
 
 
+def compact_sig_store(
+    spark, delta_paths, out_path: str, tombstone_paths=()
+) -> list[str]:
+    """Fold every delta + tombstone into ONE physical delta (the
+    OPTIMIZE pass of the LSM store, and the step that makes erasure
+    PHYSICAL: tombstones only shadow purged signatures logically —
+    until this fold rewrites the band/fps files, the purged bytes still
+    exist on disk, which data-erasure obligations ultimately forbid).
+    Writes the reconciled store to ``out_path`` (must be a fresh
+    directory — never one of the inputs, enforced) and returns the new
+    one-element delta lineage; the caller retires the old dirs once no
+    reader references them (the same publish-then-vacuum discipline as
+    the IVF index and the MOR target)."""
+    norm_out = out_path.rstrip("/")
+    if any(norm_out == p.rstrip("/") for p in delta_paths):
+        raise ValueError("compact_sig_store needs a fresh out_path")
+    store = read_sig_store(spark, delta_paths, tombstone_paths)
+    if store is None:
+        return []
+    write_sig_store(store, out_path)
+    return [out_path]
+
+
 def dedup_incremental(
     store: SigStore | None,
     new_docs: DataFrame,

@@ -324,3 +324,61 @@ def test_sig_store_purge_rescues_newcomers_without_rewrites(spark, sf_dir, tmp_p
         {r["doc_id"] for r in filtered.bands.select("doc_id").distinct().collect()}
         & purged_ids
     )
+
+
+def test_compact_sig_store_makes_erasure_physical(spark, sf_dir, tmp_path):
+    """Tombstones shadow purged signatures logically; compact_sig_store
+    is the pass that makes the erasure PHYSICAL: the folded delta's raw
+    band/fps parquet must contain no purged doc_id anywhere on disk,
+    and probing the folded one-delta lineage must decide epoch 2
+    exactly like the (deltas + tombstones) lineage it replaces."""
+    from mammoth_spark.functions.dedup import (
+        compact_sig_store,
+        dedup_incremental,
+        read_sig_store,
+        write_sig_store,
+        write_sig_tombstones,
+    )
+    from mammoth_spark.model import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") < 200)
+    second = docs.filter(F.col("doc_id") >= 200)
+
+    _, delta1 = dedup_incremental(None, first, jaccard_threshold=0.2)
+    base = str(tmp_path / "store")
+    write_sig_store(delta1, base + "/delta_000000")
+    purged = first.filter(F.col("doc_id") % 5 == 2).select("doc_id")
+    purged_ids = {r["doc_id"] for r in purged.collect()}
+    write_sig_tombstones(purged, base + "/purge_000001")
+
+    folded = compact_sig_store(
+        spark, [base + "/delta_000000"], base + "/delta_000002",
+        tombstone_paths=[base + "/purge_000001"],
+    )
+    assert folded == [base + "/delta_000002"]
+
+    # PHYSICAL: the raw files of the folded delta carry no purged id
+    raw_bands = spark.read.parquet(base + "/delta_000002/bands")
+    raw_fps = spark.read.parquet(base + "/delta_000002/fps")
+    for raw in (raw_bands, raw_fps):
+        on_disk = {r["doc_id"] for r in raw.select("doc_id").distinct().collect()}
+        assert not (on_disk & purged_ids)
+        assert on_disk  # the fold kept the surviving history
+
+    # EQUIVALENT: epoch-2 decisions identical to the shadowed lineage
+    shadowed = read_sig_store(
+        spark, [base + "/delta_000000"], tombstone_paths=[base + "/purge_000001"]
+    )
+    compacted = read_sig_store(spark, folded)
+    s_a, _ = dedup_incremental(shadowed, second, jaccard_threshold=0.2)
+    s_b, _ = dedup_incremental(compacted, second, jaccard_threshold=0.2)
+    assert (
+        {r["doc_id"] for r in s_a.collect()} == {r["doc_id"] for r in s_b.collect()}
+    )
+
+    # misuse guard: folding onto an input path is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fresh out_path"):
+        compact_sig_store(spark, folded, folded[0])
