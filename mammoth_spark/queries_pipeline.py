@@ -366,6 +366,59 @@ def dedup_ingest_after_purge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s1.unionByName(s2)
 
 
+@register(
+    "dedup_ingest_after_purge_compacted",
+    # SAME oracle as dedup_ingest_after_purge: folding the tombstones
+    # into a fresh physical delta must not change a single epoch-2
+    # decision — the driver verifies the logical≡physical claim
+    oracle=_minhash_pairs_ctes()
+    + """
+SELECT doc_id FROM documents WHERE doc_id NOT IN (
+  SELECT id_b FROM pairs
+  WHERE NOT (id_b >= 200 AND id_a < 200 AND id_a % 5 = 2)
+)""",
+)
+def dedup_ingest_after_purge_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The physical half of signature-store erasure, driver-verified:
+    same epochs and purge as ``dedup_ingest_after_purge``, but
+    ``compact_sig_store`` folds delta + tombstones into ONE fresh delta
+    before epoch 2 — no purged doc_id remains in any band/fps file on
+    disk (pinned byte-level in tests/test_functions.py) and epoch 2
+    probes the one-element lineage with NO anti-join left in the read
+    path. The oracle is identical to the tombstoned variant: the fold
+    must not move a single survivor."""
+    from .scratch import scratch_dir
+
+    from .functions.dedup import (
+        compact_sig_store,
+        dedup_incremental,
+        read_sig_store,
+        write_sig_store,
+        write_sig_tombstones,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") < 200)
+    second = docs.filter(F.col("doc_id") >= 200)
+
+    s1, delta1 = dedup_incremental(None, first, jaccard_threshold=MINHASH_JACCARD_T)
+    store_dir = scratch_dir(prefix="sig_store_cmp_")
+    write_sig_store(delta1, store_dir + "/delta_000000")
+    write_sig_tombstones(
+        first.filter(F.col("doc_id") % 5 == 2).select("doc_id"),
+        store_dir + "/purge_000001",
+    )
+    lineage = compact_sig_store(
+        spark,
+        [store_dir + "/delta_000000"],
+        store_dir + "/delta_000002",
+        tombstone_paths=[store_dir + "/purge_000001"],
+    )
+    store = read_sig_store(spark, lineage)
+    s2, _ = dedup_incremental(store, second, jaccard_threshold=MINHASH_JACCARD_T)
+    return s1.unionByName(s2)
+
+
 def _clusters_oracle() -> str:
     """Connected components via transitive closure: a recursive CTE
     accumulates every (vertex, reachable-vertex) pair over the near-dup
@@ -2459,6 +2512,71 @@ def ann_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ann_topk_ivf(spark, index_dir, q, k=ANN_K, honor_tombstones=True)
+
+
+@register(
+    "ann_index_compact",
+    # SAME oracle as ann_index_delete: compaction makes the erasure
+    # physical without changing a single probe result — the driver
+    # verifies that claim end-to-end
+    oracle=f"""
+WITH {_vec_cte()},
+q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+      FROM vn WHERE vec_id < {ANN_QUERIES}),
+vd AS (SELECT * FROM vn
+       WHERE NOT (vec_id % 7 = 3 AND vec_id >= {ANN_QUERIES})),
+scored AS (
+  SELECT q.query_id, vd.vec_id AS neighbor_id,
+         floor(({_DOT.format(a="vd.emb", b="q.q_emb")} / (vd.nrm * q.q_nrm)) * 1000000) / 1000000 AS cos_sim
+  FROM vd JOIN q ON vd.bucket = q.q_bucket AND vd.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+""",
+)
+def ann_index_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The physical half of vector erasure, driver-verified: after the
+    same delete as ``ann_index_delete``, ``compact_ivf_index`` folds the
+    tombstones into a FRESH version (one anti-join scan, one partitioned
+    write, one A12 pointer swap — concurrent probes of v_n never tear)
+    and the probe runs WITHOUT tombstone handling against v_{n+1}. The
+    oracle is identical to ann_index_delete's: compaction must not move
+    a single neighbor. The probe plan is back to the plain DPP bucket
+    scan — no anti-join remains once erasure is physical."""
+    from .functions.similarity import (
+        ann_topk_ivf,
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        vacuum_ivf_index,
+        with_norm_and_bucket,
+    )
+    from .scratch import scratch_dir
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    index_dir = scratch_dir(prefix="ivf_cmp_")
+    build_ivf_index(emb, index_dir)
+    delete_from_ivf_index(
+        emb.filter(
+            (F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= ANN_QUERIES)
+        ).select("vec_id"),
+        index_dir,
+    )
+    compact_ivf_index(spark, index_dir)
+    vacuum_ivf_index(index_dir)  # the purged bytes are gone from disk
+    q = (
+        with_norm_and_bucket(emb)
+        .filter(F.col("vec_id") < ANN_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("_norm").alias("q_norm"),
+            F.col("_bucket").alias("q_bucket"),
+        )
+    )
+    return ann_topk_ivf(spark, index_dir, q, k=ANN_K)
 
 
 # ----------------------- PMI collocations (round 6) -----------------------
