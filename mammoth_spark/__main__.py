@@ -280,9 +280,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_w.add_argument(
         "--sslmode",
-        choices=("disable", "prefer", "require", "verify-ca", "verify-full"),
+        choices=("disable", "allow", "prefer", "require", "verify-ca", "verify-full"),
         default="disable",
         help="TLS negotiation tier (libpq mode): disable = never probe, "
+        "allow = plaintext first, encrypt only if the server refuses it, "
         "prefer = encrypt when the server supports it, require = refuse "
         "a plaintext-only server (no cert verification, like libpq), "
         "verify-ca / verify-full = verify the chain against --sslrootcert "

@@ -338,7 +338,7 @@ def ann_topk_ivf(
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
-    honor_tombstones: bool = False,
+    honor_tombstones: bool = True,
 ) -> DataFrame:
     """Probe a built IVF index: join the broadcast query set on the
     partition column so dynamic partition pruning (DPP) restricts the
@@ -348,6 +348,12 @@ def ann_topk_ivf(
     No driver-side bucket collection: the pruning subquery is planned by
     Spark from the broadcast side, so the same plan serves 16 or 10^6
     queries. ``queries`` must carry (query_id, q_emb, q_norm, q_bucket).
+
+    ``honor_tombstones`` defaults to True so erased vectors never leak
+    from a probe that forgot to opt in (ADVICE r09): when no tombstone
+    delta exists against the current version the anti-join is skipped
+    entirely, so the default costs nothing on a clean index. Pass False
+    only for audit probes that must see pre-erasure state.
 
     Results are identical to ann_topk_bucketed on the same corpus; the
     difference is purely physical (bytes read per probe)."""
@@ -422,12 +428,27 @@ def delete_from_ivf_index(
     needs (user data erasure reaching derived embedding stores, cf. the
     row-side ``user_purge_audit``): O(batch) to honor, O(corpus) only
     when compacting. Tombstones are keyed to the version they shadow,
-    so the compaction's pointer swap atomically retires them with it."""
-    ver = ivf_current_version(index_dir)
-    if ver is None:
-        raise FileNotFoundError(f"IVF index {index_dir} not initialized")
-    del_ids.select(id_col).distinct().write.mode("append").parquet(
-        _ivf_tombstone_dir(index_dir, ver)
+    so the compaction's pointer swap atomically retires them with it.
+
+    Concurrency (ADVICE r09): a ``compact_ivf_index`` pointer swap racing
+    this append could land the batch in the just-retired ``v_n_ts``
+    directory — the erasure would be silently lost (and vacuumed). After
+    the write, ``_CURRENT`` is re-read; on mismatch the same batch is
+    re-appended against the new version (idempotent: compaction's
+    anti-join tolerates tombstones it already folded, and duplicate ids
+    are harmless to probes). Bounded retries, then a hard error — losing
+    an erasure silently is never acceptable."""
+    del_batch = del_ids.select(id_col).distinct()
+    for _ in range(5):
+        ver = ivf_current_version(index_dir)
+        if ver is None:
+            raise FileNotFoundError(f"IVF index {index_dir} not initialized")
+        del_batch.write.mode("append").parquet(_ivf_tombstone_dir(index_dir, ver))
+        if ivf_current_version(index_dir) == ver:
+            return
+    raise RuntimeError(
+        f"IVF index {index_dir}: version kept moving during tombstone append "
+        "(concurrent compaction storm) — erasure batch must be re-driven"
     )
 
 
@@ -469,11 +490,19 @@ def compact_ivf_index(spark, index_dir: str, id_col: str = "vec_id") -> None:
 
 def vacuum_ivf_index(index_dir: str) -> list[str]:
     """Drop every version/tombstone directory not reachable from the
-    pointer. Pointer-file commit makes removal order safe."""
+    pointer. Pointer-file commit makes removal order safe. A missing or
+    corrupted ``_CURRENT`` is a hard error (ADVICE r09): without a
+    resolvable pointer EVERY version directory would look unreachable
+    and vacuum would silently destroy the whole index — the same refusal
+    ``ivf_current_dir`` gives probes."""
     import os
     import shutil
 
     ver = ivf_current_version(index_dir)
+    if ver is None:
+        raise FileNotFoundError(
+            f"IVF index {index_dir} has no _CURRENT pointer — refusing to vacuum"
+        )
     dropped = []
     for name in os.listdir(index_dir):
         if not name.startswith("v_"):

@@ -7,7 +7,8 @@ reference gets from pgconn/pglogrepl before any CopyData flows:
 
 - TLS negotiation (§55.2.10): the 8-byte SSLRequest probe before the
   StartupMessage, answered 'S'/'N', with stdlib ``ssl`` wrapping both
-  ends and libpq's sslmode tiers (disable / prefer / require) on the
+  ends and all six of libpq's sslmode tiers (disable / allow / prefer /
+  require / verify-ca / verify-full) on the
   client — the reference gets exactly this from pgx conninfo
   (``config/config.go:31-40``, ``supervisor/supervisor.go:124-147``);
 - the startup handshake (StartupMessage with ``replication=database``,
@@ -607,9 +608,16 @@ class WalsenderReplayServer:
         tls_keyfile: str | None = None,
         require_tls: bool = False,
         auth_method: str = "scram",
+        strip_plus_advertisement: bool = False,
     ):
+        """``strip_plus_advertisement`` simulates a MITM TLS terminator
+        that removes SCRAM-SHA-256-PLUS from the advertised mechanism
+        list (test-only): the verifier still knows PLUS was genuinely
+        available, so a client answering gs2 "y,," trips the RFC 5802 §6
+        downgrade check — the attack the "y" header exists to catch."""
         if auth_method not in ("scram", "md5"):
             raise PgOutputError(f"unsupported auth_method {auth_method!r}")
+        self._strip_plus = strip_plus_advertisement
         self.keepalive_every = keepalive_every
         self._password = password
         self._auth_method = auth_method
@@ -819,7 +827,9 @@ class WalsenderReplayServer:
         success; on failure sends the same ErrorResponse a real server
         does (28P01) and closes."""
         plus_ok = tls_active and self._cert_hash is not None
-        advertised = ([SCRAM_PLUS_MECHANISM] if plus_ok else []) + [SCRAM_MECHANISM]
+        advertised = (
+            [SCRAM_PLUS_MECHANISM] if plus_ok and not self._strip_plus else []
+        ) + [SCRAM_MECHANISM]
         send_wire_message(
             conn,
             b"R",
@@ -1117,7 +1127,7 @@ class ReplicationSession:
     connection into copy-both mode (stream.go:53-68,136-140).
     """
 
-    SSLMODES = ("disable", "prefer", "require", "verify-ca", "verify-full")
+    SSLMODES = ("disable", "allow", "prefer", "require", "verify-ca", "verify-full")
 
     def __init__(
         self,
@@ -1131,18 +1141,25 @@ class ReplicationSession:
         ssl_context: ssl.SSLContext | None = None,
         sslrootcert: str | None = None,
     ):
-        """``sslmode`` follows libpq's tiers the reference inherits from
-        pgx conninfo (config/config.go:31-40): ``disable`` never probes,
-        ``prefer`` probes and falls back to plaintext on 'N', ``require``
-        probes and refuses a plaintext-only server but does NOT verify
-        the peer certificate (exactly libpq's semantics), ``verify-ca``
-        additionally requires the chain to anchor at ``sslrootcert``,
-        and ``verify-full`` also matches the certificate against
-        ``host``. An explicit ``ssl_context`` overrides the built
-        context entirely. ``gs2`` overrides SASL channel-binding header
-        selection (None = automatic: SCRAM-SHA-256-PLUS with
-        tls-server-end-point binding when the tunnel is up and the
-        server advertises it, plain "n,," otherwise)."""
+        """``sslmode`` follows all six of libpq's tiers, which the
+        reference inherits from pgx conninfo (config/config.go:31-40):
+        ``disable`` never probes; ``allow`` tries PLAINTEXT first and
+        only reconnects encrypted when the server refuses the
+        unencrypted startup (the hostssl-only pg_hba 28000 "SSL off"
+        refusal); ``prefer`` probes, falls back to plaintext on 'N'
+        AND — matching libpq, ADVICE r09 — when the TLS handshake
+        itself fails; ``require`` probes and refuses a plaintext-only
+        server but does NOT verify the peer certificate (exactly
+        libpq's semantics); ``verify-ca`` additionally requires the
+        chain to anchor at ``sslrootcert``; ``verify-full`` also
+        matches the certificate against ``host``. An explicit
+        ``ssl_context`` overrides the built context entirely. ``gs2``
+        overrides SASL channel-binding header selection (None =
+        automatic: SCRAM-SHA-256-PLUS with tls-server-end-point binding
+        when the tunnel is up and the server advertises it; "y,," when
+        the tunnel is up but PLUS is absent — so a MITM stripping the
+        PLUS advertisement trips the server's RFC 5802 §6 downgrade
+        check, ADVICE r09; plain "n,," without TLS)."""
         if sslmode not in self.SSLMODES:
             raise PgOutputError(f"unsupported sslmode {sslmode!r}")
         if sslmode.startswith("verify-") and ssl_context is None and sslrootcert is None:
@@ -1151,45 +1168,80 @@ class ReplicationSession:
         self._password = password
         self._gs2 = gs2
         self._scram: ScramClient | None = None
-        self.sock = socket.create_connection((host, port))
-        self.tls_established = False
-        if sslmode != "disable":
-            self.sock.sendall(struct.pack(">ii", 8, SSL_REQUEST_CODE))
-            resp = _recv_exact(self.sock, 1)
-            if resp == b"S":
-                ctx = ssl_context
-                if ctx is None:
-                    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
-                    if sslmode.startswith("verify-"):
-                        ctx.check_hostname = sslmode == "verify-full"
-                        ctx.verify_mode = ssl.CERT_REQUIRED
-                        ctx.load_verify_locations(sslrootcert)
-                    else:
-                        ctx.check_hostname = False
-                        ctx.verify_mode = ssl.CERT_NONE
-                try:
-                    self.sock = ctx.wrap_socket(self.sock, server_hostname=host)
-                except ssl.SSLError as exc:
-                    self.sock.close()
-                    raise PgOutputError(
-                        f"TLS certificate verification failed ({sslmode}): {exc}"
-                    ) from exc
-                self.tls_established = True
-            elif resp == b"N":
-                if sslmode != "prefer":
-                    self.sock.close()
-                    raise PgOutputError(
-                        "server does not support SSL, but "
-                        f"sslmode={sslmode} was given"
-                    )
-                # prefer: continue in plaintext, like libpq
-            else:
-                self.sock.close()
-                raise PgOutputError(f"unexpected SSLRequest response {resp!r}")
-        self.sock.sendall(
-            encode_startup({"user": user, "database": database, "replication": "database"})
+        self._host, self._port = host, port
+        self._sslmode = sslmode
+        self._ssl_context = ssl_context
+        self._sslrootcert = sslrootcert
+        startup = encode_startup(
+            {"user": user, "database": database, "replication": "database"}
         )
+        if sslmode == "allow":
+            # first attempt: plaintext, no probe (libpq's allow order)
+            self.sock = socket.create_connection((host, port))
+            self.tls_established = False
+            try:
+                self.sock.sendall(startup)
+                self._expect_ready()
+                return
+            except WalsenderError as exc:
+                if exc.sqlstate != "28000":
+                    raise
+                # the server wants encryption: reconnect and require it
+                self.sock.close()
+                self._connect("require")
+        else:
+            self._connect(sslmode)
+        self.sock.sendall(startup)
         self._expect_ready()
+
+    def _connect(self, effective_mode: str) -> None:
+        """Open the TCP connection and negotiate (or skip) TLS per the
+        effective sslmode tier. Sets ``self.sock`` / ``self.tls_established``.
+        ``effective_mode`` can differ from the configured ``_sslmode``
+        (allow's encrypted retry runs with require semantics); error
+        text always names the configured mode."""
+        self.sock = socket.create_connection((self._host, self._port))
+        self.tls_established = False
+        if effective_mode == "disable":
+            return
+        self.sock.sendall(struct.pack(">ii", 8, SSL_REQUEST_CODE))
+        resp = _recv_exact(self.sock, 1)
+        if resp == b"S":
+            ctx = self._ssl_context
+            if ctx is None:
+                ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+                if effective_mode.startswith("verify-"):
+                    ctx.check_hostname = effective_mode == "verify-full"
+                    ctx.verify_mode = ssl.CERT_REQUIRED
+                    ctx.load_verify_locations(self._sslrootcert)
+                else:
+                    ctx.check_hostname = False
+                    ctx.verify_mode = ssl.CERT_NONE
+            try:
+                self.sock = ctx.wrap_socket(self.sock, server_hostname=self._host)
+            except ssl.SSLError as exc:
+                self.sock.close()
+                if effective_mode == "prefer":
+                    # libpq's prefer retries in PLAINTEXT when the
+                    # handshake fails, not just on an 'N' answer
+                    # (ADVICE r09) — reconnect without the probe
+                    self.sock = socket.create_connection((self._host, self._port))
+                    return
+                raise PgOutputError(
+                    f"TLS certificate verification failed ({self._sslmode}): {exc}"
+                ) from exc
+            self.tls_established = True
+        elif resp == b"N":
+            if effective_mode != "prefer":
+                self.sock.close()
+                raise PgOutputError(
+                    "server does not support SSL, but "
+                    f"sslmode={self._sslmode} was given"
+                )
+            # prefer: continue in plaintext, like libpq
+        else:
+            self.sock.close()
+            raise PgOutputError(f"unexpected SSLRequest response {resp!r}")
 
     # -- protocol plumbing --
     def _expect_ready(self) -> None:
@@ -1249,8 +1301,16 @@ class ReplicationSession:
                         )
                     elif SCRAM_MECHANISM in mechs:
                         mech = SCRAM_MECHANISM
+                        # over TLS with no PLUS advertised, claim binding
+                        # SUPPORT with gs2 "y,," exactly as libpq does: a
+                        # MITM that stripped the PLUS advertisement is
+                        # then caught by the server's RFC 5802 §6 check
+                        # ("y" while PLUS was advertised = downgrade).
+                        # "n,," here would make that check inert
+                        # (ADVICE r09).
+                        default_gs2 = "y,," if self.tls_established else "n,,"
                         self._scram = ScramClient(
-                            self._user, self._password, self._gs2 or "n,,"
+                            self._user, self._password, self._gs2 or default_gs2
                         )
                     else:
                         raise PgOutputError(f"no common SASL mechanism in {mechs}")

@@ -563,3 +563,86 @@ def test_saslprep_rfc4013_examples():
     # U+0627 U+0031 (ALEF then "1"): bidi requirement 3 violation
     with pytest.raises(PgOutputError, match="RTL"):
         saslprep("ا1")
+
+
+def test_sslmode_allow_stays_plaintext_on_permissive_server():
+    """libpq's allow tier tries PLAINTEXT first: a server that accepts
+    the unencrypted startup never sees an SSLRequest probe."""
+    _, frames = _capture()
+    server = WalsenderReplayServer(frames)
+    s = ReplicationSession("127.0.0.1", server.port, sslmode="allow")
+    assert not s.tls_established
+    assert s.identify_system()["timeline"] == 1
+    s.close()
+    server.close()
+
+
+def test_sslmode_allow_upgrades_when_server_requires_tls(tls_pair):
+    """allow against a hostssl-only server: the plaintext startup gets
+    the 28000 'SSL off' refusal, the client reconnects encrypted, and
+    the full SCRAM-PLUS handshake runs inside the tunnel."""
+    cert, key = tls_pair
+    _, frames = _capture()
+    server = WalsenderReplayServer(
+        frames, password="s3cret", tls_certfile=cert, tls_keyfile=key,
+        require_tls=True,
+    )
+    s = ReplicationSession(
+        "127.0.0.1", server.port, password="s3cret", sslmode="allow"
+    )
+    assert s.tls_established
+    assert s.identify_system()["timeline"] == 1
+    s.close()
+    server.close()
+    assert server.auth_log[-1] == (SCRAM_PLUS_MECHANISM, SCRAM_CBIND_GS2)
+
+
+def test_sslmode_allow_reraises_non_ssl_startup_errors():
+    """allow only retries on the SSL-off refusal: an ordinary startup
+    error (here: bad password posture — server demands SCRAM, client
+    has none) propagates instead of looping."""
+    _, frames = _capture()
+    server = WalsenderReplayServer(frames, password="s3cret")
+    with pytest.raises(PgOutputError, match="no password"):
+        ReplicationSession("127.0.0.1", server.port, sslmode="allow")
+    server.close()
+
+
+def test_sslmode_prefer_falls_back_when_handshake_fails(tls_pair):
+    """ADVICE r09: the server answers 'S' but the handshake dies (the
+    client's strict default context refuses the self-signed cert) —
+    libpq's prefer retries in plaintext rather than raising; only
+    require/verify-* treat a failed handshake as fatal."""
+    import ssl as ssllib
+
+    cert, key = tls_pair
+    _, frames = _capture()
+    server = WalsenderReplayServer(frames, tls_certfile=cert, tls_keyfile=key)
+    strict = ssllib.SSLContext(ssllib.PROTOCOL_TLS_CLIENT)  # CERT_REQUIRED
+    s = ReplicationSession(
+        "127.0.0.1", server.port, sslmode="prefer", ssl_context=strict
+    )
+    assert not s.tls_established
+    assert s.identify_system()["timeline"] == 1
+    s.close()
+    server.close()
+
+
+def test_client_default_y_gs2_catches_stripped_plus(tls_pair):
+    """ADVICE r09: when TLS is up but the advertised mechanism list
+    lacks PLUS (a MITM terminator stripped it), the client now defaults
+    gs2 to 'y,,' exactly as libpq does — and the server half's RFC 5802
+    §6 check refuses the session, surfacing the downgrade instead of
+    silently authenticating unbound."""
+    cert, key = tls_pair
+    _, frames = _capture()
+    server = WalsenderReplayServer(
+        frames, password="s3cret", tls_certfile=cert, tls_keyfile=key,
+        strip_plus_advertisement=True,
+    )
+    with pytest.raises(WalsenderError) as ei:
+        ReplicationSession(
+            "127.0.0.1", server.port, password="s3cret", sslmode="require"
+        )
+    assert ei.value.sqlstate == "28000" and "downgrade" in str(ei.value)
+    server.close()

@@ -728,3 +728,94 @@ def test_ivf_delete_tombstones_then_compact_probe_identical(spark):
     # vacuum drops exactly the unreachable version + its tombstones
     assert vacuum_ivf_index(idx_dir) == ["v_1", "v_1_ts"]
     assert os.path.isdir(os.path.join(idx_dir, "v_2"))
+
+
+def test_ivf_vacuum_refuses_missing_pointer(tmp_path):
+    """ADVICE r09: vacuum on an index whose _CURRENT is missing must be a
+    hard error, not a silent destruction of every version directory."""
+    import os
+
+    import pytest
+
+    from mammoth_spark.functions.similarity import vacuum_ivf_index
+
+    root = str(tmp_path / "ivf")
+    os.makedirs(os.path.join(root, "v_1"))
+    os.makedirs(os.path.join(root, "v_2"))
+    with pytest.raises(FileNotFoundError):
+        vacuum_ivf_index(root)
+    # nothing was deleted by the refused call
+    assert os.path.isdir(os.path.join(root, "v_1"))
+    assert os.path.isdir(os.path.join(root, "v_2"))
+
+
+def test_ivf_probe_honors_tombstones_by_default(spark):
+    """ADVICE r09: a probe that does NOT opt in must still exclude erased
+    vectors — honor_tombstones defaults on (the anti-join is free when no
+    tombstone delta exists)."""
+    from mammoth_spark.functions.similarity import (
+        ann_topk_ivf,
+        build_ivf_index,
+        delete_from_ivf_index,
+        with_norm_and_bucket,
+    )
+    from mammoth_spark.model import read_table
+    from mammoth_spark.scratch import scratch_dir
+
+    emb = read_table(spark, SF, "embeddings")
+    idx_dir = scratch_dir("ivf_default_ts_")
+    build_ivf_index(emb, idx_dir)
+    deleted = emb.filter((F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= 16))
+    delete_from_ivf_index(deleted.select("vec_id"), idx_dir)
+    q = (
+        with_norm_and_bucket(emb)
+        .filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("_norm").alias("q_norm"),
+            F.col("_bucket").alias("q_bucket"),
+        )
+    )
+    del_ids = {r["vec_id"] for r in deleted.select("vec_id").collect()}
+    assert del_ids
+    default_probe = ann_topk_ivf(spark, idx_dir, q)  # no opt-in argument
+    assert not {r["neighbor_id"] for r in default_probe.collect()} & del_ids
+    # the audit opt-OUT still sees pre-erasure state
+    audit = ann_topk_ivf(spark, idx_dir, q, honor_tombstones=False)
+    assert {r["neighbor_id"] for r in audit.collect()} & del_ids
+
+
+def test_ivf_delete_retries_on_concurrent_pointer_swap(spark, monkeypatch, tmp_path):
+    """ADVICE r09: a compaction pointer swap racing delete_from_ivf_index
+    must not lose the erasure — the append re-checks _CURRENT and retries
+    against the new version; a version that never stabilizes is a hard
+    error rather than a silently dropped tombstone batch."""
+    import os
+
+    import pytest
+
+    from mammoth_spark.functions import similarity as sim
+    from mammoth_spark.model import local_df
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "ivf")
+    os.makedirs(root)
+    ids = local_df(
+        spark, [(1,)], T.StructType([T.StructField("vec_id", T.LongType())])
+    )
+
+    # one swap mid-append: first check sees v1, post-write check sees v2,
+    # retry lands in v2_ts and the second post-write check confirms v2
+    seq = iter([1, 2, 2, 2])
+    monkeypatch.setattr(sim, "ivf_current_version", lambda d: next(seq))
+    sim.delete_from_ivf_index(ids, root)
+    assert os.path.isdir(os.path.join(root, "v_2_ts"))
+
+    # a pointer that never stabilizes exhausts the bounded retries
+    import itertools
+
+    counter = itertools.count(10)
+    monkeypatch.setattr(sim, "ivf_current_version", lambda d: next(counter))
+    with pytest.raises(RuntimeError, match="re-driven"):
+        sim.delete_from_ivf_index(ids, root)
