@@ -32,22 +32,29 @@ import re
 # The round whose contract registry.DRIVER_EXPORT currently encodes.
 # Bump this (and regenerate the export with `python tools/rotation_ledger.py
 # --cut`) at the start of each round.
-CONTRACT_ROUND = 9
+CONTRACT_ROUND = 10
 
 # Queries whose implementation paths were refactored AFTER their last
 # driver row and must re-verify on the current tree before anything
-# else already-green. Round 9: compact_exact's rename-overflow path was
-# rewritten (driver union-find fallback replaced by distributed
-# pointer-jumping connected components, VERDICT r08 residual #2), so
-# the exact-compaction flagship re-verifies on the current tree. (All
-# four r08 flagships re-verified green in r08 and rotated out.) Drop
-# entries once they hold a row on the current tree.
+# else already-green. Round 10 touched two result-producing paths:
+# (a) the MOR target and the foreachBatch dispatch grew TOAST tri-state
+# and TxnCatalog membership (ParquetMorTarget.read rewritten with a
+# flagged per-column resolution branch and a manifest parameter;
+# ChangeLogPipeline._apply_batch restructured for flagged/txn-MOR
+# routing) — every query whose rows flow through those sites
+# re-verifies; (b) the IVF erasure surface changed behavior
+# (honor_tombstones default, tombstone-append retry, vacuum pointer
+# guard) — the delete/compact queries re-verify. (The r09 flagships
+# cdc_compact_exact and streaming_cdc_apply re-verified green in r09;
+# streaming_cdc_apply re-enters because its pipeline body changed
+# again.) Drop entries once they hold a row on the current tree.
 FLAGSHIPS: list[str] = [
-    "cdc_compact_exact",
-    # round 9: the streaming-apply body was extracted into a shared
-    # helper when the MOR variant registered — same plan, but the
-    # result-producing code moved, so the COW flagship re-verifies too
     "streaming_cdc_apply",
+    "streaming_cdc_apply_mor",
+    "merge_on_read_equiv",
+    "wal_batch_pipeline",
+    "ann_index_delete",
+    "ann_index_compact",
 ]
 
 CONTRACT_SIZE = 50

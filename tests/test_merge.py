@@ -216,8 +216,13 @@ def test_mor_equals_cow_and_survives_compact(spark, sf_dir, tmp_path):
     assert mor._manifest()["deltas"] == 2
     mor.compact()
     assert mor._manifest()["deltas"] == 0
-    removed = mor.vacuum()
+    # default retention keeps the PREVIOUS generation (a reader that
+    # resolved the pre-compact manifest keeps its files, VERDICT r09
+    # residual #1) — only an explicit keep_generations=1 collapses it
+    assert mor.vacuum() == []
+    removed = mor.vacuum(keep_generations=1)
     assert any(n.startswith("delta_") for n in removed)
+    assert any(n.startswith("base_v") for n in removed)
     assert as_dict(mor.read()) == cow_state
 
 
@@ -253,3 +258,158 @@ def test_mor_net_nothing_chain_still_tombstones(spark, tmp_path):
     mor.write_delta(compact_for_mor(batch, ["key"], ["vm"]))
     state = {r["key"]: r["vm"] for r in mor.read().collect()}
     assert state == {2: 21}
+
+
+# ---- TOAST tri-state through the merge-on-read path (VERDICT r09 #1) ----
+#
+# The reference's compaction scenarios
+# (multi_row_action_test.go:10-377) extended to the MOR form: each valid
+# chain is applied BOTH as copy-on-write (compact_last_wins_flagged ->
+# change_flatten -> merge_upsert_flagged, the reference MERGE CASE) and
+# as merge-on-read (compact_for_mor_flagged -> write_delta -> read-time
+# per-column resolution), and the end states must be identical. The
+# invalid-pair scenarios stay pinned on the exact fold
+# (tests/test_compact.py) — the fast paths assume valid chains by
+# contract, on both storage strategies alike.
+
+from pyspark.sql import types as _T
+
+_CELL = _T.StructType(
+    [
+        _T.StructField("v", _T.StringType()),
+        _T.StructField("is_null", _T.BooleanType()),
+        _T.StructField("is_unchanged", _T.BooleanType()),
+    ]
+)
+_FLOG = _T.StructType(
+    [
+        _T.StructField("seq", _T.LongType()),
+        _T.StructField("key", _T.StringType()),
+        _T.StructField("kind", _T.StringType()),
+        _T.StructField("a", _CELL),
+        _T.StructField("b", _CELL),
+    ]
+)
+_FBASE = _T.StructType(
+    [
+        _T.StructField("key", _T.StringType()),
+        _T.StructField("a", _T.StringType()),
+        _T.StructField("b", _T.StringType()),
+    ]
+)
+
+
+def _c(v=None, is_null=False, is_unchanged=False):
+    return (v, is_null, is_unchanged)
+
+
+# (name, base rows, batches of (seq, key, kind, a_cell, b_cell), expected)
+_TOAST_SCENARIOS = [
+    (
+        # (I,U) -> I; the update leaves b unchanged -> inherits the
+        # insert's b WITHIN the batch (multi_row_action.go:121-127)
+        "insert_update_inherits_within_batch",
+        [],
+        [[(1, "10", "INSERT", _c("x"), _c("p")),
+          (2, "10", "UPDATE", _c("y"), _c(is_unchanged=True))]],
+        {"10": ("y", "p")},
+    ),
+    (
+        # (I,D) -> net nothing on a fresh key: absent on both strategies
+        # (the MOR tombstone resolves to absence)
+        "insert_delete_nets_nothing",
+        [("5", "base-a", "base-b")],
+        [[(1, "10", "INSERT", _c("x"), _c("p")),
+          (2, "10", "DELETE", None, None)]],
+        {"5": ("base-a", "base-b")},
+    ),
+    (
+        # (U,U): last wins per column; b unchanged in the SECOND update
+        # inherits the first's value; a unchanged in BOTH updates
+        # inherits the BASE's value (the cross-chain resolution)
+        "update_update_unchanged_inherits_base",
+        [("10", "base-a", "base-b")],
+        [[(1, "10", "UPDATE", _c(is_unchanged=True), _c("b1")),
+          (2, "10", "UPDATE", _c(is_unchanged=True), _c(is_unchanged=True))]],
+        {"10": ("base-a", "b1")},
+    ),
+    (
+        # (U,D) -> DELETE: the base row dies even though the U carried values
+        "update_delete_nets_delete",
+        [("10", "base-a", "base-b"), ("11", "keep-a", "keep-b")],
+        [[(1, "10", "UPDATE", _c("x"), _c("y")),
+          (2, "10", "DELETE", None, None)]],
+        {"11": ("keep-a", "keep-b")},
+    ),
+    (
+        # (D,I) -> UPDATE with the insert's values (re-born row)
+        "delete_insert_nets_update",
+        [("10", "old-a", "old-b")],
+        [[(1, "10", "DELETE", None, None),
+          (2, "10", "INSERT", _c("new-a"), _c("new-b"))]],
+        {"10": ("new-a", "new-b")},
+    ),
+    (
+        # unchanged ACROSS epochs: epoch 1 sets a, epoch 2's update
+        # leaves a unchanged -> inherited down the delta chain at read
+        "unchanged_across_epochs",
+        [("10", "base-a", "base-b")],
+        [[(1, "10", "UPDATE", _c("a1"), _c(is_unchanged=True))],
+         [(2, "10", "UPDATE", _c(is_unchanged=True), _c("b2"))]],
+        {"10": ("a1", "b2")},
+    ),
+    (
+        # explicit NULL is NOT unchanged: a later unchanged inherits the
+        # NULL, never resurrects the base value (tri-state, not 2-state)
+        "explicit_null_then_unchanged",
+        [("10", "base-a", "base-b")],
+        [[(1, "10", "UPDATE", _c(is_null=True), _c("b1"))],
+         [(2, "10", "UPDATE", _c(is_unchanged=True), _c(is_unchanged=True))]],
+        {"10": (None, "b1")},
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,base_rows,batches,expected", _TOAST_SCENARIOS, ids=[s[0] for s in _TOAST_SCENARIOS]
+)
+def test_toast_scenarios_cow_equals_mor(spark, tmp_path, name, base_rows, batches, expected):
+    from mammoth_spark.operators import compact_last_wins_flagged
+    from mammoth_spark.sources.target import (
+        ParquetMergeTarget,
+        ParquetMorTarget,
+        compact_for_mor_flagged,
+    )
+
+    base = spark.createDataFrame(base_rows, _FBASE)
+
+    cow = ParquetMergeTarget(spark, str(tmp_path / "cow"), ["key"], ["a", "b"])
+    cow.initialize(base)
+    mor = ParquetMorTarget(spark, str(tmp_path / "mor"), ["key"], ["a", "b"], flagged=True)
+    mor.initialize(base)
+
+    for rows in batches:
+        batch = spark.createDataFrame(rows, _FLOG)
+        compacted = compact_last_wins_flagged(batch, ["key"], ["a", "b"]).drop(
+            "last_seq", "n_actions"
+        )
+        flat = change_flatten(compacted, ["key"], ["a", "b"], flagged=True)
+        cow.write(flat, flagged=True)
+        mor.write_delta(compact_for_mor_flagged(batch, ["key"], ["a", "b"]))
+
+    as_dict = lambda df: {r["key"]: (r["a"], r["b"]) for r in df.collect()}  # noqa: E731
+    cow_state, mor_state = as_dict(cow.read()), as_dict(mor.read())
+    assert cow_state == expected
+    assert mor_state == expected
+
+    # parity must survive the OPTIMIZE fold (materializes the tri-state
+    # resolution into a fresh base) and a follow-up all-unchanged epoch
+    mor.compact()
+    assert as_dict(mor.read()) == expected
+    if expected:
+        k = sorted(expected)[0]
+        post = spark.createDataFrame(
+            [(99, k, "UPDATE", _c(is_unchanged=True), _c(is_unchanged=True))], _FLOG
+        )
+        mor.write_delta(compact_for_mor_flagged(post, ["key"], ["a", "b"]))
+        assert as_dict(mor.read()) == expected

@@ -484,6 +484,57 @@ def test_mor_read_is_one_keyed_reduction(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_mor_flagged_read_is_still_one_keyed_reduction(spark, tmp_path):
+    """The flagged (TOAST tri-state) reconciling read resolves EVERY
+    value column independently down the delta chain, yet still costs ONE
+    keyed exchange: the per-column resolution is extra max_by aggregates
+    over the SAME groupBy — no second shuffle, no window sort, no UDF —
+    so the TOAST semantics are free at the plan level (VERDICT r09 #1)."""
+    from pyspark.sql import types as T
+
+    from mammoth_spark.sources.target import ParquetMorTarget, compact_for_mor_flagged
+
+    cell = T.StructType(
+        [
+            T.StructField("v", T.StringType()),
+            T.StructField("is_null", T.BooleanType()),
+            T.StructField("is_unchanged", T.BooleanType()),
+        ]
+    )
+    log_t = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("a", cell),
+            T.StructField("b", cell),
+        ]
+    )
+    mor = ParquetMorTarget(spark, str(tmp_path / "morf"), ["key"], ["a", "b"], flagged=True)
+    mor.initialize(
+        spark.createDataFrame(
+            [("1", "x", "y")],
+            T.StructType(
+                [
+                    T.StructField("key", T.StringType()),
+                    T.StructField("a", T.StringType()),
+                    T.StructField("b", T.StringType()),
+                ]
+            ),
+        )
+    )
+    for seq in (10, 20):
+        batch = spark.createDataFrame(
+            [(seq, "1", "UPDATE", ("a%d" % seq, False, False), (None, False, True))],
+            log_t,
+        )
+        mor.write_delta(compact_for_mor_flagged(batch, ["key"], ["a", "b"]))
+    plan = _executed_plan(mor.read())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_conversion_funnel_broadcasts_shrinking_stages(spark):
     """Funnel joins resolve to broadcasts at test scale: stage 1's set is
     optimizer-chosen (no hint — it is proportional to the user

@@ -815,3 +815,87 @@ def test_mor_auto_compact_bounds_read_amplification(spark, tmp_path):
     pipeline.run_available()
     assert target._manifest() == {"base": 1, "deltas": 1}
     assert {r["key"]: r["name"] for r in target.read().collect()} == {"2": "b2"}
+
+
+def test_flagged_pipeline_toast_cow_equals_mor(spark, tmp_path):
+    """TOAST tri-state END TO END through the streaming loop (VERDICT
+    r09 #1): a flagged change stream (cells carrying unchanged / explicit
+    NULL) applied through the SAME ChangeLogPipeline to a copy-on-write
+    target (per-column MERGE CASE) and a flagged merge-on-read target
+    (per-column read-time resolution) must converge to the identical
+    state — including a column whose value was set in epoch 1 and
+    carried `unchanged` through every later epoch (inheritance across
+    the delta chain), and parity must survive a mid-stream compact()."""
+    from mammoth_spark.sources.target import ParquetMorTarget
+
+    def cell(v=None, is_null=False, is_unchanged=False):
+        return {"v": v, "is_null": is_null, "is_unchanged": is_unchanged}
+
+    def chg(lsn, seq, kind, key, a=None, b=None):
+        return {
+            "lsn": lsn, "seq": seq, "schema": "public", "tbl": "users",
+            "kind": kind, "key": str(key), "rel_cols": ["a", "b"],
+            "a": a, "b": b,
+        }
+
+    seed = spark.createDataFrame(
+        [("1", "a-base", "b-base"), ("2", "a2", "b2")],
+        T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField("a", T.StringType()),
+                T.StructField("b", T.StringType()),
+            ]
+        ),
+    )
+    batches = [
+        ("b1.json", [
+            # key 1: set a, leave b unchanged (b must stay b-base)
+            chg(10, 1, "UPDATE", 1, cell("a-new"), cell(is_unchanged=True)),
+            # key 3: fresh insert, fully valued
+            chg(10, 2, "INSERT", 3, cell("a3"), cell("b3")),
+        ]),
+        ("b2.json", [
+            # key 1: explicit NULL on b, a unchanged (a stays a-new)
+            chg(20, 3, "UPDATE", 1, cell(is_unchanged=True), cell(is_null=True)),
+            # key 2: delete a base row
+            chg(20, 4, "DELETE", 2),
+            # key 3: both unchanged -> whole row inherited
+            chg(20, 5, "UPDATE", 3, cell(is_unchanged=True), cell(is_unchanged=True)),
+        ]),
+        ("b3.json", [
+            # key 1: a still unchanged THREE epochs after it was set
+            chg(30, 6, "UPDATE", 1, cell(is_unchanged=True), cell("b-final")),
+        ]),
+    ]
+    expected = {"1": ("a-new", "b-final"), "3": ("a3", "b3")}
+
+    ends = {}
+    for flavor in ("cow", "mor"):
+        src = str(tmp_path / flavor / "changes")
+        os.makedirs(src, exist_ok=True)
+        if flavor == "cow":
+            target = ParquetMergeTarget(spark, str(tmp_path / flavor / "tgt"), ["key"], ["a", "b"])
+        else:
+            target = ParquetMorTarget(
+                spark, str(tmp_path / flavor / "tgt"), ["key"], ["a", "b"], flagged=True
+            )
+        target.initialize(seed)
+        pipeline = ChangeLogPipeline(
+            spark,
+            source_dir=src,
+            checkpoint_dir=str(tmp_path / flavor / "ckpt"),
+            targets={"users": target},
+            value_cols=["a", "b"],
+            flagged=True,
+        )
+        for i, (name, rows) in enumerate(batches):
+            write_changes(src, name, rows)
+            pipeline.run_available()
+            if flavor == "mor" and i == 1:
+                # OPTIMIZE mid-stream: materializes the resolution; the
+                # next epoch's unchanged cells must inherit across it
+                target.compact()
+        ends[flavor] = {r["key"]: (r["a"], r["b"]) for r in target.read().collect()}
+
+    assert ends["cow"] == ends["mor"] == expected

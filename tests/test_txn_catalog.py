@@ -269,3 +269,218 @@ def test_crash_between_catalog_commit_and_checkpoint(spark, tmp_path):
     assert _state(cat, "users") == {
         "1": "Taylor Swift", "2": "Van The Man", "3": "Joni",
     }
+
+
+# ---- MOR tables inside the cross-table commit (VERDICT r09 #2) ----
+
+
+from mammoth_spark.sources.target import ParquetMorTarget, compact_for_mor
+
+MCHG = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def _mor_chg(spark, rows):
+    """Compacted MOR delta frame (kind/last_seq preserved) from raw rows."""
+    return compact_for_mor(spark.createDataFrame(rows, MCHG), ["key"], ["name"])
+
+
+@pytest.fixture
+def mixed_catalog(spark, tmp_path):
+    """One COW table + one MOR table under the same catalog."""
+    targets = {
+        "users": ParquetMergeTarget(spark, str(tmp_path / "users"), ["key"], ["name"]),
+        "plays": ParquetMorTarget(spark, str(tmp_path / "plays"), ["key"], ["name"]),
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "catalog"), targets)
+    cat.initialize(
+        {
+            "users": spark.createDataFrame([("1", "Taylor Swift")], KV),
+            "plays": spark.createDataFrame([("p1", "song-a")], KV),
+        }
+    )
+    return cat
+
+
+def test_mixed_cow_mor_one_txn_commits_all(spark, mixed_catalog):
+    """One epoch touching a COW and a MOR table lands as ONE manifest
+    swap: the COW side stages a merged version, the MOR side stages an
+    O(batch) delta, and both become visible together."""
+    cat = mixed_catalog
+    out = cat.apply_txn(
+        {
+            "users": _chg(spark, [("2", "UPSERT", "Van Morrison")]),
+            "plays": _mor_chg(spark, [(1, "p2", "INSERT", "song-b"),
+                                      (2, "p1", "DELETE", None)]),
+        },
+        epoch=0,
+    )
+    assert out == {"users": 2, "plays": {"base": 0, "deltas": 1}}
+    assert _state(cat, "users") == {"1": "Taylor Swift", "2": "Van Morrison"}
+    assert _state(cat, "plays") == {"p2": "song-b"}
+    m = cat.manifest()
+    assert m == {
+        "epoch": 0,
+        "versions": {"users": 2},
+        "mor": {"plays": {"base": 0, "deltas": 1}},
+    }
+    # redelivery of the committed epoch is refused for BOTH strategies
+    assert cat.apply_txn(
+        {"plays": _mor_chg(spark, [(9, "p9", "INSERT", "x")])}, epoch=0
+    ) is None
+    assert _state(cat, "plays") == {"p2": "song-b"}
+
+
+def test_crash_between_mor_delta_writes_is_invisible(spark, tmp_path):
+    """Two MOR tables in one catalog; the second table's delta stage
+    crashes. The manifest never moves, so readers see ALL-old state —
+    the staged first delta is an unreferenced orphan — and the retried
+    epoch overwrites the orphan slot in place and commits both."""
+    targets = {
+        t: ParquetMorTarget(spark, str(tmp_path / t), ["key"], ["name"])
+        for t in ("plays", "skips")
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "catalog"), targets)
+    cat.initialize(
+        {
+            "plays": spark.createDataFrame([("p1", "song-a")], KV),
+            "skips": spark.createDataFrame([("s1", "song-z")], KV),
+        }
+    )
+    m_before = cat.manifest()
+
+    @F.udf(T.StringType())
+    def boom(_):
+        raise RuntimeError("simulated crash during skips delta stage")
+
+    failing = _mor_chg(spark, [(3, "s2", "INSERT", "x")]).withColumn(
+        "name", boom(F.col("key"))
+    )
+    with pytest.raises(Exception, match="simulated crash|boom|Python"):
+        cat.apply_txn(
+            {
+                "plays": _mor_chg(spark, [(1, "p2", "INSERT", "song-b")]),  # stages OK
+                "skips": failing,
+            },
+            epoch=0,
+        )
+    # all-old: the orphan delta exists on disk but the catalog ignores it
+    assert cat.manifest() == m_before
+    assert _state(cat, "plays") == {"p1": "song-a"}
+    assert _state(cat, "skips") == {"s1": "song-z"}
+    assert os.path.isdir(os.path.join(targets["plays"].root, "delta_0_0"))
+
+    # vacuum sweeps the orphan slot (it is past the committed count)
+    victims = cat.vacuum()
+    assert "plays/delta_0_0" in victims
+
+    # the retried epoch commits both atomically
+    out = cat.apply_txn(
+        {
+            "plays": _mor_chg(spark, [(1, "p2", "INSERT", "song-b")]),
+            "skips": _mor_chg(spark, [(3, "s2", "INSERT", "song-y")]),
+        },
+        epoch=0,
+    )
+    assert out is not None
+    assert _state(cat, "plays") == {"p1": "song-a", "p2": "song-b"}
+    assert _state(cat, "skips") == {"s1": "song-z", "s2": "song-y"}
+
+
+def test_catalog_compact_folds_mor_without_moving_epoch(spark, mixed_catalog):
+    """Catalog-scheduled OPTIMIZE of a MOR member: deltas fold into a
+    fresh base under the catalog manifest, state and epoch unchanged;
+    vacuum retains the previous generation (two-generation retention),
+    and the COW member is refused."""
+    cat = mixed_catalog
+    cat.apply_txn(
+        {"plays": _mor_chg(spark, [(1, "p2", "INSERT", "song-b")])}, epoch=0
+    )
+    cat.apply_txn(
+        {"plays": _mor_chg(spark, [(2, "p1", "DELETE", None)])}, epoch=1
+    )
+    state = _state(cat, "plays")
+    assert state == {"p2": "song-b"}
+    assert cat.manifest()["mor"]["plays"] == {"base": 0, "deltas": 2}
+
+    v = cat.compact("plays")
+    assert v == 1
+    m = cat.manifest()
+    assert m["epoch"] == 1  # maintenance never moves the epoch
+    assert m["mor"]["plays"] == {"base": 1, "deltas": 0}
+    assert _state(cat, "plays") == state
+
+    # previous generation retained by vacuum (reader-safety window)
+    assert cat.vacuum() == []
+    assert os.path.isdir(os.path.join(cat.targets["plays"].root, "base_v0"))
+
+    with pytest.raises(ValueError, match="copy-on-write"):
+        cat.compact("users")
+
+
+def test_mixed_pipeline_commits_cow_and_mor_per_epoch(spark, tmp_path):
+    """ChangeLogPipeline + TxnCatalog over a MIXED target set: one
+    micro-batch touching both tables lands as one catalog commit, and
+    a replay (fresh checkpoint, same epoch) is refused by the recorded
+    epoch for both strategies."""
+    import json
+
+    from mammoth_spark.streaming.pipeline import ChangeLogPipeline
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src, exist_ok=True)
+    targets = {
+        "users": ParquetMergeTarget(spark, str(tmp_path / "users"), ["key"], ["name"]),
+        "plays": ParquetMorTarget(spark, str(tmp_path / "plays"), ["key"], ["name"]),
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "catalog"), targets)
+    cat.initialize(
+        {
+            "users": spark.createDataFrame([("1", "Taylor Swift")], KV),
+            "plays": spark.createDataFrame([("p1", "song-a")], KV),
+        }
+    )
+
+    def chg(lsn, seq, tbl, kind, key, name=None):
+        return {
+            "lsn": lsn, "seq": seq, "schema": "public", "tbl": tbl,
+            "kind": kind, "key": str(key), "name": name, "rel_cols": ["name"],
+        }
+
+    rows = [
+        chg(10, 1, "users", "INSERT", 2, "Van Morrison"),
+        chg(10, 2, "plays", "INSERT", "p2", "song-b"),
+        chg(10, 3, "plays", "DELETE", "p1"),
+    ]
+    with open(os.path.join(src, "b1.json.tmp"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.replace(os.path.join(src, "b1.json.tmp"), os.path.join(src, "b1.json"))
+
+    def make(ckpt):
+        return ChangeLogPipeline(
+            spark,
+            source_dir=src,
+            checkpoint_dir=str(tmp_path / ckpt),
+            targets=targets,
+            value_cols=["name"],
+            txn_catalog=cat,
+        )
+
+    make("ckpt1").run_available()
+    assert _state(cat, "users") == {"1": "Taylor Swift", "2": "Van Morrison"}
+    assert _state(cat, "plays") == {"p2": "song-b"}
+    m = cat.manifest()
+    assert m["epoch"] == 0
+    assert m["mor"]["plays"]["deltas"] == 1
+
+    # fresh checkpoint replays epoch 0: the catalog refuses it — no
+    # version churn on the COW side, no delta growth on the MOR side
+    make("ckpt2").run_available()
+    assert cat.manifest() == m
