@@ -1053,20 +1053,15 @@ def streaming_cdc_apply_mor_toast_q(spark: SparkSession, sf_dir: str) -> DataFra
     return _streaming_cdc_apply_toast(spark, sf_dir, ParquetMorTarget)
 
 
-def _streaming_cdc_apply_toast(spark: SparkSession, sf_dir: str, target_cls) -> DataFrame:
-    """Shared body of the COW/MOR TOAST streaming queries: stage the
-    flagged stream in three seq-ordered epochs, run the flagged pipeline
-    per epoch, return the published table state."""
-    import glob as _glob
-    import os as _os
-
+def _toast_stream_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagged change-stream rows shared by every TOAST query: the
+    normalized valid chains over events with tri-state cells (value_c
+    always explicit on non-DELETE; props_c unchanged on view-UPDATEs,
+    explicit NULL on purchase-UPDATEs, explicit otherwise) — the Spark
+    mirror of _STREAMING_TOAST_ORACLE's `cells` CTE."""
     from pyspark.sql import Window
-    from pyspark.sql import types as T
 
     from .model import kind_column
-    from .scratch import scratch_dir
-    from .sources.target import ParquetMorTarget
-    from .streaming.pipeline import ChangeLogPipeline
 
     ev = read_table(spark, sf_dir, "events")
     log = ev.select(
@@ -1129,7 +1124,7 @@ def _streaming_cdc_apply_toast(spark: SparkSession, sf_dir: str, target_cls) -> 
             )
         ),
     )
-    stream_rows = norm.select(
+    return norm.select(
         "lsn",
         "seq",
         F.lit("public").alias("schema"),
@@ -1140,6 +1135,22 @@ def _streaming_cdc_apply_toast(spark: SparkSession, sf_dir: str, target_cls) -> 
         value_cell.alias("value_c"),
         props_cell.alias("props_c"),
     )
+
+
+def _streaming_cdc_apply_toast(spark: SparkSession, sf_dir: str, target_cls) -> DataFrame:
+    """Shared body of the COW/MOR TOAST streaming queries: stage the
+    flagged stream in three seq-ordered epochs, run the flagged pipeline
+    per epoch, return the published table state."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from .scratch import scratch_dir
+    from .sources.target import ParquetMorTarget
+    from .streaming.pipeline import ChangeLogPipeline
+
+    stream_rows = _toast_stream_rows(spark, sf_dir)
     bounds = stream_rows.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
     cut1 = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 3
     cut2 = bounds["lo"] + 2 * (bounds["hi"] - bounds["lo"]) // 3
@@ -1322,6 +1333,104 @@ def streaming_txn_mixed_targets_q(spark: SparkSession, sf_dir: str) -> DataFrame
     for tbl in ("users_cow", "plays_mor"):
         part = catalog.read(tbl).select(
             F.lit(tbl).alias("tbl"), F.col("key").cast("bigint").alias("key"), "value_c"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+_TOAST_MIXED_ORACLE = _STREAMING_TOAST_ORACLE.replace(
+    "SELECT key, value_c,",
+    "SELECT CASE WHEN key % 2 = 0 THEN 'users_cow' ELSE 'plays_mor' END AS tbl,\n"
+    "       key, value_c,",
+)
+
+
+@register("streaming_txn_mixed_toast", oracle=_TOAST_MIXED_ORACLE)
+def streaming_txn_mixed_toast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRIPLE composition — TOAST tri-state × merge-on-read ×
+    cross-table atomic commit — in one loop: the flagged change stream
+    (same cells as the TOAST twins) fans out to a COW table (even keys,
+    per-column MERGE CASE via merge_upsert_flagged) and a FLAGGED MOR
+    table (odd keys, per-column read-time resolution) under ONE
+    TxnCatalog, two epochs, one manifest swap per epoch publishing both
+    strategies at the same epoch. Each pairwise composition is pinned
+    by its own driver row; this row pins that they compose with each
+    other — the oracle is the TOAST net effect with the same key-parity
+    table split as streaming_txn_mixed_targets."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from .scratch import scratch_dir
+    from .sources.target import ParquetMergeTarget, ParquetMorTarget, TxnCatalog
+    from .streaming.pipeline import ChangeLogPipeline
+
+    stream_rows = _toast_stream_rows(spark, sf_dir).withColumn(
+        "tbl",
+        F.when(F.col("key").cast("bigint") % 2 == 0, F.lit("users_cow")).otherwise(
+            F.lit("plays_mor")
+        ),
+    )
+    bounds = stream_rows.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 2
+
+    targets = {
+        "users_cow": ParquetMergeTarget(
+            spark, scratch_dir(prefix="ttm_cow_"), ["key"], ["value_c", "props_c"]
+        ),
+        "plays_mor": ParquetMorTarget(
+            spark, scratch_dir(prefix="ttm_mor_"), ["key"], ["value_c", "props_c"],
+            flagged=True,
+        ),
+    }
+    catalog = TxnCatalog(spark, scratch_dir(prefix="ttm_cat_"), targets)
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField("value_c", T.StringType()),
+                T.StructField("props_c", T.StringType()),
+            ]
+        ),
+    )
+    catalog.initialize({"users_cow": empty, "plays_mor": empty})
+    src = scratch_dir(prefix="ttm_src_")
+    pipeline = ChangeLogPipeline(
+        spark,
+        src,
+        scratch_dir(prefix="ttm_ckpt_"),
+        targets,
+        ["value_c", "props_c"],
+        txn_catalog=catalog,
+        flagged=True,
+    )
+    for i, (lo, hi) in enumerate([(None, mid), (mid, None)]):
+        part = stream_rows
+        if lo is not None:
+            part = part.filter(F.col("seq") > lo)
+        if hi is not None:
+            part = part.filter(F.col("seq") <= hi)
+        stage = scratch_dir(prefix=f"ttm_epoch{i}_")
+        part.coalesce(2).write.mode("overwrite").json(stage)
+        for j, f in enumerate(sorted(_glob.glob(_os.path.join(stage, "*.json")))):
+            _os.replace(f, _os.path.join(src, f"epoch{i}_{j}.json"))
+        pipeline.run_available()
+        if i == 0:
+            # OPTIMIZE the MOR member mid-stream through the CATALOG
+            # (epoch untouched): epoch 2's unchanged cells must inherit
+            # across the fold exactly as in the standalone MOR query
+            catalog.compact("plays_mor")
+    assert catalog.manifest()["epoch"] == 1
+
+    out = None
+    for tbl in ("users_cow", "plays_mor"):
+        part = catalog.read(tbl).select(
+            F.lit(tbl).alias("tbl"),
+            F.col("key").cast("bigint").alias("key"),
+            "value_c",
+            "props_c",
         )
         out = part if out is None else out.unionByName(part)
     return out
