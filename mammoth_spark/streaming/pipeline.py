@@ -266,15 +266,29 @@ def run_with_restart(
             backfill()
 
 
-def plain_rows_from_change_messages(rows, value_cols: list[str], relation_columns=None):
+def plain_rows_from_change_messages(
+    rows, value_cols: list[str], relation_columns=None, flagged: bool = False
+):
     """Adapt decoded CHANGE_MESSAGE rows (sources.pgoutput.
     decode_to_change_messages — BEGIN/COMMIT framing inline, values as
-    tri-state JSON) to the plain change-log rows ChangeLogPipeline
-    reads: one dict per DML action with the transaction's commit-target
+    tri-state JSON) to the change-log rows ChangeLogPipeline reads: one
+    dict per DML action with the transaction's commit-target
     LSN attached (DML rows carry no LSN of their own on the wire; the
     BEGIN's final_lsn is the transaction's position, the same value the
     reference acks). TRUNCATE is a hard error here exactly as in the
     stateful assembler — the supervisor must resync.
+
+    ``flagged=False`` FLATTENS the tri-state: an unchanged-TOAST cell
+    collapses to SQL NULL, which a plain pipeline then applies as "set
+    NULL" — fine for workloads without TOASTed columns, WRONG for one
+    that carries them. Route TOAST-bearing streams with ``flagged=True``
+    into ``ChangeLogPipeline(flagged=True)``: each value column is then
+    emitted as the full {v, is_null, is_unchanged} cell the decoder
+    produced, and both storage strategies resolve `unchanged` by
+    inheritance (COW via the MERGE CASE, MOR via read-time per-column
+    resolution). An absent column on a non-DELETE action also emits a
+    NULL cell — the unchanged marker — which is the safe default (it
+    inherits rather than clobbers).
 
     ``relation_columns``: the live {tbl: [value col names]} dict that
     ``decode_to_change_messages`` keeps updated from the wire's Relation
@@ -319,5 +333,16 @@ def plain_rows_from_change_messages(rows, value_cols: list[str], relation_column
         }
         for c in value_cols:
             cell = vals.get(c)
-            out[c] = None if cell is None or cell.get("is_null") else cell.get("v")
+            if flagged:
+                out[c] = (
+                    None
+                    if cell is None
+                    else {
+                        "v": cell.get("v"),
+                        "is_null": bool(cell.get("is_null")),
+                        "is_unchanged": bool(cell.get("is_unchanged")),
+                    }
+                )
+            else:
+                out[c] = None if cell is None or cell.get("is_null") else cell.get("v")
         yield out

@@ -198,3 +198,85 @@ def test_full_sync_loop_tls_scram_to_catalog(spark, tmp_path):
     assert users == {"2": "Van The Man"}
     assert albums == {"a": "Astral Weeks", "b": "His Band and the Street Choir"}
     assert cat.manifest()["epoch"] == 1
+
+
+def test_full_sync_loop_toast_unchanged_wire(spark, tmp_path):
+    """TOAST-unchanged columns over the REAL wire (closes the last
+    undisclosed tri-state gap): the pgoutput decoder already preserves
+    the 'u' TupleData kind as is_unchanged cells — this pins that the
+    adapter's flagged mode carries them into ChangeLogPipeline(flagged)
+    intact, and that BOTH storage strategies inherit: the COW MERGE
+    CASE and the flagged-MOR read-time resolution converge on the same
+    state from the same staged batches. The plain (non-flagged) adapter
+    would have collapsed the unchanged bio to SQL NULL — the exact
+    clobber the flagged path exists to prevent."""
+    import pyspark.sql.types as T
+
+    from mammoth_spark.sources.target import ParquetMorTarget
+
+    payloads = [
+        enc_relation(1000, "public", "users", [(1, "id"), (0, "name"), (0, "bio")]),
+        enc_begin(100, 0, 1),
+        enc_insert(1000, ["1", "Taylor", "long-bio-1"]),
+        enc_insert(1000, ["2", "Van", "long-bio-2"]),
+        enc_commit(100, 101, 0),
+        # txn 2: rename user 1, bio TOAST-unchanged (the 'u' kind)
+        enc_begin(200, 0, 2),
+        enc_update(1000, ["1", "Taylor Swift", ...]),
+        enc_commit(200, 201, 0),
+        # txn 3: user 1 name unchanged + bio explicit NULL (tri-state,
+        # not 2-state); user 2 renamed with bio still unchanged
+        enc_begin(300, 0, 3),
+        enc_update(1000, ["1", ..., None]),
+        enc_update(1000, ["2", "Van Morrison", ...]),
+        enc_commit(300, 301, 0),
+    ]
+    frames = [encode_xlog_data(XLogData(5, 301, 0, p)) for p in payloads]
+    server = ReplayServer(frames)
+    client = SocketReplicationClient("127.0.0.1", server.port, "slot_toast")
+    wire_payloads = [v for k, v in client.stream() if k == "payload"]
+    client.close()
+    server.close()
+
+    msgs = list(decode_to_change_messages(wire_payloads))
+    plain = list(
+        plain_rows_from_change_messages(msgs, ["name", "bio"], flagged=True)
+    )
+    # the wire preserved the tri-state end to end: txn 2's update (the
+    # first UPDATE row) carries bio as the unchanged marker, not NULL
+    upd1 = next(r for r in plain if r["kind"] == "UPDATE")
+    assert upd1["bio"] == {"v": None, "is_null": False, "is_unchanged": True}
+    batches = list(batches_from_plain_rows(plain, batch_max_items=2))
+    assert len(batches) == 2  # txn1 closes batch 1; txn2+txn3 close batch 2
+
+    expected = {"1": ("Taylor Swift", None), "2": ("Van Morrison", "long-bio-2")}
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField(c, T.StringType()) for c in ("id", "name", "bio")]
+        ),
+    )
+    for flavor in ("cow", "mor"):
+        src = str(tmp_path / flavor / "staged")
+        stage_batches(batches, src)
+        if flavor == "cow":
+            target = ParquetMergeTarget(
+                spark, str(tmp_path / flavor / "tgt"), ["id"], ["name", "bio"]
+            )
+        else:
+            target = ParquetMorTarget(
+                spark, str(tmp_path / flavor / "tgt"), ["id"], ["name", "bio"],
+                flagged=True,
+            )
+        target.initialize(empty)
+        ChangeLogPipeline(
+            spark,
+            source_dir=src,
+            checkpoint_dir=str(tmp_path / flavor / "ckpt"),
+            targets={"users": target},
+            value_cols=["name", "bio"],
+            max_files_per_trigger=1,
+            flagged=True,
+        ).run_available()
+        state = {r["id"]: (r["name"], r["bio"]) for r in target.read().collect()}
+        assert state == expected, (flavor, state)
