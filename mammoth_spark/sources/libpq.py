@@ -260,6 +260,14 @@ class WalsenderError(PgOutputError):
 # has no binding) and "y" (client supports it but sees the server does
 # not), and rejects "p=..." per RFC 5802 §6. A "y" gs2 arriving when
 # PLUS *was* advertised is a downgrade attack and is refused.
+#
+# Binding type: tls-server-end-point ONLY — deliberately. RFC 9266's
+# tls-exporter binding needs TLS keying-material export
+# (RFC 8446 §7.5 / RFC 5705), which Python's stdlib ``ssl`` does not
+# expose; PostgreSQL itself also negotiates only
+# tls-server-end-point (its channel_binding parameter), so the
+# reference's conninfo path never exercises tls-exporter either. The
+# absence is a documented boundary, not an oversight.
 
 SCRAM_MECHANISM = "SCRAM-SHA-256"
 SCRAM_PLUS_MECHANISM = "SCRAM-SHA-256-PLUS"

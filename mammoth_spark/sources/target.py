@@ -617,10 +617,27 @@ class TxnCatalog:
                 merged.write.mode("overwrite").parquet(t._version_dir(v))
                 new_versions[tbl] = v
         self._publish(self._mk_manifest(epoch, new_versions, new_mor))
-        return {
+        # honor the automatic OPTIMIZE cadence for catalog-managed MOR
+        # members: under a catalog write_delta never runs (staging goes
+        # through this method), so the target's compact_every would
+        # otherwise be silently dead. The data epoch commits FIRST
+        # (above); each fold is its own maintenance swap, epoch
+        # untouched — a crash between them costs nothing but a deferred
+        # fold.
+        result = {
             t: (new_mor[t] if self._is_mor(self.targets[t]) else new_versions[t])
             for t in compacted_by_table
         }
+        for tbl in compacted_by_table:
+            t = self.targets[tbl]
+            if (
+                self._is_mor(t)
+                and t.compact_every is not None
+                and new_mor[tbl]["deltas"] >= t.compact_every
+            ):
+                v = self.compact(tbl)
+                result[tbl] = {"base": v, "deltas": 0}
+        return result
 
     def compact(self, tbl: str) -> int:
         """OPTIMIZE one catalog-managed MOR table: fold its deltas (as

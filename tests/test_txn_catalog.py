@@ -484,3 +484,93 @@ def test_mixed_pipeline_commits_cow_and_mor_per_epoch(spark, tmp_path):
     # version churn on the COW side, no delta growth on the MOR side
     make("ckpt2").run_available()
     assert cat.manifest() == m
+
+
+def test_catalog_honors_mor_compact_cadence(spark, tmp_path):
+    """A MOR member built with compact_every must keep its automatic
+    OPTIMIZE cadence under a catalog: write_delta never runs there
+    (apply_txn stages directly), so the catalog folds after the data
+    epoch commits — read amplification stays bounded by the cadence for
+    catalog-managed tables exactly as for standalone ones."""
+    targets = {
+        "plays": ParquetMorTarget(
+            spark, str(tmp_path / "plays"), ["key"], ["name"], compact_every=2
+        )
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "catalog"), targets)
+    cat.initialize({"plays": spark.createDataFrame([("p1", "song-a")], KV)})
+
+    out = cat.apply_txn(
+        {"plays": _mor_chg(spark, [(1, "p2", "INSERT", "song-b")])}, epoch=0
+    )
+    assert out == {"plays": {"base": 0, "deltas": 1}}
+
+    # the second delta hits the bound: the epoch commits, then the fold
+    out = cat.apply_txn(
+        {"plays": _mor_chg(spark, [(2, "p1", "DELETE", None)])}, epoch=1
+    )
+    assert out == {"plays": {"base": 1, "deltas": 0}}
+    m = cat.manifest()
+    assert m["epoch"] == 1
+    assert m["mor"]["plays"] == {"base": 1, "deltas": 0}
+    assert _state(cat, "plays") == {"p2": "song-b"}
+
+
+def test_flagged_mor_auto_compact_cadence(spark, tmp_path):
+    """flagged x compact_every: the automatic fold MATERIALIZES the
+    tri-state resolution mid-stream, and a later all-unchanged delta
+    still inherits across the fold boundary."""
+    from pyspark.sql import types as T
+
+    from mammoth_spark.sources.target import compact_for_mor_flagged
+
+    cell = T.StructType(
+        [
+            T.StructField("v", T.StringType()),
+            T.StructField("is_null", T.BooleanType()),
+            T.StructField("is_unchanged", T.BooleanType()),
+        ]
+    )
+    log_t = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("a", cell),
+            T.StructField("b", cell),
+        ]
+    )
+    mor = ParquetMorTarget(
+        spark, str(tmp_path / "m"), ["key"], ["a", "b"], compact_every=2, flagged=True
+    )
+    mor.initialize(
+        spark.createDataFrame(
+            [("1", "a0", "b0")],
+            T.StructType(
+                [
+                    T.StructField("key", T.StringType()),
+                    T.StructField("a", T.StringType()),
+                    T.StructField("b", T.StringType()),
+                ]
+            ),
+        )
+    )
+
+    def delta(rows):
+        return compact_for_mor_flagged(
+            spark.createDataFrame(rows, log_t), ["key"], ["a", "b"]
+        )
+
+    mor.write_delta(delta([(1, "1", "UPDATE", ("a1", False, False), (None, False, True))]))
+    assert mor._manifest() == {"base": 0, "deltas": 1}
+    # second delta triggers the fold: resolution (a1, b0) materializes
+    mor.write_delta(delta([(2, "1", "UPDATE", (None, False, True), ("b2", False, False))]))
+    assert mor._manifest() == {"base": 1, "deltas": 0}
+    base = {
+        r["key"]: (r["a"], r["b"])
+        for r in spark.read.parquet(str(tmp_path / "m" / "base_v1")).collect()
+    }
+    assert base == {"1": ("a1", "b2")}
+    # post-fold all-unchanged delta inherits the materialized state
+    mor.write_delta(delta([(3, "1", "UPDATE", (None, False, True), (None, False, True))]))
+    assert {r["key"]: (r["a"], r["b"]) for r in mor.read().collect()} == {"1": ("a1", "b2")}
