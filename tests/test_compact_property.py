@@ -210,3 +210,172 @@ def test_lsh_more_bands_is_superset_recall(spark, sf_dir):
     }
     assert base <= wide
     assert len(base) > 0
+
+
+# ---------------------------------------------------------------------------
+# TOAST tri-state: COW MERGE CASE == MOR read-time resolution == ground truth
+# ---------------------------------------------------------------------------
+
+
+def _toast_cell(rng, allow_unchanged):
+    if allow_unchanged and rng.random() < 0.35:
+        return {"v": None, "is_null": False, "is_unchanged": True}
+    if rng.random() < 0.2:
+        return {"v": None, "is_null": True, "is_unchanged": False}
+    return {"v": str(rng.randrange(100)), "is_null": False, "is_unchanged": False}
+
+
+def _toast_chain(rng, key):
+    """One stable-identity valid chain: INSERT (concrete cells), then
+    UPDATEs (cells may be unchanged / explicit NULL / values), optional
+    DELETE, optional resurrection via a fresh fully-valued INSERT."""
+    actions = []
+    alive = False
+    for _ in range(rng.randrange(1, 6)):
+        if not alive:
+            actions.append(
+                ("INSERT", key,
+                 {c: _toast_cell(rng, allow_unchanged=False) for c in ("a", "b")})
+            )
+            alive = True
+            continue
+        if rng.random() < 0.25:
+            actions.append(("DELETE", key, None))
+            alive = False
+            continue
+        actions.append(
+            ("UPDATE", key,
+             {c: _toast_cell(rng, allow_unchanged=True) for c in ("a", "b")})
+        )
+    return actions
+
+
+def _toast_ground_truth(rows):
+    """Sequential per-action fold of the reference CASE: unchanged
+    inherits the current value, is_null sets NULL, else the new value;
+    DELETE removes the row (multi_row_action.go + snowflake_target.go:552)."""
+    state = {}
+    for _, key, kind, cells in sorted(rows):
+        if kind == "DELETE":
+            state.pop(key, None)
+            continue
+        row = dict(state.get(key) or {"a": None, "b": None})
+        for c, cell in cells.items():
+            if cell["is_unchanged"]:
+                continue
+            row[c] = None if cell["is_null"] else cell["v"]
+        state[key] = row
+    return {k: (v["a"], v["b"]) for k, v in state.items()}
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_toast_cow_equals_mor_equals_ground_truth(spark, tmp_path_factory, seed):
+    """For random valid TOAST chains split at ARBITRARY micro-batch
+    boundaries, three implementations must agree exactly: the COW path
+    (compact_last_wins_flagged -> change_flatten -> merge_upsert_flagged
+    per batch), the MOR path (compact_for_mor_flagged -> write_delta ->
+    per-column read-time resolution, with an OPTIMIZE fold at a random
+    boundary), and a sequential Python fold of the reference CASE. This
+    generalizes the 7 hand-written scenarios to the whole valid-chain
+    space, including unchanged-after-resurrection and explicit-NULL-
+    then-unchanged interleavings the goldens don't reach."""
+    from mammoth_spark.operators import (
+        change_flatten,
+        compact_last_wins_flagged,
+        merge_upsert_flagged,
+    )
+    from mammoth_spark.sources.target import ParquetMorTarget, compact_for_mor_flagged
+
+    rng = random.Random(seed)
+    chains = [_toast_chain(rng, str(k)) for k in range(rng.randrange(1, 6))]
+    merged = []
+    idx = [0] * len(chains)
+    while any(i < len(c) for i, c in zip(idx, chains)):
+        live = [j for j, c in enumerate(chains) if idx[j] < len(c)]
+        j = rng.choice(live)
+        merged.append(chains[j][idx[j]])
+        idx[j] += 1
+    rows = [
+        (seq, key, kind, cells)
+        for seq, (kind, key, cells) in enumerate(merged, start=1)
+    ]
+    expected = _toast_ground_truth(rows)
+
+    # random contiguous batch boundaries (1-4 batches)
+    n_batches = rng.randrange(1, min(4, len(rows)) + 1)
+    cuts = sorted(rng.sample(range(1, len(rows)), n_batches - 1)) if n_batches > 1 else []
+    bounds = [0] + cuts + [len(rows)]
+    batches = [rows[lo:hi] for lo, hi in zip(bounds, bounds[1:])]
+    compact_after = rng.randrange(0, len(batches))  # MOR fold position
+
+    cell_t = T.StructType(
+        [
+            T.StructField("v", T.StringType()),
+            T.StructField("is_null", T.BooleanType()),
+            T.StructField("is_unchanged", T.BooleanType()),
+        ]
+    )
+    log_t = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("a", cell_t),
+            T.StructField("b", cell_t),
+        ]
+    )
+
+    def to_df(batch):
+        return local_df(
+            spark,
+            [
+                (
+                    seq,
+                    key,
+                    kind,
+                    None if cells is None else tuple(cells["a"].values()),
+                    None if cells is None else tuple(cells["b"].values()),
+                )
+                for seq, key, kind, cells in batch
+            ],
+            log_t,
+        )
+
+    # COW: in-memory target frame, per-batch flagged MERGE
+    cow = local_df(
+        spark,
+        [],
+        T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField("a", T.StringType()),
+                T.StructField("b", T.StringType()),
+            ]
+        ),
+    )
+    mor = ParquetMorTarget(
+        spark,
+        str(tmp_path_factory.mktemp(f"toastprop{seed}")),
+        ["key"],
+        ["a", "b"],
+        flagged=True,
+    )
+    mor.initialize(cow)
+    for i, batch in enumerate(batches):
+        bdf = to_df(batch)
+        compacted = compact_last_wins_flagged(bdf, ["key"], ["a", "b"]).drop(
+            "last_seq", "n_actions"
+        )
+        flat = change_flatten(compacted, ["key"], ["a", "b"], flagged=True)
+        cow = merge_upsert_flagged(cow, flat, ["key"], ["a", "b"]).localCheckpoint(
+            eager=True
+        )
+        mor.write_delta(compact_for_mor_flagged(bdf, ["key"], ["a", "b"]))
+        if i == compact_after:
+            mor.compact()
+
+    as_dict = lambda df: {r["key"]: (r["a"], r["b"]) for r in df.collect()}  # noqa: E731
+    assert as_dict(cow) == expected
+    assert as_dict(mor.read()) == expected
