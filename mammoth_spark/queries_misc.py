@@ -516,6 +516,23 @@ def streaming_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _streaming_cdc_apply(spark, sf_dir, ParquetMergeTarget)
 
 
+@register("streaming_cdc_apply_bucketed", oracle=_STREAMING_CDC_ORACLE)
+def streaming_cdc_apply_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME end-to-end stream applied through the BUCKETED
+    copy-on-write target (ParquetBucketedTarget) — the third storage
+    strategy, completing the triad: whole-table COW rewrites the table
+    per epoch (write ∝ table), merge-on-read appends deltas (read pays
+    a keyed reduction), bucketed COW rewrites ONLY the key-buckets the
+    epoch touches (write ∝ touched fraction, read stays a plain scan).
+    One manifest swap per epoch keeps the all-old-or-all-new guarantee;
+    untouched buckets' files are never read or rewritten
+    (tests/test_merge.py pins file-set invariance). Same oracle as the
+    other two strategies — the driver pins the three-way equivalence."""
+    from .sources.target import ParquetBucketedTarget
+
+    return _streaming_cdc_apply(spark, sf_dir, ParquetBucketedTarget)
+
+
 @register("streaming_cdc_apply_mor", oracle=_STREAMING_CDC_ORACLE)
 def streaming_cdc_apply_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME end-to-end stream applied through the merge-on-read

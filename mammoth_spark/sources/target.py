@@ -466,6 +466,204 @@ class ParquetMorTarget:
         return sorted(victims)
 
 
+class ParquetBucketedTarget:
+    """Bucketed copy-on-write — the third storage strategy, between
+    whole-table COW (write ∝ table) and merge-on-read (read pays a keyed
+    reduction). Keys hash into ``n_buckets`` fixed buckets; each bucket
+    is its own little versioned store (``b<k>/v_<n>/``), and one epoch
+    rewrites ONLY the buckets its keys touch — write cost ∝ the touched
+    fraction of the table, read cost identical to plain COW (a multi-path
+    parquet scan, no reconciliation). This is the Hudi-COW-file-group /
+    Iceberg-overwrite-by-partition shape: at 100 TB with 10^4 buckets a
+    25k-row micro-batch touches at most 25k buckets' worth of data, not
+    100 TB.
+
+    Atomicity is ONE manifest swap: ``_MANIFEST`` maps every bucket to
+    its current version; staging writes land in per-bucket version dirs
+    the manifest doesn't reference yet, so a crash mid-epoch leaves
+    readers on the all-old manifest (same discipline as
+    ParquetMergeTarget's pointer and TxnCatalog's catalog swap). The
+    bucket count is fixed at initialize (re-bucketing is a rebuild, as
+    with any hash-partitioned store); the bucket function is
+    xxhash64-based and identical across epochs, so the touched-bucket
+    set is a pure function of the batch's keys.
+
+    Same ``initialize/read/write`` surface as ParquetMergeTarget, so
+    ChangeLogPipeline dispatches to it unchanged (it is "a COW target"
+    to the loop — just one whose rewrite is bucket-pruned).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols: list[str],
+        value_cols: list[str],
+        n_buckets: int = 16,
+    ):
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        self.spark = spark
+        self.root = root
+        self.key_cols = key_cols
+        self.value_cols = value_cols
+        self.n_buckets = n_buckets
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_MANIFEST")
+
+    def _manifest(self) -> dict:
+        import json
+
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"n_buckets": self.n_buckets, "buckets": {}}
+
+    def _publish(self, manifest: dict) -> None:
+        import json
+
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_MANIFEST.")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)
+
+    def _bucket_dir(self, b: int, version: int) -> str:
+        return os.path.join(self.root, f"b{b}", f"v_{version}")
+
+    def _bucket_col(self):
+        from pyspark.sql import functions as F
+
+        return F.pmod(
+            F.xxhash64(F.concat_ws("\x1f", *[F.col(k) for k in self.key_cols])),
+            F.lit(self.n_buckets),
+        ).cast("int")
+
+    def _stage_partitioned(self, df: DataFrame) -> tuple[str, list[int]]:
+        """Write ``df`` partitioned by bucket into a scratch dir; return
+        (stage dir, buckets present). One distributed job; the per-bucket
+        directory moves afterwards are driver-side renames bounded by
+        n_buckets, never data copies."""
+        import glob as _glob
+
+        stage = tempfile.mkdtemp(dir=self.root, prefix="_stage_")
+        df.withColumn("_b", self._bucket_col()).write.mode("overwrite").partitionBy(
+            "_b"
+        ).parquet(stage)
+        present = sorted(
+            int(os.path.basename(p).split("=")[1])
+            for p in _glob.glob(os.path.join(stage, "_b=*"))
+        )
+        return stage, present
+
+    # -- Target interface ---------------------------------------------------
+    def initialize(self, df: DataFrame) -> None:
+        import shutil
+
+        m = self._manifest()
+        stage, present = self._stage_partitioned(df)
+        buckets = {}
+        for b in range(self.n_buckets):
+            v = int(m["buckets"].get(str(b), 0)) + 1
+            src = os.path.join(stage, f"_b={b}")
+            dst = self._bucket_dir(b, v)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if b in present:
+                os.replace(src, dst)
+            else:
+                # empty bucket: a valid empty parquet dir keeps read()
+                # schema-stable (write an empty slice once)
+                df.limit(0).write.mode("overwrite").parquet(dst)
+            buckets[str(b)] = v
+        shutil.rmtree(stage, ignore_errors=True)
+        self._publish({"n_buckets": self.n_buckets, "buckets": buckets})
+
+    def _current_paths(self, only: list[int] | None = None) -> list[str]:
+        m = self._manifest()
+        if not m["buckets"]:
+            raise FileNotFoundError(f"bucketed target {self.root} not initialized")
+        bs = range(self.n_buckets) if only is None else only
+        return [self._bucket_dir(b, int(m["buckets"][str(b)])) for b in bs]
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Full-table read (or a bucket-pruned read): a plain multi-path
+        parquet scan — no reconciliation, no keyed reduction; the COW
+        read shape at any scale."""
+        return self.spark.read.parquet(*self._current_paths(buckets))
+
+    def write(self, compacted: DataFrame, flagged: bool = False) -> dict[int, int]:
+        """Apply one compacted micro-batch: MERGE only the buckets the
+        batch's keys hash into, stage their new versions, swap the
+        manifest ONCE. Untouched buckets' files are not read, not
+        rewritten, not even listed. Returns {bucket: new version}."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        m = self._manifest()
+        if not m["buckets"]:
+            raise FileNotFoundError(f"bucketed target {self.root} not initialized")
+        key_src = (
+            compacted.select(
+                *[F.col(f"_identity_{k}").alias(k) for k in self.key_cols]
+            )
+            if flagged
+            else compacted
+        )
+        touched = sorted(
+            r["_b"]
+            for r in key_src.select(self._bucket_col().alias("_b")).distinct().collect()
+        )
+        if not touched:
+            return {}
+        target = self.read(touched)
+        if flagged:
+            merged = merge_upsert_flagged(target, compacted, self.key_cols, self.value_cols)
+        else:
+            merged = merge_upsert(target, compacted, self.key_cols, self.value_cols)
+        stage, present = self._stage_partitioned(merged)
+        new_buckets = dict(m["buckets"])
+        out = {}
+        for b in touched:
+            v = int(new_buckets[str(b)]) + 1
+            src = os.path.join(stage, f"_b={b}")
+            dst = self._bucket_dir(b, v)
+            if os.path.isdir(src):
+                os.replace(src, dst)
+            else:
+                # every key of this bucket was deleted by the batch
+                merged.limit(0).write.mode("overwrite").parquet(dst)
+            new_buckets[str(b)] = v
+            out[b] = v
+        shutil.rmtree(stage, ignore_errors=True)
+        self._publish({"n_buckets": self.n_buckets, "buckets": new_buckets})
+        return out
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Per-bucket retention, same contract as ParquetMergeTarget."""
+        import shutil
+
+        m = self._manifest()
+        victims = []
+        for b in range(self.n_buckets):
+            cur = int(m["buckets"].get(str(b), 0))
+            bdir = os.path.join(self.root, f"b{b}")
+            if not os.path.isdir(bdir):
+                continue
+            for name in sorted(os.listdir(bdir)):
+                if not name.startswith("v_"):
+                    continue
+                v = int(name[2:])
+                if v != cur and v <= cur - keep_last:
+                    victims.append(f"b{b}/{name}")
+                    shutil.rmtree(os.path.join(bdir, name))
+        return sorted(victims)
+
+
 class TxnCatalog:
     """Cross-table single-transaction apply (A15 upgraded; closes the
     round-5 verdict's "missing #2").
