@@ -1355,6 +1355,155 @@ def streaming_txn_mixed_targets_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+@register(
+    "streaming_txn_triple_strategy",
+    oracle=f"""
+WITH change_log AS (
+  SELECT event_id AS seq, {EVENTS_KIND_SQL} AS kind,
+         CAST(user_id AS BIGINT) AS key, value
+  FROM events
+),
+norm AS (
+  SELECT key, seq, value, kind AS orig_kind,
+         row_number() OVER (PARTITION BY key ORDER BY seq) AS rn,
+         count(*) OVER (PARTITION BY key) AS cnt
+  FROM change_log
+),
+valid AS (
+  SELECT key, seq, value,
+         CASE WHEN rn = 1 THEN 'INSERT'
+              WHEN rn = cnt AND orig_kind = 'DELETE' THEN 'DELETE'
+              ELSE 'UPDATE' END AS kind
+  FROM norm
+),
+agg AS (
+  SELECT key, arg_max(kind, seq) AS last_kind,
+         CAST(CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 100)
+              AS BIGINT) AS VARCHAR) AS value_c
+  FROM valid GROUP BY key
+)
+SELECT CASE WHEN key % 3 = 0 THEN 'users_cow'
+            WHEN key % 3 = 1 THEN 'plays_mor'
+            ELSE 'items_bucketed' END AS tbl,
+       key, value_c
+FROM agg WHERE last_kind <> 'DELETE'
+""",
+)
+def streaming_txn_triple_strategy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL THREE storage strategies inside ONE cross-table atomic
+    commit: the change stream fans out to a plain copy-on-write table
+    (key % 3 = 0), a merge-on-read table (= 1), and a bucketed
+    copy-on-write table (= 2) under one TxnCatalog, applied in two
+    micro-batch epochs. Per epoch the COW side stages a whole-table
+    merged version, the MOR side an O(batch) delta, the bucketed side
+    new versions for only its touched buckets — and ONE catalog-manifest
+    swap publishes all three at the same epoch (the reference's single
+    warehouse transaction over every table of a batch,
+    snowflake_target.go:283-340, whatever each table's storage shape).
+    The returned union of the three tables' final states must equal the
+    one-shot net effect — the driver pins that no strategy diverges and
+    no epoch tears."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from .scratch import scratch_dir
+    from .sources.target import (
+        ParquetBucketedTarget,
+        ParquetMergeTarget,
+        ParquetMorTarget,
+        TxnCatalog,
+    )
+    from .streaming.pipeline import ChangeLogPipeline
+
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "lsn", "seq", "key", "kind", "value"
+    )
+    w = Window.partitionBy("key").orderBy("seq")
+    wall = Window.partitionBy("key")
+    norm = log.select(
+        "lsn",
+        "seq",
+        "key",
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+        "kind",
+    )
+    stream_rows = norm.select(
+        "lsn",
+        "seq",
+        F.lit("public").alias("schema"),
+        F.when(F.col("key") % 3 == 0, F.lit("users_cow"))
+        .when(F.col("key") % 3 == 1, F.lit("plays_mor"))
+        .otherwise(F.lit("items_bucketed"))
+        .alias("tbl"),
+        F.when(F.col("rn") == 1, F.lit("INSERT"))
+        .when((F.col("rn") == F.col("cnt")) & (F.col("kind") == "DELETE"), F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("kind"),
+        F.col("key").cast("string").alias("key"),
+        F.array(F.lit("value_c")).alias("rel_cols"),
+        "value_c",
+    )
+    mid = stream_rows.agg(
+        ((F.min("seq") + F.max("seq")) / 2).cast("long").alias("m")
+    ).first()["m"]
+
+    targets = {
+        "users_cow": ParquetMergeTarget(
+            spark, scratch_dir(prefix="tri_cow_"), ["key"], ["value_c"]
+        ),
+        "plays_mor": ParquetMorTarget(
+            spark, scratch_dir(prefix="tri_mor_"), ["key"], ["value_c"]
+        ),
+        "items_bucketed": ParquetBucketedTarget(
+            spark, scratch_dir(prefix="tri_bkt_"), ["key"], ["value_c"], n_buckets=8
+        ),
+    }
+    catalog = TxnCatalog(spark, scratch_dir(prefix="tri_cat_"), targets)
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
+        ),
+    )
+    catalog.initialize(
+        {"users_cow": empty, "plays_mor": empty, "items_bucketed": empty}
+    )
+    src = scratch_dir(prefix="tri_stream_src_")
+    pipeline = ChangeLogPipeline(
+        spark,
+        src,
+        scratch_dir(prefix="tri_ckpt_"),
+        targets,
+        ["value_c"],
+        txn_catalog=catalog,
+    )
+    import glob as _glob
+    import os as _os
+
+    for i, (lo, hi) in enumerate([(None, mid), (mid, None)]):
+        part = stream_rows
+        if lo is not None:
+            part = part.filter(F.col("seq") > lo)
+        if hi is not None:
+            part = part.filter(F.col("seq") <= hi)
+        stage = scratch_dir(prefix=f"tri_epoch{i}_")
+        part.coalesce(2).write.mode("overwrite").json(stage)
+        for j, f in enumerate(sorted(_glob.glob(_os.path.join(stage, "*.json")))):
+            _os.replace(f, _os.path.join(src, f"epoch{i}_{j}.json"))
+        pipeline.run_available()
+    assert catalog.manifest()["epoch"] == 1  # two epochs, one commit each
+
+    out = None
+    for tbl in ("users_cow", "plays_mor", "items_bucketed"):
+        part = catalog.read(tbl).select(
+            F.lit(tbl).alias("tbl"), F.col("key").cast("bigint").alias("key"), "value_c"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 _TOAST_MIXED_ORACLE = _STREAMING_TOAST_ORACLE.replace(
     "SELECT key, value_c,",
     "SELECT CASE WHEN key % 2 = 0 THEN 'users_cow' ELSE 'plays_mor' END AS tbl,\n"

@@ -560,52 +560,61 @@ class ParquetBucketedTarget:
         )
         return stage, present
 
-    # -- Target interface ---------------------------------------------------
-    def initialize(self, df: DataFrame) -> None:
+    def _move_version(self, src: str, dst: str) -> None:
+        """Move a staged bucket version into place. An existing ``dst``
+        is a crash orphan — a directory staged by an epoch that died
+        before its manifest swap, so NO manifest (this target's or a
+        TxnCatalog's) has ever referenced it; the retried epoch clears
+        it and stages fresh (the MOR analog is mode(overwrite) on the
+        delta slot)."""
         import shutil
 
-        m = self._manifest()
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.replace(src, dst)
+
+    # -- staging (publish-free, so a TxnCatalog can own the commit) --------
+    def stage_full(self, df: DataFrame, base: dict) -> dict:
+        """Stage a FULL-table state into fresh per-bucket version dirs
+        (every bucket advances past ``base``; empty buckets get a
+        schema-stable empty slice). Nothing becomes visible here — the
+        returned ``{bucket: version}`` map takes effect only when some
+        manifest (this target's ``_MANIFEST`` or a catalog's
+        ``_CATALOG``) is swapped to reference it."""
+        import shutil
+
         stage, present = self._stage_partitioned(df)
         buckets = {}
         for b in range(self.n_buckets):
-            v = int(m["buckets"].get(str(b), 0)) + 1
+            v = int(base.get(str(b), 0)) + 1
             src = os.path.join(stage, f"_b={b}")
             dst = self._bucket_dir(b, v)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
             if b in present:
-                os.replace(src, dst)
+                self._move_version(src, dst)
             else:
                 # empty bucket: a valid empty parquet dir keeps read()
                 # schema-stable (write an empty slice once)
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
                 df.limit(0).write.mode("overwrite").parquet(dst)
             buckets[str(b)] = v
         shutil.rmtree(stage, ignore_errors=True)
-        self._publish({"n_buckets": self.n_buckets, "buckets": buckets})
+        return buckets
 
-    def _current_paths(self, only: list[int] | None = None) -> list[str]:
-        m = self._manifest()
-        if not m["buckets"]:
-            raise FileNotFoundError(f"bucketed target {self.root} not initialized")
-        bs = range(self.n_buckets) if only is None else only
-        return [self._bucket_dir(b, int(m["buckets"][str(b)])) for b in bs]
-
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Full-table read (or a bucket-pruned read): a plain multi-path
-        parquet scan — no reconciliation, no keyed reduction; the COW
-        read shape at any scale."""
-        return self.spark.read.parquet(*self._current_paths(buckets))
-
-    def write(self, compacted: DataFrame, flagged: bool = False) -> dict[int, int]:
-        """Apply one compacted micro-batch: MERGE only the buckets the
-        batch's keys hash into, stage their new versions, swap the
-        manifest ONCE. Untouched buckets' files are not read, not
-        rewritten, not even listed. Returns {bucket: new version}."""
+    def stage_merge(
+        self, compacted: DataFrame, base: dict, flagged: bool = False
+    ) -> tuple[dict, dict[int, int]]:
+        """MERGE one compacted micro-batch against the state ``base``
+        references and stage new versions for ONLY the touched buckets
+        (untouched buckets' files are not read, not rewritten, not even
+        listed). Publish-free like ``stage_full``; returns
+        ``(full updated map, {touched bucket: new version})``."""
         import shutil
 
         from pyspark.sql import functions as F
 
-        m = self._manifest()
-        if not m["buckets"]:
+        if not base:
             raise FileNotFoundError(f"bucketed target {self.root} not initialized")
         key_src = (
             compacted.select(
@@ -618,28 +627,64 @@ class ParquetBucketedTarget:
             r["_b"]
             for r in key_src.select(self._bucket_col().alias("_b")).distinct().collect()
         )
+        new_buckets = dict(base)
         if not touched:
-            return {}
-        target = self.read(touched)
+            return new_buckets, {}
+        target = self.read_map(base, touched)
         if flagged:
             merged = merge_upsert_flagged(target, compacted, self.key_cols, self.value_cols)
         else:
             merged = merge_upsert(target, compacted, self.key_cols, self.value_cols)
         stage, present = self._stage_partitioned(merged)
-        new_buckets = dict(m["buckets"])
         out = {}
         for b in touched:
             v = int(new_buckets[str(b)]) + 1
             src = os.path.join(stage, f"_b={b}")
             dst = self._bucket_dir(b, v)
             if os.path.isdir(src):
-                os.replace(src, dst)
+                self._move_version(src, dst)
             else:
                 # every key of this bucket was deleted by the batch
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
                 merged.limit(0).write.mode("overwrite").parquet(dst)
             new_buckets[str(b)] = v
             out[b] = v
         shutil.rmtree(stage, ignore_errors=True)
+        return new_buckets, out
+
+    def read_map(self, bucket_map: dict, buckets: list[int] | None = None) -> DataFrame:
+        """Read the state an explicit ``{bucket: version}`` map references
+        (a TxnCatalog passes its own map; standalone ``read`` passes the
+        target's manifest). A plain multi-path parquet scan either way."""
+        if not bucket_map:
+            raise FileNotFoundError(f"bucketed target {self.root} not initialized")
+        bs = range(self.n_buckets) if buckets is None else buckets
+        return self.spark.read.parquet(
+            *[self._bucket_dir(b, int(bucket_map[str(b)])) for b in bs]
+        )
+
+    # -- Target interface ---------------------------------------------------
+    def initialize(self, df: DataFrame) -> None:
+        m = self._manifest()
+        buckets = self.stage_full(df, m["buckets"])
+        self._publish({"n_buckets": self.n_buckets, "buckets": buckets})
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Full-table read (or a bucket-pruned read): a plain multi-path
+        parquet scan — no reconciliation, no keyed reduction; the COW
+        read shape at any scale."""
+        return self.read_map(self._manifest()["buckets"], buckets)
+
+    def write(self, compacted: DataFrame, flagged: bool = False) -> dict[int, int]:
+        """Apply one compacted micro-batch: MERGE only the buckets the
+        batch's keys hash into, stage their new versions, swap the
+        manifest ONCE. Untouched buckets' files are not read, not
+        rewritten, not even listed. Returns {bucket: new version}."""
+        m = self._manifest()
+        new_buckets, out = self.stage_merge(compacted, m["buckets"], flagged=flagged)
+        if not out:
+            return {}
         self._publish({"n_buckets": self.n_buckets, "buckets": new_buckets})
         return out
 
@@ -699,9 +744,21 @@ class TxnCatalog:
     into ``delta_<base>_<i>`` exactly as standalone, but become visible
     only at the catalog swap). The ``mor`` key is present only when MOR
     tables exist, so pre-round-10 catalog manifests parse unchanged.
+
+    Bucketed copy-on-write tables join the same commit (closing the
+    storage-strategy matrix the round-10 triad opened): the catalog
+    manifest holds ``bucketed: {table: {bucket: version}}`` — the same
+    per-bucket map a standalone ``ParquetBucketedTarget`` keeps in its
+    own ``_MANIFEST``, lifted into the catalog so the bucket-version
+    advance of N tables lands in ONE swap. The write-side pruning
+    survives the catalog: an epoch stages new versions for only the
+    buckets its keys hash into (reading only those buckets back), so a
+    catalog member keeps write cost ∝ touched fraction while gaining
+    all-tables-at-one-epoch reads. Like MOR members, a catalog-managed
+    bucketed table's own ``_MANIFEST`` is never written.
     """
 
-    def __init__(self, spark: SparkSession, root: str, targets: dict[str, ParquetMergeTarget]):
+    def __init__(self, spark: SparkSession, root: str, targets: dict):
         self.spark = spark
         self.root = root
         self.targets = targets
@@ -712,10 +769,16 @@ class TxnCatalog:
         return hasattr(target, "write_delta")
 
     @staticmethod
-    def _mk_manifest(epoch, versions: dict, mor: dict) -> dict:
+    def _is_bucketed(target) -> bool:
+        return hasattr(target, "stage_merge")
+
+    @staticmethod
+    def _mk_manifest(epoch, versions: dict, mor: dict, bucketed: dict | None = None) -> dict:
         m = {"epoch": epoch, "versions": versions}
         if mor:
             m["mor"] = mor
+        if bucketed:
+            m["bucketed"] = bucketed
         return m
 
     @property
@@ -742,18 +805,23 @@ class TxnCatalog:
     def initialize(self, snapshots: dict[str, DataFrame]) -> None:
         """Backfill all tables, then one catalog commit at epoch -1 (so
         epoch 0, the first micro-batch, is never mistaken for a
-        redelivery). MOR tables backfill into ``base_v0``."""
+        redelivery). MOR tables backfill into ``base_v0``; bucketed
+        tables stage a full per-bucket generation the catalog map (not
+        the target's own manifest) references."""
         versions = {}
         mor = {}
+        bucketed = {}
         for tbl, df in snapshots.items():
             t = self.targets[tbl]
             if self._is_mor(t):
                 df.write.mode("overwrite").parquet(t._base_dir(0))
                 mor[tbl] = {"base": 0, "deltas": 0}
+            elif self._is_bucketed(t):
+                bucketed[tbl] = t.stage_full(df, {})
             else:
                 df.write.mode("overwrite").parquet(t._version_dir(1))
                 versions[tbl] = 1
-        self._publish(self._mk_manifest(-1, versions, mor))
+        self._publish(self._mk_manifest(-1, versions, mor, bucketed))
 
     def read(self, tbl: str) -> DataFrame:
         m = self.manifest()
@@ -763,6 +831,11 @@ class TxnCatalog:
             if tbl not in mor:
                 raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
             return t.read(manifest=mor[tbl])
+        if self._is_bucketed(t):
+            bucketed = m.get("bucketed", {})
+            if tbl not in bucketed:
+                raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
+            return t.read_map(bucketed[tbl])
         if tbl not in m["versions"]:
             raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
         return self.targets[tbl].read_version(m["versions"][tbl])
@@ -779,12 +852,17 @@ class TxnCatalog:
         expensive, crash-prone span, and nothing is visible yet), then
         commit ONCE. COW tables stage a merged rewrite into a fresh
         version directory; MOR tables stage an O(batch) delta into the
-        next ``delta_<base>_<i>`` slot — a crash between two MOR delta
-        writes leaves only directories the catalog never references, and
-        a redelivered epoch re-stages with mode(overwrite) before being
-        refused at the commit check, so orphans self-heal. Returns the
-        new {table: version | {base, deltas}} map, or None when the
-        epoch was already applied (at-least-once redelivery).
+        next ``delta_<base>_<i>`` slot; bucketed tables stage new
+        versions for only the buckets the batch touches (reading only
+        those buckets back — the write-∝-touched-fraction trade
+        survives the catalog). A crash anywhere in the staging span
+        leaves only directories the catalog never references, and a
+        redelivered epoch re-stages (mode(overwrite) deltas; orphan
+        bucket dirs cleared by ``_move_version``) before being refused
+        at the commit check, so orphans self-heal. Returns the new
+        {table: version | {base, deltas} | {bucket: version}} map, or
+        None when the epoch was already applied (at-least-once
+        redelivery).
 
         ``flagged``: tri-state TOAST batches — COW frames must then be
         ``change_flatten(flagged=True)`` staging rows, MOR frames
@@ -794,6 +872,8 @@ class TxnCatalog:
             return None  # redelivered epoch: the commit record says done
         new_versions = dict(m["versions"])
         new_mor = {k: dict(v) for k, v in m.get("mor", {}).items()}
+        new_bucketed = {k: dict(v) for k, v in m.get("bucketed", {}).items()}
+        touched_buckets: dict[str, dict[int, int]] = {}
         for tbl, compacted in compacted_by_table.items():
             t = self.targets[tbl]
             if self._is_mor(t):
@@ -803,6 +883,12 @@ class TxnCatalog:
                     *t.key_cols, "kind", "last_seq", *t.value_cols
                 ).write.mode("overwrite").parquet(t._delta_dir(mm["base"], i))
                 new_mor[tbl] = {"base": mm["base"], "deltas": i + 1}
+            elif self._is_bucketed(t):
+                new_map, touched = t.stage_merge(
+                    compacted, new_bucketed[tbl], flagged=flagged
+                )
+                new_bucketed[tbl] = new_map
+                touched_buckets[tbl] = touched
             else:
                 current = self.read(tbl)
                 if flagged:
@@ -814,7 +900,7 @@ class TxnCatalog:
                 v = new_versions[tbl] + 1
                 merged.write.mode("overwrite").parquet(t._version_dir(v))
                 new_versions[tbl] = v
-        self._publish(self._mk_manifest(epoch, new_versions, new_mor))
+        self._publish(self._mk_manifest(epoch, new_versions, new_mor, new_bucketed))
         # honor the automatic OPTIMIZE cadence for catalog-managed MOR
         # members: under a catalog write_delta never runs (staging goes
         # through this method), so the target's compact_every would
@@ -822,10 +908,14 @@ class TxnCatalog:
         # (above); each fold is its own maintenance swap, epoch
         # untouched — a crash between them costs nothing but a deferred
         # fold.
-        result = {
-            t: (new_mor[t] if self._is_mor(self.targets[t]) else new_versions[t])
-            for t in compacted_by_table
-        }
+        result = {}
+        for t in compacted_by_table:
+            if self._is_mor(self.targets[t]):
+                result[t] = new_mor[t]
+            elif self._is_bucketed(self.targets[t]):
+                result[t] = touched_buckets[t]
+            else:
+                result[t] = new_versions[t]
         for tbl in compacted_by_table:
             t = self.targets[tbl]
             if (
@@ -893,6 +983,28 @@ class TxnCatalog:
                     if gen < oldest_kept or orphan_delta:
                         victims.append(f"{tbl}/{name}")
                         shutil.rmtree(full)
+                continue
+            if self._is_bucketed(t):
+                bm = m.get("bucketed", {}).get(tbl)
+                if bm is None:
+                    continue
+                # per-bucket two-version retention (current + previous,
+                # the ParquetMergeTarget keep_last=2 window) so a reader
+                # holding the previous catalog manifest keeps its files;
+                # versions ABOVE current are crash orphans (never
+                # referenced by any committed catalog) and are swept
+                for b in range(t.n_buckets):
+                    cur = int(bm.get(str(b), 0))
+                    bdir = os.path.join(t.root, f"b{b}")
+                    if not os.path.isdir(bdir):
+                        continue
+                    for name in sorted(os.listdir(bdir)):
+                        if not name.startswith("v_"):
+                            continue
+                        v = int(name[2:])
+                        if v <= cur - 2 or v > cur:
+                            victims.append(f"{tbl}/b{b}/{name}")
+                            shutil.rmtree(os.path.join(bdir, name))
                 continue
             keep = m["versions"].get(tbl)
             for v in t.versions():

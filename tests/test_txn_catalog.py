@@ -574,3 +574,277 @@ def test_flagged_mor_auto_compact_cadence(spark, tmp_path):
     # post-fold all-unchanged delta inherits the materialized state
     mor.write_delta(delta([(3, "1", "UPDATE", (None, False, True), (None, False, True))]))
     assert {r["key"]: (r["a"], r["b"]) for r in mor.read().collect()} == {"1": ("a1", "b2")}
+
+
+# ---- bucketed COW tables inside the cross-table commit (round 10) ----
+
+
+from mammoth_spark.sources.target import ParquetBucketedTarget
+
+
+@pytest.fixture
+def bucketed_catalog(spark, tmp_path):
+    """One plain-COW table + one bucketed-COW table under one catalog."""
+    targets = {
+        "users": ParquetMergeTarget(spark, str(tmp_path / "users"), ["key"], ["name"]),
+        "items": ParquetBucketedTarget(
+            spark, str(tmp_path / "items"), ["key"], ["name"], n_buckets=4
+        ),
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "catalog"), targets)
+    cat.initialize(
+        {
+            "users": spark.createDataFrame([("1", "Taylor Swift")], KV),
+            "items": spark.createDataFrame(
+                [(f"i{k}", f"name-{k}") for k in range(8)], KV
+            ),
+        }
+    )
+    return cat
+
+
+def _bucket_files(root, n_buckets):
+    import glob
+
+    return {
+        b: set(glob.glob(os.path.join(root, f"b{b}", "**", "*.parquet"), recursive=True))
+        for b in range(n_buckets)
+    }
+
+
+def test_bucketed_member_one_txn_commits_all(spark, bucketed_catalog):
+    """A bucketed-COW table joins the single-swap commit: the epoch
+    stages new versions for ONLY its touched buckets (untouched
+    buckets' file sets are bit-for-bit unmoved — the write ∝
+    touched-fraction claim survives the catalog), the catalog manifest
+    carries the per-bucket map, the member's own _MANIFEST is never
+    written, and redelivery is refused."""
+    cat = bucketed_catalog
+    items = cat.targets["items"]
+    before = _bucket_files(items.root, 4)
+    out = cat.apply_txn(
+        {
+            "users": _chg(spark, [("2", "UPSERT", "Van Morrison")]),
+            "items": _chg(spark, [("i3", "UPSERT", "renamed-3")]),
+        },
+        epoch=0,
+    )
+    assert out["users"] == 2
+    # exactly the buckets key i3 hashes into advanced (here: one)
+    assert list(out["items"].values()) == [2]
+    after = _bucket_files(items.root, 4)
+    for b in range(4):
+        if b in out["items"]:
+            assert after[b] != before[b]
+        else:
+            assert after[b] == before[b]  # untouched bucket: not rewritten
+    assert _state(cat, "users") == {"1": "Taylor Swift", "2": "Van Morrison"}
+    state = _state(cat, "items")
+    assert state["i3"] == "renamed-3" and state["i5"] == "name-5" and len(state) == 8
+    m = cat.manifest()
+    assert m["epoch"] == 0 and set(m["bucketed"]["items"]) == {"0", "1", "2", "3"}
+    # the catalog record is the bucketed member's ONLY commit record
+    assert not os.path.exists(items._manifest_path)
+    # redelivery of the committed epoch is refused for the bucketed side too
+    assert (
+        cat.apply_txn({"items": _chg(spark, [("i9", "UPSERT", "x")])}, epoch=0) is None
+    )
+    assert "i9" not in _state(cat, "items")
+
+
+def test_crash_after_bucketed_stage_is_invisible(spark, bucketed_catalog):
+    """Bucketed table stages first, then the COW table's stage crashes:
+    the manifest never moves, readers see ALL-old state, the staged
+    bucket versions are unreferenced orphans, and the retried epoch
+    self-heals by clearing the orphan dirs in place (_move_version) —
+    no vacuum required between crash and retry."""
+    cat = bucketed_catalog
+    items = cat.targets["items"]
+    m_before = cat.manifest()
+
+    @F.udf(T.StringType())
+    def boom(_):
+        raise RuntimeError("simulated crash during users stage")
+
+    failing = _chg(spark, [("2", "UPSERT", "x")]).withColumn("name", boom(F.col("key")))
+    with pytest.raises(Exception, match="simulated crash|boom|Python"):
+        cat.apply_txn(
+            {
+                "items": _chg(spark, [("i3", "UPSERT", "renamed-3")]),  # stages OK
+                "users": failing,
+            },
+            epoch=0,
+        )
+    assert cat.manifest() == m_before
+    assert _state(cat, "items")["i3"] == "name-3"  # all-old
+    # the orphan bucket version exists on disk, unreferenced
+    orphans = [
+        b for b in range(4) if os.path.isdir(os.path.join(items.root, f"b{b}", "v_2"))
+    ]
+    assert orphans
+    # the retried epoch overwrites the orphan slots in place and commits
+    out = cat.apply_txn(
+        {
+            "items": _chg(spark, [("i3", "UPSERT", "renamed-3")]),
+            "users": _chg(spark, [("2", "UPSERT", "Van Morrison")]),
+        },
+        epoch=0,
+    )
+    assert out is not None and sorted(out["items"]) == orphans
+    assert _state(cat, "items")["i3"] == "renamed-3"
+    assert _state(cat, "users") == {"1": "Taylor Swift", "2": "Van Morrison"}
+
+
+def test_catalog_vacuum_bucketed_retention(spark, bucketed_catalog):
+    """Catalog vacuum gives bucketed members the same two-version
+    retention window as every other store here: per bucket, current and
+    previous survive (a reader holding the previous catalog manifest
+    keeps its files), older versions and above-current crash orphans
+    are swept."""
+    cat = bucketed_catalog
+    items = cat.targets["items"]
+    for e in range(3):  # same key -> same bucket advances to v_4
+        cat.apply_txn({"items": _chg(spark, [("i3", "UPSERT", f"r{e}")])}, epoch=e)
+    (b,) = [
+        b for b in range(4) if os.path.isdir(os.path.join(items.root, f"b{b}", "v_4"))
+    ]
+    # plant an above-current orphan (crash leftover)
+    orphan = os.path.join(items.root, f"b{b}", "v_99")
+    os.makedirs(orphan)
+    victims = cat.vacuum()
+    assert f"items/b{b}/v_1" in victims and f"items/b{b}/v_2" in victims
+    assert f"items/b{b}/v_99" in victims
+    assert os.path.isdir(os.path.join(items.root, f"b{b}", "v_3"))  # previous kept
+    assert _state(cat, "items")["i3"] == "r2"
+    # untouched buckets: nothing swept (only v_1 exists, which is current)
+    assert not any(v.startswith(f"items/b{(b + 1) % 4}/") for v in victims)
+
+
+def test_bucketed_member_flagged_toast_txn(spark, tmp_path):
+    """TOAST tri-state through a catalog-managed bucketed table: the
+    flagged per-column MERGE CASE runs bucket-pruned inside the atomic
+    commit — unchanged inherits, explicit NULL nulls, untouched rows
+    and buckets are intact."""
+    from mammoth_spark.operators import change_flatten, compact_last_wins_flagged
+
+    cell = T.StructType(
+        [
+            T.StructField("v", T.StringType()),
+            T.StructField("is_null", T.BooleanType()),
+            T.StructField("is_unchanged", T.BooleanType()),
+        ]
+    )
+    log_t = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("a", cell),
+            T.StructField("b", cell),
+        ]
+    )
+    base_t = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    targets = {
+        "items": ParquetBucketedTarget(
+            spark, str(tmp_path / "items"), ["key"], ["a", "b"], n_buckets=4
+        )
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "catalog"), targets)
+    cat.initialize(
+        {
+            "items": spark.createDataFrame(
+                [(str(k), f"a{k}", f"b{k}") for k in range(12)], base_t
+            )
+        }
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "3", "UPDATE", (None, False, True), ("b3-new", False, False)),
+            (2, "7", "UPDATE", (None, True, False), (None, False, True)),
+        ],
+        log_t,
+    )
+    compacted = compact_last_wins_flagged(batch, ["key"], ["a", "b"]).drop(
+        "last_seq", "n_actions"
+    )
+    flat = change_flatten(compacted, ["key"], ["a", "b"], flagged=True)
+    out = cat.apply_txn({"items": flat}, epoch=0, flagged=True)
+    assert out is not None and 0 < len(out["items"]) <= 2
+    state = {r["key"]: (r["a"], r["b"]) for r in cat.read("items").collect()}
+    assert state["3"] == ("a3", "b3-new")  # a inherited across the commit
+    assert state["7"] == (None, "b7")      # explicit NULL; b inherited
+    assert state["5"] == ("a5", "b5")      # untouched row intact
+
+
+def test_pipeline_triple_strategy_one_commit(spark, tmp_path):
+    """ChangeLogPipeline + TxnCatalog over ALL THREE storage strategies
+    — plain COW, merge-on-read, bucketed COW — one micro-batch touching
+    all three lands as ONE catalog commit, and a replay (fresh
+    checkpoint, same epoch) is refused for every strategy."""
+    import json
+
+    from mammoth_spark.streaming.pipeline import ChangeLogPipeline
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src, exist_ok=True)
+    targets = {
+        "users": ParquetMergeTarget(spark, str(tmp_path / "users"), ["key"], ["name"]),
+        "plays": ParquetMorTarget(spark, str(tmp_path / "plays"), ["key"], ["name"]),
+        "items": ParquetBucketedTarget(
+            spark, str(tmp_path / "items"), ["key"], ["name"], n_buckets=4
+        ),
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "catalog"), targets)
+    cat.initialize(
+        {
+            "users": spark.createDataFrame([("1", "Taylor Swift")], KV),
+            "plays": spark.createDataFrame([("p1", "song-a")], KV),
+            "items": spark.createDataFrame([("i1", "old-1"), ("i2", "old-2")], KV),
+        }
+    )
+
+    def chg(lsn, seq, tbl, kind, key, name=None):
+        return {
+            "lsn": lsn, "seq": seq, "schema": "public", "tbl": tbl,
+            "kind": kind, "key": str(key), "name": name, "rel_cols": ["name"],
+        }
+
+    rows = [
+        chg(10, 1, "users", "INSERT", 2, "Van Morrison"),
+        chg(10, 2, "plays", "INSERT", "p2", "song-b"),
+        chg(10, 3, "items", "UPDATE", "i1", "new-1"),
+        chg(10, 4, "plays", "DELETE", "p1"),
+    ]
+    with open(os.path.join(src, "b1.json.tmp"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.replace(os.path.join(src, "b1.json.tmp"), os.path.join(src, "b1.json"))
+
+    def make(ckpt):
+        return ChangeLogPipeline(
+            spark,
+            source_dir=src,
+            checkpoint_dir=str(tmp_path / ckpt),
+            targets=targets,
+            value_cols=["name"],
+            txn_catalog=cat,
+        )
+
+    make("ckpt1").run_available()
+    assert _state(cat, "users") == {"1": "Taylor Swift", "2": "Van Morrison"}
+    assert _state(cat, "plays") == {"p2": "song-b"}
+    assert _state(cat, "items") == {"i1": "new-1", "i2": "old-2"}
+    m = cat.manifest()
+    assert m["epoch"] == 0
+    assert set(m["versions"]) == {"users"}
+    assert set(m["mor"]) == {"plays"} and set(m["bucketed"]) == {"items"}
+
+    # fresh checkpoint replays epoch 0: refused for all three strategies
+    make("ckpt2").run_available()
+    assert cat.manifest() == m
