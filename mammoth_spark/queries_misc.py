@@ -1504,6 +1504,251 @@ def streaming_txn_triple_strategy_q(spark: SparkSession, sf_dir: str) -> DataFra
     return out
 
 
+@register(
+    "txn_time_travel",
+    oracle=f"""
+WITH change_log AS (
+  SELECT event_id AS seq, {EVENTS_KIND_SQL} AS kind,
+         CAST(user_id AS BIGINT) AS key, value
+  FROM events
+),
+norm AS (
+  SELECT key, seq, value, kind AS orig_kind,
+         row_number() OVER (PARTITION BY key ORDER BY seq) AS rn,
+         count(*) OVER (PARTITION BY key) AS cnt
+  FROM change_log
+),
+valid AS (
+  SELECT key, seq, value,
+         CASE WHEN rn = 1 THEN 'INSERT'
+              WHEN rn = cnt AND orig_kind = 'DELETE' THEN 'DELETE'
+              ELSE 'UPDATE' END AS kind
+  FROM norm
+),
+span AS (
+  SELECT CAST(floor((min(seq) + max(seq)) / 2.0) AS BIGINT) AS mid FROM valid
+),
+state_e0 AS (
+  SELECT key, arg_max(kind, seq) AS last_kind,
+         CAST(CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 100)
+              AS BIGINT) AS VARCHAR) AS value_c
+  FROM valid, span WHERE seq <= mid GROUP BY key
+),
+state_cur AS (
+  SELECT key, arg_max(kind, seq) AS last_kind,
+         CAST(CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 100)
+              AS BIGINT) AS VARCHAR) AS value_c
+  FROM valid GROUP BY key
+)
+SELECT 'e0' AS snap,
+       CASE WHEN key % 2 = 0 THEN 'users_cow' ELSE 'plays_mor' END AS tbl,
+       key, value_c
+FROM state_e0 WHERE last_kind <> 'DELETE'
+UNION ALL
+SELECT 'cur' AS snap,
+       CASE WHEN key % 2 = 0 THEN 'users_cow' ELSE 'plays_mor' END AS tbl,
+       key, value_c
+FROM state_cur WHERE last_kind <> 'DELETE'
+""",
+)
+def txn_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table consistent TIME TRAVEL on the transaction catalog:
+    every committed manifest is appended to the catalog's ``_LOG`` (the
+    Iceberg snapshot-log / Delta _delta_log shape), so
+    ``read_at(tbl, epoch)`` re-reads EVERY table exactly as one commit
+    published it — the reproducible-corpus-snapshot primitive a
+    training pipeline audits with ("which exact state trained run X").
+    Two epochs split the change stream across a COW table (even keys)
+    and a MOR table (odd keys); a maintenance fold of the MOR member
+    runs BETWEEN commit and read-back, pinning that compaction never
+    rewrites history (the fold re-publishes at the same epoch). Output:
+    both tables read at epoch 0 (tagged ``e0``) unioned with the
+    current read (``cur``) — each half must equal the oracle's
+    half-stream / full-stream net effects."""
+    from pyspark.sql import types as T
+
+    from pyspark.sql import Window
+
+    from .operators.compact import compact_last_wins
+    from .scratch import scratch_dir
+    from .sources.target import (
+        ParquetMergeTarget,
+        ParquetMorTarget,
+        TxnCatalog,
+        compact_for_mor,
+    )
+
+    raw = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "seq",
+        F.col("key").cast("string").alias("key"),
+        "kind",
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+    )
+    # normalize kinds over the FULL stream (first action per key =
+    # INSERT, DELETE only when globally last) BEFORE splitting into
+    # epochs: a chain crossing the epoch boundary must not look like
+    # (INSERT, DELETE) inside one epoch, or the pair rule (I,D)->empty
+    # would swallow the delete of a key committed by the earlier epoch
+    w = Window.partitionBy("key").orderBy("seq")
+    wall = Window.partitionBy("key")
+    log = raw.select(
+        "seq",
+        "key",
+        "value_c",
+        F.when(F.row_number().over(w) == 1, F.lit("INSERT"))
+        .when(
+            (F.row_number().over(w) == F.count(F.lit(1)).over(wall))
+            & (F.col("kind") == "DELETE"),
+            F.lit("DELETE"),
+        )
+        .otherwise(F.lit("UPDATE"))
+        .alias("kind"),
+    )
+    mid = log.agg(
+        F.floor((F.min("seq") + F.max("seq")) / 2.0).cast("long").alias("m")
+    ).first()["m"]
+
+    targets = {
+        "users_cow": ParquetMergeTarget(
+            spark, scratch_dir(prefix="tt_cow_"), ["key"], ["value_c"]
+        ),
+        "plays_mor": ParquetMorTarget(
+            spark, scratch_dir(prefix="tt_mor_"), ["key"], ["value_c"]
+        ),
+    }
+    catalog = TxnCatalog(spark, scratch_dir(prefix="tt_cat_"), targets)
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
+        ),
+    )
+    catalog.initialize({"users_cow": empty, "plays_mor": empty})
+    parity = F.col("key").cast("bigint") % 2
+    for i, half in enumerate(
+        [log.filter(F.col("seq") <= mid), log.filter(F.col("seq") > mid)]
+    ):
+        catalog.apply_txn(
+            {
+                # COW takes the plain net effect; MOR keeps tombstones +
+                # last_seq so deltas shadow older state at read time
+                "users_cow": compact_last_wins(
+                    half.filter(parity == 0), ["key"], ["value_c"]
+                ).drop("last_seq", "n_actions"),
+                "plays_mor": compact_for_mor(
+                    half.filter(parity == 1), ["key"], ["value_c"]
+                ),
+            },
+            epoch=i,
+        )
+    # maintenance between commit and read-back: history must not move
+    catalog.compact("plays_mor")
+
+    out = None
+    for snap, reader in (
+        ("e0", lambda tbl: catalog.read_at(tbl, 0)),
+        ("cur", lambda tbl: catalog.read(tbl)),
+    ):
+        for tbl in ("users_cow", "plays_mor"):
+            part = reader(tbl).select(
+                F.lit(snap).alias("snap"),
+                F.lit(tbl).alias("tbl"),
+                F.col("key").cast("bigint").alias("key"),
+                "value_c",
+            )
+            out = part if out is None else out.unionByName(part)
+    return out
+
+
+@register(
+    "txn_changelog_diff",
+    oracle=f"""
+WITH change_log AS (
+  SELECT event_id AS seq, {EVENTS_KIND_SQL} AS kind,
+         CAST(user_id AS BIGINT) AS key, value
+  FROM events
+),
+span AS (
+  SELECT CAST(floor((min(seq) + max(seq)) / 2.0) AS BIGINT) AS mid FROM change_log
+),
+state_e0 AS (
+  SELECT key, arg_max(kind, seq) AS last_kind,
+         CAST(CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 100)
+              AS BIGINT) AS VARCHAR) AS value_c
+  FROM change_log, span WHERE seq <= mid GROUP BY key
+),
+state_cur AS (
+  SELECT key, arg_max(kind, seq) AS last_kind,
+         CAST(CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 100)
+              AS BIGINT) AS VARCHAR) AS value_c
+  FROM change_log GROUP BY key
+),
+live_e0 AS (SELECT key, value_c FROM state_e0 WHERE last_kind <> 'DELETE'),
+live_cur AS (SELECT key, value_c FROM state_cur WHERE last_kind <> 'DELETE')
+SELECT COALESCE(a.key, b.key) AS key,
+       CASE WHEN a.key IS NULL THEN 'INSERT'
+            WHEN b.key IS NULL THEN 'DELETE'
+            ELSE 'UPDATE' END AS op,
+       a.value_c AS value_c_old,
+       b.value_c AS value_c_new
+FROM live_e0 a FULL OUTER JOIN live_cur b ON a.key = b.key
+WHERE a.key IS NULL OR b.key IS NULL OR a.value_c IS DISTINCT FROM b.value_c
+""",
+)
+def txn_changelog_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two committed epochs, DERIVED from the
+    catalog's manifest log (the Delta CDF / Iceberg changelog shape
+    without storing anything per commit): ``changelog(tbl, e0, e1)``
+    full-outer-joins the two committed states null-safely on the key
+    and classifies INSERT / DELETE / UPDATE, suppressing keys whose
+    value did not change — so a key UPSERTed to the same value emits
+    nothing, exactly like the oracle's IS DISTINCT FROM. Runs over a
+    merge-on-read member, so the CDF also exercises the reconciling
+    read down the delta chain. One keyed shuffle, run on the epochs you
+    audit — the write path stays O(batch)."""
+    from pyspark.sql import types as T
+
+    from .scratch import scratch_dir
+    from .sources.target import ParquetMorTarget, TxnCatalog, compact_for_mor
+
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "seq",
+        F.col("key").cast("string").alias("key"),
+        "kind",
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+    )
+    mid = log.agg(
+        F.floor((F.min("seq") + F.max("seq")) / 2.0).cast("long").alias("m")
+    ).first()["m"]
+
+    targets = {
+        "plays": ParquetMorTarget(
+            spark, scratch_dir(prefix="cdf_mor_"), ["key"], ["value_c"]
+        )
+    }
+    catalog = TxnCatalog(spark, scratch_dir(prefix="cdf_cat_"), targets)
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
+        ),
+    )
+    catalog.initialize({"plays": empty})
+    for i, half in enumerate(
+        [log.filter(F.col("seq") <= mid), log.filter(F.col("seq") > mid)]
+    ):
+        catalog.apply_txn(
+            {"plays": compact_for_mor(half, ["key"], ["value_c"])},
+            epoch=i,
+        )
+    return catalog.changelog("plays", 0, 1).select(
+        F.col("key").cast("bigint").alias("key"),
+        "op",
+        "value_c_old",
+        "value_c_new",
+    )
+
+
 _TOAST_MIXED_ORACLE = _STREAMING_TOAST_ORACLE.replace(
     "SELECT key, value_c,",
     "SELECT CASE WHEN key % 2 = 0 THEN 'users_cow' ELSE 'plays_mor' END AS tbl,\n"

@@ -801,6 +801,157 @@ class TxnCatalog:
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path)
+        self._log_append(manifest)
+
+    # -- manifest log: cross-table consistent time travel ------------------
+    #
+    # Every committed manifest is also appended to ``_LOG/m_<n>.json``
+    # (write-then-rename, AFTER the ``_CATALOG`` swap — the swap stays
+    # the single commit point; a crash between swap and append loses
+    # only that epoch's HISTORY entry, never its state, and ``read_at``
+    # falls back to ``_CATALOG`` for the current epoch). The log is what
+    # Iceberg keeps as its snapshot log and Delta as _delta_log: it
+    # makes "the exact corpus state that trained run X" a readable,
+    # auditable thing — ``read_at(tbl, epoch)`` resolves EVERY table at
+    # the same committed epoch, and ``vacuum(keep_epochs=k)`` bounds
+    # travel depth by expiring unreachable files (Iceberg's
+    # expire_snapshots).
+
+    @property
+    def _log_dir(self) -> str:
+        return os.path.join(self.root, "_LOG")
+
+    def _log_append(self, manifest: dict) -> None:
+        import json
+        import re as _re
+
+        os.makedirs(self._log_dir, exist_ok=True)
+        n = 1 + max(
+            (
+                int(m.group(1))
+                for name in os.listdir(self._log_dir)
+                if (m := _re.fullmatch(r"m_(\d+)\.json", name))
+            ),
+            default=0,
+        )
+        fd, tmp = tempfile.mkstemp(dir=self._log_dir, prefix="m.")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self._log_dir, f"m_{n:08d}.json"))
+
+    def _log_entries(self) -> list[tuple[int, dict]]:
+        """(counter, manifest) pairs, oldest first."""
+        import json
+        import re as _re
+
+        if not os.path.isdir(self._log_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self._log_dir)):
+            m = _re.fullmatch(r"m_(\d+)\.json", name)
+            if not m:
+                continue
+            with open(os.path.join(self._log_dir, name)) as f:
+                out.append((int(m.group(1)), json.load(f)))
+        return out
+
+    def _manifest_at(self, epoch: int) -> dict:
+        """Resolve the catalog state as of a committed ``epoch``. The
+        LATEST log entry at that epoch wins, so a maintenance fold
+        (compact keeps the epoch) resolves to the post-fold — logically
+        identical — state. Raises when the epoch was never committed or
+        its files have been expired by ``vacuum``."""
+        cur = self.manifest()
+        hits = [e for _, e in self._log_entries() if e["epoch"] == epoch]
+        if hits:
+            return hits[-1]
+        if cur["epoch"] == epoch:  # crash window: swap landed, append didn't
+            return cur
+        raise FileNotFoundError(
+            f"epoch {epoch} not in catalog log {self.root} "
+            f"(committed: {sorted({e['epoch'] for _, e in self._log_entries()})}; "
+            f"older epochs may have been expired by vacuum)"
+        )
+
+    def _read_from(self, tbl: str, m: dict) -> DataFrame:
+        t = self.targets[tbl]
+        if self._is_mor(t):
+            mor = m.get("mor", {})
+            if tbl not in mor:
+                raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
+            return t.read(manifest=mor[tbl])
+        if self._is_bucketed(t):
+            bucketed = m.get("bucketed", {})
+            if tbl not in bucketed:
+                raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
+            return t.read_map(bucketed[tbl])
+        if tbl not in m["versions"]:
+            raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
+        return self.targets[tbl].read_version(m["versions"][tbl])
+
+    def read_at(self, tbl: str, epoch: int) -> DataFrame:
+        """Time travel: read ``tbl`` exactly as the catalog committed it
+        at ``epoch``. Because the log entry is the SAME all-tables
+        manifest the swap published, reading two tables at one epoch is
+        cross-table consistent — the property a per-table pointer can't
+        give. Travel depth is bounded by ``vacuum(keep_epochs)``."""
+        return self._read_from(tbl, self._manifest_at(epoch))
+
+    def changelog(self, tbl: str, from_epoch: int, to_epoch: int) -> DataFrame:
+        """Change-data-feed between two committed epochs (Delta CDF /
+        Iceberg changelog shape, derived rather than stored): one
+        null-safe full outer join of the two committed states on the
+        key — rows come back as ``op`` INSERT (key absent before),
+        DELETE (absent after), or UPDATE (any value column differs),
+        with ``<col>_old`` / ``<col>_new`` pairs; unchanged keys emit
+        nothing. Derivation keeps the write path O(batch): nothing
+        extra is stored per epoch, and the join is one shuffle on the
+        key — at 100 TB you run it on the epochs you audit, not on
+        every commit."""
+        from pyspark.sql import functions as F
+
+        t = self.targets[tbl]
+        old = self._read_from(tbl, self._manifest_at(from_epoch))
+        new = self._read_from(tbl, self._manifest_at(to_epoch))
+        o = old.select(
+            *[F.col(k).alias(f"_ko_{k}") for k in t.key_cols],
+            *[F.col(v).alias(f"{v}_old") for v in t.value_cols],
+        )
+        n = new.select(
+            *[F.col(k).alias(f"_kn_{k}") for k in t.key_cols],
+            *[F.col(v).alias(f"{v}_new") for v in t.value_cols],
+        )
+        cond = None
+        for k in t.key_cols:
+            c = F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
+            cond = c if cond is None else cond & c
+        j = o.join(n, cond, "full_outer")
+        in_old = F.col(f"_ko_{t.key_cols[0]}").isNotNull()
+        in_new = F.col(f"_kn_{t.key_cols[0]}").isNotNull()
+        changed = None
+        for v in t.value_cols:
+            c = ~F.col(f"{v}_old").eqNullSafe(F.col(f"{v}_new"))
+            changed = c if changed is None else changed | c
+        op = (
+            F.when(~in_old, F.lit("INSERT"))
+            .when(~in_new, F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+        )
+        return (
+            j.filter(~in_old | ~in_new | changed)
+            .select(
+                *[
+                    F.coalesce(F.col(f"_ko_{k}"), F.col(f"_kn_{k}")).alias(k)
+                    for k in t.key_cols
+                ],
+                op.alias("op"),
+                *[
+                    c
+                    for v in t.value_cols
+                    for c in (F.col(f"{v}_old"), F.col(f"{v}_new"))
+                ],
+            )
+        )
 
     def initialize(self, snapshots: dict[str, DataFrame]) -> None:
         """Backfill all tables, then one catalog commit at epoch -1 (so
@@ -824,21 +975,7 @@ class TxnCatalog:
         self._publish(self._mk_manifest(-1, versions, mor, bucketed))
 
     def read(self, tbl: str) -> DataFrame:
-        m = self.manifest()
-        t = self.targets[tbl]
-        if self._is_mor(t):
-            mor = m.get("mor", {})
-            if tbl not in mor:
-                raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
-            return t.read(manifest=mor[tbl])
-        if self._is_bucketed(t):
-            bucketed = m.get("bucketed", {})
-            if tbl not in bucketed:
-                raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
-            return t.read_map(bucketed[tbl])
-        if tbl not in m["versions"]:
-            raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
-        return self.targets[tbl].read_version(m["versions"][tbl])
+        return self._read_from(tbl, self.manifest())
 
     def apply_txn(
         self,
@@ -945,70 +1082,87 @@ class TxnCatalog:
         self._publish(self._mk_manifest(m["epoch"], dict(m["versions"]), new_mor))
         return v
 
-    def vacuum(self) -> list[str]:
-        """Drop version directories unreachable from the catalog (incl.
-        orphans from crashes between stage and commit). MOR tables keep
-        their current AND previous base generation — the same
-        two-generation retention as ``ParquetMorTarget.vacuum`` — so a
-        reader holding the pre-compact catalog manifest keeps its
-        files."""
+    def vacuum(self, keep_epochs: int = 2) -> list[str]:
+        """Expire everything unreachable from the last ``keep_epochs``
+        committed epochs (Iceberg's expire_snapshots): the retention
+        rule is now ONE rule for all three storage strategies — a file
+        survives iff some manifest in the travel window references it.
+        This subsumes the per-strategy windows (COW previous version,
+        MOR previous generation, bucketed per-bucket previous version:
+        each is exactly what the previous epoch's manifest references)
+        and sweeps crash orphans of every shape (staged version dirs,
+        over-count delta slots, above-current bucket versions — no
+        committed manifest ever references them). Readers holding any
+        manifest in the window — including ``read_at`` time travelers —
+        keep their files; older epochs become unreadable, which is the
+        documented bound on travel depth. Expired log entries are
+        pruned silently (tiny JSON; keeps the log O(window), not
+        O(history))."""
         import shutil
 
         m = self.manifest()
+        if m["epoch"] is None:
+            return []  # nothing ever committed: refuse, like vacuum_ivf_index
+        entries = self._log_entries()
+        epochs_kept = set(
+            sorted({e["epoch"] for _, e in entries} | {m["epoch"]}, reverse=True)[
+                :keep_epochs
+            ]
+        )
+        window = [e for _, e in entries if e["epoch"] in epochs_kept] + [m]
         victims = []
         for tbl, t in self.targets.items():
             if self._is_mor(t):
-                mm = m.get("mor", {}).get(tbl)
-                if mm is None:
+                reach = set()
+                for w in window:
+                    mm = w.get("mor", {}).get(tbl)
+                    if mm is None:
+                        continue
+                    reach.add(f"base_v{mm['base']}")
+                    reach.update(
+                        f"delta_{mm['base']}_{i}" for i in range(mm["deltas"])
+                    )
+                if not reach:
                     continue
-                oldest_kept = mm["base"] - 1
                 for name in sorted(os.listdir(t.root)):
                     full = os.path.join(t.root, name)
                     if not os.path.isdir(full):
                         continue
-                    if name.startswith("base_v"):
-                        gen = int(name[len("base_v"):])
-                    elif name.startswith("delta_"):
-                        gen = int(name.split("_")[1])
-                    else:
+                    if not (name.startswith("base_v") or name.startswith("delta_")):
                         continue
-                    # current-generation delta slots past the committed
-                    # count are crash orphans: redelivery overwrites
-                    # them in place, so they are safe to sweep too
-                    orphan_delta = (
-                        name.startswith("delta_")
-                        and gen == mm["base"]
-                        and int(name.split("_")[2]) >= mm["deltas"]
-                    )
-                    if gen < oldest_kept or orphan_delta:
+                    if name not in reach:
                         victims.append(f"{tbl}/{name}")
                         shutil.rmtree(full)
                 continue
             if self._is_bucketed(t):
-                bm = m.get("bucketed", {}).get(tbl)
-                if bm is None:
+                maps = [
+                    w["bucketed"][tbl]
+                    for w in window
+                    if tbl in w.get("bucketed", {})
+                ]
+                if not maps:
                     continue
-                # per-bucket two-version retention (current + previous,
-                # the ParquetMergeTarget keep_last=2 window) so a reader
-                # holding the previous catalog manifest keeps its files;
-                # versions ABOVE current are crash orphans (never
-                # referenced by any committed catalog) and are swept
                 for b in range(t.n_buckets):
-                    cur = int(bm.get(str(b), 0))
+                    reach = {int(bm[str(b)]) for bm in maps if str(b) in bm}
                     bdir = os.path.join(t.root, f"b{b}")
                     if not os.path.isdir(bdir):
                         continue
                     for name in sorted(os.listdir(bdir)):
                         if not name.startswith("v_"):
                             continue
-                        v = int(name[2:])
-                        if v <= cur - 2 or v > cur:
+                        if int(name[2:]) not in reach:
                             victims.append(f"{tbl}/b{b}/{name}")
                             shutil.rmtree(os.path.join(bdir, name))
                 continue
-            keep = m["versions"].get(tbl)
+            reach = {w["versions"][tbl] for w in window if tbl in w.get("versions", {})}
+            if not reach:
+                continue
             for v in t.versions():
-                if v != keep:
+                if v not in reach:
                     victims.append(f"{tbl}/v_{v}")
                     shutil.rmtree(t._version_dir(v))
+        # prune log entries outside the window (state already expired)
+        for c, e in entries:
+            if e["epoch"] not in epochs_kept:
+                os.remove(os.path.join(self._log_dir, f"m_{c:08d}.json"))
         return sorted(victims)

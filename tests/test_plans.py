@@ -1585,3 +1585,16 @@ def test_sig_store_purge_probe_keeps_band_pruning(spark):
         "the purge anti-join must not break band-bucket DPP"
     )
     assert "In(band_bucket, [" not in plan, "no driver-collected IN-literal"
+
+
+def test_catalog_changelog_one_join_no_python(spark):
+    """The derived change-data-feed is ONE join of the two committed
+    states (full outer on the key) — no window, no cartesian, no Python
+    in the plan; at 100 TB the CDF costs one keyed shuffle over the two
+    epochs being audited, nothing per-commit on the write path."""
+    df = ALL_QUERIES["txn_changelog_diff"](spark, SF)
+    plan = _executed_plan(df)
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -848,3 +848,111 @@ def test_pipeline_triple_strategy_one_commit(spark, tmp_path):
     # fresh checkpoint replays epoch 0: refused for all three strategies
     make("ckpt2").run_available()
     assert cat.manifest() == m
+
+
+# ---- time travel + change-data-feed on the catalog log ----
+
+
+def test_time_travel_cross_table(spark, mixed_catalog):
+    """read_at resolves EVERY table at the same committed epoch (the
+    log entry is the manifest the swap published), a maintenance fold
+    doesn't perturb history (compact keeps the epoch; the latest entry
+    at an epoch is the post-fold, logically identical state), and
+    vacuum(keep_epochs) is the documented bound on travel depth."""
+    cat = mixed_catalog
+    cat.apply_txn(
+        {
+            "users": _chg(spark, [("2", "UPSERT", "Van Morrison")]),
+            "plays": _mor_chg(spark, [(1, "p2", "INSERT", "song-b")]),
+        },
+        epoch=0,
+    )
+    cat.apply_txn(
+        {
+            "users": _chg(spark, [("1", "DELETE", None)]),
+            "plays": _mor_chg(spark, [(2, "p1", "DELETE", None)]),
+        },
+        epoch=1,
+    )
+    at = lambda tbl, e: {r["key"]: r["name"] for r in cat.read_at(tbl, e).collect()}  # noqa: E731
+    # init state (epoch -1), both tables at once
+    assert at("users", -1) == {"1": "Taylor Swift"}
+    assert at("plays", -1) == {"p1": "song-a"}
+    # epoch 0: both tables advanced together
+    assert at("users", 0) == {"1": "Taylor Swift", "2": "Van Morrison"}
+    assert at("plays", 0) == {"p1": "song-a", "p2": "song-b"}
+    # epoch 1 == current
+    assert at("users", 1) == _state(cat, "users") == {"2": "Van Morrison"}
+    assert at("plays", 1) == _state(cat, "plays") == {"p2": "song-b"}
+
+    # maintenance doesn't rewrite history: fold plays, re-read the past
+    cat.compact("plays")
+    assert at("plays", 0) == {"p1": "song-a", "p2": "song-b"}
+    assert at("plays", 1) == {"p2": "song-b"}
+
+    # vacuum bounds travel depth: keep the last 2 epochs {1, 0}
+    cat.vacuum(keep_epochs=2)
+    assert at("users", 0) == {"1": "Taylor Swift", "2": "Van Morrison"}
+    with pytest.raises(FileNotFoundError, match="epoch -1"):
+        cat.read_at("users", -1)
+
+
+def test_time_travel_bucketed_member(spark, bucketed_catalog):
+    """Time travel composes with bucketed members: the old epoch's
+    per-bucket map resolves the pre-write bucket versions."""
+    cat = bucketed_catalog
+    cat.apply_txn({"items": _chg(spark, [("i3", "UPSERT", "renamed-3")])}, epoch=0)
+    old = {r["key"]: r["name"] for r in cat.read_at("items", -1).collect()}
+    assert old["i3"] == "name-3" and len(old) == 8
+    cur = {r["key"]: r["name"] for r in cat.read_at("items", 0).collect()}
+    assert cur["i3"] == "renamed-3"
+
+
+def test_changelog_between_epochs(spark, mixed_catalog):
+    """The derived change-data-feed: INSERT for keys absent before,
+    DELETE for keys absent after, UPDATE only when a value differs —
+    unchanged keys emit nothing."""
+    cat = mixed_catalog
+    cat.apply_txn(
+        {
+            "users": _chg(
+                spark,
+                [
+                    ("2", "UPSERT", "Van Morrison"),   # INSERT vs init
+                    ("1", "UPSERT", "Taylor Swift"),   # touched, value unchanged
+                ],
+            )
+        },
+        epoch=0,
+    )
+    cat.apply_txn(
+        {
+            "users": _chg(
+                spark,
+                [
+                    ("1", "DELETE", None),            # DELETE
+                    ("2", "UPSERT", "Van The Man"),   # UPDATE
+                    ("3", "UPSERT", "Joni"),          # INSERT
+                ],
+            )
+        },
+        epoch=1,
+    )
+    cdf = {
+        r["key"]: (r["op"], r["name_old"], r["name_new"])
+        for r in cat.changelog("users", 0, 1).collect()
+    }
+    assert cdf == {
+        "1": ("DELETE", "Taylor Swift", None),
+        "2": ("UPDATE", "Van Morrison", "Van The Man"),
+        "3": ("INSERT", None, "Joni"),
+    }
+    # epoch 0 touched key "1" without changing its value: no CDF row
+    cdf0 = {
+        r["key"]: (r["op"], r["name_old"], r["name_new"])
+        for r in cat.changelog("users", -1, 0).collect()
+    }
+    assert cdf0 == {"2": ("INSERT", None, "Van Morrison")}
+    # full span composes the two
+    span = {r["key"]: r["op"] for r in cat.changelog("users", -1, 1).collect()}
+    assert span == {"1": "DELETE", "2": "INSERT", "3": "INSERT"}
