@@ -673,6 +673,90 @@ def measure_bucketed_write_cost(spark) -> dict:
     return out
 
 
+def measure_cdf_cost(spark) -> dict:
+    """Price the catalog changelog/time-travel claims across a decade:
+    ``changelog(tbl, e0, e1)`` is ONE null-safe full-outer join of the
+    two committed states (plan-pinned in tests/test_plans.py), so its
+    cost must track STATE SIZE linearly — 10x keys ≈ 10x seconds, never
+    superlinear — independent of how many epochs sit between the two
+    (nothing is stored per commit). And ``read_at`` is the same
+    multi-path scan as ``read`` pointed at an older manifest, so time
+    travel must cost ≈ current-read, ratio ~1."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mammoth_spark.sources.target import ParquetMergeTarget, TxnCatalog
+
+    def run_case(n_keys: int) -> dict:
+        root = tempfile.mkdtemp(prefix=f"cdfcurve_{n_keys}_")
+        t = ParquetMergeTarget(
+            spark, os.path.join(root, "t"), ["key"], ["vm"]
+        )
+        cat = TxnCatalog(spark, os.path.join(root, "cat"), {"t": t})
+        cat.initialize(
+            {
+                "t": spark.range(n_keys).select(
+                    F.col("id").cast("string").alias("key"),
+                    (F.col("id") % 1000).cast("bigint").alias("vm"),
+                )
+            }
+        )
+        # epoch 0 and 1 each touch a fixed 20k-key batch (97 coprime to
+        # n_keys keeps keys distinct inside a batch); epoch 1 changes
+        # values and deletes a slice, so the CDF has all three op kinds
+        def batch(i: int, with_deletes: bool):
+            b = spark.range(MOR_BATCH_ROWS).select(
+                ((F.col("id") * 97 + i) % (n_keys + 1000)).cast("string").alias("key"),
+                F.when(
+                    with_deletes & (F.col("id") % 10 == 0), F.lit("DELETE")
+                ).otherwise(F.lit("UPSERT")).alias("kind"),
+                (F.col("id") + i).cast("bigint").alias("vm"),
+            )
+            return b.dropDuplicates(["key"]).localCheckpoint(eager=True)
+
+        cat.apply_txn({"t": batch(0, False)}, epoch=0)
+        cat.apply_txn({"t": batch(500, True)}, epoch=1)
+        cdf_sec = _timed(
+            lambda: cat.changelog("t", 0, 1)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        read_cur_sec = _timed(
+            lambda: cat.read("t").write.format("noop").mode("overwrite").save()
+        )
+        read_at_sec = _timed(
+            lambda: cat.read_at("t", 0).write.format("noop").mode("overwrite").save()
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        return {
+            "n_keys": n_keys,
+            "cdf_sec": cdf_sec,
+            "read_cur_sec": read_cur_sec,
+            "read_at_sec": read_at_sec,
+        }
+
+    small = run_case(200_000)
+    big = run_case(2_000_000)
+    out = {
+        "k200": small,
+        "k2000": big,
+        "cdf_decade_ratio": round(big["cdf_sec"] / small["cdf_sec"], 2),
+        "time_travel_over_current_read": round(
+            big["read_at_sec"] / big["read_cur_sec"], 2
+        ),
+    }
+    print(
+        f"  cdf: {small['cdf_sec']}s @200k -> {big['cdf_sec']}s @2M "
+        f"(decade ratio {out['cdf_decade_ratio']}); "
+        f"read_at/read = {out['time_travel_over_current_read']}",
+        flush=True,
+    )
+    return out
+
+
 def measure_tws_overhead(spark) -> dict:
     """VERDICT r09 #7: attribute the TWS family's fixed cost. A tiny
     (500-row) stream is run through transformWithStateInPandas with the
@@ -824,6 +908,13 @@ def main() -> None:
         "tws_overhead section into BENCH_CURVE.json",
     )
     ap.add_argument(
+        "--cdf",
+        action="store_true",
+        help="price the catalog changelog (one join, linear in state "
+        "size) and time-travel read (== current read); merges a "
+        "cdf_cost section into BENCH_CURVE.json",
+    )
+    ap.add_argument(
         "--bucketed",
         action="store_true",
         help="measure bucketed-COW write cost vs touched-bucket fraction; "
@@ -907,6 +998,19 @@ def main() -> None:
         with open(path, "w") as fh:
             json.dump(cur, fh, indent=2)
         print(json.dumps(tws))
+        return
+
+    if args.cdf:
+        cdf = measure_cdf_cost(spark)
+        path = os.path.join(REPO, "BENCH_CURVE.json")
+        cur = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                cur = json.load(fh)
+        cur["cdf_cost"] = cdf
+        with open(path, "w") as fh:
+            json.dump(cur, fh, indent=2)
+        print(json.dumps(cdf))
         return
 
     if args.bucketed:
