@@ -1749,6 +1749,103 @@ def txn_changelog_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdf_incremental_agg",
+    oracle=f"""
+WITH change_log AS (
+  SELECT event_id AS seq, {EVENTS_KIND_SQL} AS kind,
+         CAST(user_id AS BIGINT) AS key, value
+  FROM events
+),
+state_cur AS (
+  SELECT key, arg_max(kind, seq) AS last_kind,
+         CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 100)
+              AS BIGINT) AS vm
+  FROM change_log GROUP BY key
+)
+SELECT key % 16 AS grp,
+       SUM(vm) AS sum_vm,
+       COUNT(*) AS n_keys
+FROM state_cur WHERE last_kind <> 'DELETE'
+GROUP BY key % 16
+""",
+)
+def cdf_incremental_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance DRIVEN BY the change-data-feed
+    — the canonical downstream use of a CDF (why Delta stores one): a
+    consumer holding an aggregate over epoch e0 advances it to e1 by
+    applying ``changelog(e0, e1)`` — subtract the _old side, add the
+    _new side — WITHOUT rescanning the table. At 100 TB the maintained
+    aggregate costs O(changed keys) per epoch, not O(table). Here the
+    epoch-0 aggregate (SUM/COUNT of the net value per key-group) is
+    computed once from ``read_at(t, 0)``, then advanced through the
+    derived CDF of epoch 1; the result must equal the oracle's
+    from-scratch aggregate over the FINAL state — the driver pins that
+    the incremental path and the recompute converge. The whole query is
+    joins/aggregates on the group key (16 groups): the CDF side is
+    O(batch), the combine is a broadcast-sized merge."""
+    from .scratch import scratch_dir
+    from .sources.target import ParquetMorTarget, TxnCatalog, compact_for_mor
+
+    from pyspark.sql import types as T
+
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "seq",
+        F.col("key").cast("string").alias("key"),
+        "kind",
+        F.floor(F.col("value") * 100).cast("long").alias("vm"),
+    )
+    mid = log.agg(
+        F.floor((F.min("seq") + F.max("seq")) / 2.0).cast("long").alias("m")
+    ).first()["m"]
+
+    targets = {
+        "t": ParquetMorTarget(spark, scratch_dir(prefix="ica_mor_"), ["key"], ["vm"])
+    }
+    catalog = TxnCatalog(spark, scratch_dir(prefix="ica_cat_"), targets)
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("key", T.StringType()), T.StructField("vm", T.LongType())]
+        ),
+    )
+    catalog.initialize({"t": empty})
+    for i, half in enumerate(
+        [log.filter(F.col("seq") <= mid), log.filter(F.col("seq") > mid)]
+    ):
+        catalog.apply_txn({"t": compact_for_mor(half, ["key"], ["vm"])}, epoch=i)
+
+    grp = (F.col("key").cast("bigint") % 16).alias("grp")
+    # the aggregate as of epoch 0 — computed ONCE, then only advanced
+    base = catalog.read_at("t", 0).groupBy(grp).agg(
+        F.sum("vm").alias("sum_vm"), F.count(F.lit(1)).alias("n_keys")
+    )
+    # advance through the CDF: -old, +new per changed key
+    cdf = catalog.changelog("t", 0, 1)
+    delta = cdf.groupBy((F.col("key").cast("bigint") % 16).alias("grp")).agg(
+        (
+            F.sum(F.coalesce(F.col("vm_new"), F.lit(0)))
+            - F.sum(F.coalesce(F.col("vm_old"), F.lit(0)))
+        ).alias("d_sum"),
+        F.sum(
+            F.when(F.col("op") == "INSERT", F.lit(1))
+            .when(F.col("op") == "DELETE", F.lit(-1))
+            .otherwise(F.lit(0))
+        ).alias("d_n"),
+    )
+    merged = base.join(F.broadcast(delta), "grp", "full_outer").select(
+        "grp",
+        (
+            F.coalesce(F.col("sum_vm"), F.lit(0)) + F.coalesce(F.col("d_sum"), F.lit(0))
+        ).alias("sum_vm"),
+        (
+            F.coalesce(F.col("n_keys"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0))
+        ).alias("n_keys"),
+    )
+    # groups whose keys all vanished must drop out, as in the recompute
+    return merged.filter(F.col("n_keys") > 0)
+
+
 _TOAST_MIXED_ORACLE = _STREAMING_TOAST_ORACLE.replace(
     "SELECT key, value_c,",
     "SELECT CASE WHEN key % 2 = 0 THEN 'users_cow' ELSE 'plays_mor' END AS tbl,\n"
