@@ -12,6 +12,30 @@ from .model import read_table
 from .registry import register
 
 
+def _normalize_kinds(log: DataFrame) -> DataFrame:
+    """Rewrite raw change-log kinds into a VALID chain per key over the
+    FULL stream: first action INSERT, DELETE only when globally last,
+    everything else UPDATE. Required before splitting a stream into
+    epochs — a chain crossing the epoch boundary must not look like
+    (INSERT, DELETE) inside one epoch, or pair-rule compaction
+    ((I,D) → ∅, operators/compact.net_kind_column) would swallow the
+    delete of a key an earlier epoch committed."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("seq")
+    wall = Window.partitionBy("key")
+    return log.withColumn(
+        "kind",
+        F.when(F.row_number().over(w) == 1, F.lit("INSERT"))
+        .when(
+            (F.row_number().over(w) == F.count(F.lit(1)).over(wall))
+            & (F.col("kind") == "DELETE"),
+            F.lit("DELETE"),
+        )
+        .otherwise(F.lit("UPDATE")),
+    )
+
+
 @register(
     "snapshot_scan",
     oracle="""
@@ -1403,7 +1427,6 @@ def streaming_txn_triple_strategy_q(spark: SparkSession, sf_dir: str) -> DataFra
     The returned union of the three tables' final states must equal the
     one-shot net effect — the driver pins that no strategy diverges and
     no epoch tears."""
-    from pyspark.sql import Window
     from pyspark.sql import types as T
 
     from .scratch import scratch_dir
@@ -1415,21 +1438,12 @@ def streaming_txn_triple_strategy_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
     from .streaming.pipeline import ChangeLogPipeline
 
-    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
-        "lsn", "seq", "key", "kind", "value"
+    normed = _normalize_kinds(
+        events_as_change_log(read_table(spark, sf_dir, "events")).select(
+            "lsn", "seq", "key", "kind", "value"
+        )
     )
-    w = Window.partitionBy("key").orderBy("seq")
-    wall = Window.partitionBy("key")
-    norm = log.select(
-        "lsn",
-        "seq",
-        "key",
-        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("cnt"),
-        "kind",
-    )
-    stream_rows = norm.select(
+    stream_rows = normed.select(
         "lsn",
         "seq",
         F.lit("public").alias("schema"),
@@ -1437,13 +1451,10 @@ def streaming_txn_triple_strategy_q(spark: SparkSession, sf_dir: str) -> DataFra
         .when(F.col("key") % 3 == 1, F.lit("plays_mor"))
         .otherwise(F.lit("items_bucketed"))
         .alias("tbl"),
-        F.when(F.col("rn") == 1, F.lit("INSERT"))
-        .when((F.col("rn") == F.col("cnt")) & (F.col("kind") == "DELETE"), F.lit("DELETE"))
-        .otherwise(F.lit("UPDATE"))
-        .alias("kind"),
+        "kind",
         F.col("key").cast("string").alias("key"),
         F.array(F.lit("value_c")).alias("rel_cols"),
-        "value_c",
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
     )
     mid = stream_rows.agg(
         ((F.min("seq") + F.max("seq")) / 2).cast("long").alias("m")
@@ -1567,8 +1578,6 @@ def txn_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-stream / full-stream net effects."""
     from pyspark.sql import types as T
 
-    from pyspark.sql import Window
-
     from .operators.compact import compact_last_wins
     from .scratch import scratch_dir
     from .sources.target import (
@@ -1578,31 +1587,13 @@ def txn_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_for_mor,
     )
 
-    raw = events_as_change_log(read_table(spark, sf_dir, "events")).select(
-        "seq",
-        F.col("key").cast("string").alias("key"),
-        "kind",
-        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-    )
-    # normalize kinds over the FULL stream (first action per key =
-    # INSERT, DELETE only when globally last) BEFORE splitting into
-    # epochs: a chain crossing the epoch boundary must not look like
-    # (INSERT, DELETE) inside one epoch, or the pair rule (I,D)->empty
-    # would swallow the delete of a key committed by the earlier epoch
-    w = Window.partitionBy("key").orderBy("seq")
-    wall = Window.partitionBy("key")
-    log = raw.select(
-        "seq",
-        "key",
-        "value_c",
-        F.when(F.row_number().over(w) == 1, F.lit("INSERT"))
-        .when(
-            (F.row_number().over(w) == F.count(F.lit(1)).over(wall))
-            & (F.col("kind") == "DELETE"),
-            F.lit("DELETE"),
+    log = _normalize_kinds(
+        events_as_change_log(read_table(spark, sf_dir, "events")).select(
+            "seq",
+            F.col("key").cast("string").alias("key"),
+            "kind",
+            F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
         )
-        .otherwise(F.lit("UPDATE"))
-        .alias("kind"),
     )
     mid = log.agg(
         F.floor((F.min("seq") + F.max("seq")) / 2.0).cast("long").alias("m")
@@ -1782,8 +1773,10 @@ def cdf_incremental_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived CDF of epoch 1; the result must equal the oracle's
     from-scratch aggregate over the FINAL state — the driver pins that
     the incremental path and the recompute converge. The whole query is
-    joins/aggregates on the group key (16 groups): the CDF side is
-    O(batch), the combine is a broadcast-sized merge."""
+    aggregates on the group key (16 groups): the CDF side is O(batch),
+    and the combine is a UNION of the two 16-row aggregates folded by
+    one more hash aggregate — no join at all (a broadcast hint can't
+    help a full-outer merge; Spark ignores it there)."""
     from .scratch import scratch_dir
     from .sources.target import ParquetMorTarget, TxnCatalog, compact_for_mor
 
@@ -1833,14 +1826,14 @@ def cdf_incremental_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
         ).alias("d_n"),
     )
-    merged = base.join(F.broadcast(delta), "grp", "full_outer").select(
-        "grp",
-        (
-            F.coalesce(F.col("sum_vm"), F.lit(0)) + F.coalesce(F.col("d_sum"), F.lit(0))
-        ).alias("sum_vm"),
-        (
-            F.coalesce(F.col("n_keys"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0))
-        ).alias("n_keys"),
+    merged = (
+        base.unionByName(
+            delta.select(
+                "grp", F.col("d_sum").alias("sum_vm"), F.col("d_n").alias("n_keys")
+            )
+        )
+        .groupBy("grp")
+        .agg(F.sum("sum_vm").alias("sum_vm"), F.sum("n_keys").alias("n_keys"))
     )
     # groups whose keys all vanished must drop out, as in the recompute
     return merged.filter(F.col("n_keys") > 0)

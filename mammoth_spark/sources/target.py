@@ -689,7 +689,11 @@ class ParquetBucketedTarget:
         return out
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
-        """Per-bucket retention, same contract as ParquetMergeTarget."""
+        """Per-bucket retention, same contract as ParquetMergeTarget;
+        also sweeps ``_stage_*`` scratch dirs left by a crash inside
+        ``_stage_partitioned`` (data-sized, never referenced by any
+        manifest; single-writer discipline means any present here is
+        such an orphan)."""
         import shutil
 
         m = self._manifest()
@@ -706,6 +710,10 @@ class ParquetBucketedTarget:
                 if v != cur and v <= cur - keep_last:
                     victims.append(f"b{b}/{name}")
                     shutil.rmtree(os.path.join(bdir, name))
+        for name in sorted(os.listdir(self.root)):
+            if name.startswith("_stage_"):
+                victims.append(name)
+                shutil.rmtree(os.path.join(self.root, name))
         return sorted(victims)
 
 
@@ -993,10 +1001,12 @@ class TxnCatalog:
         versions for only the buckets the batch touches (reading only
         those buckets back — the write-∝-touched-fraction trade
         survives the catalog). A crash anywhere in the staging span
-        leaves only directories the catalog never references, and a
-        redelivered epoch re-stages (mode(overwrite) deltas; orphan
-        bucket dirs cleared by ``_move_version``) before being refused
-        at the commit check, so orphans self-heal. Returns the new
+        leaves only directories the catalog never references; the
+        commit check runs BEFORE staging, so a redelivered
+        already-committed epoch is refused without re-staging anything,
+        while a crash-RETRY of an uncommitted epoch re-stages cleanly
+        over its own orphans (mode(overwrite) deltas; orphan bucket
+        dirs cleared by ``_move_version``). Returns the new
         {table: version | {base, deltas} | {bucket: version}} map, or
         None when the epoch was already applied (at-least-once
         redelivery).
@@ -1079,7 +1089,18 @@ class TxnCatalog:
         state.write.mode("overwrite").parquet(t._base_dir(v))
         new_mor = {k: dict(x) for k, x in m["mor"].items()}
         new_mor[tbl] = {"base": v, "deltas": 0}
-        self._publish(self._mk_manifest(m["epoch"], dict(m["versions"]), new_mor))
+        # carry EVERY strategy's map through the maintenance swap — a
+        # fold that republished only versions+mor would silently drop
+        # the bucketed members from the catalog (and from the epoch's
+        # latest log entry, wedging read/apply/read_at for those tables)
+        self._publish(
+            self._mk_manifest(
+                m["epoch"],
+                dict(m["versions"]),
+                new_mor,
+                {k: dict(x) for k, x in m.get("bucketed", {}).items()},
+            )
+        )
         return v
 
     def vacuum(self, keep_epochs: int = 2) -> list[str]:
@@ -1153,6 +1174,15 @@ class TxnCatalog:
                         if int(name[2:]) not in reach:
                             victims.append(f"{tbl}/b{b}/{name}")
                             shutil.rmtree(os.path.join(bdir, name))
+                # a crash INSIDE _stage_partitioned (before any version
+                # move) leaves a data-sized _stage_* scratch dir no
+                # manifest can ever reference; single-writer discipline
+                # (as everywhere here) means any present at vacuum time
+                # is such an orphan
+                for name in sorted(os.listdir(t.root)):
+                    if name.startswith("_stage_"):
+                        victims.append(f"{tbl}/{name}")
+                        shutil.rmtree(os.path.join(t.root, name))
                 continue
             reach = {w["versions"][tbl] for w in window if tbl in w.get("versions", {})}
             if not reach:

@@ -956,3 +956,77 @@ def test_changelog_between_epochs(spark, mixed_catalog):
     # full span composes the two
     span = {r["key"]: r["op"] for r in cat.changelog("users", -1, 1).collect()}
     assert span == {"1": "DELETE", "2": "INSERT", "3": "INSERT"}
+
+
+def test_compact_preserves_bucketed_members(spark, tmp_path):
+    """Regression (round-10 review finding): a MOR fold — manual or the
+    compact_every auto-fold inside apply_txn — must republish EVERY
+    strategy's map. A compact that dropped the 'bucketed' key wedged
+    the catalog: read() raised, the next apply_txn KeyError'd, and the
+    epoch's latest log entry lost the bucketed table's history."""
+    targets = {
+        "plays": ParquetMorTarget(
+            spark, str(tmp_path / "plays"), ["key"], ["name"], compact_every=2
+        ),
+        "items": ParquetBucketedTarget(
+            spark, str(tmp_path / "items"), ["key"], ["name"], n_buckets=4
+        ),
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "catalog"), targets)
+    cat.initialize(
+        {
+            "plays": spark.createDataFrame([("p1", "song-a")], KV),
+            "items": spark.createDataFrame([("i1", "old-1")], KV),
+        }
+    )
+    cat.apply_txn(
+        {
+            "plays": _mor_chg(spark, [(1, "p2", "INSERT", "song-b")]),
+            "items": _chg(spark, [("i1", "UPSERT", "new-1")]),
+        },
+        epoch=0,
+    )
+    # manual fold
+    cat.compact("plays")
+    m = cat.manifest()
+    assert "items" in m.get("bucketed", {})
+    assert _state(cat, "items") == {"i1": "new-1"}
+    # history at the folded epoch still resolves the bucketed member
+    assert {r["key"]: r["name"] for r in cat.read_at("items", 0).collect()} == {
+        "i1": "new-1"
+    }
+    # two more deltas hit compact_every=2: the AUTO-fold inside
+    # apply_txn republishes too, and must also carry the bucketed map
+    cat.apply_txn(
+        {"plays": _mor_chg(spark, [(2, "p1", "DELETE", None)])}, epoch=1
+    )
+    out = cat.apply_txn(
+        {
+            "plays": _mor_chg(spark, [(3, "p3", "INSERT", "song-c")]),
+            "items": _chg(spark, [("i2", "UPSERT", "new-2")]),
+        },
+        epoch=2,
+    )
+    assert out["plays"] == {"base": 2, "deltas": 0}  # auto-folded
+    assert "items" in cat.manifest().get("bucketed", {})
+    assert _state(cat, "items") == {"i1": "new-1", "i2": "new-2"}
+
+
+def test_vacuum_sweeps_crashed_stage_dirs(spark, bucketed_catalog):
+    """A crash INSIDE _stage_partitioned leaves a data-sized _stage_*
+    scratch dir no manifest references; both the catalog vacuum and the
+    standalone target vacuum must sweep it."""
+    cat = bucketed_catalog
+    items = cat.targets["items"]
+    orphan = os.path.join(items.root, "_stage_crashed")
+    os.makedirs(orphan)
+    victims = cat.vacuum()
+    assert "items/_stage_crashed" in victims and not os.path.isdir(orphan)
+    # standalone target: same sweep under its own vacuum
+    import tempfile
+
+    root = tempfile.mkdtemp(dir=str(items.root), prefix="standalone_")
+    t = ParquetBucketedTarget(spark, root, ["key"], ["name"], n_buckets=2)
+    t.initialize(spark.createDataFrame([("k", "v")], KV))
+    os.makedirs(os.path.join(root, "_stage_leftover"))
+    assert "_stage_leftover" in t.vacuum()
