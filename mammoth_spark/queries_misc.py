@@ -573,6 +573,23 @@ def streaming_cdc_apply_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _streaming_cdc_apply(spark, sf_dir, ParquetMorTarget)
 
 
+@register("streaming_cdc_apply_bmor", oracle=_STREAMING_CDC_ORACLE)
+def streaming_cdc_apply_bmor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME end-to-end stream applied through BUCKETED merge-on-read
+    (ParquetBucketedMorTarget) — the fourth cell of the storage-strategy
+    matrix {whole-table, bucketed} × {COW, MOR}, and the shape Hudi runs
+    at scale (hash file groups, each a base + delta log). Writes stay
+    O(batch) (one partitioned stage write, per-touched-bucket delta
+    slots, untouched file groups never listed), probes prune by bucket,
+    and OPTIMIZE folds only the hot file groups — on a skewed 100 TB
+    stream the cold 99% of the table is never rewritten. Same oracle as
+    the other three strategies: the driver pins the FOUR-way
+    equivalence of the storage matrix."""
+    from .sources.target import ParquetBucketedMorTarget
+
+    return _streaming_cdc_apply(spark, sf_dir, ParquetBucketedMorTarget)
+
+
 def _streaming_cdc_apply(spark: SparkSession, sf_dir: str, target_cls) -> DataFrame:
     """Shared body of the COW/MOR streaming-apply queries: stage the
     normalized change stream, run ChangeLogPipeline (which dispatches on

@@ -234,6 +234,72 @@ def compact_for_mor_flagged(
     )
 
 
+def mor_base_cells(value_cols: list[str], flagged: bool) -> list:
+    """Projection that lifts a base row's MATERIALIZED plain columns
+    into the delta-row shape: tri-state cells in flagged mode (concrete
+    by construction — base cells never inherit), plain columns
+    otherwise."""
+    from pyspark.sql import functions as F
+
+    if not flagged:
+        return list(value_cols)
+    return [
+        F.struct(
+            F.col(c).alias("v"),
+            F.col(c).isNull().alias("is_null"),
+            F.lit(False).alias("is_unchanged"),
+        ).alias(c)
+        for c in value_cols
+    ]
+
+
+def reconcile_mor_rows(
+    allrows: DataFrame, key_cols: list[str], value_cols: list[str], flagged: bool
+) -> DataFrame:
+    """The merge-on-read reconciliation, independent of file layout:
+    ``allrows`` is base ∪ deltas with ``kind``/``last_seq`` columns
+    (base rows at last_seq = -1). Per key the highest last_seq wins and
+    DELETE tombstones drop out — ONE keyed reduction. Flagged mode
+    resolves each tri-state column independently (the highest sequence
+    whose cell is concrete supplies the value; base rows are always
+    concrete, so the walk terminates there). Shared by the whole-table
+    and the bucketed merge-on-read targets."""
+    from pyspark.sql import functions as F
+
+    if not flagged:
+        payload = F.struct("last_seq", "kind", *value_cols)
+        won = allrows.groupBy(*key_cols).agg(
+            F.max_by(payload, F.col("last_seq")).alias("_w")
+        )
+        return won.filter(F.col("_w.kind") != "DELETE").select(
+            *key_cols, *[F.col(f"_w.{c}").alias(c) for c in value_cols]
+        )
+    # flagged: still ONE keyed reduction — per column an extra max_by
+    # over the same shuffle (no second exchange, no window sort)
+    aggs = [F.max_by(F.col("kind"), F.col("last_seq")).alias("_kind")]
+    for c in value_cols:
+        cell = F.col(c)
+        concrete = (
+            (F.col("kind") != "DELETE")
+            & cell.isNotNull()
+            & ~F.coalesce(cell["is_unchanged"], F.lit(False))
+        )
+        aggs.append(
+            F.max_by(cell, F.when(concrete, F.col("last_seq"))).alias(f"_r_{c}")
+        )
+    won = allrows.groupBy(*key_cols).agg(*aggs)
+    return won.filter(F.col("_kind") != "DELETE").select(
+        *key_cols,
+        *[
+            F.when(
+                ~F.coalesce(F.col(f"_r_{c}.is_null"), F.lit(True)),
+                F.col(f"_r_{c}.v"),
+            ).alias(c)
+            for c in value_cols
+        ],
+    )
+
+
 class ParquetMorTarget:
     """Merge-on-READ twin of ParquetMergeTarget (Iceberg/Hudi MOR shape).
 
@@ -358,17 +424,7 @@ class ParquetMorTarget:
         m = manifest if manifest is not None else self._manifest()
         if m["base"] is None:
             raise FileNotFoundError(f"MOR target {self.root} not initialized")
-        if self.flagged:
-            base_cells = [
-                F.struct(
-                    F.col(c).alias("v"),
-                    F.col(c).isNull().alias("is_null"),
-                    F.lit(False).alias("is_unchanged"),
-                ).alias(c)
-                for c in self.value_cols
-            ]
-        else:
-            base_cells = list(self.value_cols)
+        base_cells = mor_base_cells(self.value_cols, self.flagged)
         base = self.spark.read.parquet(self._base_dir(m["base"])).select(
             *self.key_cols,
             F.lit("UPSERT").alias("kind"),
@@ -385,38 +441,7 @@ class ParquetMorTarget:
         allrows = parts[0]
         for p in parts[1:]:
             allrows = allrows.unionByName(p)
-        if not self.flagged:
-            payload = F.struct("last_seq", "kind", *self.value_cols)
-            won = allrows.groupBy(*self.key_cols).agg(
-                F.max_by(payload, F.col("last_seq")).alias("_w")
-            )
-            return won.filter(F.col("_w.kind") != "DELETE").select(
-                *self.key_cols, *[F.col(f"_w.{c}").alias(c) for c in self.value_cols]
-            )
-        # flagged: still ONE keyed reduction — per column an extra max_by
-        # over the same shuffle (no second exchange, no window sort)
-        aggs = [F.max_by(F.col("kind"), F.col("last_seq")).alias("_kind")]
-        for c in self.value_cols:
-            cell = F.col(c)
-            concrete = (
-                (F.col("kind") != "DELETE")
-                & cell.isNotNull()
-                & ~F.coalesce(cell["is_unchanged"], F.lit(False))
-            )
-            aggs.append(
-                F.max_by(cell, F.when(concrete, F.col("last_seq"))).alias(f"_r_{c}")
-            )
-        won = allrows.groupBy(*self.key_cols).agg(*aggs)
-        return won.filter(F.col("_kind") != "DELETE").select(
-            *self.key_cols,
-            *[
-                F.when(
-                    ~F.coalesce(F.col(f"_r_{c}.is_null"), F.lit(True)),
-                    F.col(f"_r_{c}.v"),
-                ).alias(c)
-                for c in self.value_cols
-            ],
-        )
+        return reconcile_mor_rows(allrows, self.key_cols, self.value_cols, self.flagged)
 
     def compact(self) -> int:
         """Fold deltas into a fresh base (OPTIMIZE): one reconciling read,
@@ -464,6 +489,48 @@ class ParquetMorTarget:
                 victims.append(name)
                 shutil.rmtree(full)
         return sorted(victims)
+
+
+def _bucket_expr(key_cols: list[str], n_buckets: int):
+    """Deterministic key→bucket hash, identical across epochs so the
+    touched-bucket set is a pure function of the batch's keys."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(
+        F.xxhash64(F.concat_ws("\x1f", *[F.col(k) for k in key_cols])),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def _stage_by_bucket(df: DataFrame, root: str, bucket_col) -> tuple[str, list[int]]:
+    """Write ``df`` partitioned by bucket into a scratch dir under
+    ``root``; return (stage dir, buckets present). One distributed job;
+    the per-bucket directory moves afterwards are driver-side renames
+    bounded by n_buckets, never data copies."""
+    import glob as _glob
+
+    stage = tempfile.mkdtemp(dir=root, prefix="_stage_")
+    df.withColumn("_b", bucket_col).write.mode("overwrite").partitionBy(
+        "_b"
+    ).parquet(stage)
+    present = sorted(
+        int(os.path.basename(p).split("=")[1])
+        for p in _glob.glob(os.path.join(stage, "_b=*"))
+    )
+    return stage, present
+
+
+def _replace_dir(src: str, dst: str) -> None:
+    """Move a staged directory into place. An existing ``dst`` is a
+    crash orphan — staged by an epoch that died before its manifest
+    swap, so NO manifest has ever referenced it; the retried epoch
+    clears it and stages fresh."""
+    import shutil
+
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.replace(src, dst)
 
 
 class ParquetBucketedTarget:
@@ -536,43 +603,13 @@ class ParquetBucketedTarget:
         return os.path.join(self.root, f"b{b}", f"v_{version}")
 
     def _bucket_col(self):
-        from pyspark.sql import functions as F
-
-        return F.pmod(
-            F.xxhash64(F.concat_ws("\x1f", *[F.col(k) for k in self.key_cols])),
-            F.lit(self.n_buckets),
-        ).cast("int")
+        return _bucket_expr(self.key_cols, self.n_buckets)
 
     def _stage_partitioned(self, df: DataFrame) -> tuple[str, list[int]]:
-        """Write ``df`` partitioned by bucket into a scratch dir; return
-        (stage dir, buckets present). One distributed job; the per-bucket
-        directory moves afterwards are driver-side renames bounded by
-        n_buckets, never data copies."""
-        import glob as _glob
-
-        stage = tempfile.mkdtemp(dir=self.root, prefix="_stage_")
-        df.withColumn("_b", self._bucket_col()).write.mode("overwrite").partitionBy(
-            "_b"
-        ).parquet(stage)
-        present = sorted(
-            int(os.path.basename(p).split("=")[1])
-            for p in _glob.glob(os.path.join(stage, "_b=*"))
-        )
-        return stage, present
+        return _stage_by_bucket(df, self.root, self._bucket_col())
 
     def _move_version(self, src: str, dst: str) -> None:
-        """Move a staged bucket version into place. An existing ``dst``
-        is a crash orphan — a directory staged by an epoch that died
-        before its manifest swap, so NO manifest (this target's or a
-        TxnCatalog's) has ever referenced it; the retried epoch clears
-        it and stages fresh (the MOR analog is mode(overwrite) on the
-        delta slot)."""
-        import shutil
-
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        os.replace(src, dst)
+        _replace_dir(src, dst)
 
     # -- staging (publish-free, so a TxnCatalog can own the commit) --------
     def stage_full(self, df: DataFrame, base: dict) -> dict:
@@ -717,6 +754,279 @@ class ParquetBucketedTarget:
         return sorted(victims)
 
 
+class ParquetBucketedMorTarget:
+    """Bucketed merge-on-read — the fourth cell of the storage-strategy
+    matrix {whole-table, bucketed} × {copy-on-write, merge-on-read},
+    and the shape Hudi actually runs at scale: keys hash into fixed
+    FILE GROUPS (``b<k>/``), each a base file plus a log of delta
+    slices (``b<k>/base_v<n>``, ``b<k>/delta_<base>_<i>``). It takes
+    the best trade from each parent:
+
+    - writes stay O(batch) like whole-table MOR: ONE partitioned stage
+      write, then driver-side renames into per-touched-bucket delta
+      slots — untouched buckets get NOTHING (no empty deltas);
+    - reads gain bucket pruning like bucketed COW: a probe of bucket k
+      scans only b<k>'s base + deltas (the full-table read is still
+      TWO scans — all bases, all deltas — never one leg per directory,
+      because ``last_seq`` is the global stream sequence and the
+      reconciliation doesn't care which bucket a row came from);
+    - OPTIMIZE becomes PER BUCKET: only buckets at/over the cadence
+      fold, so maintenance cost tracks the HOT fraction of the table —
+      a skewed stream folds its few hot file groups over and over while
+      the cold 99% of a 100 TB table is never rewritten.
+
+    Atomicity is the house pattern: staging dirs are invisible until
+    ONE ``_MANIFEST`` swap (standalone) or one catalog swap
+    (TxnCatalog member — ``stage_*`` methods are publish-free so the
+    catalog can own the commit record). ``flagged`` composes exactly as
+    for ParquetMorTarget: deltas carry tri-state cells, the shared
+    ``reconcile_mor_rows`` resolves per column, folds MATERIALIZE the
+    resolution into plain base columns.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols: list[str],
+        value_cols: list[str],
+        n_buckets: int = 16,
+        compact_every: int | None = None,
+        flagged: bool = False,
+    ):
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        if compact_every is not None and compact_every < 1:
+            raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+        self.spark = spark
+        self.root = root
+        self.key_cols = key_cols
+        self.value_cols = value_cols
+        self.n_buckets = n_buckets
+        self.compact_every = compact_every
+        self.flagged = flagged
+        os.makedirs(root, exist_ok=True)
+
+    # -- layout -------------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_MANIFEST")
+
+    def _manifest(self) -> dict:
+        import json
+
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"n_buckets": self.n_buckets, "buckets": {}}
+
+    def _publish(self, buckets: dict) -> None:
+        import json
+
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_MANIFEST.")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"n_buckets": self.n_buckets, "buckets": buckets}, f)
+        os.replace(tmp, self._manifest_path)
+
+    def _base_dir(self, b: int, v: int) -> str:
+        return os.path.join(self.root, f"b{b}", f"base_v{v}")
+
+    def _delta_dir(self, b: int, base_v: int, i: int) -> str:
+        return os.path.join(self.root, f"b{b}", f"delta_{base_v}_{i}")
+
+    def _bucket_col(self):
+        return _bucket_expr(self.key_cols, self.n_buckets)
+
+    # -- publish-free staging (a TxnCatalog owns the commit record) ---------
+    def stage_initial(self, df: DataFrame, base: dict) -> dict:
+        """Stage a full backfill: every bucket gets a fresh base past
+        ``base`` (empty buckets a schema-stable empty slice), deltas
+        reset. Visible only when some manifest references the returned
+        ``{bucket: {base, deltas}}`` map."""
+        import shutil
+
+        stage, present = _stage_by_bucket(df, self.root, self._bucket_col())
+        out = {}
+        for b in range(self.n_buckets):
+            v = int(base.get(str(b), {}).get("base", -1)) + 1
+            dst = self._base_dir(b, v)
+            if b in present:
+                _replace_dir(os.path.join(stage, f"_b={b}"), dst)
+            else:
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                df.limit(0).write.mode("overwrite").parquet(dst)
+            out[str(b)] = {"base": v, "deltas": 0}
+        shutil.rmtree(stage, ignore_errors=True)
+        return out
+
+    def stage_delta(self, compacted: DataFrame, state: dict) -> dict:
+        """Stage one compacted batch (kind UPSERT|DELETE + last_seq) as
+        per-touched-bucket delta slots: ONE partitioned write, cost ∝
+        batch; untouched buckets' file groups are not read, not
+        written, not listed. Returns the full updated state map."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        if not state:
+            raise FileNotFoundError(
+                f"bucketed MOR target {self.root} not initialized"
+            )
+        sel = compacted.select(
+            *self.key_cols,
+            "kind",
+            F.col("last_seq").cast("bigint").alias("last_seq"),
+            *self.value_cols,
+        )
+        stage, present = _stage_by_bucket(sel, self.root, self._bucket_col())
+        new = {k: dict(v) for k, v in state.items()}
+        for b in present:
+            st = new[str(b)]
+            _replace_dir(
+                os.path.join(stage, f"_b={b}"),
+                self._delta_dir(b, st["base"], st["deltas"]),
+            )
+            st["deltas"] += 1
+        shutil.rmtree(stage, ignore_errors=True)
+        return new
+
+    def stage_compact(self, state: dict, buckets: list[int] | None = None) -> dict:
+        """Fold the selected buckets (default: every bucket with pending
+        deltas) into fresh bases — ONE reconciling read over just those
+        file groups, one partitioned stage write, renames. Publish-free;
+        per-bucket OPTIMIZE is the point: cost ∝ the hot fraction."""
+        import shutil
+
+        hot = (
+            [b for b in range(self.n_buckets) if state[str(b)]["deltas"] > 0]
+            if buckets is None
+            else list(buckets)
+        )
+        new = {k: dict(v) for k, v in state.items()}
+        if not hot:
+            return new
+        folded = self.read(buckets=hot, manifest=state)
+        stage, present = _stage_by_bucket(folded, self.root, self._bucket_col())
+        for b in hot:
+            st = new[str(b)]
+            v = st["base"] + 1
+            dst = self._base_dir(b, v)
+            if b in present:
+                _replace_dir(os.path.join(stage, f"_b={b}"), dst)
+            else:
+                # every key of this bucket is deleted: empty fresh base
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                folded.limit(0).write.mode("overwrite").parquet(dst)
+            new[str(b)] = {"base": v, "deltas": 0}
+        shutil.rmtree(stage, ignore_errors=True)
+        return new
+
+    # -- Target interface -----------------------------------------------------
+    def initialize(self, df: DataFrame) -> None:
+        self._publish(self.stage_initial(df, self._manifest()["buckets"]))
+
+    def read(
+        self, buckets: list[int] | None = None, manifest: dict | None = None
+    ) -> DataFrame:
+        """Reconcile the selected file groups: TWO scans (all selected
+        bases, all selected deltas) into the shared merge-on-read
+        reduction — bucket pruning is path pruning, and the plan never
+        grows one union leg per directory."""
+        from pyspark.sql import functions as F
+
+        m = manifest if manifest is not None else self._manifest()["buckets"]
+        if not m:
+            raise FileNotFoundError(
+                f"bucketed MOR target {self.root} not initialized"
+            )
+        bs = range(self.n_buckets) if buckets is None else buckets
+        base_paths, delta_paths = [], []
+        for b in bs:
+            st = m[str(b)]
+            base_paths.append(self._base_dir(b, st["base"]))
+            delta_paths.extend(
+                self._delta_dir(b, st["base"], i) for i in range(st["deltas"])
+            )
+        allrows = self.spark.read.parquet(*base_paths).select(
+            *self.key_cols,
+            F.lit("UPSERT").alias("kind"),
+            F.lit(-1).cast("bigint").alias("last_seq"),
+            *mor_base_cells(self.value_cols, self.flagged),
+        )
+        if delta_paths:
+            allrows = allrows.unionByName(
+                self.spark.read.parquet(*delta_paths).select(
+                    *self.key_cols,
+                    "kind",
+                    F.col("last_seq").cast("bigint"),
+                    *self.value_cols,
+                )
+            )
+        return reconcile_mor_rows(
+            allrows, self.key_cols, self.value_cols, self.flagged
+        )
+
+    def write_delta(self, compacted: DataFrame) -> dict:
+        """Standalone apply: stage + own-manifest swap, then the
+        automatic per-bucket OPTIMIZE for buckets at the cadence."""
+        new = self.stage_delta(compacted, self._manifest()["buckets"])
+        self._publish(new)
+        if self.compact_every is not None:
+            hot = [
+                b
+                for b in range(self.n_buckets)
+                if new[str(b)]["deltas"] >= self.compact_every
+            ]
+            if hot:
+                self._publish(self.stage_compact(new, hot))
+        return self._manifest()["buckets"]
+
+    def compact(self, buckets: list[int] | None = None) -> dict:
+        """Operator-scheduled per-bucket OPTIMIZE (standalone)."""
+        new = self.stage_compact(self._manifest()["buckets"], buckets)
+        self._publish(new)
+        return new
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Per-bucket generation retention: keep each bucket's current
+        generation (base + its deltas) and the previous ``keep_last - 1``
+        generations; sweep older generations, above-current orphans, and
+        crashed ``_stage_*`` scratch dirs."""
+        import shutil
+
+        m = self._manifest()["buckets"]
+        victims = []
+        for b in range(self.n_buckets):
+            bdir = os.path.join(self.root, f"b{b}")
+            if not os.path.isdir(bdir):
+                continue
+            cur = int(m.get(str(b), {}).get("base", -1))
+            cur_deltas = int(m.get(str(b), {}).get("deltas", 0))
+            oldest_kept = cur - (keep_last - 1)
+            for name in sorted(os.listdir(bdir)):
+                if name.startswith("base_v"):
+                    gen = int(name[len("base_v"):])
+                    orphan = gen > cur
+                elif name.startswith("delta_"):
+                    gen = int(name.split("_")[1])
+                    orphan = gen > cur or (
+                        gen == cur and int(name.split("_")[2]) >= cur_deltas
+                    )
+                else:
+                    continue
+                if gen < oldest_kept or orphan:
+                    victims.append(f"b{b}/{name}")
+                    shutil.rmtree(os.path.join(bdir, name))
+        for name in sorted(os.listdir(self.root)):
+            if name.startswith("_stage_"):
+                victims.append(name)
+                shutil.rmtree(os.path.join(self.root, name))
+        return sorted(victims)
+
+
 class TxnCatalog:
     """Cross-table single-transaction apply (A15 upgraded; closes the
     round-5 verdict's "missing #2").
@@ -764,6 +1074,13 @@ class TxnCatalog:
     catalog member keeps write cost ∝ touched fraction while gaining
     all-tables-at-one-epoch reads. Like MOR members, a catalog-managed
     bucketed table's own ``_MANIFEST`` is never written.
+
+    Bucketed merge-on-read members (``ParquetBucketedMorTarget``, the
+    fourth cell of the strategy matrix) hold ``bmor: {table: {bucket:
+    {base, deltas}}}`` in the same manifest: their epochs stage
+    O(batch) per-touched-bucket delta slots, ``compact(tbl, buckets)``
+    folds only the selected (hot) file groups at the same epoch, and
+    vacuum applies the same reachability window per bucket.
     """
 
     def __init__(self, spark: SparkSession, root: str, targets: dict):
@@ -773,20 +1090,32 @@ class TxnCatalog:
         os.makedirs(root, exist_ok=True)
 
     @staticmethod
+    def _is_bmor(target) -> bool:
+        return hasattr(target, "stage_delta")
+
+    @staticmethod
     def _is_mor(target) -> bool:
-        return hasattr(target, "write_delta")
+        return hasattr(target, "write_delta") and not hasattr(target, "stage_delta")
 
     @staticmethod
     def _is_bucketed(target) -> bool:
         return hasattr(target, "stage_merge")
 
     @staticmethod
-    def _mk_manifest(epoch, versions: dict, mor: dict, bucketed: dict | None = None) -> dict:
+    def _mk_manifest(
+        epoch,
+        versions: dict,
+        mor: dict,
+        bucketed: dict | None = None,
+        bmor: dict | None = None,
+    ) -> dict:
         m = {"epoch": epoch, "versions": versions}
         if mor:
             m["mor"] = mor
         if bucketed:
             m["bucketed"] = bucketed
+        if bmor:
+            m["bmor"] = bmor
         return m
 
     @property
@@ -883,6 +1212,11 @@ class TxnCatalog:
 
     def _read_from(self, tbl: str, m: dict) -> DataFrame:
         t = self.targets[tbl]
+        if self._is_bmor(t):
+            bmor = m.get("bmor", {})
+            if tbl not in bmor:
+                raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
+            return t.read(manifest=bmor[tbl])
         if self._is_mor(t):
             mor = m.get("mor", {})
             if tbl not in mor:
@@ -970,9 +1304,12 @@ class TxnCatalog:
         versions = {}
         mor = {}
         bucketed = {}
+        bmor = {}
         for tbl, df in snapshots.items():
             t = self.targets[tbl]
-            if self._is_mor(t):
+            if self._is_bmor(t):
+                bmor[tbl] = t.stage_initial(df, {})
+            elif self._is_mor(t):
                 df.write.mode("overwrite").parquet(t._base_dir(0))
                 mor[tbl] = {"base": 0, "deltas": 0}
             elif self._is_bucketed(t):
@@ -980,7 +1317,7 @@ class TxnCatalog:
             else:
                 df.write.mode("overwrite").parquet(t._version_dir(1))
                 versions[tbl] = 1
-        self._publish(self._mk_manifest(-1, versions, mor, bucketed))
+        self._publish(self._mk_manifest(-1, versions, mor, bucketed, bmor))
 
     def read(self, tbl: str) -> DataFrame:
         return self._read_from(tbl, self.manifest())
@@ -1020,10 +1357,16 @@ class TxnCatalog:
         new_versions = dict(m["versions"])
         new_mor = {k: dict(v) for k, v in m.get("mor", {}).items()}
         new_bucketed = {k: dict(v) for k, v in m.get("bucketed", {}).items()}
+        new_bmor = {
+            k: {b: dict(s) for b, s in v.items()}
+            for k, v in m.get("bmor", {}).items()
+        }
         touched_buckets: dict[str, dict[int, int]] = {}
         for tbl, compacted in compacted_by_table.items():
             t = self.targets[tbl]
-            if self._is_mor(t):
+            if self._is_bmor(t):
+                new_bmor[tbl] = t.stage_delta(compacted, new_bmor[tbl])
+            elif self._is_mor(t):
                 mm = new_mor[tbl]
                 i = mm["deltas"]
                 compacted.select(
@@ -1047,17 +1390,21 @@ class TxnCatalog:
                 v = new_versions[tbl] + 1
                 merged.write.mode("overwrite").parquet(t._version_dir(v))
                 new_versions[tbl] = v
-        self._publish(self._mk_manifest(epoch, new_versions, new_mor, new_bucketed))
+        self._publish(
+            self._mk_manifest(epoch, new_versions, new_mor, new_bucketed, new_bmor)
+        )
         # honor the automatic OPTIMIZE cadence for catalog-managed MOR
-        # members: under a catalog write_delta never runs (staging goes
-        # through this method), so the target's compact_every would
-        # otherwise be silently dead. The data epoch commits FIRST
-        # (above); each fold is its own maintenance swap, epoch
-        # untouched — a crash between them costs nothing but a deferred
-        # fold.
+        # members (whole-table and bucketed): under a catalog
+        # write_delta never runs (staging goes through this method), so
+        # the target's compact_every would otherwise be silently dead.
+        # The data epoch commits FIRST (above); each fold is its own
+        # maintenance swap, epoch untouched — a crash between them
+        # costs nothing but a deferred fold.
         result = {}
         for t in compacted_by_table:
-            if self._is_mor(self.targets[t]):
+            if self._is_bmor(self.targets[t]):
+                result[t] = new_bmor[t]
+            elif self._is_mor(self.targets[t]):
                 result[t] = new_mor[t]
             elif self._is_bucketed(self.targets[t]):
                 result[t] = touched_buckets[t]
@@ -1072,34 +1419,45 @@ class TxnCatalog:
             ):
                 v = self.compact(tbl)
                 result[tbl] = {"base": v, "deltas": 0}
+            elif self._is_bmor(t) and t.compact_every is not None:
+                hot = [
+                    b
+                    for b in range(t.n_buckets)
+                    if new_bmor[tbl][str(b)]["deltas"] >= t.compact_every
+                ]
+                if hot:
+                    result[tbl] = self.compact(tbl, buckets=hot)
         return result
 
-    def compact(self, tbl: str) -> int:
-        """OPTIMIZE one catalog-managed MOR table: fold its deltas (as
-        seen by the CATALOG manifest) into a fresh base and publish with
-        one catalog swap — the epoch is untouched, so the maintenance
-        pass can never be mistaken for (or refuse) a data epoch."""
+    def compact(self, tbl: str, buckets: list[int] | None = None):
+        """OPTIMIZE one catalog-managed merge-on-read table (whole-table
+        or bucketed): fold its deltas (as seen by the CATALOG manifest)
+        into fresh base(s) and publish with one catalog swap — the epoch
+        is untouched, so the maintenance pass can never be mistaken for
+        (or refuse) a data epoch. ``buckets`` selects the file groups of
+        a bucketed member to fold (default: every one with pending
+        deltas); whole-table members fold entirely."""
         m = self.manifest()
         t = self.targets[tbl]
+        if self._is_bmor(t):
+            new_state = t.stage_compact(m["bmor"][tbl], buckets)
+            # maintenance republish is STRUCTURAL: copy the whole
+            # manifest and replace only the one key this fold changes —
+            # adding a future strategy can't silently drop another's map
+            self._publish({**m, "bmor": {**m["bmor"], tbl: new_state}})
+            return new_state
         if not self._is_mor(t):
             raise ValueError(f"table {tbl} is copy-on-write; compact applies to MOR")
         mm = m["mor"][tbl]
         state = t.read(manifest=mm)
         v = mm["base"] + 1
         state.write.mode("overwrite").parquet(t._base_dir(v))
-        new_mor = {k: dict(x) for k, x in m["mor"].items()}
-        new_mor[tbl] = {"base": v, "deltas": 0}
-        # carry EVERY strategy's map through the maintenance swap — a
-        # fold that republished only versions+mor would silently drop
-        # the bucketed members from the catalog (and from the epoch's
-        # latest log entry, wedging read/apply/read_at for those tables)
+        # maintenance republish is STRUCTURAL: copy the whole manifest
+        # and replace only the one key this fold changes — a fold that
+        # rebuilt the manifest from per-strategy parts silently dropped
+        # the bucketed members once already (round-10 review finding)
         self._publish(
-            self._mk_manifest(
-                m["epoch"],
-                dict(m["versions"]),
-                new_mor,
-                {k: dict(x) for k, x in m.get("bucketed", {}).items()},
-            )
+            {**m, "mor": {**m["mor"], tbl: {"base": v, "deltas": 0}}}
         )
         return v
 
@@ -1133,6 +1491,36 @@ class TxnCatalog:
         window = [e for _, e in entries if e["epoch"] in epochs_kept] + [m]
         victims = []
         for tbl, t in self.targets.items():
+            if self._is_bmor(t):
+                states = [w["bmor"][tbl] for w in window if tbl in w.get("bmor", {})]
+                if not states:
+                    continue
+                for b in range(t.n_buckets):
+                    reach = set()
+                    for s in states:
+                        st = s.get(str(b))
+                        if st is None:
+                            continue
+                        reach.add(f"base_v{st['base']}")
+                        reach.update(
+                            f"delta_{st['base']}_{i}" for i in range(st["deltas"])
+                        )
+                    bdir = os.path.join(t.root, f"b{b}")
+                    if not os.path.isdir(bdir):
+                        continue
+                    for name in sorted(os.listdir(bdir)):
+                        if not (
+                            name.startswith("base_v") or name.startswith("delta_")
+                        ):
+                            continue
+                        if name not in reach:
+                            victims.append(f"{tbl}/b{b}/{name}")
+                            shutil.rmtree(os.path.join(bdir, name))
+                for name in sorted(os.listdir(t.root)):
+                    if name.startswith("_stage_"):
+                        victims.append(f"{tbl}/{name}")
+                        shutil.rmtree(os.path.join(t.root, name))
+                continue
             if self._is_mor(t):
                 reach = set()
                 for w in window:

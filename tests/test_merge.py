@@ -518,3 +518,81 @@ def test_bucketed_cow_flagged_toast(spark, tmp_path):
     assert state["3"] == ("a3", "b3-new")   # a inherited
     assert state["7"] == (None, "b7")       # explicit NULL; b inherited
     assert state["5"] == ("a5", "b5")       # untouched row intact
+
+
+def test_bmor_equals_plain_mor_and_prunes(spark, sf_dir, tmp_path):
+    """ParquetBucketedMorTarget: (a) end state equals whole-table MOR
+    from the same delta batches; (b) a delta write touches ONLY its
+    buckets' file groups — untouched buckets' file sets are bit-for-bit
+    unmoved; (c) the per-bucket OPTIMIZE folds only the hot file groups
+    (cold bases unmoved); (d) a bucket-pruned probe covers exactly its
+    bucket's keys."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mammoth_spark.model import events_as_change_log, read_table
+    from mammoth_spark.sources.target import (
+        ParquetBucketedMorTarget,
+        ParquetMorTarget,
+        compact_for_mor,
+    )
+
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "seq", "key", "kind", F.floor(F.col("value") * 1000).cast("bigint").alias("vm")
+    )
+    b = log.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+    cut = b["lo"] + (b["hi"] - b["lo"]) // 2
+    init = (
+        compact_for_mor(log.filter(F.col("seq") <= cut), ["key"], ["vm"])
+        .filter(F.col("kind") != "DELETE")
+        .select("key", "vm")
+    )
+    mor = ParquetMorTarget(spark, str(tmp_path / "mor"), ["key"], ["vm"])
+    mor.initialize(init)
+    bmor = ParquetBucketedMorTarget(
+        spark, str(tmp_path / "bmor"), ["key"], ["vm"], n_buckets=8
+    )
+    bmor.initialize(init)
+
+    # one delta from a SLICE of keys -> only their buckets' logs grow
+    batch = compact_for_mor(
+        log.filter((F.col("seq") > cut) & (F.col("key") % 11 == 3)), ["key"], ["vm"]
+    )
+    files_before = {
+        k: set(glob.glob(f"{tmp_path}/bmor/b{k}/**/*.parquet", recursive=True))
+        for k in range(8)
+    }
+    mor.write_delta(batch)
+    state_map = bmor.write_delta(batch)
+    touched = {k for k in range(8) if state_map[str(k)]["deltas"] > 0}
+    assert 0 < len(touched) < 8
+    files_after = {
+        k: set(glob.glob(f"{tmp_path}/bmor/b{k}/**/*.parquet", recursive=True))
+        for k in range(8)
+    }
+    for k in range(8):
+        if k in touched:
+            assert files_after[k] > files_before[k]  # delta slot appended
+        else:
+            assert files_after[k] == files_before[k]  # file group untouched
+
+    as_dict = lambda df: {r["key"]: r["vm"] for r in df.collect()}  # noqa: E731
+    state = as_dict(bmor.read())
+    assert state == as_dict(mor.read()) and len(state) > 0
+
+    # bucket-pruned probe covers exactly its bucket's keys
+    probe = sorted(touched)[0]
+    sub = as_dict(bmor.read(buckets=[probe]))
+    assert sub and all(state[k] == v for k, v in sub.items())
+
+    # per-bucket OPTIMIZE: only hot file groups fold, cold bases unmoved
+    cold = sorted(set(range(8)) - touched)[0]
+    cold_files = files_after[cold]
+    bmor.compact()  # folds only buckets with pending deltas
+    m = bmor._manifest()["buckets"]
+    assert all(m[str(k)]["base"] == 1 and m[str(k)]["deltas"] == 0 for k in touched)
+    assert m[str(cold)]["base"] == 0
+    assert set(glob.glob(f"{tmp_path}/bmor/b{cold}/**/*.parquet", recursive=True)) == cold_files
+    assert as_dict(bmor.read()) == state

@@ -1030,3 +1030,258 @@ def test_vacuum_sweeps_crashed_stage_dirs(spark, bucketed_catalog):
     t.initialize(spark.createDataFrame([("k", "v")], KV))
     os.makedirs(os.path.join(root, "_stage_leftover"))
     assert "_stage_leftover" in t.vacuum()
+
+
+def test_changelog_bucketed_member(spark, bucketed_catalog):
+    """The CDF is strategy-generic: over a bucketed member it reads the
+    two per-bucket maps the log entries reference."""
+    cat = bucketed_catalog
+    cat.apply_txn(
+        {"items": _chg(spark, [("i3", "UPSERT", "renamed-3"), ("i9", "UPSERT", "new-9")])},
+        epoch=0,
+    )
+    cdf = {
+        r["key"]: (r["op"], r["name_old"], r["name_new"])
+        for r in cat.changelog("items", -1, 0).collect()
+    }
+    assert cdf == {
+        "i3": ("UPDATE", "name-3", "renamed-3"),
+        "i9": ("INSERT", None, "new-9"),
+    }
+
+
+def test_time_travel_flagged_mor_member(spark, tmp_path):
+    """Time travel composes with TOAST tri-state storage: read_at of a
+    flagged MOR member resolves each column independently down the
+    delta chain AS OF the requested epoch — the epoch-0 read must show
+    the epoch-0 inheritance, not the later overwrite."""
+    from mammoth_spark.sources.target import compact_for_mor_flagged
+
+    cell = T.StructType(
+        [
+            T.StructField("v", T.StringType()),
+            T.StructField("is_null", T.BooleanType()),
+            T.StructField("is_unchanged", T.BooleanType()),
+        ]
+    )
+    log_t = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("a", cell),
+            T.StructField("b", cell),
+        ]
+    )
+    base_t = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    targets = {
+        "t": ParquetMorTarget(
+            spark, str(tmp_path / "t"), ["key"], ["a", "b"], flagged=True
+        )
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), targets)
+    cat.initialize({"t": spark.createDataFrame([("1", "a0", "b0")], base_t)})
+
+    def delta(rows):
+        return compact_for_mor_flagged(
+            spark.createDataFrame(rows, log_t), ["key"], ["a", "b"]
+        )
+
+    # epoch 0: update a, leave b unchanged (inherits b0)
+    cat.apply_txn(
+        {"t": delta([(1, "1", "UPDATE", ("a1", False, False), (None, False, True))])},
+        epoch=0,
+        flagged=True,
+    )
+    # epoch 1: leave a unchanged (inherits a1), null b explicitly
+    cat.apply_txn(
+        {"t": delta([(2, "1", "UPDATE", (None, False, True), (None, True, False))])},
+        epoch=1,
+        flagged=True,
+    )
+    cur = {r["key"]: (r["a"], r["b"]) for r in cat.read("t").collect()}
+    assert cur == {"1": ("a1", None)}
+    at0 = {r["key"]: (r["a"], r["b"]) for r in cat.read_at("t", 0).collect()}
+    assert at0 == {"1": ("a1", "b0")}  # epoch-0 inheritance, pre-null
+    at_init = {r["key"]: (r["a"], r["b"]) for r in cat.read_at("t", -1).collect()}
+    assert at_init == {"1": ("a0", "b0")}
+
+
+# ---- bucketed merge-on-read members (the fourth strategy cell) ----
+
+
+from mammoth_spark.sources.target import ParquetBucketedMorTarget
+
+
+@pytest.fixture
+def bmor_catalog(spark, tmp_path):
+    targets = {
+        "users": ParquetMergeTarget(spark, str(tmp_path / "users"), ["key"], ["name"]),
+        "logs": ParquetBucketedMorTarget(
+            spark, str(tmp_path / "logs"), ["key"], ["name"], n_buckets=4, compact_every=2
+        ),
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "catalog"), targets)
+    cat.initialize(
+        {
+            "users": spark.createDataFrame([("1", "Taylor Swift")], KV),
+            "logs": spark.createDataFrame(
+                [(f"L{k}", f"v{k}") for k in range(8)], KV
+            ),
+        }
+    )
+    return cat
+
+
+def test_bmor_member_lifecycle(spark, bmor_catalog):
+    """A bucketed-MOR member through the whole catalog surface: one-swap
+    commit (O(batch) per-touched-bucket delta slots), redelivery
+    refusal, time travel, CDF, the per-bucket auto-fold at the cadence,
+    catalog-scheduled compact, and reachability vacuum — reads and
+    history intact throughout."""
+    cat = bmor_catalog
+    out = cat.apply_txn(
+        {
+            "users": _chg(spark, [("2", "UPSERT", "Van Morrison")]),
+            "logs": _mor_chg(
+                spark, [(1, "L3", "UPDATE", "v3-new"), (2, "L5", "DELETE", None)]
+            ),
+        },
+        epoch=0,
+    )
+    # only the touched buckets grew a delta slot
+    grown = {b for b, st in out["logs"].items() if st != {"base": 0, "deltas": 0}}
+    assert 0 < len(grown) <= 2
+    st = _state(cat, "logs")
+    assert st["L3"] == "v3-new" and "L5" not in st and st["L1"] == "v1" and len(st) == 7
+    # the catalog record is the member's only commit record
+    assert not os.path.exists(cat.targets["logs"]._manifest_path)
+    assert cat.apply_txn({"logs": _mor_chg(spark, [(9, "L9", "INSERT", "z")])}, epoch=0) is None
+    # time travel + CDF
+    at_init = {r["key"]: r["name"] for r in cat.read_at("logs", -1).collect()}
+    assert at_init["L3"] == "v3" and "L5" in at_init and len(at_init) == 8
+    cdf = {
+        r["key"]: (r["op"], r["name_old"], r["name_new"])
+        for r in cat.changelog("logs", -1, 0).collect()
+    }
+    assert cdf == {"L3": ("UPDATE", "v3", "v3-new"), "L5": ("DELETE", "v5", None)}
+    # second delta on L3's bucket hits compact_every=2: per-bucket fold
+    out2 = cat.apply_txn(
+        {"logs": _mor_chg(spark, [(4, "L3", "UPDATE", "v3-newer")])}, epoch=1
+    )
+    l3_bucket = next(
+        b for b, s in out2["logs"].items() if s["base"] > 0 and s["deltas"] == 0
+    )
+    assert out2["logs"][l3_bucket]["base"] == 1  # folded file group
+    st2 = _state(cat, "logs")
+    assert st2["L3"] == "v3-newer" and len(st2) == 7
+    # catalog compact + vacuum: state and in-window history survive
+    cat.compact("logs")
+    assert _state(cat, "logs") == st2
+    cat.vacuum()
+    assert _state(cat, "logs") == st2
+    assert {r["key"]: r["name"] for r in cat.read_at("logs", 0).collect()}["L3"] == "v3-new"
+
+
+def test_bmor_crash_between_tables_all_old(spark, bmor_catalog):
+    """bmor stages first, the COW table crashes: all-old state, the
+    orphan delta slot is unreferenced, and the retried epoch overwrites
+    it in place (``_replace_dir``) and commits both."""
+    cat = bmor_catalog
+    m_before = cat.manifest()
+
+    @F.udf(T.StringType())
+    def boom(_):
+        raise RuntimeError("simulated crash during users stage")
+
+    failing = _chg(spark, [("2", "UPSERT", "x")]).withColumn("name", boom(F.col("key")))
+    with pytest.raises(Exception, match="simulated crash|boom|Python"):
+        cat.apply_txn(
+            {
+                "logs": _mor_chg(spark, [(1, "L3", "UPDATE", "v3-new")]),  # stages OK
+                "users": failing,
+            },
+            epoch=0,
+        )
+    assert cat.manifest() == m_before
+    assert _state(cat, "logs")["L3"] == "v3"  # all-old
+    out = cat.apply_txn(
+        {
+            "logs": _mor_chg(spark, [(1, "L3", "UPDATE", "v3-new")]),
+            "users": _chg(spark, [("2", "UPSERT", "Van Morrison")]),
+        },
+        epoch=0,
+    )
+    assert out is not None
+    assert _state(cat, "logs")["L3"] == "v3-new"
+    assert _state(cat, "users") == {"1": "Taylor Swift", "2": "Van Morrison"}
+
+
+def test_bmor_flagged_toast_member(spark, tmp_path):
+    """TOAST tri-state through a catalog-managed bucketed-MOR member:
+    the shared per-column read-time resolution runs over the bucketed
+    delta chain — unchanged inherits, explicit NULL nulls — and time
+    travel shows the epoch-0 inheritance."""
+    from mammoth_spark.sources.target import compact_for_mor_flagged
+
+    cell = T.StructType(
+        [
+            T.StructField("v", T.StringType()),
+            T.StructField("is_null", T.BooleanType()),
+            T.StructField("is_unchanged", T.BooleanType()),
+        ]
+    )
+    log_t = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("a", cell),
+            T.StructField("b", cell),
+        ]
+    )
+    base_t = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    targets = {
+        "t": ParquetBucketedMorTarget(
+            spark, str(tmp_path / "t"), ["key"], ["a", "b"], n_buckets=4, flagged=True
+        )
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), targets)
+    cat.initialize(
+        {"t": spark.createDataFrame([(str(k), f"a{k}", f"b{k}") for k in range(8)], base_t)}
+    )
+
+    def delta(rows):
+        return compact_for_mor_flagged(
+            spark.createDataFrame(rows, log_t), ["key"], ["a", "b"]
+        )
+
+    cat.apply_txn(
+        {"t": delta([(1, "3", "UPDATE", ("a1", False, False), (None, False, True))])},
+        epoch=0,
+        flagged=True,
+    )
+    cat.apply_txn(
+        {"t": delta([(2, "3", "UPDATE", (None, False, True), (None, True, False))])},
+        epoch=1,
+        flagged=True,
+    )
+    cur = {r["key"]: (r["a"], r["b"]) for r in cat.read("t").collect()}
+    assert cur["3"] == ("a1", None) and cur["5"] == ("a5", "b5")
+    at0 = {r["key"]: (r["a"], r["b"]) for r in cat.read_at("t", 0).collect()}
+    assert at0["3"] == ("a1", "b3")  # epoch-0 inheritance, pre-null
+    # a fold MATERIALIZES the resolution; state unchanged
+    cat.compact("t")
+    assert {r["key"]: (r["a"], r["b"]) for r in cat.read("t").collect()} == cur
