@@ -673,6 +673,95 @@ def measure_bucketed_write_cost(spark) -> dict:
     return out
 
 
+def measure_bmor_cost(spark) -> dict:
+    """Price the bucketed-MOR claims on the same 2M-row/16-bucket base
+    the COW axis uses: (a) the delta write is O(batch) — the same 20k
+    batch costs the same whether its keys span 1 bucket or all 16
+    (nothing per-bucket is read back, unlike bucketed COW's merge);
+    (b) a bucket-pruned probe reads ONE file group, not the table;
+    (c) OPTIMIZE of the one hot file group costs a fraction of the
+    full fold — maintenance ∝ hot fraction, the per-bucket-OPTIMIZE
+    claim."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mammoth_spark.sources.target import ParquetBucketedMorTarget
+
+    # 10x the MOR axis's base: the per-bucket claims are about DATA cost
+    # (scan/fold bytes), and at 2M tiny rows Spark's fixed per-job costs
+    # drown the ratio the axis is supposed to price
+    base_rows = 10 * MOR_BASE_ROWS
+
+    def fresh():
+        root = tempfile.mkdtemp(prefix="bmorcurve_")
+        t = ParquetBucketedMorTarget(
+            spark, root, ["key"], ["vm"], n_buckets=16
+        )
+        t.initialize(
+            spark.range(base_rows).select(
+                F.col("id").cast("string").alias("key"),
+                (F.col("id") % 1000).cast("bigint").alias("vm"),
+            )
+        )
+        return root, t
+
+    def batch(one_bucket: bool):
+        # 20k keys: either all drawn from one bucket's key space (keys
+        # are filtered by the target's own hash) or spread over all 16
+        ids = spark.range(base_rows).select(
+            F.col("id").cast("string").alias("key"),
+            (F.col("id") + 7).cast("bigint").alias("vm"),
+            F.lit("UPSERT").alias("kind"),
+            F.col("id").cast("bigint").alias("last_seq"),
+        )
+        if one_bucket:
+            from mammoth_spark.sources.target import _bucket_expr
+
+            ids = ids.filter(_bucket_expr(["key"], 16) == 0)
+        return ids.limit(MOR_BATCH_ROWS).localCheckpoint(eager=True)
+
+    out = {}
+    for label, one in (("write_1bucket", True), ("write_16buckets", False)):
+        root, t = fresh()
+        b = batch(one)
+        sec = _timed(lambda: t.write_delta(b), warmups=0, reps=3)
+        out[label] = sec
+        shutil.rmtree(root, ignore_errors=True)
+        print(f"  bmor {label}: {sec}s", flush=True)
+    out["write_spread_over_1bucket"] = round(
+        out["write_16buckets"] / out["write_1bucket"], 2
+    )
+
+    root, t = fresh()
+    t.write_delta(batch(True))  # one hot file group
+    probe_b = 0
+    pruned = _timed(
+        lambda: t.read(buckets=[probe_b]).write.format("noop").mode("overwrite").save()
+    )
+    full = _timed(lambda: t.read().write.format("noop").mode("overwrite").save())
+    out["probe_pruned_sec"] = pruned
+    out["read_full_sec"] = full
+    out["probe_over_full"] = round(pruned / full, 2)
+    print(f"  bmor probe {pruned}s vs full read {full}s", flush=True)
+
+    # per-bucket OPTIMIZE: fold the 1 hot group vs fold everything
+    hot_fold = _timed(lambda: t.compact(), warmups=0, reps=1)  # folds only hot
+    root2, t2 = fresh()
+    t2.write_delta(batch(True))
+    full_fold = _timed(
+        lambda: t2.compact(buckets=list(range(16))), warmups=0, reps=1
+    )
+    out["fold_hot_sec"] = hot_fold
+    out["fold_all_sec"] = full_fold
+    out["hot_fold_over_full_fold"] = round(hot_fold / full_fold, 2)
+    print(f"  bmor fold hot {hot_fold}s vs all {full_fold}s", flush=True)
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root2, ignore_errors=True)
+    return out
+
+
 def measure_cdf_cost(spark) -> dict:
     """Price the catalog changelog/time-travel claims across a decade:
     ``changelog(tbl, e0, e1)`` is ONE null-safe full-outer join of the
@@ -908,6 +997,13 @@ def main() -> None:
         "tws_overhead section into BENCH_CURVE.json",
     )
     ap.add_argument(
+        "--bmor",
+        action="store_true",
+        help="price the bucketed-MOR claims (O(batch) writes independent "
+        "of spread, bucket-pruned probes, per-bucket OPTIMIZE ∝ hot "
+        "fraction); merges a bmor_cost section into BENCH_CURVE.json",
+    )
+    ap.add_argument(
         "--cdf",
         action="store_true",
         help="price the catalog changelog (one join, linear in state "
@@ -998,6 +1094,19 @@ def main() -> None:
         with open(path, "w") as fh:
             json.dump(cur, fh, indent=2)
         print(json.dumps(tws))
+        return
+
+    if args.bmor:
+        bm = measure_bmor_cost(spark)
+        path = os.path.join(REPO, "BENCH_CURVE.json")
+        cur = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                cur = json.load(fh)
+        cur["bmor_cost"] = bm
+        with open(path, "w") as fh:
+            json.dump(cur, fh, indent=2)
+        print(json.dumps(bm))
         return
 
     if args.cdf:
