@@ -447,32 +447,12 @@ def cdc_compact_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch cap) — the fold is per-relation per-batch by contract."""
     import json as _json
 
-    from pyspark.sql import Window
-
     from .operators.compact import compact_exact
 
-    log = (
+    norm = _normalize_kinds(
         events_as_change_log(read_table(spark, sf_dir, "events"))
         .filter(F.col("lsn") < 250)
         .select("seq", "key", "kind", "value")
-    )
-    w = Window.partitionBy("key").orderBy("seq")
-    wall = Window.partitionBy("key")
-    norm = log.select(
-        "seq",
-        "key",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("cnt"),
-        "kind",
-    ).select(
-        "seq",
-        "key",
-        "value",
-        F.when(F.col("rn") == 1, F.lit("INSERT"))
-        .when((F.col("rn") == F.col("cnt")) & (F.col("kind") == "DELETE"), F.lit("DELETE"))
-        .otherwise(F.lit("UPDATE"))
-        .alias("kind"),
     )
     value_c = F.floor(F.col("value") * 100).cast("long").cast("string")
     cell = F.struct(
@@ -596,37 +576,24 @@ def _streaming_cdc_apply(spark: SparkSession, sf_dir: str, target_cls) -> DataFr
     the target's storage strategy), return the published table state."""
     from .scratch import scratch_dir
 
-    from pyspark.sql import Window
     from pyspark.sql import types as T
 
     from .streaming.pipeline import ChangeLogPipeline
 
-    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
-        "lsn", "seq", "key", "kind", "value"
+    normed = _normalize_kinds(
+        events_as_change_log(read_table(spark, sf_dir, "events")).select(
+            "lsn", "seq", "key", "kind", "value"
+        )
     )
-    w = Window.partitionBy("key").orderBy("seq")
-    wall = Window.partitionBy("key")
-    norm = log.select(
-        "lsn",
-        "seq",
-        "key",
-        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("cnt"),
-        "kind",
-    )
-    stream_rows = norm.select(
+    stream_rows = normed.select(
         "lsn",
         "seq",
         F.lit("public").alias("schema"),
         F.lit("users").alias("tbl"),
-        F.when(F.col("rn") == 1, F.lit("INSERT"))
-        .when((F.col("rn") == F.col("cnt")) & (F.col("kind") == "DELETE"), F.lit("DELETE"))
-        .otherwise(F.lit("UPDATE"))
-        .alias("kind"),
+        "kind",
         F.col("key").cast("string").alias("key"),
         F.array(F.lit("value_c")).alias("rel_cols"),
-        "value_c",
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
     )
     src = scratch_dir(prefix="cdc_stream_src_")
     stream_rows.coalesce(4).write.mode("overwrite").json(src)
@@ -1131,26 +1098,9 @@ def _toast_stream_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
-    w = Window.partitionBy("key").orderBy("seq")
-    wall = Window.partitionBy("key")
-    norm = log.select(
-        "lsn",
-        "seq",
-        "key",
-        "event_type",
-        "value",
-        "props",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("cnt"),
-        "kind",
-    ).withColumn(
-        "kind_n",
-        F.when(F.col("rn") == 1, F.lit("INSERT"))
-        .when((F.col("rn") == F.col("cnt")) & (F.col("kind") == "DELETE"), F.lit("DELETE"))
-        .otherwise(F.lit("UPDATE")),
-    )
-    is_del = F.col("kind_n") == "DELETE"
-    is_upd = F.col("kind_n") == "UPDATE"
+    norm = _normalize_kinds(log)
+    is_del = F.col("kind") == "DELETE"
+    is_upd = F.col("kind") == "UPDATE"
     null_s = F.lit(None).cast("string")
     value_cell = F.when(
         ~is_del,
@@ -1187,7 +1137,7 @@ def _toast_stream_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq",
         F.lit("public").alias("schema"),
         F.lit("users").alias("tbl"),
-        F.col("kind_n").alias("kind"),
+        "kind",
         F.col("key").cast("string").alias("key"),
         F.array(F.lit("value_c"), F.lit("props_c")).alias("rel_cols"),
         value_cell.alias("value_c"),
@@ -1306,41 +1256,28 @@ def streaming_txn_mixed_targets_q(spark: SparkSession, sf_dir: str) -> DataFrame
     reference's single warehouse transaction over all tables of a
     batch, snowflake_target.go:283-340). The returned union of both
     tables' final states must equal the one-shot net effect."""
-    from pyspark.sql import Window
     from pyspark.sql import types as T
 
     from .scratch import scratch_dir
     from .sources.target import ParquetMergeTarget, ParquetMorTarget, TxnCatalog
     from .streaming.pipeline import ChangeLogPipeline
 
-    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
-        "lsn", "seq", "key", "kind", "value"
+    normed = _normalize_kinds(
+        events_as_change_log(read_table(spark, sf_dir, "events")).select(
+            "lsn", "seq", "key", "kind", "value"
+        )
     )
-    w = Window.partitionBy("key").orderBy("seq")
-    wall = Window.partitionBy("key")
-    norm = log.select(
-        "lsn",
-        "seq",
-        "key",
-        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("cnt"),
-        "kind",
-    )
-    stream_rows = norm.select(
+    stream_rows = normed.select(
         "lsn",
         "seq",
         F.lit("public").alias("schema"),
         F.when(F.col("key") % 2 == 0, F.lit("users_cow"))
         .otherwise(F.lit("plays_mor"))
         .alias("tbl"),
-        F.when(F.col("rn") == 1, F.lit("INSERT"))
-        .when((F.col("rn") == F.col("cnt")) & (F.col("kind") == "DELETE"), F.lit("DELETE"))
-        .otherwise(F.lit("UPDATE"))
-        .alias("kind"),
+        "kind",
         F.col("key").cast("string").alias("key"),
         F.array(F.lit("value_c")).alias("rel_cols"),
-        "value_c",
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
     )
     mid = stream_rows.agg(
         ((F.min("seq") + F.max("seq")) / 2).cast("long").alias("m")

@@ -27,6 +27,7 @@ from ..types import Relation
 
 
 class ParquetMergeTarget:
+    strategy = "cow"
     """One relation's merge target on parquet with MERGE semantics."""
 
     def __init__(self, spark: SparkSession, root: str, key_cols: list[str], value_cols: list[str]):
@@ -301,6 +302,7 @@ def reconcile_mor_rows(
 
 
 class ParquetMorTarget:
+    strategy = "mor"
     """Merge-on-READ twin of ParquetMergeTarget (Iceberg/Hudi MOR shape).
 
     ParquetMergeTarget is copy-on-write: every micro-batch rewrites the
@@ -534,6 +536,7 @@ def _replace_dir(src: str, dst: str) -> None:
 
 
 class ParquetBucketedTarget:
+    strategy = "bucketed"
     """Bucketed copy-on-write — the third storage strategy, between
     whole-table COW (write ∝ table) and merge-on-read (read pays a keyed
     reduction). Keys hash into ``n_buckets`` fixed buckets; each bucket
@@ -755,6 +758,7 @@ class ParquetBucketedTarget:
 
 
 class ParquetBucketedMorTarget:
+    strategy = "bmor"
     """Bucketed merge-on-read — the fourth cell of the storage-strategy
     matrix {whole-table, bucketed} × {copy-on-write, merge-on-read},
     and the shape Hudi actually runs at scale: keys hash into fixed
@@ -994,10 +998,20 @@ class ParquetBucketedMorTarget:
         """Per-bucket generation retention: keep each bucket's current
         generation (base + its deltas) and the previous ``keep_last - 1``
         generations; sweep older generations, above-current orphans, and
-        crashed ``_stage_*`` scratch dirs."""
+        crashed ``_stage_*`` scratch dirs. A missing/empty own manifest
+        is a hard error (the vacuum_ivf_index lesson, ADVICE r09):
+        a catalog-managed member NEVER has one — treating its absence
+        as cur=-1 would classify every live base the catalog still
+        references as an above-current orphan and destroy the table;
+        catalog members are vacuumed through ``TxnCatalog.vacuum``."""
         import shutil
 
         m = self._manifest()["buckets"]
+        if not m:
+            raise FileNotFoundError(
+                f"bucketed MOR target {self.root} has no own manifest "
+                "(catalog-managed members are vacuumed via TxnCatalog.vacuum)"
+            )
         victims = []
         for b in range(self.n_buckets):
             bdir = os.path.join(self.root, f"b{b}")
@@ -1089,17 +1103,26 @@ class TxnCatalog:
         self.targets = targets
         os.makedirs(root, exist_ok=True)
 
+    # Dispatch reads a DECLARED class marker, not duck-typed method
+    # sets: the fourth strategy proved hasattr inference fragile (it
+    # duck-types as whole-table MOR via write_delta, forcing an
+    # exclusion chain whose predicate ORDER mattered). A target without
+    # a marker is plain copy-on-write.
     @staticmethod
-    def _is_bmor(target) -> bool:
-        return hasattr(target, "stage_delta")
+    def _strategy(target) -> str:
+        return getattr(target, "strategy", "cow")
 
-    @staticmethod
-    def _is_mor(target) -> bool:
-        return hasattr(target, "write_delta") and not hasattr(target, "stage_delta")
+    @classmethod
+    def _is_bmor(cls, target) -> bool:
+        return cls._strategy(target) == "bmor"
 
-    @staticmethod
-    def _is_bucketed(target) -> bool:
-        return hasattr(target, "stage_merge")
+    @classmethod
+    def _is_mor(cls, target) -> bool:
+        return cls._strategy(target) == "mor"
+
+    @classmethod
+    def _is_bucketed(cls, target) -> bool:
+        return cls._strategy(target) == "bucketed"
 
     @staticmethod
     def _mk_manifest(

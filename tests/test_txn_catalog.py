@@ -1285,3 +1285,95 @@ def test_bmor_flagged_toast_member(spark, tmp_path):
     # a fold MATERIALIZES the resolution; state unchanged
     cat.compact("t")
     assert {r["key"]: (r["a"], r["b"]) for r in cat.read("t").collect()} == cur
+
+
+def test_pipeline_quadruple_strategy_one_commit(spark, tmp_path):
+    """The capstone composition: ChangeLogPipeline + TxnCatalog over
+    ALL FOUR storage strategies — plain COW, whole-table MOR, bucketed
+    COW, bucketed MOR — one micro-batch touching all four lands as ONE
+    catalog commit, and a replay (fresh checkpoint, same epoch) is
+    refused for every strategy."""
+    import json
+
+    from mammoth_spark.streaming.pipeline import ChangeLogPipeline
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src, exist_ok=True)
+    targets = {
+        "users": ParquetMergeTarget(spark, str(tmp_path / "users"), ["key"], ["name"]),
+        "plays": ParquetMorTarget(spark, str(tmp_path / "plays"), ["key"], ["name"]),
+        "items": ParquetBucketedTarget(
+            spark, str(tmp_path / "items"), ["key"], ["name"], n_buckets=4
+        ),
+        "logs": ParquetBucketedMorTarget(
+            spark, str(tmp_path / "logs"), ["key"], ["name"], n_buckets=4
+        ),
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "catalog"), targets)
+    cat.initialize(
+        {
+            "users": spark.createDataFrame([("1", "Taylor Swift")], KV),
+            "plays": spark.createDataFrame([("p1", "song-a")], KV),
+            "items": spark.createDataFrame([("i1", "old-1")], KV),
+            "logs": spark.createDataFrame([("L1", "v1"), ("L2", "v2")], KV),
+        }
+    )
+
+    def chg(lsn, seq, tbl, kind, key, name=None):
+        return {
+            "lsn": lsn, "seq": seq, "schema": "public", "tbl": tbl,
+            "kind": kind, "key": str(key), "name": name, "rel_cols": ["name"],
+        }
+
+    rows = [
+        chg(10, 1, "users", "INSERT", 2, "Van Morrison"),
+        chg(10, 2, "plays", "DELETE", "p1"),
+        chg(10, 3, "items", "UPDATE", "i1", "new-1"),
+        chg(10, 4, "logs", "UPDATE", "L2", "v2-new"),
+        chg(10, 5, "logs", "DELETE", "L1"),
+    ]
+    with open(os.path.join(src, "b1.json.tmp"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.replace(os.path.join(src, "b1.json.tmp"), os.path.join(src, "b1.json"))
+
+    def make(ckpt):
+        return ChangeLogPipeline(
+            spark,
+            source_dir=src,
+            checkpoint_dir=str(tmp_path / ckpt),
+            targets=targets,
+            value_cols=["name"],
+            txn_catalog=cat,
+        )
+
+    make("ckpt1").run_available()
+    assert _state(cat, "users") == {"1": "Taylor Swift", "2": "Van Morrison"}
+    assert _state(cat, "plays") == {}
+    assert _state(cat, "items") == {"i1": "new-1"}
+    assert _state(cat, "logs") == {"L2": "v2-new"}
+    m = cat.manifest()
+    assert m["epoch"] == 0
+    assert set(m["versions"]) == {"users"} and set(m["mor"]) == {"plays"}
+    assert set(m["bucketed"]) == {"items"} and set(m["bmor"]) == {"logs"}
+
+    # fresh checkpoint replays epoch 0: refused for all four strategies
+    make("ckpt2").run_available()
+    assert cat.manifest() == m
+
+    # all four readable at the SAME past epoch (cross-table time travel)
+    assert {r["key"] for r in cat.read_at("logs", -1).collect()} == {"L1", "L2"}
+    assert {r["key"] for r in cat.read_at("plays", -1).collect()} == {"p1"}
+
+
+def test_bmor_standalone_vacuum_refuses_missing_manifest(spark, bmor_catalog):
+    """Regression (round-10 review finding): standalone vacuum() on a
+    bucketed-MOR target with no OWN manifest — every catalog-managed
+    member — must refuse, not treat cur=-1 and destroy every live base
+    the catalog still references (the vacuum_ivf_index lesson)."""
+    cat = bmor_catalog
+    logs = cat.targets["logs"]
+    with pytest.raises(FileNotFoundError, match="no own manifest"):
+        logs.vacuum()
+    # the data is intact and the catalog path still works
+    assert len(_state(cat, "logs")) == 8

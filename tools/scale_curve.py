@@ -674,8 +674,10 @@ def measure_bucketed_write_cost(spark) -> dict:
 
 
 def measure_bmor_cost(spark) -> dict:
-    """Price the bucketed-MOR claims on the same 2M-row/16-bucket base
-    the COW axis uses: (a) the delta write is O(batch) — the same 20k
+    """Price the bucketed-MOR claims against a 20M-row 16-bucket base
+    (10x the bucketed-COW axis — these claims are about DATA cost, and
+    at 2M tiny rows Spark's fixed per-job cost drowns the ratios):
+    (a) the delta write is O(batch) — the same 20k
     batch costs the same whether its keys span 1 bucket or all 16
     (nothing per-bucket is read back, unlike bucketed COW's merge);
     (b) a bucket-pruned probe reads ONE file group, not the table;
@@ -746,8 +748,13 @@ def measure_bmor_cost(spark) -> dict:
     out["probe_over_full"] = round(pruned / full, 2)
     print(f"  bmor probe {pruned}s vs full read {full}s", flush=True)
 
-    # per-bucket OPTIMIZE: fold the 1 hot group vs fold everything
-    hot_fold = _timed(lambda: t.compact(), warmups=0, reps=1)  # folds only hot
+    # per-bucket OPTIMIZE: fold the 1 hot group vs fold everything —
+    # COLD-for-COLD: both folds run on freshly-built targets whose base
+    # files were never read (the probe/read target above has its hot
+    # bucket in page cache; timing its fold would flatter the ratio)
+    root3, t3 = fresh()
+    t3.write_delta(batch(True))
+    hot_fold = _timed(lambda: t3.compact(), warmups=0, reps=1)  # folds only hot
     root2, t2 = fresh()
     t2.write_delta(batch(True))
     full_fold = _timed(
@@ -759,6 +766,7 @@ def measure_bmor_cost(spark) -> dict:
     print(f"  bmor fold hot {hot_fold}s vs all {full_fold}s", flush=True)
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(root2, ignore_errors=True)
+    shutil.rmtree(root3, ignore_errors=True)
     return out
 
 
