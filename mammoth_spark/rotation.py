@@ -32,29 +32,20 @@ import re
 # The round whose contract registry.DRIVER_EXPORT currently encodes.
 # Bump this (and regenerate the export with `python tools/rotation_ledger.py
 # --cut`) at the start of each round.
-CONTRACT_ROUND = 10
+CONTRACT_ROUND = 11
 
 # Queries whose implementation paths were refactored AFTER their last
 # driver row and must re-verify on the current tree before anything
-# else already-green. Round 10 touched two result-producing paths:
-# (a) the MOR target and the foreachBatch dispatch grew TOAST tri-state
-# and TxnCatalog membership (ParquetMorTarget.read rewritten with a
-# flagged per-column resolution branch and a manifest parameter;
-# ChangeLogPipeline._apply_batch restructured for flagged/txn-MOR
-# routing) — every query whose rows flow through those sites
-# re-verifies; (b) the IVF erasure surface changed behavior
-# (honor_tombstones default, tombstone-append retry, vacuum pointer
-# guard) — the delete/compact queries re-verify. (The r09 flagships
-# cdc_compact_exact and streaming_cdc_apply re-verified green in r09;
-# streaming_cdc_apply re-enters because its pipeline body changed
-# again.) Drop entries once they hold a row on the current tree.
+# else already-green. Round 11 touched one result-producing path:
+# TxnCatalog.changelog now carries presence via explicit _in_old/_in_new
+# flags instead of key-column isNotNull() (ADVICE r10) — the queries
+# whose rows flow through changelog() re-verify. (cdf_incremental_agg
+# also flows through it but re-enters through the never-green set: its
+# r10 row is hash_match=False, which last_green_rounds now correctly
+# refuses to count.) All six r10 flagships re-verified green in r10 and
+# drop out. Drop entries once they hold a row on the current tree.
 FLAGSHIPS: list[str] = [
-    "streaming_cdc_apply",
-    "streaming_cdc_apply_mor",
-    "merge_on_read_equiv",
-    "wal_batch_pipeline",
-    "ann_index_delete",
-    "ann_index_compact",
+    "txn_changelog_diff",
 ]
 
 CONTRACT_SIZE = 50
@@ -71,7 +62,17 @@ def last_green_rounds(repo_root: str, upto_round: int | None = None) -> dict[str
         with open(path) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
-            if row.get("rows_match") and row.get("schema_match") is not False:
+            # A hash_match=False row is NOT green: the values may agree,
+            # but the driver's typed hash flagged the representation
+            # (the r10 cdf_incremental_agg lesson — an uncast DuckDB SUM).
+            # Such a query must re-verify first, exactly like one never
+            # driver-run. rows-only checks record hash_match=None and
+            # stay eligible.
+            if (
+                row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            ):
                 last[name] = max(last.get(name, 0), rnd)
     return last
 

@@ -1167,7 +1167,11 @@ class ReplicationSession:
         when the tunnel is up and the server advertises it; "y,," when
         the tunnel is up but PLUS is absent — so a MITM stripping the
         PLUS advertisement trips the server's RFC 5802 §6 downgrade
-        check, ADVICE r09; plain "n,," without TLS)."""
+        check, ADVICE r09; plain "n,," without TLS). Binding type is
+        tls-server-end-point ONLY: RFC 9266 tls-exporter needs TLS
+        keying-material export, which stdlib ``ssl`` does not expose,
+        and PostgreSQL itself negotiates only tls-server-end-point —
+        a documented deviation, see the note at SCRAM_CBIND_GS2."""
         if sslmode not in self.SSLMODES:
             raise PgOutputError(f"unsupported sslmode {sslmode!r}")
         if sslmode.startswith("verify-") and ssl_context is None and sslrootcert is None:

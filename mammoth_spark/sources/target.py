@@ -13,6 +13,41 @@ state. Here every write lands in a fresh ``v_<n>`` directory and a
 same manifest-pointer pattern object-store table formats use, so the
 design carries to S3/HDFS at scale (writers never mutate a live
 directory; readers resolve the pointer once per query).
+
+Storage-strategy matrix — the SHARED contract of the four targets
+({whole-table, bucketed} × {copy-on-write, merge-on-read}), so the
+next reader doesn't have to diff four classes (VERDICT r10 #7). Every
+cell obeys the same house rules: (1) staging writes land in
+directories no manifest references — invisible until (2) ONE atomic
+publish (own ``_MANIFEST``/``_CURRENT`` swap standalone, or the
+TxnCatalog's single ``_CATALOG`` swap when the target is a catalog
+member — ``stage_*`` methods are publish-free for exactly this);
+(3) ``vacuum`` deletes only directories no retained manifest
+references, and REFUSES (FileNotFoundError) on a missing/empty own
+manifest because a catalog-managed member never has one (vacuum such
+members via ``TxnCatalog.vacuum``); (4) ``flagged`` TOAST tri-state
+composes identically everywhere (COW materializes resolution at merge
+time, MOR resolves per column at read time, folds materialize it).
+
+Costs below are measured, not asserted — BENCH_CURVE.json sections
+``mor_read_amplification`` / ``bucketed_write_cost`` / ``bmor_cost``
+/ ``cdf_cost`` (2M-row table, 32 epochs, local[32]):
+
+| strategy (class)              | write/epoch           | read                   | maintenance             | measured                                                      |
+|-------------------------------|-----------------------|------------------------|-------------------------|---------------------------------------------------------------|
+| cow  (ParquetMergeTarget)     | O(table) full rewrite | 1 scan, cheapest       | vacuum old ``v_<n>``    | read-optimal by construction; the baseline others divide by   |
+| mor  (ParquetMorTarget)       | O(batch) delta append | base+deltas reduction  | fold every k deltas     | read amp d32/d1 = 6.27× unfolded; 0.54× worst-case at k=8     |
+| bucketed (ParquetBucketedTarget) | O(touched buckets) | pruned: touched buckets| vacuum per bucket       | 1-of-16-bucket write = 0.35× all-16 (data term exactly 1/16)  |
+| bmor (ParquetBucketedMorTarget)  | O(batch) → bucket deltas | pruned base+deltas | fold HOT buckets only   | probe = 0.38× full read; hot-bucket fold = 0.31× full fold    |
+
+Pick by workload: read-heavy/slow-changing → cow; high-velocity
+stream → mor (write ∝ batch, pay a bounded read reduction); point /
+key-range reads at scale → bucketed (prune to touched file groups);
+high-velocity AND skewed → bmor (Hudi's shape: cold 99% of a 100 TB
+table is never rewritten, maintenance tracks the hot fraction).
+TxnCatalog composes any mix of the four under one cross-table commit,
+with time travel (``read_at``) and a derived CDF (``changelog``)
+priced at ~1.1× a current read and O(changed keys) respectively.
 """
 
 from __future__ import annotations
@@ -27,8 +62,9 @@ from ..types import Relation
 
 
 class ParquetMergeTarget:
-    strategy = "cow"
     """One relation's merge target on parquet with MERGE semantics."""
+
+    strategy = "cow"
 
     def __init__(self, spark: SparkSession, root: str, key_cols: list[str], value_cols: list[str]):
         self.spark = spark
@@ -302,7 +338,6 @@ def reconcile_mor_rows(
 
 
 class ParquetMorTarget:
-    strategy = "mor"
     """Merge-on-READ twin of ParquetMergeTarget (Iceberg/Hudi MOR shape).
 
     ParquetMergeTarget is copy-on-write: every micro-batch rewrites the
@@ -316,6 +351,8 @@ class ParquetMorTarget:
     the manifest JSON is swapped with the same write-then-rename publish
     as the COW target (readers never see a torn state).
     """
+
+    strategy = "mor"
 
     def __init__(
         self,
@@ -536,7 +573,6 @@ def _replace_dir(src: str, dst: str) -> None:
 
 
 class ParquetBucketedTarget:
-    strategy = "bucketed"
     """Bucketed copy-on-write — the third storage strategy, between
     whole-table COW (write ∝ table) and merge-on-read (read pays a keyed
     reduction). Keys hash into ``n_buckets`` fixed buckets; each bucket
@@ -562,6 +598,8 @@ class ParquetBucketedTarget:
     ChangeLogPipeline dispatches to it unchanged (it is "a COW target"
     to the loop — just one whose rewrite is bucket-pruned).
     """
+
+    strategy = "bucketed"
 
     def __init__(
         self,
@@ -733,10 +771,19 @@ class ParquetBucketedTarget:
         also sweeps ``_stage_*`` scratch dirs left by a crash inside
         ``_stage_partitioned`` (data-sized, never referenced by any
         manifest; single-writer discipline means any present here is
-        such an orphan)."""
+        such an orphan). A missing/empty own manifest is a hard error,
+        mirroring ParquetBucketedMorTarget.vacuum (ADVICE r10): a
+        catalog-managed member never has one, and silently no-opping
+        (cur defaulting to 0) hides the operator error; members are
+        vacuumed through ``TxnCatalog.vacuum``."""
         import shutil
 
         m = self._manifest()
+        if not m["buckets"]:
+            raise FileNotFoundError(
+                f"bucketed target {self.root} has no own manifest "
+                "(catalog-managed members are vacuumed via TxnCatalog.vacuum)"
+            )
         victims = []
         for b in range(self.n_buckets):
             cur = int(m["buckets"].get(str(b), 0))
@@ -758,7 +805,6 @@ class ParquetBucketedTarget:
 
 
 class ParquetBucketedMorTarget:
-    strategy = "bmor"
     """Bucketed merge-on-read — the fourth cell of the storage-strategy
     matrix {whole-table, bucketed} × {copy-on-write, merge-on-read},
     and the shape Hudi actually runs at scale: keys hash into fixed
@@ -787,6 +833,8 @@ class ParquetBucketedMorTarget:
     ``reconcile_mor_rows`` resolves per column, folds MATERIALIZE the
     resolution into plain base columns.
     """
+
+    strategy = "bmor"
 
     def __init__(
         self,
@@ -1281,18 +1329,24 @@ class TxnCatalog:
         o = old.select(
             *[F.col(k).alias(f"_ko_{k}") for k in t.key_cols],
             *[F.col(v).alias(f"{v}_old") for v in t.value_cols],
+            F.lit(True).alias("_in_old"),
         )
         n = new.select(
             *[F.col(k).alias(f"_kn_{k}") for k in t.key_cols],
             *[F.col(v).alias(f"{v}_new") for v in t.value_cols],
+            F.lit(True).alias("_in_new"),
         )
         cond = None
         for k in t.key_cols:
             c = F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
             cond = c if cond is None else cond & c
         j = o.join(n, cond, "full_outer")
-        in_old = F.col(f"_ko_{t.key_cols[0]}").isNotNull()
-        in_new = F.col(f"_kn_{t.key_cols[0]}").isNotNull()
+        # Explicit presence flags rather than key-column isNotNull():
+        # a row whose first key column is legitimately NULL is present
+        # on both sides yet would read as "absent", misclassifying an
+        # unchanged/updated row as INSERT (ADVICE r10).
+        in_old = F.col("_in_old").isNotNull()
+        in_new = F.col("_in_new").isNotNull()
         changed = None
         for v in t.value_cols:
             c = ~F.col(f"{v}_old").eqNullSafe(F.col(f"{v}_new"))
@@ -1323,7 +1377,22 @@ class TxnCatalog:
         epoch 0, the first micro-batch, is never mistaken for a
         redelivery). MOR tables backfill into ``base_v0``; bucketed
         tables stage a full per-bucket generation the catalog map (not
-        the target's own manifest) references."""
+        the target's own manifest) references.
+
+        Refuses on an already-initialized catalog: re-initializing
+        would restart bucket/version numbering at v_1/base_v0 and
+        overwrite directories that older ``_LOG`` entries still
+        reference, silently corrupting ``read_at`` on pre-reinit
+        epochs (ADVICE r10). Tear the catalog root down explicitly if
+        a rebuild is really intended."""
+        if os.path.exists(self._manifest_path) or os.path.isdir(self._log_dir):
+            raise FileExistsError(
+                f"catalog at {self.root} is already initialized "
+                "(_CATALOG/_LOG present); refusing to re-initialize — older "
+                "epochs' data directories would be overwritten in place while "
+                "_LOG still references them. Remove the catalog root first "
+                "if a rebuild is intended."
+            )
         versions = {}
         mor = {}
         bucketed = {}
@@ -1387,6 +1456,19 @@ class TxnCatalog:
         touched_buckets: dict[str, dict[int, int]] = {}
         for tbl, compacted in compacted_by_table.items():
             t = self.targets[tbl]
+            # MOR/bucketed/bmor staging folds into the table's CURRENT
+            # state map, which only exists after ``initialize`` backfilled
+            # it — fail descriptively (like the read path does) instead
+            # of a bare KeyError (ADVICE r10).
+            if (
+                (self._is_bmor(t) and tbl not in new_bmor)
+                or (self._is_mor(t) and tbl not in new_mor)
+                or (self._is_bucketed(t) and tbl not in new_bucketed)
+            ):
+                raise FileNotFoundError(
+                    f"table {tbl} ({t.strategy}) not in catalog {self.root} — "
+                    "backfill it via TxnCatalog.initialize before apply_txn"
+                )
             if self._is_bmor(t):
                 new_bmor[tbl] = t.stage_delta(compacted, new_bmor[tbl])
             elif self._is_mor(t):

@@ -84,16 +84,28 @@ def test_query_matches_oracle(spark, name):
 def test_oracle_returns_no_hugeint(name):
     """The driver's hasher distinguishes DuckDB HUGEINT (int128, the
     default sum() output) from BIGINT even for equal values — every round-1
-    hash_match failure traced to exactly this. Assert no oracle exposes a
-    HUGEINT (or other unexpected) top-level column type."""
+    hash_match failure, and the single r10 red row (cdf_incremental_agg),
+    traced to exactly this. The earlier version of this guard grepped the
+    DB-API ``description`` for "HUGEINT", but DuckDB's DB-API reports the
+    generic ``'NUMBER'`` for every numeric column, so it could never fire
+    (VERDICT r10 "What's wrong" #2). Inspect the Arrow schema instead:
+    ``fetch_arrow_table()`` surfaces HUGEINT as ``decimal128(38, 0)``,
+    which IS what the driver hashes. No oracle may expose a decimal /
+    int128 top-level column (repo convention: Spark sides are bigint /
+    double; any intentional decimal parity would need an allowlist here)."""
+    import pyarrow as pa
+
     con = _duck(SF_DIR)
-    res = con.execute(ORACLES[name])
+    schema = con.execute(ORACLES[name]).fetch_arrow_table().schema
     bad = [
-        (d[0], str(d[1]))
-        for d in res.description
-        if "HUGEINT" in str(d[1]).upper() or "INT128" in str(d[1]).upper()
+        (f.name, str(f.type))
+        for f in schema
+        if pa.types.is_decimal(f.type) or str(f.type) in ("int128", "hugeint")
     ]
-    assert not bad, f"{name}: HUGEINT columns {bad} — wrap as CAST(sum(...) AS BIGINT)"
+    assert not bad, (
+        f"{name}: decimal/int128 columns {bad} — the driver hashes the typed "
+        "representation, so wrap as CAST(sum(...) AS BIGINT) (or AS DOUBLE)"
+    )
 
 
 def test_contract_is_ledger_cut():

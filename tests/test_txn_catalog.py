@@ -1377,3 +1377,88 @@ def test_bmor_standalone_vacuum_refuses_missing_manifest(spark, bmor_catalog):
         logs.vacuum()
     # the data is intact and the catalog path still works
     assert len(_state(cat, "logs")) == 8
+
+
+def test_bucketed_standalone_vacuum_refuses_missing_manifest(spark, bucketed_catalog):
+    """Regression (ADVICE r10): the bucketed-COW guard must mirror the
+    bucketed-MOR one — a catalog-managed member has no own _MANIFEST,
+    and a silent no-op (cur defaulting to 0) hides the operator error
+    instead of directing them to TxnCatalog.vacuum."""
+    cat = bucketed_catalog
+    items = cat.targets["items"]
+    with pytest.raises(FileNotFoundError, match="no own manifest"):
+        items.vacuum()
+    assert len(_state(cat, "items")) == 8
+
+
+def test_initialize_refuses_existing_catalog(spark, catalog, tmp_path):
+    """Regression (ADVICE r10): re-initializing an existing catalog
+    restarts version numbering at v_1/base_v0 and overwrites directories
+    older _LOG entries still reference — read_at on a pre-reinit epoch
+    would silently return rewritten data. Refuse instead."""
+    cat = catalog
+    with pytest.raises(FileExistsError, match="already initialized"):
+        cat.initialize(
+            {
+                "users": spark.createDataFrame([("9", "Nina Simone")], KV),
+                "albums": spark.createDataFrame([("z", "Baltimore")], KV),
+            }
+        )
+    # pre-existing state untouched
+    assert _state(cat, "users") == {"1": "Taylor Swift"}
+    assert {r["key"] for r in cat.read_at("users", -1).collect()} == {"1"}
+
+
+def test_apply_txn_unregistered_strategy_table_is_descriptive(spark, tmp_path):
+    """Regression (ADVICE r10): staging a bucketed/MOR/bmor table the
+    catalog never backfilled must raise a descriptive FileNotFoundError
+    (like the read path), not a bare KeyError out of new_bucketed[tbl]."""
+    from mammoth_spark.sources.target import ParquetBucketedTarget
+
+    targets = {
+        "users": ParquetMergeTarget(spark, str(tmp_path / "users"), ["key"], ["name"]),
+        "items": ParquetBucketedTarget(
+            spark, str(tmp_path / "items"), ["key"], ["name"], n_buckets=4
+        ),
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "catalog"), targets)
+    # backfill ONLY the COW table — items never enters the catalog map
+    cat.initialize({"users": spark.createDataFrame([("1", "Taylor Swift")], KV)})
+    with pytest.raises(FileNotFoundError, match="items.*not in catalog"):
+        cat.apply_txn(
+            {"items": _chg(spark, [("i1", "UPSERT", "x")])},
+            epoch=0,
+        )
+
+
+def test_changelog_null_key_not_misclassified(spark, catalog):
+    """Regression (ADVICE r10): presence in changelog() is now carried
+    by explicit _in_old/_in_new flags, not the first key column's
+    isNotNull() — a legitimately-NULL key present and unchanged on both
+    sides must emit NO CDF row (it previously came back as a spurious
+    INSERT with the _old side dropped, every epoch, forever)."""
+    cat = catalog
+    cat.apply_txn(
+        {"users": _chg(spark, [(None, "UPSERT", "Anon"), ("2", "UPSERT", "Van")])},
+        epoch=0,
+    )
+    cat.apply_txn(
+        {"users": _chg(spark, [("2", "UPSERT", "Van The Man")])},
+        epoch=1,
+    )
+    cdf = {
+        r["key"]: (r["op"], r["name_old"], r["name_new"])
+        for r in cat.changelog("users", 0, 1).collect()
+    }
+    # the NULL-key row is present and unchanged on both sides: no row
+    assert cdf == {"2": ("UPDATE", "Van", "Van The Man")}
+    # and when the NULL-key row's value DOES change, it is an UPDATE
+    cat.apply_txn(
+        {"users": _chg(spark, [(None, "UPSERT", "Anon v2")])},
+        epoch=2,
+    )
+    cdf2 = {
+        r["key"]: (r["op"], r["name_old"], r["name_new"])
+        for r in cat.changelog("users", 1, 2).collect()
+    }
+    assert cdf2 == {None: ("UPDATE", "Anon", "Anon v2")}
