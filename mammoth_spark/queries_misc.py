@@ -228,7 +228,7 @@ def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- A2 schema introspection + A20 snapshot/stream boundary ----
 
-from .model import EVENTS_KIND_SQL  # noqa: E402
+from .model import EVENTS_KIND_SQL, EVENTS_LSN_DIVISOR  # noqa: E402
 from .operators.ddl import introspect_tables  # noqa: E402
 from .operators.merge import merge_upsert  # noqa: E402
 from .operators.compact import compact_last_wins  # noqa: E402
@@ -2733,3 +2733,480 @@ def numeric_text_fidelity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target.write(inc)
     return target.read().select("key", "num_text")
+
+
+# --------------------------------------------------------------------------
+# Write-audit-publish (Iceberg WAP) on the transaction catalog: stage an
+# epoch to a branch, audit the branch state, fast-forward publish — or drop
+# a failed batch with zero mainline effect. The audit pattern every serious
+# lakehouse ingestion runs before exposing data to consumers.
+# --------------------------------------------------------------------------
+
+_WAP_VALID_CTE = f"""
+change_log AS (
+  SELECT event_id AS seq, {EVENTS_KIND_SQL} AS kind,
+         CAST(user_id AS BIGINT) AS key, value
+  FROM events
+),
+norm AS (
+  SELECT key, seq, value, kind AS orig_kind,
+         row_number() OVER (PARTITION BY key ORDER BY seq) AS rn,
+         count(*) OVER (PARTITION BY key) AS cnt
+  FROM change_log
+),
+valid AS (
+  SELECT key, seq, value,
+         CASE WHEN rn = 1 THEN 'INSERT'
+              WHEN rn = cnt AND orig_kind = 'DELETE' THEN 'DELETE'
+              ELSE 'UPDATE' END AS kind
+  FROM norm
+)
+"""
+
+
+@register(
+    "catalog_wap_publish",
+    oracle=f"""
+WITH {_WAP_VALID_CTE},
+agg AS (
+  SELECT key, arg_max(kind, seq) AS last_kind,
+         CAST(CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 100)
+              AS BIGINT) AS VARCHAR) AS value_c
+  FROM valid GROUP BY key
+)
+SELECT key, value_c FROM agg WHERE last_kind <> 'DELETE'
+""",
+)
+def catalog_wap_publish_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish on the TxnCatalog (Iceberg's WAP branch /
+    fast-forward publish; the reference's single-transaction batch
+    commit, snowflake_target.go:283-340, gains an audit gate in front
+    of it). Three epochs: epoch 0 commits directly; epoch 1 is STAGED
+    to a branch, audited against the branch read (non-empty, no NULL
+    keys), and fast-forward published — one metadata swap, the staged
+    files move nowhere; then a CORRUPTED epoch 2 (a buggy transform
+    that nets every live key to DELETE) is staged, trips the
+    mass-delete audit (branch state empty while mainline holds rows),
+    and is DROPPED — the mainline never sees it, vacuum reclaims the
+    orphaned staging; finally the correct epoch 2 stages, audits, and
+    publishes. The returned mainline state must equal the oracle's
+    one-shot net effect of the full stream — proof the bad batch left
+    no trace. Staging cost is paid once per batch (O(batch) merge
+    writes); audit reads real committed-shape files; publish/drop are
+    O(1) pointer moves — the properties that make WAP viable at
+    100 TB."""
+    from pyspark.sql import types as T
+
+    from .operators.compact import compact_last_wins
+    from .scratch import scratch_dir
+    from .sources.target import ParquetMergeTarget, TxnCatalog
+
+    log = _normalize_kinds(
+        events_as_change_log(read_table(spark, sf_dir, "events")).select(
+            "seq",
+            F.col("key").cast("string").alias("key"),
+            "kind",
+            F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+        )
+    )
+    b = log.agg(
+        F.min("seq").alias("lo"), F.max("seq").alias("hi")
+    ).first()
+    t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    t2 = b["lo"] + 2 * (b["hi"] - b["lo"]) // 3
+
+    catalog = TxnCatalog(
+        spark,
+        scratch_dir(prefix="wap_cat_"),
+        {
+            "users": ParquetMergeTarget(
+                spark, scratch_dir(prefix="wap_cow_"), ["key"], ["value_c"]
+            )
+        },
+    )
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
+        ),
+    )
+    catalog.initialize({"users": empty})
+
+    def compacted(part):
+        return compact_last_wins(part, ["key"], ["value_c"]).drop(
+            "last_seq", "n_actions"
+        )
+
+    # epoch 0: direct commit (the pre-WAP baseline)
+    catalog.apply_txn(
+        {"users": compacted(log.filter(F.col("seq") <= t1))}, epoch=0
+    )
+
+    # epoch 1 through the WAP gate: stage -> audit -> publish
+    catalog.stage_branch(
+        "audit",
+        {"users": compacted(log.filter((F.col("seq") > t1) & (F.col("seq") <= t2)))},
+        epoch=1,
+    )
+    branch = catalog.read_branch("users", "audit")
+    n_branch, n_null = branch.agg(
+        F.count(F.lit(1)), F.sum(F.col("key").isNull().cast("int"))
+    ).first()
+    assert n_branch > 0 and not n_null, "audit failed on a good batch"
+    catalog.publish_branch("audit")
+
+    # epoch 2, CORRUPTED: a buggy transform nets every live key to DELETE.
+    # The audit's mass-delete tripwire must catch it before publish.
+    bad = catalog.read("users").select(
+        "key", F.lit("DELETE").alias("kind"), F.lit(None).cast("string").alias("value_c")
+    )
+    catalog.stage_branch("audit", {"users": bad}, epoch=2)
+    n_main = catalog.read("users").count()
+    n_bad = catalog.read_branch("users", "audit").count()
+    assert n_bad < n_main, "mass-delete tripwire should have fired"
+    catalog.drop_branch("audit")
+    assert catalog.manifest()["epoch"] == 1  # mainline untouched by the drop
+    catalog.vacuum(keep_epochs=2)  # reclaims the dropped branch's staging
+
+    # epoch 2, corrected: stage -> audit -> publish
+    catalog.stage_branch(
+        "audit", {"users": compacted(log.filter(F.col("seq") > t2))}, epoch=2
+    )
+    assert catalog.read_branch("users", "audit").count() > 0
+    catalog.publish_branch("audit")
+    return catalog.read("users").select(
+        F.col("key").cast("bigint").alias("key"), "value_c"
+    )
+
+
+@register(
+    "catalog_replicate_incremental",
+    oracle=f"""
+WITH {_WAP_VALID_CTE},
+span AS (
+  SELECT min(seq) + CAST((max(seq) - min(seq)) // 3 AS BIGINT) AS t1 FROM valid
+),
+state_e0 AS (
+  SELECT key, arg_max(kind, seq) AS last_kind,
+         CAST(CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 100)
+              AS BIGINT) AS VARCHAR) AS value_c
+  FROM valid, span WHERE seq <= t1 GROUP BY key
+),
+state_cur AS (
+  SELECT key, arg_max(kind, seq) AS last_kind,
+         CAST(CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 100)
+              AS BIGINT) AS VARCHAR) AS value_c
+  FROM valid GROUP BY key
+)
+SELECT 'e0' AS snap, key, value_c FROM state_e0 WHERE last_kind <> 'DELETE'
+UNION ALL
+SELECT 'cur' AS snap, key, value_c FROM state_cur WHERE last_kind <> 'DELETE'
+""",
+)
+def catalog_replicate_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental catalog-to-catalog replication — CDC of the CDC:
+    a downstream MIRROR catalog is maintained purely from the source
+    catalog's derived change-data-feed (``changelog(e-1, e)``), never
+    by copying table state. Per epoch the mirror applies O(changed
+    keys), not O(table) — the only sane way to keep a 100 TB replica
+    a region away. The CDF's op column (INSERT/UPDATE/DELETE) IS a
+    compacted change batch (exactly one row per changed key), so it
+    feeds ``apply_txn`` directly; epochs stay aligned, so mirror time
+    travel answers the same audits as the source. Output: the mirror
+    read at epoch 0 (``e0``) unioned with its final state (``cur``) —
+    each must equal the oracle's tertile-1 / full-stream net effects,
+    proving every hop of the replication chain."""
+    from pyspark.sql import types as T
+
+    from .operators.compact import compact_last_wins
+    from .scratch import scratch_dir
+    from .sources.target import ParquetMergeTarget, TxnCatalog
+
+    log = _normalize_kinds(
+        events_as_change_log(read_table(spark, sf_dir, "events")).select(
+            "seq",
+            F.col("key").cast("string").alias("key"),
+            "kind",
+            F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+        )
+    )
+    b = log.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+    t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    t2 = b["lo"] + 2 * (b["hi"] - b["lo"]) // 3
+
+    def mk_catalog(prefix):
+        return TxnCatalog(
+            spark,
+            scratch_dir(prefix=f"{prefix}_cat_"),
+            {
+                "users": ParquetMergeTarget(
+                    spark, scratch_dir(prefix=f"{prefix}_cow_"), ["key"], ["value_c"]
+                )
+            },
+        )
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
+        ),
+    )
+    src = mk_catalog("repl_src")
+    src.initialize({"users": empty})
+    spans = [
+        log.filter(F.col("seq") <= t1),
+        log.filter((F.col("seq") > t1) & (F.col("seq") <= t2)),
+        log.filter(F.col("seq") > t2),
+    ]
+    for e, part in enumerate(spans):
+        src.apply_txn(
+            {
+                "users": compact_last_wins(part, ["key"], ["value_c"]).drop(
+                    "last_seq", "n_actions"
+                )
+            },
+            epoch=e,
+        )
+
+    # the mirror never reads source TABLES — only the derived CDF
+    dst = mk_catalog("repl_dst")
+    dst.initialize({"users": empty})
+    for e in range(3):
+        batch = src.changelog("users", e - 1, e).select(
+            "key", F.col("op").alias("kind"), F.col("value_c_new").alias("value_c")
+        )
+        dst.apply_txn({"users": batch}, epoch=e)
+
+    e0 = dst.read_at("users", 0).select(
+        F.lit("e0").alias("snap"), F.col("key").cast("bigint").alias("key"), "value_c"
+    )
+    cur = dst.read("users").select(
+        F.lit("cur").alias("snap"), F.col("key").cast("bigint").alias("key"), "value_c"
+    )
+    return e0.unionByName(cur)
+
+
+@register(
+    "bucketed_bloom_lookup",
+    oracle="""
+WITH probes AS (
+  SELECT CAST(c_custkey AS BIGINT) AS probe_key
+  FROM customer WHERE c_custkey % 97 = 1
+  UNION ALL
+  SELECT CAST(c_custkey + (SELECT max(c_custkey) FROM customer) AS BIGINT)
+  FROM customer WHERE c_custkey % 97 = 1
+)
+SELECT p.probe_key,
+       c.c_custkey IS NOT NULL AS found,
+       c.c_name
+FROM probes p LEFT JOIN customer c ON c.c_custkey = p.probe_key
+""",
+)
+def bucketed_bloom_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom key index on the bucketed target (Hudi's bloom-index shape;
+    the capability the reference delegates to the warehouse's own
+    point-lookup path). The customer table backfills a bucketed COW
+    target whose staging writes an EXACT per-bucket-version ``_BLOOM``
+    sidecar; a probe set of present keys (every 97th custkey) and
+    guaranteed-absent keys (the same, shifted past max) is then point-
+    looked-up: each key routes to its hash bucket, the bloom admits or
+    rejects it, and only admitted keys' buckets are read — the absent
+    half costs (near-)zero file I/O, which is what makes key-existence
+    checks viable against a 100 TB table. The returned
+    (probe_key, found, name) rows must equal the oracle's LEFT JOIN —
+    bloom false positives cost a wasted pruned read, never a wrong row;
+    false negatives are impossible (the filter is rebuilt from each
+    staged version's own rows). The probe-key collect is bounded
+    (|customers|/97 rows) and the bloom build is a metadata-sized
+    distinct-bits aggregate per staged bucket."""
+    from .scratch import scratch_dir
+    from .sources.target import ParquetBucketedTarget
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "c_name"
+    )
+    stats = cust.agg(
+        F.count(F.lit(1)).alias("n"), F.max("c_custkey").alias("mx")
+    ).first()
+    target = ParquetBucketedTarget(
+        spark,
+        scratch_dir(prefix="bloom_tgt_"),
+        ["c_custkey"],
+        ["c_name"],
+        n_buckets=16,
+        # ~16 bits/key per bucket keeps the false-positive rate ~1e-3
+        # at ANY sf (a fixed size would saturate at 100x the keys)
+        bloom_bits=max(8192, (int(stats["n"]) // 16 + 1) * 16),
+    )
+    target.initialize(cust)
+
+    present = [
+        int(r["c_custkey"])
+        for r in cust.filter(F.col("c_custkey") % 97 == 1).collect()
+    ]
+    absent = [k + int(stats["mx"]) for k in present]
+    hits = target.probe([(k,) for k in present + absent]).select(
+        F.col("c_custkey").alias("probe_key"), "c_name"
+    )
+    st = target.last_probe_stats
+    assert st["bloom_negative"] >= len(absent) // 2, f"bloom did not prune: {st}"
+
+    from .model import local_df
+    from pyspark.sql import types as T
+
+    probes = local_df(
+        spark,
+        [(k,) for k in present + absent],
+        T.StructType([T.StructField("probe_key", T.LongType(), False)]),
+    )
+    return probes.join(
+        F.broadcast(hits), on="probe_key", how="left"
+    ).select("probe_key", F.col("c_name").isNotNull().alias("found"), "c_name")
+
+
+@register(
+    "streaming_wap_pipeline",
+    oracle=f"""
+WITH change_log AS (
+  SELECT event_id AS seq, {EVENTS_KIND_SQL} AS kind,
+         CAST(user_id AS BIGINT) AS key, value
+  FROM events
+),
+span AS (
+  SELECT min(seq) + CAST((max(seq) - min(seq)) // 3 AS BIGINT) AS t1,
+         min(seq) + CAST(2 * ((max(seq) - min(seq)) // 3) AS BIGINT) AS t2
+  FROM change_log
+),
+kept AS (
+  SELECT c.* FROM change_log c, span s WHERE c.seq <= s.t1 OR c.seq > s.t2
+),
+norm AS (
+  SELECT key, seq, value, kind AS orig_kind,
+         row_number() OVER (PARTITION BY key ORDER BY seq) AS rn,
+         count(*) OVER (PARTITION BY key) AS cnt
+  FROM kept
+),
+valid AS (
+  SELECT key, seq, value,
+         CASE WHEN rn = 1 THEN 'INSERT'
+              WHEN rn = cnt AND orig_kind = 'DELETE' THEN 'DELETE'
+              ELSE 'UPDATE' END AS kind
+  FROM norm
+),
+agg AS (
+  SELECT key, arg_max(kind, seq) AS last_kind,
+         CAST(CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 100)
+              AS BIGINT) AS VARCHAR) AS value_c
+  FROM valid GROUP BY key
+)
+SELECT key, value_c FROM agg WHERE last_kind <> 'DELETE'
+""",
+)
+def streaming_wap_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish INSIDE the micro-batch loop: every epoch of
+    the streaming CDC pipeline stages to a WAP branch, an audit runs
+    against the branch state, and only audited epochs fast-forward onto
+    the catalog mainline — the gate that stops a poisoned upstream
+    batch at the staging boundary instead of at the consumers (the
+    lakehouse analog of the reference restarting on drift,
+    supervisor loop). Three epochs flow: a good first tertile, then a
+    POISONED batch (an upstream replay bug re-emits every committed key
+    as DELETE — seq/lsn forged into the skipped middle range), then the
+    good last tertile. The mass-delete tripwire (branch count < half
+    the mainline) rejects epoch 1 — it is CONSUMED (the checkpoint
+    advances; `rejected_epochs` records it) but the mainline never
+    references its staging. The published table must equal the oracle's
+    net effect of tertiles 1 and 3 ONLY — digit-for-digit proof the
+    poison left no trace. Per epoch the gate costs the audit's own
+    read; publish stays a metadata swap (priced in BENCH_CURVE
+    wap_cost)."""
+    from pyspark.sql import types as T
+
+    from .scratch import scratch_dir
+    from .sources.target import ParquetMergeTarget, TxnCatalog
+    from .streaming.pipeline import ChangeLogPipeline
+
+    raw = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "lsn", "seq", "key", "kind", "value"
+    )
+    b = raw.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+    t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    t2 = b["lo"] + 2 * ((b["hi"] - b["lo"]) // 3)
+
+    kept = _normalize_kinds(
+        raw.filter((F.col("seq") <= t1) | (F.col("seq") > t2))
+    )
+    stream_rows = kept.select(
+        "lsn",
+        "seq",
+        F.lit("public").alias("schema"),
+        F.lit("users").alias("tbl"),
+        "kind",
+        F.col("key").cast("string").alias("key"),
+        F.array(F.lit("value_c")).alias("rel_cols"),
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+    )
+    e0 = stream_rows.filter(F.col("seq") <= t1)
+    e2 = stream_rows.filter(F.col("seq") > t2)
+    # the poisoned epoch: an upstream replay bug re-emits every key the
+    # first epoch committed as a DELETE, stamped into the middle range
+    poison = (
+        e0.filter(F.col("kind") != "DELETE")
+        .select("key")
+        .distinct()
+        .select(
+            # lsn runs at seq/EVENTS_LSN_DIVISOR scale — forge the replay
+            # at the last good epoch's watermark so monotonicity holds
+            F.lit(int(t1) // EVENTS_LSN_DIVISOR).alias("lsn"),
+            F.lit(int(t1) + 1).alias("seq"),
+            F.lit("public").alias("schema"),
+            F.lit("users").alias("tbl"),
+            F.lit("DELETE").alias("kind"),
+            "key",
+            F.array(F.lit("value_c")).alias("rel_cols"),
+            F.lit(None).cast("string").alias("value_c"),
+        )
+    )
+
+    target = ParquetMergeTarget(
+        spark, scratch_dir(prefix="swap_tgt_wap_"), ["key"], ["value_c"]
+    )
+    catalog = TxnCatalog(spark, scratch_dir(prefix="wap_pipe_cat_"), {"users": target})
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
+        ),
+    )
+    catalog.initialize({"users": empty})
+
+    def audit(cat, branch, epoch_id) -> bool:
+        n_main = cat.read("users").count()
+        n_branch = cat.read_branch("users", branch).count()
+        return n_branch >= n_main // 2  # mass-delete tripwire
+
+    src = scratch_dir(prefix="wap_stream_src_")
+    pipeline = ChangeLogPipeline(
+        spark,
+        src,
+        scratch_dir(prefix="wap_stream_ckpt_"),
+        {"users": target},
+        ["value_c"],
+        txn_catalog=catalog,
+        audit=audit,
+    )
+    import glob as _glob
+    import os as _os
+
+    for i, part in enumerate([e0, poison, e2]):
+        stage = scratch_dir(prefix=f"wap_epoch{i}_")
+        part.coalesce(2).write.mode("overwrite").json(stage)
+        for j, f in enumerate(sorted(_glob.glob(_os.path.join(stage, "*.json")))):
+            _os.replace(f, _os.path.join(src, f"epoch{i}_{j}.json"))
+        pipeline.run_available()
+
+    assert pipeline.rejected_epochs == [1], pipeline.rejected_epochs
+    assert catalog.manifest()["epoch"] == 2  # mainline skipped the poison
+    return catalog.read("users").select(
+        F.col("key").cast("bigint").alias("key"), "value_c"
+    )

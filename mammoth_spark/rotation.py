@@ -36,16 +36,24 @@ CONTRACT_ROUND = 11
 
 # Queries whose implementation paths were refactored AFTER their last
 # driver row and must re-verify on the current tree before anything
-# else already-green. Round 11 touched one result-producing path:
-# TxnCatalog.changelog now carries presence via explicit _in_old/_in_new
-# flags instead of key-column isNotNull() (ADVICE r10) — the queries
-# whose rows flow through changelog() re-verify. (cdf_incremental_agg
-# also flows through it but re-enters through the never-green set: its
-# r10 row is hash_match=False, which last_green_rounds now correctly
-# refuses to count.) All six r10 flagships re-verified green in r10 and
-# drop out. Drop entries once they hold a row on the current tree.
+# else already-green. Round 11 touched two result-producing paths:
+# (a) TxnCatalog.changelog now carries presence via explicit
+# _in_old/_in_new flags instead of key-column isNotNull() (ADVICE r10)
+# — txn_changelog_diff re-verifies; (b) apply_txn's staging span was
+# extracted into _stage_epoch (shared with the new WAP branch surface),
+# and the COW merge base changed from the mainline pointer to the
+# manifest being staged against — the cross-table commit queries
+# exercising all strategies and the manifest-log reader re-verify.
+# (cdf_incremental_agg also flows through these but re-enters through
+# the never-green set: its r10 row is hash_match=False, which
+# last_green_rounds now correctly refuses to count.) All six r10
+# flagships re-verified green in r10 and drop out. Drop entries once
+# they hold a row on the current tree.
 FLAGSHIPS: list[str] = [
     "txn_changelog_diff",
+    "streaming_txn_triple_strategy",
+    "streaming_txn_mixed_toast",
+    "txn_time_travel",
 ]
 
 CONTRACT_SIZE = 50

@@ -48,6 +48,16 @@ table is never rewritten, maintenance tracks the hot fraction).
 TxnCatalog composes any mix of the four under one cross-table commit,
 with time travel (``read_at``) and a derived CDF (``changelog``)
 priced at ~1.1× a current read and O(changed keys) respectively.
+
+Two scale-read extensions ride the same contracts: the bucketed COW
+target's opt-in BLOOM KEY INDEX (``bloom_bits``/``probe`` — exact
+per-bucket-version ``_BLOOM`` sidecars; absent-key point lookups cost
+zero file I/O), and the catalog's WRITE-AUDIT-PUBLISH branches
+(``stage_branch``/``read_branch``/``publish_branch``/``drop_branch``
+— Iceberg's WAP: stage once, audit real files, publish or drop with
+O(1) metadata; ``vacuum`` retains live branch references and the
+mainline freezes while a branch is live). Both priced in
+BENCH_CURVE.json (``bloom_cost`` / ``wap_cost``).
 """
 
 from __future__ import annotations
@@ -608,7 +618,20 @@ class ParquetBucketedTarget:
         key_cols: list[str],
         value_cols: list[str],
         n_buckets: int = 16,
+        bloom_bits: int | None = None,
+        bloom_hashes: int = 4,
     ):
+        """``bloom_bits`` (opt-in) sizes a per-bucket-version BLOOM KEY
+        INDEX (Hudi's bloom index shape): staging writes a ``_BLOOM``
+        sidecar next to each staged bucket version, computed from the
+        staged rows themselves — since COW staging rewrites the WHOLE
+        bucket, the filter is exact for its version (no accumulation
+        drift; deletes shrink it). ``probe`` then answers point lookups
+        reading ONLY buckets some probe key's bloom admits — an absent
+        key costs zero file I/O, the property that makes key-existence
+        checks viable against a 100 TB table. False positives cost one
+        pruned bucket read and never wrong results; false negatives are
+        impossible (the filter is rebuilt exactly per staged version)."""
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         self.spark = spark
@@ -616,6 +639,9 @@ class ParquetBucketedTarget:
         self.key_cols = key_cols
         self.value_cols = value_cols
         self.n_buckets = n_buckets
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
+        self.last_probe_stats: dict | None = None
         os.makedirs(root, exist_ok=True)
 
     # -- manifest ---------------------------------------------------------
@@ -652,6 +678,171 @@ class ParquetBucketedTarget:
     def _move_version(self, src: str, dst: str) -> None:
         _replace_dir(src, dst)
 
+    # -- bloom key index (opt-in via bloom_bits) ----------------------------
+
+    def _bloom_pos_cols(self):
+        """k bit positions per key: xxhash64 seeded by the hash index —
+        the SAME expressions evaluate at stage time (over staged rows)
+        and at probe time (over a LocalTableScan of the probe keys),
+        so the two sides can never disagree."""
+        from pyspark.sql import functions as F
+
+        key = F.concat_ws("\x1f", *[F.col(k) for k in self.key_cols])
+        return [
+            F.pmod(F.xxhash64(F.lit(i), key), F.lit(self.bloom_bits)).cast("int")
+            for i in range(self.bloom_hashes)
+        ]
+
+    def _write_stage_blooms(self, stage: str, present: list[int]) -> None:
+        """Build each touched bucket's bitmap DISTRIBUTED and drop a
+        ``_BLOOM`` sidecar into its staged dir (the version move then
+        carries it; ``_``-prefixed files are invisible to parquet
+        readers, like ``_SUCCESS``). One column-pruned pass over the
+        freshly staged parquet: distinct (bucket, bit) pairs →
+        per-bucket byte assembly in an Arrow-batched ``applyInPandas``
+        → ONE ROW PER BUCKET streamed back via ``toLocalIterator`` —
+        the driver holds a single bitmap at a time (≤ bloom_bits/8
+        bytes, i.e. bounded by the BUCKET's key count, never the
+        table's), so a 10^4-bucket backfill streams 10^4 small rows
+        instead of collecting O(table × k) positions."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        if not present:
+            return
+        m_bytes = (self.bloom_bits + 7) // 8
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            bits = bytearray(m_bytes)
+            for p in pdf["_p"]:
+                p = int(p)
+                bits[p >> 3] |= 1 << (p & 7)
+            return pd.DataFrame(
+                {"_b": [int(pdf["_b"].iloc[0])], "bits": [bytes(bits)]}
+            )
+
+        df = self.spark.read.option("basePath", stage).parquet(
+            *[os.path.join(stage, f"_b={b}") for b in present]
+        )
+        it = (
+            df.select(
+                F.col("_b").cast("int").alias("_b"),
+                F.explode(F.array(*self._bloom_pos_cols())).alias("_p"),
+            )
+            .distinct()
+            .groupBy("_b")
+            .applyInPandas(build, "_b int, bits binary")
+            .toLocalIterator()
+        )
+        seen = set()
+        for row in it:
+            b = int(row["_b"])
+            seen.add(b)
+            self._bloom_write(os.path.join(stage, f"_b={b}"), bytearray(row["bits"]))
+        for b in set(present) - seen:
+            self._bloom_write(os.path.join(stage, f"_b={b}"), None)
+
+    def _bloom_write(self, dst: str, bits: bytearray | None) -> None:
+        import base64
+        import json
+
+        payload = {
+            "m": self.bloom_bits,
+            "k": self.bloom_hashes,
+            "bits": base64.b64encode(
+                bytes(bits if bits is not None else (self.bloom_bits + 7) // 8 * b"\x00")
+            ).decode(),
+        }
+        with open(os.path.join(dst, "_BLOOM"), "w") as f:
+            json.dump(payload, f)
+
+    def _bloom_load(self, b: int, version: int) -> dict | None:
+        import base64
+        import json
+
+        try:
+            with open(os.path.join(self._bucket_dir(b, version), "_BLOOM")) as f:
+                d = json.load(f)
+        except FileNotFoundError:
+            return None
+        d["bits"] = base64.b64decode(d["bits"])
+        return d
+
+    def probe(self, keys: list[tuple], bucket_map: dict | None = None) -> DataFrame:
+        """Point-lookup a bounded set of keys: route each to its bucket,
+        consult that bucket version's ``_BLOOM`` sidecar (when present
+        and parameter-compatible), and READ only the buckets some
+        admitted key routes to — keys the filter rejects cost zero file
+        I/O. ``last_probe_stats`` records the pruning
+        (n_keys/bloom_negative/buckets_read) so tests and operators can
+        see it. Results are exact regardless of the filter: admitted
+        keys still verify against the real rows (a false positive is
+        one wasted pruned read, never a wrong row). The hash input is
+        the string form of the key (``concat_ws``), so numeric probe
+        values find string-stored keys and vice versa — same implicit
+        cast an equality join would apply."""
+        from pyspark.sql import functions as F
+
+        if bucket_map is None:
+            bucket_map = self._manifest()["buckets"]
+        if not bucket_map:
+            raise FileNotFoundError(f"bucketed target {self.root} not initialized")
+        keys = list(keys)
+        if not keys:
+            self.last_probe_stats = {
+                "n_keys": 0,
+                "bloom_negative": 0,
+                "buckets_read": 0,
+            }
+            return self.read_map(bucket_map, [0]).limit(0)
+        import pandas as pd
+
+        kdf = self.spark.createDataFrame(pd.DataFrame(keys, columns=self.key_cols))
+        sel = [*self.key_cols, self._bucket_col().alias("_b")]
+        if self.bloom_bits:
+            sel.append(F.array(*self._bloom_pos_cols()).alias("_ps"))
+        probe_rows = kdf.select(*sel).collect()  # LocalTableScan: no file I/O
+
+        blooms: dict[int, dict | None] = {}
+        admitted = []
+        n_negative = 0
+        for r in probe_rows:
+            b = int(r["_b"])
+            if b not in blooms:
+                blooms[b] = (
+                    self._bloom_load(b, int(bucket_map[str(b)]))
+                    if self.bloom_bits
+                    else None
+                )
+            bl = blooms[b]
+            if (
+                bl is not None
+                and bl["m"] == self.bloom_bits
+                and bl["k"] == self.bloom_hashes
+            ):
+                bits = bl["bits"]
+                if not all(bits[p >> 3] & (1 << (p & 7)) for p in r["_ps"]):
+                    n_negative += 1
+                    continue
+            admitted.append(r)
+        buckets_read = sorted({int(r["_b"]) for r in admitted})
+        self.last_probe_stats = {
+            "n_keys": len(probe_rows),
+            "bloom_negative": n_negative,
+            "buckets_read": len(buckets_read),
+        }
+        if not admitted:
+            return self.read_map(bucket_map, [0]).limit(0)
+        cand = self.spark.createDataFrame(
+            pd.DataFrame(
+                [[r[k] for k in self.key_cols] for r in admitted],
+                columns=self.key_cols,
+            )
+        )
+        return self.read_map(bucket_map, buckets_read).join(
+            F.broadcast(cand), on=self.key_cols, how="left_semi"
+        )
+
     # -- staging (publish-free, so a TxnCatalog can own the commit) --------
     def stage_full(self, df: DataFrame, base: dict) -> dict:
         """Stage a FULL-table state into fresh per-bucket version dirs
@@ -663,6 +854,10 @@ class ParquetBucketedTarget:
         import shutil
 
         stage, present = self._stage_partitioned(df)
+        if self.bloom_bits:
+            # sidecars land in the staged dirs; the version move below
+            # carries them (``_``-prefixed: invisible to parquet reads)
+            self._write_stage_blooms(stage, present)
         buckets = {}
         for b in range(self.n_buckets):
             v = int(base.get(str(b), 0)) + 1
@@ -676,6 +871,8 @@ class ParquetBucketedTarget:
                 if os.path.isdir(dst):
                     shutil.rmtree(dst)
                 df.limit(0).write.mode("overwrite").parquet(dst)
+                if self.bloom_bits:
+                    self._bloom_write(dst, None)
             buckets[str(b)] = v
         shutil.rmtree(stage, ignore_errors=True)
         return buckets
@@ -714,6 +911,10 @@ class ParquetBucketedTarget:
         else:
             merged = merge_upsert(target, compacted, self.key_cols, self.value_cols)
         stage, present = self._stage_partitioned(merged)
+        if self.bloom_bits:
+            # rebuilt exactly from the staged rows (COW rewrites the
+            # whole touched bucket): deletes shrink the filter, no drift
+            self._write_stage_blooms(stage, present)
         out = {}
         for b in touched:
             v = int(new_buckets[str(b)]) + 1
@@ -726,6 +927,8 @@ class ParquetBucketedTarget:
                 if os.path.isdir(dst):
                     shutil.rmtree(dst)
                 merged.limit(0).write.mode("overwrite").parquet(dst)
+                if self.bloom_bits:
+                    self._bloom_write(dst, None)
             new_buckets[str(b)] = v
             out[b] = v
         shutil.rmtree(stage, ignore_errors=True)
@@ -1414,6 +1617,24 @@ class TxnCatalog:
     def read(self, tbl: str) -> DataFrame:
         return self._read_from(tbl, self.manifest())
 
+    def probe(self, tbl: str, keys: list[tuple]) -> DataFrame:
+        """Point-lookup a bounded key set against a BUCKETED member at
+        the catalog's committed state: routes through the member's
+        bloom-gated ``probe`` with the CATALOG's bucket map (the member
+        has no own manifest), so absent keys cost zero file I/O here
+        too. Raises for non-bucketed members — COW/MOR tables have no
+        per-bucket index to consult; read and filter instead."""
+        t = self.targets[tbl]
+        if not self._is_bucketed(t):
+            raise ValueError(
+                f"table {tbl} ({t.strategy}) has no bucket/bloom index; "
+                "probe applies to bucketed members"
+            )
+        m = self.manifest()
+        if tbl not in m.get("bucketed", {}):
+            raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
+        return t.probe(keys, bucket_map=m["bucketed"][tbl])
+
     def apply_txn(
         self,
         compacted_by_table: dict[str, DataFrame],
@@ -1444,8 +1665,50 @@ class TxnCatalog:
         ``change_flatten(flagged=True)`` staging rows, MOR frames
         ``compact_for_mor_flagged`` output."""
         m = self.manifest()
+        self._refuse_if_branches("apply_txn")
         if m["epoch"] is not None and epoch <= m["epoch"]:
             return None  # redelivered epoch: the commit record says done
+        new_m, result = self._stage_epoch(compacted_by_table, m, epoch, flagged)
+        self._publish(new_m)
+        # honor the automatic OPTIMIZE cadence for catalog-managed MOR
+        # members (whole-table and bucketed): under a catalog
+        # write_delta never runs (staging goes through this method), so
+        # the target's compact_every would otherwise be silently dead.
+        # The data epoch commits FIRST (above); each fold is its own
+        # maintenance swap, epoch untouched — a crash between them
+        # costs nothing but a deferred fold.
+        for tbl in compacted_by_table:
+            t = self.targets[tbl]
+            if (
+                self._is_mor(t)
+                and t.compact_every is not None
+                and new_m["mor"][tbl]["deltas"] >= t.compact_every
+            ):
+                v = self.compact(tbl)
+                result[tbl] = {"base": v, "deltas": 0}
+            elif self._is_bmor(t) and t.compact_every is not None:
+                hot = [
+                    b
+                    for b in range(t.n_buckets)
+                    if new_m["bmor"][tbl][str(b)]["deltas"] >= t.compact_every
+                ]
+                if hot:
+                    result[tbl] = self.compact(tbl, buckets=hot)
+        return result
+
+    def _stage_epoch(
+        self,
+        compacted_by_table: dict[str, DataFrame],
+        m: dict,
+        epoch: int,
+        flagged: bool = False,
+    ) -> tuple[dict, dict]:
+        """Stage one epoch's tables against base manifest ``m`` WITHOUT
+        publishing: all Spark jobs run here, every new directory is
+        unreferenced until the caller swaps a manifest in. Shared by
+        ``apply_txn`` (publishes to ``_CATALOG``) and ``stage_branch``
+        (publishes to a branch head for write-audit-publish). Returns
+        ``(new_manifest, result_map)``."""
         new_versions = dict(m["versions"])
         new_mor = {k: dict(v) for k, v in m.get("mor", {}).items()}
         new_bucketed = {k: dict(v) for k, v in m.get("bucketed", {}).items()}
@@ -1460,10 +1723,16 @@ class TxnCatalog:
             # state map, which only exists after ``initialize`` backfilled
             # it — fail descriptively (like the read path does) instead
             # of a bare KeyError (ADVICE r10).
+            is_cow = not (
+                self._is_bmor(t) or self._is_mor(t) or self._is_bucketed(t)
+            )
             if (
                 (self._is_bmor(t) and tbl not in new_bmor)
                 or (self._is_mor(t) and tbl not in new_mor)
                 or (self._is_bucketed(t) and tbl not in new_bucketed)
+                # COW would also fail descriptively via _read_from below;
+                # the explicit case keeps the guard self-contained
+                or (is_cow and tbl not in new_versions)
             ):
                 raise FileNotFoundError(
                     f"table {tbl} ({t.strategy}) not in catalog {self.root} — "
@@ -1485,7 +1754,10 @@ class TxnCatalog:
                 new_bucketed[tbl] = new_map
                 touched_buckets[tbl] = touched
             else:
-                current = self.read(tbl)
+                # merge against the BASE manifest's version, not the
+                # mainline pointer — they differ when staging the second
+                # epoch of a WAP branch
+                current = self._read_from(tbl, m)
                 if flagged:
                     merged = merge_upsert_flagged(
                         current, compacted, t.key_cols, t.value_cols
@@ -1495,16 +1767,6 @@ class TxnCatalog:
                 v = new_versions[tbl] + 1
                 merged.write.mode("overwrite").parquet(t._version_dir(v))
                 new_versions[tbl] = v
-        self._publish(
-            self._mk_manifest(epoch, new_versions, new_mor, new_bucketed, new_bmor)
-        )
-        # honor the automatic OPTIMIZE cadence for catalog-managed MOR
-        # members (whole-table and bucketed): under a catalog
-        # write_delta never runs (staging goes through this method), so
-        # the target's compact_every would otherwise be silently dead.
-        # The data epoch commits FIRST (above); each fold is its own
-        # maintenance swap, epoch untouched — a crash between them
-        # costs nothing but a deferred fold.
         result = {}
         for t in compacted_by_table:
             if self._is_bmor(self.targets[t]):
@@ -1515,24 +1777,152 @@ class TxnCatalog:
                 result[t] = touched_buckets[t]
             else:
                 result[t] = new_versions[t]
-        for tbl in compacted_by_table:
-            t = self.targets[tbl]
-            if (
-                self._is_mor(t)
-                and t.compact_every is not None
-                and new_mor[tbl]["deltas"] >= t.compact_every
-            ):
-                v = self.compact(tbl)
-                result[tbl] = {"base": v, "deltas": 0}
-            elif self._is_bmor(t) and t.compact_every is not None:
-                hot = [
-                    b
-                    for b in range(t.n_buckets)
-                    if new_bmor[tbl][str(b)]["deltas"] >= t.compact_every
-                ]
-                if hot:
-                    result[tbl] = self.compact(tbl, buckets=hot)
+        return (
+            self._mk_manifest(epoch, new_versions, new_mor, new_bucketed, new_bmor),
+            result,
+        )
+
+    # -- write-audit-publish branches -------------------------------
+    #
+    # Iceberg's WAP pattern (its `wap.branch` / fast-forward publish):
+    # an epoch is staged onto a named BRANCH — a manifest file under
+    # ``_BRANCHES/<name>.json`` that references freshly staged
+    # directories but is NOT the catalog pointer — audited by reading
+    # the branch state, and only then fast-forwarded onto ``_CATALOG``
+    # with the same single-swap commit every other path uses. A failed
+    # audit drops the branch file; the staged directories become
+    # ordinary unreferenced orphans for ``vacuum`` (which retains
+    # anything a LIVE branch still references). Version-number
+    # namespaces (``v_<n>``, delta slots, bucket versions) are shared
+    # with the mainline, so while any branch is live the mainline is
+    # frozen: ``apply_txn``/``compact`` refuse — the WAP discipline is
+    # stage → audit → publish-or-drop, never concurrent divergence.
+    # At 100 TB this buys the thing audits need: the expensive staging
+    # write happens exactly once, the audit reads real committed-shape
+    # files, and publish/drop are O(1) metadata moves.
+
+    @property
+    def _branch_dir(self) -> str:
+        return os.path.join(self.root, "_BRANCHES")
+
+    def _branch_path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("_"):
+            raise ValueError(f"invalid branch name {name!r}")
+        return os.path.join(self._branch_dir, f"{name}.json")
+
+    def _branches(self) -> list[str]:
+        if not os.path.isdir(self._branch_dir):
+            return []
+        return sorted(
+            n[: -len(".json")]
+            for n in os.listdir(self._branch_dir)
+            if n.endswith(".json")
+        )
+
+    def _refuse_if_branches(self, op: str) -> None:
+        live = self._branches()
+        if live:
+            raise RuntimeError(
+                f"{op} refused: live WAP branch(es) {live} hold staged version "
+                "numbers that a mainline write would overwrite — publish_branch "
+                "or drop_branch first"
+            )
+
+    def _branch_manifest(self, name: str) -> dict:
+        import json
+
+        try:
+            with open(self._branch_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"branch {name!r} does not exist in catalog {self.root} "
+                f"(live: {self._branches()})"
+            ) from None
+
+    def stage_branch(
+        self,
+        name: str,
+        compacted_by_table: dict[str, DataFrame],
+        epoch: int,
+        flagged: bool = False,
+    ) -> dict:
+        """Stage one epoch onto branch ``name`` (created on first use,
+        forked from the CURRENT mainline manifest). Staging runs the
+        same Spark jobs as ``apply_txn`` — nothing becomes visible on
+        the mainline; the branch head manifest is swapped atomically
+        under ``_BRANCHES/``. Repeated staging advances the branch head
+        (multi-epoch audits); staging a NEW branch while a DIFFERENT
+        one is live is refused — branches share the mainline's version
+        number namespace, so two live branches would allocate the same
+        ``v_<n>``/delta slots and silently overwrite each other's
+        staged directories (the same hazard _refuse_if_branches guards
+        the mainline against). Returns the per-table result map."""
+        try:
+            base = self._branch_manifest(name)
+        except FileNotFoundError:
+            others = [b for b in self._branches() if b != name]
+            if others:
+                raise RuntimeError(
+                    f"stage_branch({name!r}) refused: branch(es) {others} are "
+                    "live and hold the same staged version numbers this branch "
+                    "would allocate — publish_branch or drop_branch first"
+                ) from None
+            base = dict(self.manifest())
+            # remember the mainline epoch this branch forked from: the
+            # publish is fast-forward-only against exactly this record
+            base["wap_base_epoch"] = base["epoch"]
+        if base["epoch"] is not None and epoch <= base["epoch"]:
+            raise ValueError(
+                f"epoch {epoch} already staged on branch {name!r} "
+                f"(head epoch {base['epoch']})"
+            )
+        new_m, result = self._stage_epoch(compacted_by_table, base, epoch, flagged)
+        new_m["wap_base_epoch"] = base["wap_base_epoch"]
+        import json
+
+        os.makedirs(self._branch_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self._branch_dir, prefix=f"{name}.")
+        with os.fdopen(fd, "w") as f:
+            json.dump(new_m, f)
+        os.replace(tmp, self._branch_path(name))
         return result
+
+    def read_branch(self, tbl: str, name: str) -> DataFrame:
+        """Read ``tbl`` as the branch head sees it — the audit's input.
+        Cross-table consistent for the same reason mainline reads are:
+        one manifest resolves every table."""
+        return self._read_from(tbl, self._branch_manifest(name))
+
+    def branch_epoch(self, name: str) -> int:
+        return self._branch_manifest(name)["epoch"]
+
+    def publish_branch(self, name: str) -> int:
+        """Fast-forward the mainline to the audited branch head: ONE
+        ``_CATALOG`` swap (the staged directories the branch references
+        become the committed state — zero data movement), then the
+        branch file is retired. Refuses if the mainline moved past the
+        branch's fork point (nothing can have moved it while the branch
+        was live — apply_txn/compact refuse — so a mismatch means
+        manual surgery happened; re-stage rather than merge). Returns
+        the published epoch."""
+        bm = self._branch_manifest(name)
+        cur = self.manifest()
+        if cur["epoch"] != bm.get("wap_base_epoch"):
+            raise RuntimeError(
+                f"publish_branch({name!r}) is not a fast-forward: mainline is at "
+                f"epoch {cur['epoch']}, branch forked from {bm.get('wap_base_epoch')}"
+            )
+        out = {k: v for k, v in bm.items() if k != "wap_base_epoch"}
+        self._publish(out)
+        os.remove(self._branch_path(name))
+        return out["epoch"]
+
+    def drop_branch(self, name: str) -> None:
+        """Failed audit: retire the branch file. The staged directories
+        are now unreferenced orphans — reclaimed by ``vacuum``, never
+        visible to any reader."""
+        os.remove(self._branch_path(name))
 
     def compact(self, tbl: str, buckets: list[int] | None = None):
         """OPTIMIZE one catalog-managed merge-on-read table (whole-table
@@ -1542,6 +1932,7 @@ class TxnCatalog:
         (or refuse) a data epoch. ``buckets`` selects the file groups of
         a bucketed member to fold (default: every one with pending
         deltas); whole-table members fold entirely."""
+        self._refuse_if_branches("compact")
         m = self.manifest()
         t = self.targets[tbl]
         if self._is_bmor(t):
@@ -1594,6 +1985,10 @@ class TxnCatalog:
             ]
         )
         window = [e for _, e in entries if e["epoch"] in epochs_kept] + [m]
+        # live WAP branches pin their staged directories: a branch head
+        # is a manifest too, just not the catalog pointer — its files
+        # must survive until the branch is published or dropped
+        window += [self._branch_manifest(b) for b in self._branches()]
         victims = []
         for tbl, t in self.targets.items():
             if self._is_bmor(t):

@@ -81,6 +81,8 @@ class ChangeLogPipeline:
         max_files_per_trigger: int | None = None,
         txn_catalog=None,
         flagged: bool = False,
+        audit=None,
+        wap_branch: str = "wap",
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -101,6 +103,21 @@ class ChangeLogPipeline:
         # storage strategies (COW via the MERGE CASE, MOR via read-time
         # per-column resolution)
         self.flagged = flagged
+        # audit (requires txn_catalog): route every epoch through a
+        # write-audit-publish branch — stage to ``wap_branch``, call
+        # ``audit(catalog, branch, epoch_id) -> bool`` against the
+        # BRANCH state, publish on True (one fast-forward swap), DROP
+        # on False. A rejected epoch is consumed (the checkpoint
+        # advances; the batch is poison, not backpressure) and recorded
+        # in ``rejected_epochs``; the mainline never references its
+        # staging, which vacuum reclaims. This is Iceberg's WAP gate
+        # inside the micro-batch loop: bad upstream batches stop at the
+        # audit instead of reaching consumers.
+        self.audit = audit
+        self.wap_branch = wap_branch
+        self.rejected_epochs: list[int] = []
+        if audit is not None and txn_catalog is None:
+            raise ValueError("audit requires a txn_catalog (WAP is a catalog gate)")
         self.value_cols = value_cols
         self.expected_schema = expected_schema or plain_change_log_schema(
             value_cols, flagged=flagged
@@ -198,10 +215,13 @@ class ChangeLogPipeline:
                 else:
                     target.write(compacted)
             if self.txn_catalog is not None:
-                # one atomic cross-table commit per epoch (A15 exact)
-                self.txn_catalog.apply_txn(
-                    compacted_by_table, epoch_id, flagged=self.flagged
-                )
+                if self.audit is not None:
+                    self._apply_via_wap(compacted_by_table, epoch_id)
+                else:
+                    # one atomic cross-table commit per epoch (A15 exact)
+                    self.txn_catalog.apply_txn(
+                        compacted_by_table, epoch_id, flagged=self.flagged
+                    )
             # A16: track the commit watermark (the checkpoint holds the real
             # offsets; this mirrors the reference's AtomicLSN for observability)
             max_lsn = stats["max_lsn"]
@@ -214,6 +234,30 @@ class ChangeLogPipeline:
             self.batches_applied += 1
         finally:
             batch.unpersist()
+
+    def _apply_via_wap(self, compacted_by_table: dict, epoch_id: int) -> None:
+        """One epoch through the write-audit-publish gate. A crash
+        between stage and publish/drop leaves a live branch the single
+        writer reclaims on redelivery (drop + restage); a redelivered
+        ALREADY-PUBLISHED epoch is refused by the same recorded-epoch
+        guard apply_txn uses."""
+        cat = self.txn_catalog
+        if self.wap_branch in cat._branches():
+            # crash leftover from a prior attempt of this (or an older,
+            # audit-pending) epoch: single-writer discipline means no
+            # one else owns it — drop and restage cleanly
+            cat.drop_branch(self.wap_branch)
+        m_epoch = cat.manifest()["epoch"]
+        if m_epoch is not None and epoch_id <= m_epoch:
+            return  # redelivered epoch: the commit record says done
+        cat.stage_branch(
+            self.wap_branch, compacted_by_table, epoch_id, flagged=self.flagged
+        )
+        if self.audit(cat, self.wap_branch, epoch_id):
+            cat.publish_branch(self.wap_branch)
+        else:
+            cat.drop_branch(self.wap_branch)
+            self.rejected_epochs.append(epoch_id)
 
     def start(self, trigger_seconds: float | None = None, available_now: bool = False):
         reader = (

@@ -1,0 +1,157 @@
+"""Bloom key index on the bucketed COW target (Hudi bloom-index shape):
+staging writes an exact per-bucket-version ``_BLOOM`` sidecar; ``probe``
+answers point lookups reading only buckets an admitted key routes to —
+an absent key costs zero file I/O. False negatives are impossible (the
+filter is rebuilt from the staged rows of each version); false positives
+cost one pruned read and never a wrong row."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mammoth_spark.sources.target import ParquetBucketedTarget
+
+KV = T.StructType(
+    [T.StructField("key", T.StringType()), T.StructField("name", T.StringType())]
+)
+CHG = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture
+def target(spark, tmp_path):
+    t = ParquetBucketedTarget(
+        spark,
+        str(tmp_path / "items"),
+        ["key"],
+        ["name"],
+        n_buckets=4,
+        bloom_bits=1024,
+    )
+    t.initialize(
+        spark.createDataFrame([(f"k{i}", f"name-{i}") for i in range(64)], KV)
+    )
+    return t
+
+
+def _state(df):
+    return {r["key"]: r["name"] for r in df.collect()}
+
+
+def test_bloom_sidecars_written_per_bucket_version(spark, target):
+    m = target._manifest()["buckets"]
+    for b in range(4):
+        assert os.path.exists(
+            os.path.join(target._bucket_dir(b, m[str(b)]), "_BLOOM")
+        )
+
+
+def test_probe_present_keys_exact(spark, target):
+    got = _state(target.probe([("k3",), ("k17",), ("k60",)]))
+    assert got == {"k3": "name-3", "k17": "name-17", "k60": "name-60"}
+    assert target.last_probe_stats["n_keys"] == 3
+    # a present key can never be bloom-rejected
+    assert target.last_probe_stats["bloom_negative"] == 0
+
+
+def test_probe_absent_keys_skip_io(spark, target):
+    target.probe([("zz1",), ("zz2",), ("zz3",), ("zz4",), ("zz5",)])
+    st = target.last_probe_stats
+    # 1024 bits over ~16 keys/bucket: essentially every absent key is
+    # rejected without touching a file
+    assert st["bloom_negative"] >= 4
+    assert st["buckets_read"] <= 1
+
+
+def test_probe_mixed_and_empty_result_schema(spark, target):
+    df = target.probe([("k1",), ("zz-absent",)])
+    assert _state(df) == {"k1": "name-1"}
+    empty = target.probe([("zz-absent",)])
+    assert empty.columns == ["key", "name"]
+    assert empty.count() == 0
+
+
+def test_merge_rebuilds_bloom_deletes_shrink(spark, target):
+    """COW staging rewrites the whole touched bucket, so the sidecar is
+    rebuilt exactly: a deleted key becomes bloom-invisible again (no
+    accumulation drift), and a new key becomes findable."""
+    target.write(
+        spark.createDataFrame(
+            [("k1", "DELETE", None), ("fresh", "UPSERT", "brand-new")], CHG
+        )
+    )
+    got = _state(target.probe([("fresh",)]))
+    assert got == {"fresh": "brand-new"}
+
+    # bloom of k1's NEW bucket version rejects k1 (exact rebuild) —
+    # unless k1 shares all k bit positions with a surviving key (then
+    # it is an ordinary false positive: a wasted read, zero wrong rows)
+    out = target.probe([("k1",)])
+    assert out.count() == 0
+
+
+def test_probe_without_bloom_still_bucket_prunes(spark, tmp_path):
+    t = ParquetBucketedTarget(
+        spark, str(tmp_path / "plain"), ["key"], ["name"], n_buckets=8
+    )
+    t.initialize(
+        spark.createDataFrame([(f"k{i}", f"n{i}") for i in range(32)], KV)
+    )
+    got = _state(t.probe([("k5",), ("absent",)]))
+    assert got == {"k5": "n5"}
+    st = t.last_probe_stats
+    assert st["bloom_negative"] == 0  # no filter to reject with
+    assert st["buckets_read"] <= 2  # but still only the keys' buckets
+
+
+def test_probe_respects_explicit_bucket_map_versions(spark, target):
+    """probe(bucket_map=...) reads the versions THAT map references —
+    the TxnCatalog integration point (members pass the catalog's map)."""
+    old_map = dict(target._manifest()["buckets"])
+    target.write(spark.createDataFrame([("k1", "UPSERT", "renamed")], CHG))
+    assert _state(target.probe([("k1",)])) == {"k1": "renamed"}
+    assert _state(target.probe([("k1",)], bucket_map=old_map)) == {"k1": "name-1"}
+
+
+def test_catalog_probe_bucketed_member(spark, tmp_path):
+    """TxnCatalog.probe routes a bucketed member's point lookup through
+    the member's bloom with the CATALOG's bucket map — catalog members
+    have no own manifest, so the passthrough is the only correct way
+    to probe them."""
+    from mammoth_spark.sources.target import ParquetMergeTarget, TxnCatalog
+
+    targets = {
+        "users": ParquetMergeTarget(spark, str(tmp_path / "u"), ["key"], ["name"]),
+        "items": ParquetBucketedTarget(
+            spark,
+            str(tmp_path / "i"),
+            ["key"],
+            ["name"],
+            n_buckets=4,
+            bloom_bits=1024,
+        ),
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), targets)
+    cat.initialize(
+        {
+            "users": spark.createDataFrame([("1", "Taylor")], KV),
+            "items": spark.createDataFrame(
+                [(f"k{i}", f"n{i}") for i in range(32)], KV
+            ),
+        }
+    )
+    got = _state(cat.probe("items", [("k7",), ("absent",)]))
+    assert got == {"k7": "n7"}
+    st = targets["items"].last_probe_stats
+    assert st["bloom_negative"] == 1 and st["buckets_read"] == 1
+
+    with pytest.raises(ValueError, match="no bucket/bloom index"):
+        cat.probe("users", [("1",)])

@@ -1462,3 +1462,197 @@ def test_changelog_null_key_not_misclassified(spark, catalog):
         for r in cat.changelog("users", 1, 2).collect()
     }
     assert cdf2 == {None: ("UPDATE", "Anon", "Anon v2")}
+
+
+# -- write-audit-publish branches ------------------------------------------
+
+
+def test_wap_stage_audit_publish(spark, catalog):
+    """Iceberg-shape WAP: stage an epoch onto a branch (mainline sees
+    NOTHING), audit the branch state, fast-forward publish with one
+    catalog swap."""
+    cat = catalog
+    cat.apply_txn({"users": _chg(spark, [("2", "UPSERT", "Van Morrison")])}, epoch=0)
+    before = cat.manifest()
+
+    cat.stage_branch(
+        "audit", {"users": _chg(spark, [("3", "UPSERT", "Joni Mitchell")])}, epoch=1
+    )
+    # mainline is untouched; the branch sees the staged epoch
+    assert cat.manifest() == before
+    assert _state(cat, "users") == {"1": "Taylor Swift", "2": "Van Morrison"}
+    branch_state = {
+        r["key"]: r["name"] for r in cat.read_branch("users", "audit").collect()
+    }
+    assert branch_state == {
+        "1": "Taylor Swift",
+        "2": "Van Morrison",
+        "3": "Joni Mitchell",
+    }
+
+    # audit passes: publish is a fast-forward metadata swap
+    assert cat.publish_branch("audit") == 1
+    assert cat.manifest()["epoch"] == 1
+    assert _state(cat, "users") == branch_state
+    assert cat._branches() == []
+    # the published epoch is in the log (time travel works through it)
+    assert {r["key"] for r in cat.read_at("users", 0).collect()} == {"1", "2"}
+
+
+def test_wap_drop_branch_leaves_no_trace(spark, catalog):
+    """Failed audit: drop_branch retires the head; the staged dirs are
+    orphans vacuum reclaims; mainline can continue at the same epoch."""
+    cat = catalog
+    cat.apply_txn({"users": _chg(spark, [("2", "UPSERT", "Van Morrison")])}, epoch=0)
+    cat.stage_branch(
+        "bad", {"users": _chg(spark, [("1", "DELETE", None), ("2", "DELETE", None)])},
+        epoch=1,
+    )
+    # audit: a mass-delete tripwire fires
+    assert cat.read_branch("users", "bad").count() == 0
+    cat.drop_branch("bad")
+    assert cat._branches() == []
+    # mainline never saw it, and the SAME epoch number can now commit
+    cat.apply_txn({"users": _chg(spark, [("3", "UPSERT", "Joni")])}, epoch=1)
+    assert _state(cat, "users") == {
+        "1": "Taylor Swift",
+        "2": "Van Morrison",
+        "3": "Joni",
+    }
+    # vacuum sweeps the branch's orphaned staging dirs without touching
+    # committed state
+    cat.vacuum(keep_epochs=10)
+    assert _state(cat, "users") == {
+        "1": "Taylor Swift",
+        "2": "Van Morrison",
+        "3": "Joni",
+    }
+
+
+def test_wap_mainline_frozen_while_branch_live(spark, catalog):
+    """apply_txn and compact refuse while a branch holds staged version
+    numbers — the version namespace is shared, so a mainline write
+    would overwrite the branch's staged directories."""
+    cat = catalog
+    cat.stage_branch(
+        "audit", {"users": _chg(spark, [("2", "UPSERT", "Van")])}, epoch=0
+    )
+    with pytest.raises(RuntimeError, match="live WAP branch"):
+        cat.apply_txn({"users": _chg(spark, [("3", "UPSERT", "X")])}, epoch=0)
+    with pytest.raises(RuntimeError, match="live WAP branch"):
+        cat.compact("users")
+    cat.drop_branch("audit")
+    # thawed
+    cat.apply_txn({"users": _chg(spark, [("3", "UPSERT", "Joni")])}, epoch=0)
+    assert "3" in _state(cat, "users")
+
+
+def test_wap_vacuum_retains_live_branch_files(spark, catalog):
+    """A live branch pins its staged directories: vacuum must treat the
+    branch head as a retained manifest, or the audit would read deleted
+    files."""
+    cat = catalog
+    for e in range(3):
+        cat.apply_txn(
+            {"users": _chg(spark, [(f"k{e}", "UPSERT", f"v{e}")])}, epoch=e
+        )
+    cat.stage_branch(
+        "audit", {"users": _chg(spark, [("9", "UPSERT", "Nine")])}, epoch=3
+    )
+    cat.vacuum(keep_epochs=1)
+    # branch still fully readable after the sweep
+    got = {r["key"]: r["name"] for r in cat.read_branch("users", "audit").collect()}
+    assert got["9"] == "Nine" and "k2" in got
+    assert cat.publish_branch("audit") == 3
+
+
+def test_wap_multi_epoch_branch_and_ff_guard(spark, catalog):
+    """A branch can accumulate several audited epochs; publish applies
+    them all in one swap. The fast-forward guard refuses when the fork
+    point no longer matches the mainline."""
+    cat = catalog
+    cat.stage_branch("audit", {"users": _chg(spark, [("2", "UPSERT", "a")])}, epoch=0)
+    cat.stage_branch("audit", {"users": _chg(spark, [("3", "UPSERT", "b")])}, epoch=1)
+    with pytest.raises(ValueError, match="already staged"):
+        cat.stage_branch("audit", {"users": _chg(spark, [("4", "UPSERT", "c")])}, epoch=1)
+    assert cat.branch_epoch("audit") == 1
+    assert cat.publish_branch("audit") == 1
+    assert _state(cat, "users") == {"1": "Taylor Swift", "2": "a", "3": "b"}
+
+    # forge a stale fork point: branch claims to fork from epoch 0 while
+    # mainline sits at 1 — publish must refuse
+    cat.stage_branch("stale", {"users": _chg(spark, [("5", "UPSERT", "d")])}, epoch=2)
+    import json as _json
+
+    p = cat._branch_path("stale")
+    bm = _json.load(open(p))
+    bm["wap_base_epoch"] = 0
+    _json.dump(bm, open(p, "w"))
+    with pytest.raises(RuntimeError, match="not a fast-forward"):
+        cat.publish_branch("stale")
+    cat.drop_branch("stale")
+
+
+def test_pipeline_wap_gate_semantics(spark, catalog, tmp_path):
+    """The streaming WAP gate (_apply_via_wap): a crash-leftover branch
+    is dropped and restaged; a failed audit consumes the epoch (recorded
+    in rejected_epochs, mainline untouched); a redelivered published
+    epoch is refused by the recorded-epoch guard."""
+    from mammoth_spark.streaming.pipeline import ChangeLogPipeline
+
+    cat = catalog
+    calls = []
+
+    def audit(c, branch, epoch_id):
+        calls.append(epoch_id)
+        return c.read_branch("users", branch).count() >= 1
+
+    pipeline = ChangeLogPipeline(
+        spark,
+        str(tmp_path / "src"),
+        str(tmp_path / "ckpt"),
+        cat.targets,
+        ["name"],
+        txn_catalog=cat,
+        audit=audit,
+    )
+
+    # crash leftover: a live branch from a prior attempt must be
+    # dropped and restaged, not error
+    cat.stage_branch("wap", {"users": _chg(spark, [("9", "UPSERT", "stale")])}, epoch=0)
+    pipeline._apply_via_wap(
+        {"users": _chg(spark, [("2", "UPSERT", "Van Morrison")])}, 0
+    )
+    assert _state(cat, "users") == {"1": "Taylor Swift", "2": "Van Morrison"}
+    assert "9" not in _state(cat, "users")  # the stale staging died
+    assert cat.manifest()["epoch"] == 0
+
+    # failed audit: epoch consumed, mainline untouched
+    pipeline._apply_via_wap(
+        {"users": _chg(spark, [("1", "DELETE", None), ("2", "DELETE", None)])}, 1
+    )
+    assert pipeline.rejected_epochs == [1]
+    assert cat.manifest()["epoch"] == 0
+    assert len(_state(cat, "users")) == 2
+
+    # redelivered, already-published epoch: refused without staging
+    n_calls = len(calls)
+    pipeline._apply_via_wap(
+        {"users": _chg(spark, [("2", "UPSERT", "overwrite")])}, 0
+    )
+    assert len(calls) == n_calls  # audit never ran
+    assert _state(cat, "users")["2"] == "Van Morrison"
+
+
+def test_wap_refuses_second_concurrent_branch(spark, catalog):
+    """Regression (round-11 review finding): branches share the
+    mainline's version-number namespace, so staging a NEW branch while
+    a different one is live would allocate the same v_<n> dirs and
+    silently overwrite the first branch's audited staging. Refuse."""
+    cat = catalog
+    cat.stage_branch("a", {"users": _chg(spark, [("2", "UPSERT", "from-a")])}, epoch=0)
+    with pytest.raises(RuntimeError, match="live and hold the same staged"):
+        cat.stage_branch("b", {"users": _chg(spark, [("3", "UPSERT", "from-b")])}, epoch=0)
+    # branch a's staging is intact and publishable
+    assert cat.publish_branch("a") == 0
+    assert _state(cat, "users")["2"] == "from-a"

