@@ -51,7 +51,27 @@ def merge_upsert(
     compaction is a mandatory pre-step (SURVEY §4). ``value_cols`` are
     plain columns (NULL on an UPDATE/INSERT means set NULL; there is no
     TOAST tri-state on this path — see merge_upsert_flagged).
+
+    Additive schema evolution (Delta-style): a ``value_cols`` entry the
+    TARGET does not yet carry is backfilled as typed NULL before the
+    merge, so the first batch after an ``ALTER TABLE ADD COLUMN``
+    upstream merges cleanly — existing rows read NULL for the new
+    column until a change touches them. Purely a projection on the
+    target scan; no extra pass.
     """
+    missing = [c for c in value_cols if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"change batch lacks value column(s) {missing}: plain-column "
+            "MERGE sets every value column from the batch row (absent ≠ "
+            "inherit — that is the flagged/TOAST path), so post-evolution "
+            "batches must carry the full schema"
+        )
+    for c in value_cols:
+        if c not in target.columns:
+            target = target.withColumn(
+                c, F.lit(None).cast(changes.schema[c].dataType)
+            )
     ch = changes.select(
         *key_cols,
         F.col(kind_col).alias("_kind"),

@@ -3210,3 +3210,120 @@ def streaming_wap_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.read("users").select(
         F.col("key").cast("bigint").alias("key"), "value_c"
     )
+
+
+@register(
+    "txn_schema_evolve",
+    oracle=f"""
+WITH change_log AS (
+  SELECT event_id AS seq, {EVENTS_KIND_SQL} AS kind,
+         CAST(user_id AS BIGINT) AS key, value
+  FROM events
+),
+span AS (
+  SELECT CAST(floor(max(seq) / 2.0) AS BIGINT) AS mid FROM change_log
+),
+agg_all AS (
+  SELECT key, arg_max(kind, seq) AS last_kind,
+         CAST(CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 100)
+              AS BIGINT) AS VARCHAR) AS value_c
+  FROM change_log GROUP BY key
+),
+agg_new AS (
+  SELECT key,
+         CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 1000)
+              AS BIGINT) AS value_d
+  FROM change_log, span WHERE seq > mid GROUP BY key
+)
+SELECT a.key, a.value_c, n.value_d
+FROM agg_all a LEFT JOIN agg_new n USING (key)
+WHERE a.last_kind <> 'DELETE'
+""",
+)
+def txn_schema_evolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution mid-stream (the change an upstream
+    ``ALTER TABLE ADD COLUMN`` produces; Delta's evolution shape — the
+    reference handles relation-shape drift by resync, supervisor loop,
+    while the catalog absorbs the ADDITIVE case without one): epoch 0
+    commits on the narrow schema (value_c); ``evolve_schema`` records
+    the widened schema in the manifest (a maintenance republish, no
+    table rewrite); epoch 1's batches carry the new ``value_d`` column
+    and the merge backfills every untouched row with typed NULL at its
+    normal epoch rewrite — zero extra passes. Time travel keeps each
+    epoch's OWN schema (``read_at(0)`` has no value_d — asserted
+    in-test). The final state must equal the oracle: value_c from the
+    WHOLE stream's last-writer, value_d only for keys the
+    post-evolution half touched, NULL elsewhere."""
+    from pyspark.sql import types as T
+
+    from .operators.compact import compact_last_wins
+    from .scratch import scratch_dir
+    from .sources.target import ParquetMergeTarget, TxnCatalog
+
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "seq", F.col("key").cast("string").alias("key"), "kind", "value"
+    )
+    mid = log.agg((F.floor(F.max("seq") / 2)).cast("long")).first()[0]
+
+    catalog = TxnCatalog(
+        spark,
+        scratch_dir(prefix="evo_cat_"),
+        {
+            "users": ParquetMergeTarget(
+                spark, scratch_dir(prefix="evo_cow_"), ["key"], ["value_c"]
+            )
+        },
+    )
+    catalog.initialize(
+        {
+            "users": spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value_c", T.StringType()),
+                    ]
+                ),
+            )
+        }
+    )
+    narrow = log.filter(F.col("seq") <= mid).withColumn(
+        "value_c", F.floor(F.col("value") * 100).cast("long").cast("string")
+    )
+    catalog.apply_txn(
+        {
+            "users": compact_last_wins(narrow, ["key"], ["value_c"]).drop(
+                "last_seq", "n_actions"
+            )
+        },
+        epoch=0,
+    )
+
+    catalog.evolve_schema("users", ["value_d"])
+
+    wide = log.filter(F.col("seq") > mid).select(
+        "seq",
+        "key",
+        "kind",
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+        F.floor(F.col("value") * 1000).cast("long").alias("value_d"),
+    )
+    # incremental compaction (keys may already exist in the target):
+    # net to the LAST action per key, latest non-DELETE values
+    inc = wide.groupBy("key").agg(
+        F.max_by("kind", "seq").alias("kind"),
+        F.max_by("value_c", F.when(F.col("kind") != "DELETE", F.col("seq"))).alias(
+            "value_c"
+        ),
+        F.max_by("value_d", F.when(F.col("kind") != "DELETE", F.col("seq"))).alias(
+            "value_d"
+        ),
+    )
+    catalog.apply_txn({"users": inc}, epoch=1)
+
+    # time travel keeps each epoch's own schema
+    assert catalog.read_at("users", 0).columns == ["key", "value_c"]
+    assert catalog.manifest()["schemas"]["users"]["value"] == ["value_c", "value_d"]
+    return catalog.read("users").select(
+        F.col("key").cast("bigint").alias("key"), "value_c", "value_d"
+    )

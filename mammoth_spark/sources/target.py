@@ -833,15 +833,22 @@ class ParquetBucketedTarget:
         }
         if not admitted:
             return self.read_map(bucket_map, [0]).limit(0)
+        scan = self.read_map(bucket_map, buckets_read)
+        if len(self.key_cols) == 1:
+            # single-column key: an IN predicate reaches the parquet
+            # scan (PushedFilters: In(key, ...)), so row-group min/max
+            # stats skip WITHIN the admitted buckets too — and the IN
+            # is exact, no residual join needed
+            return scan.where(
+                F.col(self.key_cols[0]).isin([r[self.key_cols[0]] for r in admitted])
+            )
         cand = self.spark.createDataFrame(
             pd.DataFrame(
                 [[r[k] for k in self.key_cols] for r in admitted],
                 columns=self.key_cols,
             )
         )
-        return self.read_map(bucket_map, buckets_read).join(
-            F.broadcast(cand), on=self.key_cols, how="left_semi"
-        )
+        return scan.join(F.broadcast(cand), on=self.key_cols, how="left_semi")
 
     # -- staging (publish-free, so a TxnCatalog can own the commit) --------
     def stage_full(self, df: DataFrame, base: dict) -> dict:
@@ -1635,6 +1642,47 @@ class TxnCatalog:
             raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
         return t.probe(keys, bucket_map=m["bucketed"][tbl])
 
+    def evolve_schema(self, tbl: str, added_value_cols: list[str]) -> None:
+        """Additive schema evolution on a catalog member (Delta's
+        ``ADD COLUMN`` shape, the change a CDC source's ``ALTER TABLE``
+        produces): subsequent batches carry the new value column(s);
+        the first post-evolution merge backfills existing rows with
+        typed NULL (``merge_upsert`` aligns the target projection — no
+        table rewrite happens at evolution time, the normal epoch
+        rewrite absorbs it). Time travel keeps each epoch's OWN schema:
+        ``read_at`` on a pre-evolution epoch returns the old columns,
+        exactly as the lakehouse formats behave. The evolved column
+        list is recorded in the manifest (``schemas``) as a maintenance
+        republish — same epoch, one swap — so the catalog stays
+        self-describing; ``_stage_epoch`` carries the record forward
+        structurally.
+
+        COW members only: a bucketed member would leave untouched
+        buckets on the old parquet schema (a multi-path scan with mixed
+        schemas needs mergeSchema on every read), and a MOR member's
+        read-time reconciliation would need per-column presence logic
+        down the delta chain — both deliberately out of scope; drop and
+        re-backfill those, or route the table through COW across the
+        evolution."""
+        t = self.targets[tbl]
+        if self._strategy(t) != "cow":
+            raise NotImplementedError(
+                f"evolve_schema supports copy-on-write members; {tbl} is "
+                f"{t.strategy} (untouched buckets / delta chains would mix "
+                "parquet schemas)"
+            )
+        clash = [
+            c for c in added_value_cols if c in t.value_cols or c in t.key_cols
+        ]
+        if clash:
+            raise ValueError(f"columns already exist on {tbl}: {clash}")
+        self._refuse_if_branches("evolve_schema")
+        t.value_cols = list(t.value_cols) + list(added_value_cols)
+        m = self.manifest()
+        schemas = dict(m.get("schemas", {}))
+        schemas[tbl] = {"key": t.key_cols, "value": t.value_cols}
+        self._publish({**m, "schemas": schemas})
+
     def apply_txn(
         self,
         compacted_by_table: dict[str, DataFrame],
@@ -1778,7 +1826,18 @@ class TxnCatalog:
             else:
                 result[t] = new_versions[t]
         return (
-            self._mk_manifest(epoch, new_versions, new_mor, new_bucketed, new_bmor),
+            {
+                # STRUCTURAL epoch advance (the round-10 fold lesson):
+                # carry every key the base manifest holds that this
+                # commit doesn't own (schemas, future extensions) so an
+                # epoch can't silently drop another feature's record.
+                # wap_base_epoch is branch-file-only — stage_branch
+                # re-adds it; it must never leak into _CATALOG.
+                **{k: v for k, v in m.items() if k != "wap_base_epoch"},
+                **self._mk_manifest(
+                    epoch, new_versions, new_mor, new_bucketed, new_bmor
+                ),
+            },
             result,
         )
 

@@ -155,3 +155,13 @@ def test_catalog_probe_bucketed_member(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no bucket/bloom index"):
         cat.probe("users", [("1",)])
+
+
+def test_probe_pushes_in_predicate_to_scan(spark, target):
+    """Single-column-key probes rewrite to an IN predicate instead of a
+    semi-join, so the key filter reaches the parquet scan and row-group
+    min/max stats skip WITHIN the admitted buckets too."""
+    df = target.probe([("k1",), ("k2",)])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(key" in plan, plan[:800]
+    assert "Join" not in plan

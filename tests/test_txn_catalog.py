@@ -1656,3 +1656,75 @@ def test_wap_refuses_second_concurrent_branch(spark, catalog):
     # branch a's staging is intact and publishable
     assert cat.publish_branch("a") == 0
     assert _state(cat, "users")["2"] == "from-a"
+
+
+# -- additive schema evolution ----------------------------------------------
+
+
+def test_evolve_schema_additive(spark, catalog):
+    """Delta's ADD COLUMN shape: evolve, then the next epoch's batches
+    carry the new column; existing rows backfill as NULL at merge time;
+    time travel keeps each epoch's own schema."""
+    from pyspark.sql import types as T
+
+    cat = catalog
+    cat.apply_txn({"users": _chg(spark, [("2", "UPSERT", "Van Morrison")])}, epoch=0)
+
+    cat.evolve_schema("users", ["nick"])
+    wide = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("nick", T.StringType()),
+        ]
+    )
+    cat.apply_txn(
+        {
+            "users": spark.createDataFrame(
+                [("2", "UPSERT", "Van Morrison", "Van The Man")], wide
+            )
+        },
+        epoch=1,
+    )
+    rows = {r["key"]: (r["name"], r["nick"]) for r in cat.read("users").collect()}
+    assert rows == {
+        "1": ("Taylor Swift", None),  # untouched row: typed NULL backfill
+        "2": ("Van Morrison", "Van The Man"),
+    }
+    # pre-evolution epochs keep their own schema
+    assert cat.read_at("users", 0).columns == ["key", "name"]
+    # the manifest is self-describing and the record survives epochs
+    m = cat.manifest()
+    assert m["schemas"]["users"]["value"] == ["name", "nick"]
+    # post-evolution batches must carry the full schema (plain-column
+    # MERGE sets every value column; absent != inherit) — descriptively
+    with pytest.raises(ValueError, match="lacks value column"):
+        cat.apply_txn({"users": _chg(spark, [("3", "UPSERT", "Joni")])}, epoch=2)
+    cat.apply_txn(
+        {"users": spark.createDataFrame([("3", "UPSERT", "Joni", None)], wide)},
+        epoch=2,
+    )
+    assert cat.manifest()["schemas"]["users"]["value"] == ["name", "nick"]
+
+
+def test_evolve_schema_guards(spark, catalog, tmp_path):
+    cat = catalog
+    with pytest.raises(ValueError, match="already exist"):
+        cat.evolve_schema("users", ["name"])
+    bkt = TxnCatalog(
+        spark,
+        str(tmp_path / "bkt_cat"),
+        {
+            "items": ParquetBucketedTarget(
+                spark, str(tmp_path / "bkt_items"), ["key"], ["name"], n_buckets=4
+            )
+        },
+    )
+    with pytest.raises(NotImplementedError, match="copy-on-write"):
+        bkt.evolve_schema("items", ["extra"])
+    # frozen while a WAP branch is live (same version-namespace hazard)
+    cat.stage_branch("audit", {"users": _chg(spark, [("2", "UPSERT", "x")])}, epoch=0)
+    with pytest.raises(RuntimeError, match="live WAP branch"):
+        cat.evolve_schema("users", ["nick"])
+    cat.drop_branch("audit")
