@@ -2764,6 +2764,24 @@ valid AS (
 """
 
 
+
+def _inc_compact(part: DataFrame, value_cols: list[str]) -> DataFrame:
+    """Incremental-epoch compaction: net to the LAST raw action per key
+    with the latest non-DELETE values. Unlike ``compact_last_wins`` this
+    never applies the (I,D)->drop pair rule, which is only valid against
+    an EMPTY target — raw fixture kinds allow re-INSERTs of keys an
+    earlier epoch committed, and dropping such a pair would swallow the
+    delete (the snapshot_incremental_equiv lesson, generalized to every
+    multi-epoch catalog query that compacts raw kinds)."""
+    return part.groupBy("key").agg(
+        F.max_by("kind", "seq").alias("kind"),
+        *[
+            F.max_by(c, F.when(F.col("kind") != "DELETE", F.col("seq"))).alias(c)
+            for c in value_cols
+        ],
+    )
+
+
 @register(
     "catalog_wap_publish",
     oracle=f"""
@@ -2918,7 +2936,6 @@ def catalog_replicate_incremental_q(spark: SparkSession, sf_dir: str) -> DataFra
     proving every hop of the replication chain."""
     from pyspark.sql import types as T
 
-    from .operators.compact import compact_last_wins
     from .scratch import scratch_dir
     from .sources.target import ParquetMergeTarget, TxnCatalog
 
@@ -2959,14 +2976,7 @@ def catalog_replicate_incremental_q(spark: SparkSession, sf_dir: str) -> DataFra
         log.filter(F.col("seq") > t2),
     ]
     for e, part in enumerate(spans):
-        src.apply_txn(
-            {
-                "users": compact_last_wins(part, ["key"], ["value_c"]).drop(
-                    "last_seq", "n_actions"
-                )
-            },
-            epoch=e,
-        )
+        src.apply_txn({"users": _inc_compact(part, ["value_c"])}, epoch=e)
 
     # the mirror never reads source TABLES — only the derived CDF
     dst = mk_catalog("repl_dst")
@@ -3326,4 +3336,103 @@ def txn_schema_evolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert catalog.manifest()["schemas"]["users"]["value"] == ["value_c", "value_d"]
     return catalog.read("users").select(
         F.col("key").cast("bigint").alias("key"), "value_c", "value_d"
+    )
+
+
+@register(
+    "catalog_stats_count",
+    oracle=f"""
+WITH change_log AS (
+  SELECT event_id AS seq, {EVENTS_KIND_SQL} AS kind,
+         CAST(user_id AS BIGINT) AS key, value
+  FROM events
+),
+span AS (
+  SELECT min(seq) + CAST((max(seq) - min(seq)) // 3 AS BIGINT) AS t1,
+         min(seq) + CAST(2 * ((max(seq) - min(seq)) // 3) AS BIGINT) AS t2
+  FROM change_log
+),
+prefix_state AS (
+  SELECT p.snap, c.key, arg_max(c.kind, c.seq) AS last_kind
+  FROM change_log c, span s,
+       (VALUES ('e0'), ('e1'), ('e2')) p(snap)
+  WHERE (p.snap = 'e0' AND c.seq <= s.t1)
+     OR (p.snap = 'e1' AND c.seq <= s.t2)
+     OR (p.snap = 'e2')
+  GROUP BY p.snap, c.key
+)
+SELECT snap, CAST(count(*) AS BIGINT) AS n_rows
+FROM prefix_state WHERE last_kind <> 'DELETE'
+GROUP BY snap
+""",
+)
+def catalog_stats_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) from the catalog manifest (Iceberg's
+    snapshot-summary total-records / Delta's numRecords): each COW
+    epoch's cardinality is OBSERVED on the staging write itself
+    (``Observation`` rides the same Spark job — zero extra pass) and
+    recorded in the committed manifest, so counting any epoch — current
+    or time-traveled — touches zero data files. Three epochs commit;
+    the returned (snap, n_rows) rows come exclusively from
+    ``TxnCatalog.count(tbl, epoch)`` manifest lookups (a LocalTableScan
+    — the test suite pins that the answer survives deleting the data
+    files), and must equal the oracle's from-scratch prefix-state
+    counts. At 100 TB this is the difference between answering an
+    audit's "how many rows trained" from one JSON read and a full
+    table scan."""
+    from pyspark.sql import types as T
+
+    from .model import local_df
+    from .scratch import scratch_dir
+    from .sources.target import ParquetMergeTarget, TxnCatalog
+
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "seq",
+        F.col("key").cast("string").alias("key"),
+        "kind",
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+    )
+    b = log.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+    t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    t2 = b["lo"] + 2 * ((b["hi"] - b["lo"]) // 3)
+
+    catalog = TxnCatalog(
+        spark,
+        scratch_dir(prefix="stats_cat_"),
+        {
+            "users": ParquetMergeTarget(
+                spark, scratch_dir(prefix="stats_cow_"), ["key"], ["value_c"]
+            )
+        },
+    )
+    catalog.initialize(
+        {
+            "users": spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value_c", T.StringType()),
+                    ]
+                ),
+            )
+        }
+    )
+    spans = [
+        log.filter(F.col("seq") <= t1),
+        log.filter((F.col("seq") > t1) & (F.col("seq") <= t2)),
+        log.filter(F.col("seq") > t2),
+    ]
+    for e, part in enumerate(spans):
+        catalog.apply_txn({"users": _inc_compact(part, ["value_c"])}, epoch=e)
+    rows = [(f"e{e}", catalog.count("users", epoch=e)) for e in range(3)]
+    return local_df(
+        spark,
+        rows,
+        T.StructType(
+            [
+                T.StructField("snap", T.StringType(), False),
+                T.StructField("n_rows", T.LongType(), False),
+            ]
+        ),
     )

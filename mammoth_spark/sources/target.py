@@ -1604,6 +1604,7 @@ class TxnCatalog:
                 "if a rebuild is intended."
             )
         versions = {}
+        counts = {}
         mor = {}
         bucketed = {}
         bmor = {}
@@ -1617,9 +1618,19 @@ class TxnCatalog:
             elif self._is_bucketed(t):
                 bucketed[tbl] = t.stage_full(df, {})
             else:
-                df.write.mode("overwrite").parquet(t._version_dir(1))
+                from pyspark.sql import Observation
+                from pyspark.sql import functions as F
+
+                obs = Observation()
+                df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                    "overwrite"
+                ).parquet(t._version_dir(1))
+                counts[tbl] = int(obs.get["n"])
                 versions[tbl] = 1
-        self._publish(self._mk_manifest(-1, versions, mor, bucketed, bmor))
+        manifest = self._mk_manifest(-1, versions, mor, bucketed, bmor)
+        if counts:
+            manifest["row_counts"] = counts
+        self._publish(manifest)
 
     def read(self, tbl: str) -> DataFrame:
         return self._read_from(tbl, self.manifest())
@@ -1641,6 +1652,22 @@ class TxnCatalog:
         if tbl not in m.get("bucketed", {}):
             raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
         return t.probe(keys, bucket_map=m["bucketed"][tbl])
+
+    def count(self, tbl: str, epoch: int | None = None) -> int:
+        """COUNT(*) for a catalog member — metadata-only when the
+        manifest carries the cardinality (COW members: observed on the
+        staging write itself, the Iceberg snapshot-summary shape /
+        Delta's numRecords — what lets an engine answer ``SELECT
+        count(*)`` without touching a single data file, the difference
+        between O(1) and O(100 TB)). ``epoch`` travels through the
+        manifest log. Members whose total isn't known without a read
+        (MOR/bucketed/bmor — their staging is deltas or touched buckets
+        only) fall back to counting the actual read."""
+        m = self.manifest() if epoch is None else self._manifest_at(epoch)
+        counts = m.get("row_counts", {})
+        if tbl in counts:
+            return int(counts[tbl])
+        return self._read_from(tbl, m).count()
 
     def evolve_schema(self, tbl: str, added_value_cols: list[str]) -> None:
         """Additive schema evolution on a catalog member (Delta's
@@ -1765,6 +1792,7 @@ class TxnCatalog:
             for k, v in m.get("bmor", {}).items()
         }
         touched_buckets: dict[str, dict[int, int]] = {}
+        new_counts: dict[str, int] = {}
         for tbl, compacted in compacted_by_table.items():
             t = self.targets[tbl]
             # MOR/bucketed/bmor staging folds into the table's CURRENT
@@ -1813,7 +1841,18 @@ class TxnCatalog:
                 else:
                     merged = merge_upsert(current, compacted, t.key_cols, t.value_cols)
                 v = new_versions[tbl] + 1
-                merged.write.mode("overwrite").parquet(t._version_dir(v))
+                # Iceberg-snapshot-summary shape: the new cardinality is
+                # observed ON the staging write itself (Observation rides
+                # the same job — zero extra pass, zero extra scan), so
+                # the manifest can answer COUNT(*) metadata-only.
+                from pyspark.sql import Observation
+                from pyspark.sql import functions as F
+
+                obs = Observation()
+                merged.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                    "overwrite"
+                ).parquet(t._version_dir(v))
+                new_counts[tbl] = int(obs.get["n"])
                 new_versions[tbl] = v
         result = {}
         for t in compacted_by_table:
@@ -1836,6 +1875,15 @@ class TxnCatalog:
                 **{k: v for k, v in m.items() if k != "wap_base_epoch"},
                 **self._mk_manifest(
                     epoch, new_versions, new_mor, new_bucketed, new_bmor
+                ),
+                # exact cardinalities for COW members, observed on the
+                # staging writes; other strategies' totals are not known
+                # without a read (their counts stay absent, and count()
+                # falls back)
+                **(
+                    {"row_counts": {**m.get("row_counts", {}), **new_counts}}
+                    if new_counts or m.get("row_counts")
+                    else {}
                 ),
             },
             result,

@@ -66,7 +66,11 @@ def test_one_txn_commits_all_tables(spark, catalog):
     assert out == {"users": 2, "albums": 2}
     assert _state(catalog, "users") == {"1": "Taylor Swift", "2": "Van Morrison"}
     assert _state(catalog, "albums") == {"a": "Astral Weeks", "b": "Blue"}
-    assert catalog.manifest() == {"epoch": 0, "versions": {"users": 2, "albums": 2}}
+    assert catalog.manifest() == {
+        "epoch": 0,
+        "versions": {"users": 2, "albums": 2},
+        "row_counts": {"users": 2, "albums": 2},
+    }
 
 
 def test_redelivered_epoch_is_noop(spark, catalog):
@@ -328,6 +332,7 @@ def test_mixed_cow_mor_one_txn_commits_all(spark, mixed_catalog):
     assert m == {
         "epoch": 0,
         "versions": {"users": 2},
+        "row_counts": {"users": 2},
         "mor": {"plays": {"base": 0, "deltas": 1}},
     }
     # redelivery of the committed epoch is refused for BOTH strategies
@@ -1728,3 +1733,42 @@ def test_evolve_schema_guards(spark, catalog, tmp_path):
     with pytest.raises(RuntimeError, match="live WAP branch"):
         cat.evolve_schema("users", ["nick"])
     cat.drop_branch("audit")
+
+
+def test_metadata_only_count(spark, catalog, tmp_path):
+    """COW cardinalities are observed on the staging write itself
+    (Observation rides the job — no extra pass) and recorded in the
+    manifest, so count() answers without touching data files; epochs
+    travel through the log; non-COW members fall back to a real read."""
+    cat = catalog
+    assert cat.count("users") == 1  # initialize observed the backfill
+    cat.apply_txn(
+        {
+            "users": _chg(
+                spark, [("2", "UPSERT", "Van"), ("3", "UPSERT", "Joni")]
+            )
+        },
+        epoch=0,
+    )
+    cat.apply_txn({"users": _chg(spark, [("1", "DELETE", None)])}, epoch=1)
+    assert cat.count("users") == 2
+    assert cat.count("users", epoch=0) == 3
+    assert cat.count("users", epoch=-1) == 1
+    # the recorded number equals the real one
+    assert cat.count("users") == cat.read("users").count()
+    # metadata-only: the answer survives the data files going away
+    import shutil
+
+    shutil.rmtree(cat.targets["users"].root)
+    assert cat.count("users") == 2
+
+    # a WAP-published epoch carries its counts too
+    cat2 = TxnCatalog(
+        spark,
+        str(tmp_path / "cat2"),
+        {"users": ParquetMergeTarget(spark, str(tmp_path / "u2"), ["key"], ["name"])},
+    )
+    cat2.initialize({"users": spark.createDataFrame([("1", "Taylor")], KV)})
+    cat2.stage_branch("audit", {"users": _chg(spark, [("2", "UPSERT", "Van")])}, epoch=0)
+    cat2.publish_branch("audit")
+    assert cat2.count("users") == 2
