@@ -3074,9 +3074,12 @@ def bucketed_bloom_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("probe_key", F.col("c_name").isNotNull().alias("found"), "c_name")
 
 
-@register(
-    "streaming_wap_pipeline",
-    oracle=f"""
+# Net state of tertiles 1 and 3 ONLY (the middle tertile never lands) —
+# shared by the two poison-epoch stories: the WAP gate REJECTS it before
+# publish (streaming_wap_pipeline) and RESTORE rolls it back after
+# (catalog_rollback). Kind normalization runs over the KEPT subset, so
+# the producer and this oracle agree on valid chains.
+_TERTILE_KEPT_ORACLE = f"""
 WITH change_log AS (
   SELECT event_id AS seq, {EVENTS_KIND_SQL} AS kind,
          CAST(user_id AS BIGINT) AS key, value
@@ -3110,8 +3113,10 @@ agg AS (
   FROM valid GROUP BY key
 )
 SELECT key, value_c FROM agg WHERE last_kind <> 'DELETE'
-""",
-)
+"""
+
+
+@register("streaming_wap_pipeline", oracle=_TERTILE_KEPT_ORACLE)
 def streaming_wap_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish INSIDE the micro-batch loop: every epoch of
     the streaming CDC pipeline stages to a WAP branch, an audit runs
@@ -3435,4 +3440,95 @@ def catalog_stats_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 T.StructField("n_rows", T.LongType(), False),
             ]
         ),
+    )
+
+
+@register("catalog_rollback", oracle=_TERTILE_KEPT_ORACLE)
+def catalog_rollback_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE on the transaction catalog — the recovery story
+    WAP's audit gate doesn't cover: the poisoned epoch got PUBLISHED (no
+    audit, or the audit missed it) and is noticed later. ``rollback``
+    re-publishes the last good epoch's state maps under a NEW epoch —
+    one manifest swap, zero data movement, the bad epoch still readable
+    in the log for the post-mortem (history is never rewritten) — and
+    the stream continues past it. Three epochs flow: a good first
+    tertile commits; a poisoned batch (every committed key netted to
+    DELETE) COMMITS as epoch 1; rollback(0) restores the state as epoch
+    2; the good last tertile applies as epoch 3. The final table must
+    equal the oracle's net effect of tertiles 1 and 3 only — the same
+    invariant the WAP gate enforces BEFORE publish, here re-established
+    AFTER. At 100 TB both paths cost one metadata swap; the difference
+    is only when the poison is caught."""
+    from pyspark.sql import types as T
+
+    from .operators.compact import compact_last_wins
+    from .scratch import scratch_dir
+    from .sources.target import ParquetMergeTarget, TxnCatalog
+
+    raw = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "seq", "key", "kind", "value"
+    )
+    b = raw.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+    t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    t2 = b["lo"] + 2 * ((b["hi"] - b["lo"]) // 3)
+    kept = _normalize_kinds(
+        raw.filter((F.col("seq") <= t1) | (F.col("seq") > t2))
+    ).select(
+        "seq",
+        F.col("key").cast("string").alias("key"),
+        "kind",
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+    )
+
+    catalog = TxnCatalog(
+        spark,
+        scratch_dir(prefix="rb_cat_"),
+        {
+            "users": ParquetMergeTarget(
+                spark, scratch_dir(prefix="rb_cow_"), ["key"], ["value_c"]
+            )
+        },
+    )
+    catalog.initialize(
+        {
+            "users": spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value_c", T.StringType()),
+                    ]
+                ),
+            )
+        }
+    )
+    catalog.apply_txn(
+        {
+            "users": compact_last_wins(
+                kept.filter(F.col("seq") <= t1), ["key"], ["value_c"]
+            ).drop("last_seq", "n_actions")
+        },
+        epoch=0,
+    )
+    n_good = catalog.count("users")
+
+    # the poisoned epoch COMMITS (no audit gate on this path)
+    poison = catalog.read("users").select(
+        "key", F.lit("DELETE").alias("kind"), F.lit(None).cast("string").alias("value_c")
+    )
+    catalog.apply_txn({"users": poison}, epoch=1)
+    assert catalog.count("users") == 0  # the damage is live
+
+    # noticed later: restore the last good state as a NEW epoch
+    assert catalog.rollback(0) == 2
+    assert catalog.count("users") == n_good
+    # the bad epoch stays auditable (history never rewritten)
+    assert catalog.count("users", epoch=1) == 0
+
+    catalog.apply_txn(
+        {"users": _inc_compact(kept.filter(F.col("seq") > t2), ["value_c"])},
+        epoch=3,
+    )
+    return catalog.read("users").select(
+        F.col("key").cast("bigint").alias("key"), "value_c"
     )

@@ -1653,6 +1653,27 @@ class TxnCatalog:
             raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
         return t.probe(keys, bucket_map=m["bucketed"][tbl])
 
+    def rollback(self, to_epoch: int) -> int:
+        """Delta's RESTORE TABLE shape: re-publish a PAST epoch's state
+        maps as a NEW head epoch — one manifest swap, zero data
+        movement (the old version directories are still on disk within
+        the vacuum window; they simply become referenced by the head
+        again). The epoch counter keeps advancing (the restored state
+        gets ``cur + 1``), so stream redelivery guards and the log stay
+        monotonic, and the rollback itself is an auditable log entry —
+        history is never rewritten, exactly like RESTORE. Travel depth
+        bounds what you can roll back to: a state ``vacuum`` expired is
+        gone (FileNotFoundError via the log lookup). Refused while a
+        WAP branch is live (same version-namespace freeze as every
+        other mainline write)."""
+        self._refuse_if_branches("rollback")
+        old = self._manifest_at(to_epoch)
+        cur = self.manifest()
+        new_epoch = (cur["epoch"] if cur["epoch"] is not None else -1) + 1
+        out = {**old, "epoch": new_epoch}
+        self._publish(out)
+        return new_epoch
+
     def count(self, tbl: str, epoch: int | None = None) -> int:
         """COUNT(*) for a catalog member — metadata-only when the
         manifest carries the cardinality (COW members: observed on the

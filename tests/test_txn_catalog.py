@@ -1772,3 +1772,98 @@ def test_metadata_only_count(spark, catalog, tmp_path):
     cat2.stage_branch("audit", {"users": _chg(spark, [("2", "UPSERT", "Van")])}, epoch=0)
     cat2.publish_branch("audit")
     assert cat2.count("users") == 2
+
+
+def test_rollback_restores_past_state_as_new_epoch(spark, catalog):
+    """Delta RESTORE shape: rollback re-publishes a past epoch's maps
+    under a NEW epoch — no data movement, monotonic history, the bad
+    epochs stay auditable in the log; the stream continues past it."""
+    cat = catalog
+    cat.apply_txn({"users": _chg(spark, [("2", "UPSERT", "Van")])}, epoch=0)
+    cat.apply_txn({"users": _chg(spark, [("1", "DELETE", None), ("2", "UPSERT", "BAD")])}, epoch=1)
+    assert _state(cat, "users") == {"2": "BAD"}
+
+    assert cat.rollback(0) == 2  # restored state, NEW epoch number
+    assert _state(cat, "users") == {"1": "Taylor Swift", "2": "Van"}
+    assert cat.count("users") == 2  # row_counts traveled with the manifest
+    # history is intact: the bad epoch is still readable (auditable)
+    assert {r["name"] for r in cat.read_at("users", 1).collect()} == {"BAD"}
+    # the stream continues past the restore
+    cat.apply_txn({"users": _chg(spark, [("3", "UPSERT", "Joni")])}, epoch=3)
+    assert _state(cat, "users") == {"1": "Taylor Swift", "2": "Van", "3": "Joni"}
+    # vacuum keeps the restored head's files (reachability, not age)
+    cat.vacuum(keep_epochs=2)
+    assert _state(cat, "users")["2"] == "Van"
+    # a vacuumed-away epoch cannot be restored
+    with pytest.raises(FileNotFoundError):
+        cat.rollback(0)
+    # frozen while a WAP branch is live
+    cat.stage_branch("audit", {"users": _chg(spark, [("4", "UPSERT", "x")])}, epoch=4)
+    with pytest.raises(RuntimeError, match="live WAP branch"):
+        cat.rollback(3)
+    cat.drop_branch("audit")
+
+
+def test_wap_branch_all_four_strategies(spark, tmp_path):
+    """WAP branching composes with every storage strategy in ONE
+    branch: COW, MOR, bucketed COW and bucketed MOR members stage onto
+    the branch head, vacuum retains the branch's staged files, and the
+    fast-forward publish lands all four atomically."""
+    from pyspark.sql import functions as F
+
+    from mammoth_spark.sources.target import (
+        ParquetBucketedMorTarget,
+        ParquetBucketedTarget,
+        ParquetMorTarget,
+        compact_for_mor,
+    )
+
+    targets = {
+        "cow_t": ParquetMergeTarget(spark, str(tmp_path / "c"), ["key"], ["name"]),
+        "mor_t": ParquetMorTarget(spark, str(tmp_path / "m"), ["key"], ["name"]),
+        "bkt_t": ParquetBucketedTarget(
+            spark, str(tmp_path / "b"), ["key"], ["name"], n_buckets=4
+        ),
+        "bmor_t": ParquetBucketedMorTarget(
+            spark, str(tmp_path / "bm"), ["key"], ["name"], n_buckets=4
+        ),
+    }
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), targets)
+    init = {t: spark.createDataFrame([("k0", "init")], KV) for t in targets}
+    cat.initialize(init)
+
+    def mor_batch(rows):
+        return compact_for_mor(
+            spark.createDataFrame(rows, CHG).withColumn(
+                "seq", F.monotonically_increasing_id()
+            ),
+            ["key"],
+            ["name"],
+        )
+
+    cat.stage_branch(
+        "audit",
+        {
+            "cow_t": _chg(spark, [("k1", "UPSERT", "c1")]),
+            "mor_t": mor_batch([("k1", "UPSERT", "m1")]),
+            "bkt_t": _chg(spark, [("k1", "UPSERT", "b1")]),
+            "bmor_t": mor_batch([("k1", "UPSERT", "bm1")]),
+        },
+        epoch=0,
+    )
+    # mainline untouched for all four
+    for t in targets:
+        assert set(_state(cat, t)) == {"k0"}
+    # branch sees the staged epoch on all four
+    for t, v in (("cow_t", "c1"), ("mor_t", "m1"), ("bkt_t", "b1"), ("bmor_t", "bm1")):
+        got = {r["key"]: r["name"] for r in cat.read_branch(t, "audit").collect()}
+        assert got == {"k0": "init", "k1": v}, (t, got)
+    # vacuum during the live branch keeps its staged files
+    cat.vacuum(keep_epochs=1)
+    assert {r["key"] for r in cat.read_branch("bmor_t", "audit").collect()} == {
+        "k0",
+        "k1",
+    }
+    assert cat.publish_branch("audit") == 0
+    for t in targets:
+        assert set(_state(cat, t)) == {"k0", "k1"}
