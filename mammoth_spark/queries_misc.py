@@ -340,14 +340,7 @@ def snapshot_incremental_equiv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Incremental compaction nets to the LAST action per key (not the
     # (I,D)->drop rule): the key may already exist in the backfilled
     # target, so an insert-then-delete chain must still emit the DELETE.
-    inc = (
-        log.filter(F.col("seq") > boundary)
-        .groupBy("key")
-        .agg(
-            F.max_by("kind", "seq").alias("kind"),
-            F.max_by("value", F.when(F.col("kind") != "DELETE", F.col("seq"))).alias("value"),
-        )
-    )
+    inc = _inc_compact(log.filter(F.col("seq") > boundary), ["value"])
     return merge_upsert(snap, inc, ["key"], ["value"])
 
 
@@ -2721,16 +2714,7 @@ def numeric_text_fidelity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, scratch_dir(prefix="numtext_tgt_"), ["key"], ["num_text"]
     )
     target.initialize(snap)
-    inc = (
-        log.filter(F.col("seq") > boundary)
-        .groupBy("key")
-        .agg(
-            F.max_by("kind", "seq").alias("kind"),
-            F.max_by(
-                "num_text", F.when(F.col("kind") != "DELETE", F.col("seq"))
-            ).alias("num_text"),
-        )
-    )
+    inc = _inc_compact(log.filter(F.col("seq") > boundary), ["num_text"])
     target.write(inc)
     return target.read().select("key", "num_text")
 
@@ -3529,6 +3513,10 @@ def catalog_rollback_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"users": _inc_compact(kept.filter(F.col("seq") > t2), ["value_c"])},
         epoch=3,
     )
+    # the post-restore write allocated ABOVE the history high-water mark:
+    # the poison epoch's directories survive, the post-mortem still reads
+    assert catalog.count("users", epoch=1) == 0
+    assert catalog.read_at("users", 1).count() == 0
     return catalog.read("users").select(
         F.col("key").cast("bigint").alias("key"), "value_c"
     )

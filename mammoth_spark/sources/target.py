@@ -885,13 +885,23 @@ class ParquetBucketedTarget:
         return buckets
 
     def stage_merge(
-        self, compacted: DataFrame, base: dict, flagged: bool = False
+        self,
+        compacted: DataFrame,
+        base: dict,
+        flagged: bool = False,
+        alloc_floor: dict | None = None,
     ) -> tuple[dict, dict[int, int]]:
         """MERGE one compacted micro-batch against the state ``base``
         references and stage new versions for ONLY the touched buckets
         (untouched buckets' files are not read, not rewritten, not even
         listed). Publish-free like ``stage_full``; returns
-        ``(full updated map, {touched bucket: new version})``."""
+        ``(full updated map, {touched bucket: new version})``.
+
+        ``alloc_floor`` (per-bucket high-water versions) lets a caller
+        whose BASE map references old versions — a TxnCatalog head after
+        ``rollback`` — allocate above every version any retained epoch
+        still references: reads come from ``base``, new versions from
+        ``max(base, floor) + 1``."""
         import shutil
 
         from pyspark.sql import functions as F
@@ -923,8 +933,9 @@ class ParquetBucketedTarget:
             # whole touched bucket): deletes shrink the filter, no drift
             self._write_stage_blooms(stage, present)
         out = {}
+        floor = alloc_floor or {}
         for b in touched:
-            v = int(new_buckets[str(b)]) + 1
+            v = max(int(new_buckets[str(b)]), int(floor.get(str(b), 0))) + 1
             src = os.path.join(stage, f"_b={b}")
             dst = self._bucket_dir(b, v)
             if os.path.isdir(src):
@@ -1299,6 +1310,21 @@ class ParquetBucketedMorTarget:
         return sorted(victims)
 
 
+def _write_observed(df: DataFrame, path: str) -> int:
+    """mode(overwrite) parquet write that returns the row count observed
+    ON the write job itself (``DataFrame.observe`` — no extra pass); the
+    single way both catalog backfill and epoch staging record COW
+    cardinalities, so the two paths cannot diverge."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return int(obs.get["n"])
+
+
 class TxnCatalog:
     """Cross-table single-transaction apply (A15 upgraded; closes the
     round-5 verdict's "missing #2").
@@ -1618,14 +1644,7 @@ class TxnCatalog:
             elif self._is_bucketed(t):
                 bucketed[tbl] = t.stage_full(df, {})
             else:
-                from pyspark.sql import Observation
-                from pyspark.sql import functions as F
-
-                obs = Observation()
-                df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-                    "overwrite"
-                ).parquet(t._version_dir(1))
-                counts[tbl] = int(obs.get["n"])
+                counts[tbl] = _write_observed(df, t._version_dir(1))
                 versions[tbl] = 1
         manifest = self._mk_manifest(-1, versions, mor, bucketed, bmor)
         if counts:
@@ -1653,6 +1672,27 @@ class TxnCatalog:
             raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
         return t.probe(keys, bucket_map=m["bucketed"][tbl])
 
+    def _high_water(self) -> dict:
+        """Version-allocation floor across the WHOLE history (every log
+        entry + the current manifest): after a ``rollback`` the head
+        manifest references OLD version numbers, and allocating
+        ``head + 1`` would overwrite directories that LATER log entries
+        still reference — silently corrupting time travel (round-11
+        review finding). Staging therefore allocates
+        ``max(head, high_water) + 1``. Metadata-sized: the log is
+        O(vacuum window) tiny JSONs."""
+        versions: dict[str, int] = {}
+        bucketed: dict[str, dict[str, int]] = {}
+        entries = [e for _, e in self._log_entries()] + [self.manifest()]
+        for e in entries:
+            for tbl, v in e.get("versions", {}).items():
+                versions[tbl] = max(versions.get(tbl, 0), int(v))
+            for tbl, bm in e.get("bucketed", {}).items():
+                cur = bucketed.setdefault(tbl, {})
+                for b, v in bm.items():
+                    cur[b] = max(cur.get(b, 0), int(v))
+        return {"versions": versions, "bucketed": bucketed}
+
     def rollback(self, to_epoch: int) -> int:
         """Delta's RESTORE TABLE shape: re-publish a PAST epoch's state
         maps as a NEW head epoch — one manifest swap, zero data
@@ -1661,12 +1701,32 @@ class TxnCatalog:
         again). The epoch counter keeps advancing (the restored state
         gets ``cur + 1``), so stream redelivery guards and the log stay
         monotonic, and the rollback itself is an auditable log entry —
-        history is never rewritten, exactly like RESTORE. Travel depth
-        bounds what you can roll back to: a state ``vacuum`` expired is
-        gone (FileNotFoundError via the log lookup). Refused while a
-        WAP branch is live (same version-namespace freeze as every
-        other mainline write)."""
+        history is never rewritten, exactly like RESTORE: post-restore
+        writes allocate versions above the all-history high-water mark
+        (``_high_water``), never over a directory an intermediate epoch
+        references. Travel depth bounds what you can roll back to: a
+        state ``vacuum`` expired is gone (FileNotFoundError via the log
+        lookup). Refused while a WAP branch is live (same
+        version-namespace freeze as every other mainline write), and
+        refused when the catalog holds merge-on-read members: their
+        delta chains are COUNT-addressed (state = base + deltas 0..n-1),
+        so a restored count cannot skip past an intermediate epoch's
+        slots without re-reading them — restoring MOR needs a
+        fold-on-restore (a fresh base generation), deliberately out of
+        scope; route tables through COW/bucketed across restores."""
         self._refuse_if_branches("rollback")
+        mor_members = [
+            t for t, tg in self.targets.items()
+            if self._is_mor(tg) or self._is_bmor(tg)
+        ]
+        if mor_members:
+            raise NotImplementedError(
+                f"rollback with merge-on-read members {mor_members}: delta "
+                "chains are count-addressed, so a restored state would be "
+                "re-polluted by intermediate epochs' delta slots; fold-on-"
+                "restore is not implemented — use COW/bucketed members "
+                "where restore is required"
+            )
         old = self._manifest_at(to_epoch)
         cur = self.manifest()
         new_epoch = (cur["epoch"] if cur["epoch"] is not None else -1) + 1
@@ -1814,6 +1874,10 @@ class TxnCatalog:
         }
         touched_buckets: dict[str, dict[int, int]] = {}
         new_counts: dict[str, int] = {}
+        # allocation floor: after a rollback the base manifest holds OLD
+        # version numbers while later log entries reference higher ones —
+        # never allocate over a directory any retained epoch references
+        hw = self._high_water()
         for tbl, compacted in compacted_by_table.items():
             t = self.targets[tbl]
             # MOR/bucketed/bmor staging folds into the table's CURRENT
@@ -1846,7 +1910,10 @@ class TxnCatalog:
                 new_mor[tbl] = {"base": mm["base"], "deltas": i + 1}
             elif self._is_bucketed(t):
                 new_map, touched = t.stage_merge(
-                    compacted, new_bucketed[tbl], flagged=flagged
+                    compacted,
+                    new_bucketed[tbl],
+                    flagged=flagged,
+                    alloc_floor=hw["bucketed"].get(tbl),
                 )
                 new_bucketed[tbl] = new_map
                 touched_buckets[tbl] = touched
@@ -1861,19 +1928,11 @@ class TxnCatalog:
                     )
                 else:
                     merged = merge_upsert(current, compacted, t.key_cols, t.value_cols)
-                v = new_versions[tbl] + 1
+                v = max(new_versions[tbl], hw["versions"].get(tbl, 0)) + 1
                 # Iceberg-snapshot-summary shape: the new cardinality is
-                # observed ON the staging write itself (Observation rides
-                # the same job — zero extra pass, zero extra scan), so
-                # the manifest can answer COUNT(*) metadata-only.
-                from pyspark.sql import Observation
-                from pyspark.sql import functions as F
-
-                obs = Observation()
-                merged.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-                    "overwrite"
-                ).parquet(t._version_dir(v))
-                new_counts[tbl] = int(obs.get["n"])
+                # observed ON the staging write itself (zero extra pass),
+                # so the manifest can answer COUNT(*) metadata-only.
+                new_counts[tbl] = _write_observed(merged, t._version_dir(v))
                 new_versions[tbl] = v
         result = {}
         for t in compacted_by_table:

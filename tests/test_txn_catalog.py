@@ -1788,9 +1788,15 @@ def test_rollback_restores_past_state_as_new_epoch(spark, catalog):
     assert cat.count("users") == 2  # row_counts traveled with the manifest
     # history is intact: the bad epoch is still readable (auditable)
     assert {r["name"] for r in cat.read_at("users", 1).collect()} == {"BAD"}
-    # the stream continues past the restore
+    # the stream continues past the restore — and the post-restore write
+    # allocates ABOVE the all-history high-water mark, so the bad epoch's
+    # directories are never overwritten (round-11 review finding: a
+    # head+1 allocation here would have rewritten v_3, silently turning
+    # read_at(1) into epoch-3 data)
     cat.apply_txn({"users": _chg(spark, [("3", "UPSERT", "Joni")])}, epoch=3)
     assert _state(cat, "users") == {"1": "Taylor Swift", "2": "Van", "3": "Joni"}
+    assert {r["name"] for r in cat.read_at("users", 1).collect()} == {"BAD"}
+    assert cat.count("users", epoch=1) == 1
     # vacuum keeps the restored head's files (reachability, not age)
     cat.vacuum(keep_epochs=2)
     assert _state(cat, "users")["2"] == "Van"
@@ -1867,3 +1873,32 @@ def test_wap_branch_all_four_strategies(spark, tmp_path):
     assert cat.publish_branch("audit") == 0
     for t in targets:
         assert set(_state(cat, t)) == {"k0", "k1"}
+
+
+def test_rollback_bucketed_member_and_mor_refusal(spark, bucketed_catalog, tmp_path):
+    """Rollback with a bucketed member: post-restore writes allocate
+    per-bucket versions above the history high-water mark, so
+    intermediate epochs' bucket dirs survive. MOR members refuse —
+    delta chains are count-addressed and a restored count would re-read
+    intermediate slots."""
+    cat = bucketed_catalog
+    cat.apply_txn({"items": _chg(spark, [("i0", "UPSERT", "good")])}, epoch=0)
+    cat.apply_txn({"items": _chg(spark, [("i0", "UPSERT", "BAD")])}, epoch=1)
+    assert cat.rollback(0) == 2
+    assert _state(cat, "items")["i0"] == "good"
+    # continue; the bad epoch's bucket version must survive the write
+    cat.apply_txn({"items": _chg(spark, [("i0", "UPSERT", "newer")])}, epoch=3)
+    assert _state(cat, "items")["i0"] == "newer"
+    assert {
+        r["name"] for r in cat.read_at("items", 1).collect() if r["key"] == "i0"
+    } == {"BAD"}
+
+    from mammoth_spark.sources.target import ParquetMorTarget
+
+    mor_cat = TxnCatalog(
+        spark,
+        str(tmp_path / "morcat"),
+        {"logs": ParquetMorTarget(spark, str(tmp_path / "morlogs"), ["key"], ["name"])},
+    )
+    with pytest.raises(NotImplementedError, match="count-addressed"):
+        mor_cat.rollback(0)
