@@ -115,7 +115,28 @@ def merge_upsert_flagged(
 
     Per column, exactly the reference's CASE (snowflake_target.go:552):
     unchanged -> keep target's value; is_null -> NULL; else the new value.
+
+    Additive schema evolution composes exactly as on the plain path
+    (ADVICE r11): a ``value_cols`` entry the TARGET does not yet carry
+    is backfilled as typed NULL (type from the staging frame's plain
+    column) before the merge, so the first flagged batch after an
+    upstream ``ADD COLUMN`` merges cleanly instead of failing on the
+    missing ``t.<col>`` reference. An ``unchanged`` cell on the new
+    column then correctly inherits that NULL.
     """
+    missing = [c for c in value_cols if c not in flattened.columns]
+    if missing:
+        raise ValueError(
+            f"flagged change batch lacks value column(s) {missing}: "
+            "change_flatten staging frames carry every declared value "
+            "column (unchanged cells mark inheritance), so post-evolution "
+            "batches must carry the full schema"
+        )
+    for c in value_cols:
+        if c not in target.columns:
+            target = target.withColumn(
+                c, F.lit(None).cast(flattened.schema[c].dataType)
+            )
     ch = flattened.select(
         *[F.col(f"_identity_{k}").alias(k) for k in key_cols],
         "_delete_row",

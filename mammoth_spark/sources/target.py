@@ -281,6 +281,23 @@ def compact_for_mor_flagged(
     )
 
 
+def _null_value_col(c: str, flagged: bool, col_types: dict | None):
+    """Typed-NULL backfill expression for a value column no retained
+    file carries (additive schema evolution before any write touched
+    the slice). Plain mode casts to the recorded type (default string —
+    the engine's text-representation model, SURVEY §1.2); flagged mode
+    yields a NULL tri-state cell, which is the unchanged/inherit marker
+    and resolves to NULL when nothing below is concrete."""
+    from pyspark.sql import functions as F
+
+    if flagged:
+        return F.lit(None).cast(
+            "struct<v:string,is_null:boolean,is_unchanged:boolean>"
+        ).alias(c)
+    t = (col_types or {}).get(c, "string")
+    return F.lit(None).cast(t).alias(c)
+
+
 def mor_base_cells(value_cols: list[str], flagged: bool) -> list:
     """Projection that lifts a base row's MATERIALIZED plain columns
     into the delta-row shape: tri-state cells in flagged mode (concrete
@@ -395,6 +412,9 @@ class ParquetMorTarget:
         self.value_cols = value_cols
         self.compact_every = compact_every
         self.flagged = flagged
+        # set by TxnCatalog.evolve_schema / manifest rehydration: gates
+        # the mergeSchema footer merge so un-evolved tables never pay it
+        self.schema_evolved = False
         os.makedirs(root, exist_ok=True)
 
     @property
@@ -449,12 +469,19 @@ class ParquetMorTarget:
             return 0
         return i + 1
 
-    def read(self, manifest: dict | None = None) -> DataFrame:
+    def read(
+        self,
+        manifest: dict | None = None,
+        value_cols: list[str] | None = None,
+        col_types: dict | None = None,
+    ) -> DataFrame:
         """Reconcile base ∪ deltas: per key the highest last_seq wins
         (base rows rank below every delta via last_seq = -1), DELETE
         tombstones drop out. ONE keyed reduction (max_by of the full row
         struct) — the read-side price of O(batch) writes; AQE handles the
-        skew, and compact() amortizes it away.
+        skew, and compact() amortizes it away. TWO scans feed it (the
+        base, and ONE multi-path scan over every delta slice) — the plan
+        never grows one union leg per delta directory.
 
         Flagged mode resolves each value column independently: the
         winning row's kind decides existence, and per column the cell
@@ -467,30 +494,75 @@ class ParquetMorTarget:
         DELETE-row cells is exact.
 
         ``manifest`` lets a TxnCatalog read at ITS committed (base,
-        deltas) instead of this target's own pointer file."""
+        deltas) instead of this target's own pointer file.
+
+        Additive schema evolution: ``value_cols`` overrides the
+        projected column list (a TxnCatalog passes the EPOCH's schema
+        record, so time travel resolves each epoch to its OWN schema);
+        slices written before the evolution simply lack the new column
+        — the mergeSchema delta scan fills NULL per file, and a column
+        NO retained slice carries backfills as typed NULL
+        (``col_types``, default string). A NULL plain column on the
+        winning row reads NULL (the COW typed-NULL backfill semantics);
+        a NULL flagged cell is the unchanged marker and inherits.
+        Without an override the read projects to the declared columns
+        the files actually carry, so a pre-evolution manifest keeps its
+        narrow schema."""
         from pyspark.sql import functions as F
 
         m = manifest if manifest is not None else self._manifest()
         if m["base"] is None:
             raise FileNotFoundError(f"MOR target {self.root} not initialized")
-        base_cells = mor_base_cells(self.value_cols, self.flagged)
-        base = self.spark.read.parquet(self._base_dir(m["base"])).select(
+        declared = list(value_cols) if value_cols is not None else list(self.value_cols)
+        evolved = getattr(self, "schema_evolved", False) or value_cols is not None
+        base_df = self.spark.read.parquet(self._base_dir(m["base"]))
+        delta_df = None
+        if m["deltas"]:
+            reader = self.spark.read
+            if evolved:
+                # mixed pre/post-evolution slices: merge footers so the
+                # scan schema is the superset (absent columns read NULL)
+                reader = reader.option("mergeSchema", "true")
+            delta_df = reader.parquet(
+                *[self._delta_dir(m["base"], i) for i in range(m["deltas"])]
+            )
+        present = set(base_df.columns) | (
+            set(delta_df.columns) if delta_df is not None else set()
+        )
+        # explicit projection backfills what no file carries; the
+        # tolerant default narrows to what the files actually have
+        eff = declared if value_cols is not None else [
+            c for c in declared if c in present
+        ]
+        base_has = set(base_df.columns)
+        base_cells = [
+            mor_base_cells([c], self.flagged)[0]
+            if c in base_has
+            else _null_value_col(c, self.flagged, col_types)
+            for c in eff
+        ]
+        allrows = base_df.select(
             *self.key_cols,
             F.lit("UPSERT").alias("kind"),
             F.lit(-1).cast("bigint").alias("last_seq"),
             *base_cells,
         )
-        parts = [base]
-        for i in range(m["deltas"]):
-            parts.append(
-                self.spark.read.parquet(self._delta_dir(m["base"], i)).select(
-                    *self.key_cols, "kind", F.col("last_seq").cast("bigint"), *self.value_cols
+        if delta_df is not None:
+            delta_has = set(delta_df.columns)
+            allrows = allrows.unionByName(
+                delta_df.select(
+                    *self.key_cols,
+                    "kind",
+                    F.col("last_seq").cast("bigint").alias("last_seq"),
+                    *[
+                        F.col(c)
+                        if c in delta_has
+                        else _null_value_col(c, self.flagged, col_types)
+                        for c in eff
+                    ],
                 )
             )
-        allrows = parts[0]
-        for p in parts[1:]:
-            allrows = allrows.unionByName(p)
-        return reconcile_mor_rows(allrows, self.key_cols, self.value_cols, self.flagged)
+        return reconcile_mor_rows(allrows, self.key_cols, eff, self.flagged)
 
     def compact(self) -> int:
         """Fold deltas into a fresh base (OPTIMIZE): one reconciling read,
@@ -569,6 +641,21 @@ def _stage_by_bucket(df: DataFrame, root: str, bucket_col) -> tuple[str, list[in
     return stage, present
 
 
+def _parquet_dir_rows(path: str) -> int:
+    """Exact row count of one staged bucket directory from the parquet
+    FOOTERS (pyarrow metadata reads — no data pages, no Spark job): the
+    per-bucket analog of the COW ``Observation`` cardinality, sized by
+    files-per-bucket, so recording a 25k-row epoch's counts costs
+    O(touched buckets) tiny reads, never a table scan."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet") and not name.startswith("_"):
+            n += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return n
+
+
 def _replace_dir(src: str, dst: str) -> None:
     """Move a staged directory into place. An existing ``dst`` is a
     crash orphan — staged by an epoch that died before its manifest
@@ -582,103 +669,18 @@ def _replace_dir(src: str, dst: str) -> None:
     os.replace(src, dst)
 
 
-class ParquetBucketedTarget:
-    """Bucketed copy-on-write — the third storage strategy, between
-    whole-table COW (write ∝ table) and merge-on-read (read pays a keyed
-    reduction). Keys hash into ``n_buckets`` fixed buckets; each bucket
-    is its own little versioned store (``b<k>/v_<n>/``), and one epoch
-    rewrites ONLY the buckets its keys touch — write cost ∝ the touched
-    fraction of the table, read cost identical to plain COW (a multi-path
-    parquet scan, no reconciliation). This is the Hudi-COW-file-group /
-    Iceberg-overwrite-by-partition shape: at 100 TB with 10^4 buckets a
-    25k-row micro-batch touches at most 25k buckets' worth of data, not
-    100 TB.
-
-    Atomicity is ONE manifest swap: ``_MANIFEST`` maps every bucket to
-    its current version; staging writes land in per-bucket version dirs
-    the manifest doesn't reference yet, so a crash mid-epoch leaves
-    readers on the all-old manifest (same discipline as
-    ParquetMergeTarget's pointer and TxnCatalog's catalog swap). The
-    bucket count is fixed at initialize (re-bucketing is a rebuild, as
-    with any hash-partitioned store); the bucket function is
-    xxhash64-based and identical across epochs, so the touched-bucket
-    set is a pure function of the batch's keys.
-
-    Same ``initialize/read/write`` surface as ParquetMergeTarget, so
-    ChangeLogPipeline dispatches to it unchanged (it is "a COW target"
-    to the loop — just one whose rewrite is bucket-pruned).
-    """
-
-    strategy = "bucketed"
-
-    def __init__(
-        self,
-        spark: SparkSession,
-        root: str,
-        key_cols: list[str],
-        value_cols: list[str],
-        n_buckets: int = 16,
-        bloom_bits: int | None = None,
-        bloom_hashes: int = 4,
-    ):
-        """``bloom_bits`` (opt-in) sizes a per-bucket-version BLOOM KEY
-        INDEX (Hudi's bloom index shape): staging writes a ``_BLOOM``
-        sidecar next to each staged bucket version, computed from the
-        staged rows themselves — since COW staging rewrites the WHOLE
-        bucket, the filter is exact for its version (no accumulation
-        drift; deletes shrink it). ``probe`` then answers point lookups
-        reading ONLY buckets some probe key's bloom admits — an absent
-        key costs zero file I/O, the property that makes key-existence
-        checks viable against a 100 TB table. False positives cost one
-        pruned bucket read and never wrong results; false negatives are
-        impossible (the filter is rebuilt exactly per staged version)."""
-        if n_buckets < 1:
-            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-        self.spark = spark
-        self.root = root
-        self.key_cols = key_cols
-        self.value_cols = value_cols
-        self.n_buckets = n_buckets
-        self.bloom_bits = bloom_bits
-        self.bloom_hashes = bloom_hashes
-        self.last_probe_stats: dict | None = None
-        os.makedirs(root, exist_ok=True)
-
-    # -- manifest ---------------------------------------------------------
-    @property
-    def _manifest_path(self) -> str:
-        return os.path.join(self.root, "_MANIFEST")
-
-    def _manifest(self) -> dict:
-        import json
-
-        try:
-            with open(self._manifest_path) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return {"n_buckets": self.n_buckets, "buckets": {}}
-
-    def _publish(self, manifest: dict) -> None:
-        import json
-
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_MANIFEST.")
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path)
-
-    def _bucket_dir(self, b: int, version: int) -> str:
-        return os.path.join(self.root, f"b{b}", f"v_{version}")
-
-    def _bucket_col(self):
-        return _bucket_expr(self.key_cols, self.n_buckets)
-
-    def _stage_partitioned(self, df: DataFrame) -> tuple[str, list[int]]:
-        return _stage_by_bucket(df, self.root, self._bucket_col())
-
-    def _move_version(self, src: str, dst: str) -> None:
-        _replace_dir(src, dst)
-
-    # -- bloom key index (opt-in via bloom_bits) ----------------------------
+class _BloomIndexMixin:
+    """Shared BLOOM KEY INDEX machinery for the two bucketed targets
+    (Hudi's bloom-index shape — Hudi's own bloom index is natively
+    merge-on-read, which is why this is a mixin and not a COW-only
+    feature). A target opts in via ``bloom_bits``; staging then writes
+    a ``_BLOOM`` sidecar next to each staged bucket slice, computed
+    from the staged rows themselves, and ``probe`` consults the
+    sidecars to read only buckets some probe key's filter admits.
+    False positives cost one pruned bucket read and never wrong
+    results; false negatives are impossible because every sidecar is
+    rebuilt exactly from its own slice's rows (COW bucket rewrites,
+    MOR base folds and delta appends alike)."""
 
     def _bloom_pos_cols(self):
         """k bit positions per key: xxhash64 seeded by the hash index —
@@ -756,17 +758,134 @@ class ParquetBucketedTarget:
         with open(os.path.join(dst, "_BLOOM"), "w") as f:
             json.dump(payload, f)
 
-    def _bloom_load(self, b: int, version: int) -> dict | None:
+    def _bloom_load_dir(self, d: str) -> dict | None:
         import base64
         import json
 
         try:
-            with open(os.path.join(self._bucket_dir(b, version), "_BLOOM")) as f:
-                d = json.load(f)
+            with open(os.path.join(d, "_BLOOM")) as f:
+                payload = json.load(f)
         except FileNotFoundError:
             return None
-        d["bits"] = base64.b64decode(d["bits"])
-        return d
+        payload["bits"] = base64.b64decode(payload["bits"])
+        return payload
+
+    def _bloom_admits(self, bloom: dict | None, positions) -> bool:
+        """True unless a parameter-compatible sidecar POSITIVELY rejects
+        the key — a missing or incompatible sidecar always admits (a
+        wasted pruned read, never a wrong answer)."""
+        if (
+            bloom is None
+            or bloom["m"] != self.bloom_bits
+            or bloom["k"] != self.bloom_hashes
+        ):
+            return True
+        bits = bloom["bits"]
+        return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
+
+
+class ParquetBucketedTarget(_BloomIndexMixin):
+    """Bucketed copy-on-write — the third storage strategy, between
+    whole-table COW (write ∝ table) and merge-on-read (read pays a keyed
+    reduction). Keys hash into ``n_buckets`` fixed buckets; each bucket
+    is its own little versioned store (``b<k>/v_<n>/``), and one epoch
+    rewrites ONLY the buckets its keys touch — write cost ∝ the touched
+    fraction of the table, read cost identical to plain COW (a multi-path
+    parquet scan, no reconciliation). This is the Hudi-COW-file-group /
+    Iceberg-overwrite-by-partition shape: at 100 TB with 10^4 buckets a
+    25k-row micro-batch touches at most 25k buckets' worth of data, not
+    100 TB.
+
+    Atomicity is ONE manifest swap: ``_MANIFEST`` maps every bucket to
+    its current version; staging writes land in per-bucket version dirs
+    the manifest doesn't reference yet, so a crash mid-epoch leaves
+    readers on the all-old manifest (same discipline as
+    ParquetMergeTarget's pointer and TxnCatalog's catalog swap). The
+    bucket count is fixed at initialize (re-bucketing is a rebuild, as
+    with any hash-partitioned store); the bucket function is
+    xxhash64-based and identical across epochs, so the touched-bucket
+    set is a pure function of the batch's keys.
+
+    Same ``initialize/read/write`` surface as ParquetMergeTarget, so
+    ChangeLogPipeline dispatches to it unchanged (it is "a COW target"
+    to the loop — just one whose rewrite is bucket-pruned).
+    """
+
+    strategy = "bucketed"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols: list[str],
+        value_cols: list[str],
+        n_buckets: int = 16,
+        bloom_bits: int | None = None,
+        bloom_hashes: int = 4,
+    ):
+        """``bloom_bits`` (opt-in) sizes a per-bucket-version BLOOM KEY
+        INDEX (Hudi's bloom index shape): staging writes a ``_BLOOM``
+        sidecar next to each staged bucket version, computed from the
+        staged rows themselves — since COW staging rewrites the WHOLE
+        bucket, the filter is exact for its version (no accumulation
+        drift; deletes shrink it). ``probe`` then answers point lookups
+        reading ONLY buckets some probe key's bloom admits — an absent
+        key costs zero file I/O, the property that makes key-existence
+        checks viable against a 100 TB table. False positives cost one
+        pruned bucket read and never wrong results; false negatives are
+        impossible (the filter is rebuilt exactly per staged version)."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        self.spark = spark
+        self.root = root
+        self.key_cols = key_cols
+        self.value_cols = value_cols
+        self.n_buckets = n_buckets
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
+        self.last_probe_stats: dict | None = None
+        self.last_stage_counts: dict = {}
+        self.schema_evolved = False  # see ParquetMorTarget
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_MANIFEST")
+
+    def _manifest(self) -> dict:
+        import json
+
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"n_buckets": self.n_buckets, "buckets": {}}
+
+    def _publish(self, manifest: dict) -> None:
+        import json
+
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_MANIFEST.")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)
+
+    def _bucket_dir(self, b: int, version: int) -> str:
+        return os.path.join(self.root, f"b{b}", f"v_{version}")
+
+    def _bucket_col(self):
+        return _bucket_expr(self.key_cols, self.n_buckets)
+
+    def _stage_partitioned(self, df: DataFrame) -> tuple[str, list[int]]:
+        return _stage_by_bucket(df, self.root, self._bucket_col())
+
+    def _move_version(self, src: str, dst: str) -> None:
+        _replace_dir(src, dst)
+
+    # -- bloom key index (opt-in via bloom_bits; machinery in the mixin) ----
+
+    def _bloom_load(self, b: int, version: int) -> dict | None:
+        return self._bloom_load_dir(self._bucket_dir(b, version))
 
     def probe(self, keys: list[tuple], bucket_map: dict | None = None) -> DataFrame:
         """Point-lookup a bounded set of keys: route each to its bucket,
@@ -814,16 +933,9 @@ class ParquetBucketedTarget:
                     if self.bloom_bits
                     else None
                 )
-            bl = blooms[b]
-            if (
-                bl is not None
-                and bl["m"] == self.bloom_bits
-                and bl["k"] == self.bloom_hashes
-            ):
-                bits = bl["bits"]
-                if not all(bits[p >> 3] & (1 << (p & 7)) for p in r["_ps"]):
-                    n_negative += 1
-                    continue
+            if self.bloom_bits and not self._bloom_admits(blooms[b], r["_ps"]):
+                n_negative += 1
+                continue
             admitted.append(r)
         buckets_read = sorted({int(r["_b"]) for r in admitted})
         self.last_probe_stats = {
@@ -866,12 +978,14 @@ class ParquetBucketedTarget:
             # carries them (``_``-prefixed: invisible to parquet reads)
             self._write_stage_blooms(stage, present)
         buckets = {}
+        counts = {}
         for b in range(self.n_buckets):
             v = int(base.get(str(b), 0)) + 1
             src = os.path.join(stage, f"_b={b}")
             dst = self._bucket_dir(b, v)
             if b in present:
                 self._move_version(src, dst)
+                counts[str(b)] = _parquet_dir_rows(dst)
             else:
                 # empty bucket: a valid empty parquet dir keeps read()
                 # schema-stable (write an empty slice once)
@@ -880,8 +994,14 @@ class ParquetBucketedTarget:
                 df.limit(0).write.mode("overwrite").parquet(dst)
                 if self.bloom_bits:
                     self._bloom_write(dst, None)
+                counts[str(b)] = 0
             buckets[str(b)] = v
         shutil.rmtree(stage, ignore_errors=True)
+        # per-bucket cardinalities of the slices THIS staging produced
+        # (footer metadata, no extra job): a TxnCatalog records them so
+        # COUNT(*) on a bucketed member is a manifest sum — COW rewrites
+        # whole buckets, so a touched bucket's new count is exact
+        self.last_stage_counts = counts
         return buckets
 
     def stage_merge(
@@ -933,6 +1053,7 @@ class ParquetBucketedTarget:
             # whole touched bucket): deletes shrink the filter, no drift
             self._write_stage_blooms(stage, present)
         out = {}
+        counts = {}
         floor = alloc_floor or {}
         for b in touched:
             v = max(int(new_buckets[str(b)]), int(floor.get(str(b), 0))) + 1
@@ -940,6 +1061,7 @@ class ParquetBucketedTarget:
             dst = self._bucket_dir(b, v)
             if os.path.isdir(src):
                 self._move_version(src, dst)
+                counts[str(b)] = _parquet_dir_rows(dst)
             else:
                 # every key of this bucket was deleted by the batch
                 if os.path.isdir(dst):
@@ -947,21 +1069,56 @@ class ParquetBucketedTarget:
                 merged.limit(0).write.mode("overwrite").parquet(dst)
                 if self.bloom_bits:
                     self._bloom_write(dst, None)
+                counts[str(b)] = 0
             new_buckets[str(b)] = v
             out[b] = v
         shutil.rmtree(stage, ignore_errors=True)
+        # counts for the TOUCHED buckets only (COW rewrote them whole);
+        # a TxnCatalog merges these over the untouched buckets' prior
+        # counts, keeping COUNT(*) a manifest sum at any scale
+        self.last_stage_counts = counts
         return new_buckets, out
 
-    def read_map(self, bucket_map: dict, buckets: list[int] | None = None) -> DataFrame:
+    def read_map(
+        self,
+        bucket_map: dict,
+        buckets: list[int] | None = None,
+        value_cols: list[str] | None = None,
+        col_types: dict | None = None,
+    ) -> DataFrame:
         """Read the state an explicit ``{bucket: version}`` map references
         (a TxnCatalog passes its own map; standalone ``read`` passes the
-        target's manifest). A plain multi-path parquet scan either way."""
+        target's manifest). A plain multi-path parquet scan either way.
+
+        Additive schema evolution: once ``schema_evolved`` is set (or an
+        explicit ``value_cols`` projection is passed) the scan merges
+        footers (mergeSchema) — untouched buckets still carry the old
+        parquet schema until their next rewrite, and the merged scan
+        reads the missing column as NULL per file. ``value_cols``
+        projects to exactly the epoch's declared schema (a TxnCatalog
+        passes its manifest's schema record), backfilling a column NO
+        scanned bucket carries yet as typed NULL (``col_types``)."""
+        from pyspark.sql import functions as F
+
         if not bucket_map:
             raise FileNotFoundError(f"bucketed target {self.root} not initialized")
         bs = range(self.n_buckets) if buckets is None else buckets
-        return self.spark.read.parquet(
+        reader = self.spark.read
+        if getattr(self, "schema_evolved", False) or value_cols is not None:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(
             *[self._bucket_dir(b, int(bucket_map[str(b)])) for b in bs]
         )
+        if value_cols is not None:
+            have = set(df.columns)
+            df = df.select(
+                *self.key_cols,
+                *[
+                    F.col(c) if c in have else _null_value_col(c, False, col_types)
+                    for c in value_cols
+                ],
+            )
+        return df
 
     # -- Target interface ---------------------------------------------------
     def initialize(self, df: DataFrame) -> None:
@@ -1025,7 +1182,7 @@ class ParquetBucketedTarget:
         return sorted(victims)
 
 
-class ParquetBucketedMorTarget:
+class ParquetBucketedMorTarget(_BloomIndexMixin):
     """Bucketed merge-on-read — the fourth cell of the storage-strategy
     matrix {whole-table, bucketed} × {copy-on-write, merge-on-read},
     and the shape Hudi actually runs at scale: keys hash into fixed
@@ -1066,7 +1223,19 @@ class ParquetBucketedMorTarget:
         n_buckets: int = 16,
         compact_every: int | None = None,
         flagged: bool = False,
+        bloom_bits: int | None = None,
+        bloom_hashes: int = 4,
     ):
+        """``bloom_bits`` (opt-in) sizes the per-slice BLOOM KEY INDEX
+        — Hudi's bloom index on its native merge-on-read shape: every
+        staged slice (base generation AND each delta slice) carries its
+        own exact ``_BLOOM`` sidecar, and ``probe`` admits a key for a
+        bucket iff the base's filter OR any delta slice's filter admits
+        it. A tombstoned key still appears in the delta that carries
+        its DELETE (the row exists), so the admitted read reconciles it
+        away — never a false negative; a key whose delete has been
+        FOLDED disappears from the fresh base's filter and prunes to
+        zero I/O, exactly like the COW form."""
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         if compact_every is not None and compact_every < 1:
@@ -1078,6 +1247,10 @@ class ParquetBucketedMorTarget:
         self.n_buckets = n_buckets
         self.compact_every = compact_every
         self.flagged = flagged
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
+        self.last_probe_stats: dict | None = None
+        self.schema_evolved = False  # see ParquetMorTarget
         os.makedirs(root, exist_ok=True)
 
     # -- layout -------------------------------------------------------------
@@ -1120,6 +1293,8 @@ class ParquetBucketedMorTarget:
         import shutil
 
         stage, present = _stage_by_bucket(df, self.root, self._bucket_col())
+        if self.bloom_bits:
+            self._write_stage_blooms(stage, present)
         out = {}
         for b in range(self.n_buckets):
             v = int(base.get(str(b), {}).get("base", -1)) + 1
@@ -1130,15 +1305,26 @@ class ParquetBucketedMorTarget:
                 if os.path.isdir(dst):
                     shutil.rmtree(dst)
                 df.limit(0).write.mode("overwrite").parquet(dst)
+                if self.bloom_bits:
+                    self._bloom_write(dst, None)
             out[str(b)] = {"base": v, "deltas": 0}
         shutil.rmtree(stage, ignore_errors=True)
         return out
 
-    def stage_delta(self, compacted: DataFrame, state: dict) -> dict:
+    def stage_delta(
+        self, compacted: DataFrame, state: dict, conflict_floor: dict | None = None
+    ) -> dict:
         """Stage one compacted batch (kind UPSERT|DELETE + last_seq) as
         per-touched-bucket delta slots: ONE partitioned write, cost ∝
         batch; untouched buckets' file groups are not read, not
-        written, not listed. Returns the full updated state map."""
+        written, not listed. Returns the full updated state map.
+
+        ``conflict_floor`` ({bucket: {base: delta-slot high-water}}, a
+        TxnCatalog's ``_high_water`` slice): a touched bucket whose next
+        slot sits BELOW the floor is already referenced by another live
+        manifest (a WAP branch vs the mainline) — count-addressed chains
+        cannot interleave writers, so the stage refuses instead of
+        silently overwriting the other writer's slice."""
         import shutil
 
         from pyspark.sql import functions as F
@@ -1154,6 +1340,28 @@ class ParquetBucketedMorTarget:
             *self.value_cols,
         )
         stage, present = _stage_by_bucket(sel, self.root, self._bucket_col())
+        if conflict_floor:
+            clashes = [
+                b
+                for b in present
+                if state[str(b)]["deltas"]
+                < conflict_floor.get(str(b), {})
+                .get("deltas", {})
+                .get(str(state[str(b)]["base"]), 0)
+            ]
+            if clashes:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise RuntimeError(
+                    f"bucketed-MOR delta-slot conflict on buckets {clashes} of "
+                    f"{self.root}: the next slot is already referenced by "
+                    "another live manifest (a WAP branch or the mainline) — "
+                    "publish or drop the other writer first"
+                )
+        if self.bloom_bits:
+            # each delta slice carries its OWN exact sidecar: probe
+            # admits a key iff base-or-any-delta admits, so appends
+            # never dilute older filters and folds reset the chain
+            self._write_stage_blooms(stage, present)
         new = {k: dict(v) for k, v in state.items()}
         for b in present:
             st = new[str(b)]
@@ -1165,11 +1373,22 @@ class ParquetBucketedMorTarget:
         shutil.rmtree(stage, ignore_errors=True)
         return new
 
-    def stage_compact(self, state: dict, buckets: list[int] | None = None) -> dict:
+    def stage_compact(
+        self,
+        state: dict,
+        buckets: list[int] | None = None,
+        alloc_floor: dict | None = None,
+    ) -> dict:
         """Fold the selected buckets (default: every bucket with pending
         deltas) into fresh bases — ONE reconciling read over just those
         file groups, one partitioned stage write, renames. Publish-free;
-        per-bucket OPTIMIZE is the point: cost ∝ the hot fraction."""
+        per-bucket OPTIMIZE is the point: cost ∝ the hot fraction.
+
+        ``alloc_floor`` ({bucket: base-generation high-water}) lets a
+        caller whose STATE references old generations — fold-on-restore
+        after ``TxnCatalog.rollback`` — allocate fresh bases above every
+        generation any retained epoch still references: reads come from
+        ``state``, new bases from ``max(state, floor) + 1``."""
         import shutil
 
         hot = (
@@ -1180,11 +1399,16 @@ class ParquetBucketedMorTarget:
         new = {k: dict(v) for k, v in state.items()}
         if not hot:
             return new
+        floor = alloc_floor or {}
         folded = self.read(buckets=hot, manifest=state)
         stage, present = _stage_by_bucket(folded, self.root, self._bucket_col())
+        if self.bloom_bits:
+            # the fold MATERIALIZES deletions out of the filter too:
+            # a long-gone key prunes to zero I/O again after the fold
+            self._write_stage_blooms(stage, present)
         for b in hot:
             st = new[str(b)]
-            v = st["base"] + 1
+            v = max(st["base"], int(floor.get(str(b), -1))) + 1
             dst = self._base_dir(b, v)
             if b in present:
                 _replace_dir(os.path.join(stage, f"_b={b}"), dst)
@@ -1193,6 +1417,8 @@ class ParquetBucketedMorTarget:
                 if os.path.isdir(dst):
                     shutil.rmtree(dst)
                 folded.limit(0).write.mode("overwrite").parquet(dst)
+                if self.bloom_bits:
+                    self._bloom_write(dst, None)
             new[str(b)] = {"base": v, "deltas": 0}
         shutil.rmtree(stage, ignore_errors=True)
         return new
@@ -1202,12 +1428,23 @@ class ParquetBucketedMorTarget:
         self._publish(self.stage_initial(df, self._manifest()["buckets"]))
 
     def read(
-        self, buckets: list[int] | None = None, manifest: dict | None = None
+        self,
+        buckets: list[int] | None = None,
+        manifest: dict | None = None,
+        value_cols: list[str] | None = None,
+        col_types: dict | None = None,
     ) -> DataFrame:
         """Reconcile the selected file groups: TWO scans (all selected
         bases, all selected deltas) into the shared merge-on-read
         reduction — bucket pruning is path pruning, and the plan never
-        grows one union leg per directory."""
+        grows one union leg per directory.
+
+        ``value_cols``/``col_types`` carry additive schema evolution
+        exactly as on ``ParquetMorTarget.read``: mixed-schema slices
+        (folded buckets wide, unfolded narrow; pre/post-evolution
+        deltas) scan with mergeSchema, absent-everywhere columns
+        backfill as typed NULL, and a TxnCatalog passes the EPOCH's
+        schema record so time travel keeps per-epoch schemas."""
         from pyspark.sql import functions as F
 
         m = manifest if manifest is not None else self._manifest()["buckets"]
@@ -1223,24 +1460,126 @@ class ParquetBucketedMorTarget:
             delta_paths.extend(
                 self._delta_dir(b, st["base"], i) for i in range(st["deltas"])
             )
-        allrows = self.spark.read.parquet(*base_paths).select(
+        declared = list(value_cols) if value_cols is not None else list(self.value_cols)
+        evolved = getattr(self, "schema_evolved", False) or value_cols is not None
+        reader = self.spark.read
+        if evolved:
+            reader = reader.option("mergeSchema", "true")
+        base_df = reader.parquet(*base_paths)
+        delta_df = reader.parquet(*delta_paths) if delta_paths else None
+        present = set(base_df.columns) | (
+            set(delta_df.columns) if delta_df is not None else set()
+        )
+        eff = declared if value_cols is not None else [
+            c for c in declared if c in present
+        ]
+        base_has = set(base_df.columns)
+        allrows = base_df.select(
             *self.key_cols,
             F.lit("UPSERT").alias("kind"),
             F.lit(-1).cast("bigint").alias("last_seq"),
-            *mor_base_cells(self.value_cols, self.flagged),
+            *[
+                mor_base_cells([c], self.flagged)[0]
+                if c in base_has
+                else _null_value_col(c, self.flagged, col_types)
+                for c in eff
+            ],
         )
-        if delta_paths:
+        if delta_df is not None:
+            delta_has = set(delta_df.columns)
             allrows = allrows.unionByName(
-                self.spark.read.parquet(*delta_paths).select(
+                delta_df.select(
                     *self.key_cols,
                     "kind",
-                    F.col("last_seq").cast("bigint"),
-                    *self.value_cols,
+                    F.col("last_seq").cast("bigint").alias("last_seq"),
+                    *[
+                        F.col(c)
+                        if c in delta_has
+                        else _null_value_col(c, self.flagged, col_types)
+                        for c in eff
+                    ],
                 )
             )
-        return reconcile_mor_rows(
-            allrows, self.key_cols, self.value_cols, self.flagged
+        return reconcile_mor_rows(allrows, self.key_cols, eff, self.flagged)
+
+    def probe(self, keys: list[tuple], manifest: dict | None = None) -> DataFrame:
+        """Point-lookup a bounded key set against the merge-on-read
+        chain: route each key to its bucket, consult the base's AND
+        each delta slice's ``_BLOOM`` sidecars, and reconcile-read ONLY
+        the buckets some admitted key routes to. A key is admitted iff
+        ANY slice's filter admits it — a tombstoned key is admitted by
+        the delta that carries its DELETE and reconciles to absent
+        (exact), while a key whose deletion has been FOLDED vanishes
+        from the fresh base's filter and costs zero file I/O again.
+        ``last_probe_stats`` records the pruning. Results are exact
+        regardless of the filters: the reconciled read is filtered to
+        the admitted keys (broadcast semi-join / IN), so a false
+        positive is one wasted pruned read, never a wrong row."""
+        from pyspark.sql import functions as F
+
+        m = manifest if manifest is not None else self._manifest()["buckets"]
+        if not m:
+            raise FileNotFoundError(
+                f"bucketed MOR target {self.root} not initialized"
+            )
+        keys = list(keys)
+        if not keys:
+            self.last_probe_stats = {
+                "n_keys": 0,
+                "bloom_negative": 0,
+                "buckets_read": 0,
+            }
+            return self.read(buckets=[0], manifest=m).limit(0)
+        import pandas as pd
+
+        kdf = self.spark.createDataFrame(pd.DataFrame(keys, columns=self.key_cols))
+        sel = [*self.key_cols, self._bucket_col().alias("_b")]
+        if self.bloom_bits:
+            sel.append(F.array(*self._bloom_pos_cols()).alias("_ps"))
+        probe_rows = kdf.select(*sel).collect()  # LocalTableScan: no file I/O
+
+        # per touched bucket: the base's sidecar plus one per delta
+        # slice — (1 + deltas) tiny JSON reads, bounded by the chain
+        # length the compaction cadence already bounds
+        chain_blooms: dict[int, list] = {}
+        admitted = []
+        n_negative = 0
+        for r in probe_rows:
+            b = int(r["_b"])
+            if self.bloom_bits and b not in chain_blooms:
+                st = m[str(b)]
+                chain_blooms[b] = [
+                    self._bloom_load_dir(self._base_dir(b, st["base"]))
+                ] + [
+                    self._bloom_load_dir(self._delta_dir(b, st["base"], i))
+                    for i in range(st["deltas"])
+                ]
+            if self.bloom_bits and not any(
+                self._bloom_admits(bl, r["_ps"]) for bl in chain_blooms[b]
+            ):
+                n_negative += 1
+                continue
+            admitted.append(r)
+        buckets_read = sorted({int(r["_b"]) for r in admitted})
+        self.last_probe_stats = {
+            "n_keys": len(probe_rows),
+            "bloom_negative": n_negative,
+            "buckets_read": len(buckets_read),
+        }
+        if not admitted:
+            return self.read(buckets=[0], manifest=m).limit(0)
+        scan = self.read(buckets=buckets_read, manifest=m)
+        if len(self.key_cols) == 1:
+            return scan.where(
+                F.col(self.key_cols[0]).isin([r[self.key_cols[0]] for r in admitted])
+            )
+        cand = self.spark.createDataFrame(
+            pd.DataFrame(
+                [[r[k] for k in self.key_cols] for r in admitted],
+                columns=self.key_cols,
+            )
         )
+        return scan.join(F.broadcast(cand), on=self.key_cols, how="left_semi")
 
     def write_delta(self, compacted: DataFrame) -> dict:
         """Standalone apply: stage + own-manifest swap, then the
@@ -1386,6 +1725,27 @@ class TxnCatalog:
         self.root = root
         self.targets = targets
         os.makedirs(root, exist_ok=True)
+        # Rehydrate evolved schemas from the committed manifest (ADVICE
+        # r11): ``evolve_schema`` records the widened column list under
+        # ``schemas``, and a FRESH catalog constructed over the same
+        # root with the original (narrow) constructor columns would
+        # otherwise merge the next epoch projected to the narrow list —
+        # silently dropping the evolved column's data. The constructor
+        # columns are snapshotted FIRST so ``rollback`` across an
+        # evolution boundary can restore them.
+        self._ctor_value_cols = {
+            tbl: list(t.value_cols) for tbl, t in targets.items()
+        }
+        for tbl, rec in self.manifest().get("schemas", {}).items():
+            t = self.targets.get(tbl)
+            if t is None:
+                continue
+            if list(t.value_cols) != list(rec["value"]):
+                t.value_cols = list(rec["value"])
+            if self._strategy(t) != "cow":
+                # mixed-schema slices may persist until every bucket /
+                # delta chain is rewritten: reads must merge footers
+                t.schema_evolved = True
 
     # Dispatch reads a DECLARED class marker, not duck-typed method
     # sets: the fourth strategy proved hasattr inference fragile (it
@@ -1503,12 +1863,22 @@ class TxnCatalog:
         """Resolve the catalog state as of a committed ``epoch``. The
         LATEST log entry at that epoch wins, so a maintenance fold
         (compact keeps the epoch) resolves to the post-fold — logically
-        identical — state. Raises when the epoch was never committed or
-        its files have been expired by ``vacuum``."""
+        identical — state. EXCEPT the schema record: ``evolve_schema``
+        is also a same-epoch maintenance republish, but unlike a fold it
+        changes the DECLARED schema — taking it from the latest entry
+        would leak the widened schema backward into reads of the epoch
+        whose data was committed narrow; the FIRST entry at the epoch
+        carries the schema its data commit actually used (folds copy
+        their base's record, so interleaved folds don't disturb this).
+        Raises when the epoch was never committed or its files have
+        been expired by ``vacuum``."""
         cur = self.manifest()
         hits = [e for _, e in self._log_entries() if e["epoch"] == epoch]
         if hits:
-            return hits[-1]
+            out = hits[-1]
+            if hits[0].get("schemas", {}) != out.get("schemas", {}):
+                out = {**out, "schemas": hits[0].get("schemas", {})}
+            return out
         if cur["epoch"] == epoch:  # crash window: swap landed, append didn't
             return cur
         raise FileNotFoundError(
@@ -1518,22 +1888,33 @@ class TxnCatalog:
         )
 
     def _read_from(self, tbl: str, m: dict) -> DataFrame:
+        """Resolve one table's state from the manifest ``m`` — including
+        the EPOCH's schema record: post-evolution manifests carry the
+        widened column list under ``schemas``, and passing it down makes
+        MOR/bucketed reads project to exactly that epoch's schema
+        (backfilling typed NULL where a slice predates the evolution),
+        while pre-evolution manifests — which carry no record — resolve
+        to the columns their files actually have. COW versions are
+        self-describing (each epoch's rewrite wrote its own schema)."""
         t = self.targets[tbl]
+        rec = m.get("schemas", {}).get(tbl)
+        vcols = list(rec["value"]) if rec else None
+        ctypes = rec.get("types") if rec else None
         if self._is_bmor(t):
             bmor = m.get("bmor", {})
             if tbl not in bmor:
                 raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
-            return t.read(manifest=bmor[tbl])
+            return t.read(manifest=bmor[tbl], value_cols=vcols, col_types=ctypes)
         if self._is_mor(t):
             mor = m.get("mor", {})
             if tbl not in mor:
                 raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
-            return t.read(manifest=mor[tbl])
+            return t.read(manifest=mor[tbl], value_cols=vcols, col_types=ctypes)
         if self._is_bucketed(t):
             bucketed = m.get("bucketed", {})
             if tbl not in bucketed:
                 raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
-            return t.read_map(bucketed[tbl])
+            return t.read_map(bucketed[tbl], value_cols=vcols, col_types=ctypes)
         if tbl not in m["versions"]:
             raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
         return self.targets[tbl].read_version(m["versions"][tbl])
@@ -1631,6 +2012,7 @@ class TxnCatalog:
             )
         versions = {}
         counts = {}
+        bucket_counts = {}
         mor = {}
         bucketed = {}
         bmor = {}
@@ -1643,47 +2025,74 @@ class TxnCatalog:
                 mor[tbl] = {"base": 0, "deltas": 0}
             elif self._is_bucketed(t):
                 bucketed[tbl] = t.stage_full(df, {})
+                bucket_counts[tbl] = t.last_stage_counts
             else:
                 counts[tbl] = _write_observed(df, t._version_dir(1))
                 versions[tbl] = 1
         manifest = self._mk_manifest(-1, versions, mor, bucketed, bmor)
         if counts:
             manifest["row_counts"] = counts
+        if bucket_counts:
+            manifest["bucket_counts"] = bucket_counts
         self._publish(manifest)
 
     def read(self, tbl: str) -> DataFrame:
         return self._read_from(tbl, self.manifest())
 
     def probe(self, tbl: str, keys: list[tuple]) -> DataFrame:
-        """Point-lookup a bounded key set against a BUCKETED member at
-        the catalog's committed state: routes through the member's
-        bloom-gated ``probe`` with the CATALOG's bucket map (the member
-        has no own manifest), so absent keys cost zero file I/O here
-        too. Raises for non-bucketed members — COW/MOR tables have no
-        per-bucket index to consult; read and filter instead."""
+        """Point-lookup a bounded key set against a BUCKETED member
+        (copy-on-write or merge-on-read) at the catalog's committed
+        state: routes through the member's bloom-gated ``probe`` with
+        the CATALOG's state map (the member has no own manifest), so
+        absent keys cost zero file I/O here too. Raises for
+        whole-table members — COW/MOR tables have no per-bucket index
+        to consult; read and filter instead."""
         t = self.targets[tbl]
-        if not self._is_bucketed(t):
-            raise ValueError(
-                f"table {tbl} ({t.strategy}) has no bucket/bloom index; "
-                "probe applies to bucketed members"
-            )
         m = self.manifest()
-        if tbl not in m.get("bucketed", {}):
-            raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
-        return t.probe(keys, bucket_map=m["bucketed"][tbl])
+        if self._is_bucketed(t):
+            if tbl not in m.get("bucketed", {}):
+                raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
+            return t.probe(keys, bucket_map=m["bucketed"][tbl])
+        if self._is_bmor(t):
+            if tbl not in m.get("bmor", {}):
+                raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
+            return t.probe(keys, manifest=m["bmor"][tbl])
+        raise ValueError(
+            f"table {tbl} ({t.strategy}) has no bucket/bloom index; "
+            "probe applies to bucketed members"
+        )
 
     def _high_water(self) -> dict:
-        """Version-allocation floor across the WHOLE history (every log
-        entry + the current manifest): after a ``rollback`` the head
-        manifest references OLD version numbers, and allocating
-        ``head + 1`` would overwrite directories that LATER log entries
-        still reference — silently corrupting time travel (round-11
-        review finding). Staging therefore allocates
-        ``max(head, high_water) + 1``. Metadata-sized: the log is
+        """Version-allocation floor across EVERY retained manifest (the
+        log, the current pointer, and every live WAP branch head): after
+        a ``rollback`` the head manifest references OLD version numbers,
+        and allocating ``head + 1`` would overwrite directories that
+        LATER log entries still reference — silently corrupting time
+        travel (round-11 review finding); a live branch's staged
+        directories are the same hazard one level over, so including
+        branch heads is what lets TWO writers (mainline + a long-running
+        audit branch, or two branches) allocate disjoint COW/bucket
+        versions instead of freezing each other out. Staging allocates
+        ``max(head, high_water) + 1``. Merge-on-read chains are tracked
+        as {base high-water, per-base delta-slot high-water}: their
+        slots are COUNT-addressed and cannot skip, so the floor serves
+        fold-on-restore (fresh base above every retained generation) and
+        the concurrent-writer CONFLICT CHECK (a slot below the floor is
+        already referenced by someone else). Metadata-sized: the log is
         O(vacuum window) tiny JSONs."""
         versions: dict[str, int] = {}
         bucketed: dict[str, dict[str, int]] = {}
+        mor: dict[str, dict] = {}
+        bmor: dict[str, dict] = {}
+
+        def _fold_chain(cur: dict, st: dict) -> None:
+            cur["base"] = max(cur.get("base", -1), int(st["base"]))
+            d = cur.setdefault("deltas", {})
+            k = str(st["base"])
+            d[k] = max(d.get(k, 0), int(st["deltas"]))
+
         entries = [e for _, e in self._log_entries()] + [self.manifest()]
+        entries += [self._branch_manifest(b) for b in self._branches()]
         for e in entries:
             for tbl, v in e.get("versions", {}).items():
                 versions[tbl] = max(versions.get(tbl, 0), int(v))
@@ -1691,104 +2100,192 @@ class TxnCatalog:
                 cur = bucketed.setdefault(tbl, {})
                 for b, v in bm.items():
                     cur[b] = max(cur.get(b, 0), int(v))
-        return {"versions": versions, "bucketed": bucketed}
+            for tbl, st in e.get("mor", {}).items():
+                _fold_chain(mor.setdefault(tbl, {}), st)
+            for tbl, bst in e.get("bmor", {}).items():
+                cur = bmor.setdefault(tbl, {})
+                for b, st in bst.items():
+                    _fold_chain(cur.setdefault(b, {}), st)
+        return {"versions": versions, "bucketed": bucketed, "mor": mor, "bmor": bmor}
 
     def rollback(self, to_epoch: int) -> int:
         """Delta's RESTORE TABLE shape: re-publish a PAST epoch's state
-        maps as a NEW head epoch — one manifest swap, zero data
-        movement (the old version directories are still on disk within
-        the vacuum window; they simply become referenced by the head
-        again). The epoch counter keeps advancing (the restored state
-        gets ``cur + 1``), so stream redelivery guards and the log stay
-        monotonic, and the rollback itself is an auditable log entry —
-        history is never rewritten, exactly like RESTORE: post-restore
-        writes allocate versions above the all-history high-water mark
-        (``_high_water``), never over a directory an intermediate epoch
-        references. Travel depth bounds what you can roll back to: a
-        state ``vacuum`` expired is gone (FileNotFoundError via the log
-        lookup). Refused while a WAP branch is live (same
-        version-namespace freeze as every other mainline write), and
-        refused when the catalog holds merge-on-read members: their
-        delta chains are COUNT-addressed (state = base + deltas 0..n-1),
-        so a restored count cannot skip past an intermediate epoch's
-        slots without re-reading them — restoring MOR needs a
-        fold-on-restore (a fresh base generation), deliberately out of
-        scope; route tables through COW/bucketed across restores."""
-        self._refuse_if_branches("rollback")
-        mor_members = [
-            t for t, tg in self.targets.items()
-            if self._is_mor(tg) or self._is_bmor(tg)
-        ]
-        if mor_members:
-            raise NotImplementedError(
-                f"rollback with merge-on-read members {mor_members}: delta "
-                "chains are count-addressed, so a restored state would be "
-                "re-polluted by intermediate epochs' delta slots; fold-on-"
-                "restore is not implemented — use COW/bucketed members "
-                "where restore is required"
-            )
+        maps as a NEW head epoch — one manifest swap; for COW/bucketed
+        members zero data movement (the old version directories are
+        still on disk within the vacuum window; they simply become
+        referenced by the head again). The epoch counter keeps advancing
+        (the restored state gets ``cur + 1``), so stream redelivery
+        guards and the log stay monotonic, and the rollback itself is an
+        auditable log entry — history is never rewritten, exactly like
+        RESTORE: post-restore writes allocate versions above the
+        all-history high-water mark (``_high_water``), never over a
+        directory an intermediate epoch references.
+
+        Merge-on-read members restore by FOLD-ON-RESTORE (VERDICT r11
+        #1): their delta chains are COUNT-addressed (state = base +
+        deltas 0..n-1), so a restored count would collide with the slots
+        intermediate epochs already appended — instead the restored
+        state is materialized ONCE into a fresh base generation
+        allocated above the high-water mark (whole-table: one
+        reconciling read + base write; bucketed MOR: ``stage_compact``
+        over ONLY the buckets whose restored chain an intermediate epoch
+        extended — untouched file groups restore by reference, so the
+        fold cost tracks what actually changed since ``to_epoch``, not
+        the table). Flagged chains materialize their tri-state
+        resolution in the same fold, exactly like a scheduled compact.
+
+        Schema evolution reconciles on the same swap (ADVICE r11):
+        every member's in-memory ``value_cols`` resets to the RESTORED
+        manifest's schema record (constructor columns when the record
+        is absent — i.e. the epoch predates any evolution), so a
+        rollback across an ``evolve_schema`` boundary doesn't leave a
+        widened writer over a narrow manifest.
+
+        Travel depth bounds what you can roll back to: a state
+        ``vacuum`` expired is gone (FileNotFoundError via the log
+        lookup). A live WAP branch survives a rollback untouched, but
+        the epoch bump makes its later publish non-fast-forward — drop
+        and restage it against the restored head."""
         old = self._manifest_at(to_epoch)
         cur = self.manifest()
         new_epoch = (cur["epoch"] if cur["epoch"] is not None else -1) + 1
         out = {**old, "epoch": new_epoch}
+        hw = self._high_water()
+        schemas = old.get("schemas", {})
+        new_mor = {k: dict(v) for k, v in out.get("mor", {}).items()}
+        new_bmor = {
+            k: {b: dict(s) for b, s in v.items()}
+            for k, v in out.get("bmor", {}).items()
+        }
+        for tbl, t in self.targets.items():
+            rec = schemas.get(tbl)
+            vcols = list(rec["value"]) if rec else None
+            ctypes = rec.get("types") if rec else None
+            # ADVICE r11: the restored epoch's schema governs from here —
+            # reset BEFORE the folds below so fold-on-restore materializes
+            # the restored epoch's own column list
+            t.value_cols = (
+                vcols if vcols is not None else list(self._ctor_value_cols[tbl])
+            )
+            if self._is_mor(t) and tbl in new_mor:
+                mm = new_mor[tbl]
+                h = hw["mor"].get(tbl, {})
+                extended = h.get("deltas", {}).get(str(mm["base"]), 0) > mm["deltas"]
+                if extended or h.get("base", -1) > mm["base"]:
+                    state = t.read(manifest=mm, value_cols=vcols, col_types=ctypes)
+                    v = max(h.get("base", -1), mm["base"]) + 1
+                    state.write.mode("overwrite").parquet(t._base_dir(v))
+                    new_mor[tbl] = {"base": v, "deltas": 0}
+            elif self._is_bmor(t) and tbl in new_bmor:
+                st = new_bmor[tbl]
+                h = hw["bmor"].get(tbl, {})
+                risk, floor = [], {}
+                for b in range(t.n_buckets):
+                    bs, bh = st[str(b)], h.get(str(b), {})
+                    if (
+                        bh.get("deltas", {}).get(str(bs["base"]), 0) > bs["deltas"]
+                        or bh.get("base", -1) > bs["base"]
+                    ):
+                        risk.append(b)
+                        floor[str(b)] = bh.get("base", -1)
+                if risk:
+                    new_bmor[tbl] = t.stage_compact(st, buckets=risk, alloc_floor=floor)
+        if new_mor:
+            out["mor"] = new_mor
+        if new_bmor:
+            out["bmor"] = new_bmor
         self._publish(out)
         return new_epoch
 
     def count(self, tbl: str, epoch: int | None = None) -> int:
         """COUNT(*) for a catalog member — metadata-only when the
-        manifest carries the cardinality (COW members: observed on the
-        staging write itself, the Iceberg snapshot-summary shape /
-        Delta's numRecords — what lets an engine answer ``SELECT
+        manifest carries the cardinality (the Iceberg snapshot-summary
+        shape / Delta's numRecords — what lets an engine answer ``SELECT
         count(*)`` without touching a single data file, the difference
-        between O(1) and O(100 TB)). ``epoch`` travels through the
-        manifest log. Members whose total isn't known without a read
-        (MOR/bucketed/bmor — their staging is deltas or touched buckets
-        only) fall back to counting the actual read."""
+        between O(1) and O(100 TB)). COW members: observed on the
+        staging write itself (``Observation``). Bucketed COW members:
+        the manifest carries PER-BUCKET counts (footer metadata of the
+        touched buckets, merged over the untouched buckets' prior
+        counts each epoch), summed here — a bucket rewrite is a whole
+        state, so the sum is exact. ``epoch`` travels through the
+        manifest log. Merge-on-read members' totals aren't knowable
+        without reconciling (a delta mixes inserts/updates/deletes) and
+        fall back to counting the actual read."""
         m = self.manifest() if epoch is None else self._manifest_at(epoch)
         counts = m.get("row_counts", {})
         if tbl in counts:
             return int(counts[tbl])
+        t = self.targets[tbl]
+        if self._is_bucketed(t):
+            bc = m.get("bucket_counts", {}).get(tbl)
+            if bc is not None and all(str(b) in bc for b in range(t.n_buckets)):
+                return sum(int(v) for v in bc.values())
         return self._read_from(tbl, m).count()
 
-    def evolve_schema(self, tbl: str, added_value_cols: list[str]) -> None:
+    def evolve_schema(
+        self, tbl: str, added_value_cols: list[str] | dict[str, str]
+    ) -> None:
         """Additive schema evolution on a catalog member (Delta's
         ``ADD COLUMN`` shape, the change a CDC source's ``ALTER TABLE``
         produces): subsequent batches carry the new value column(s);
-        the first post-evolution merge backfills existing rows with
-        typed NULL (``merge_upsert`` aligns the target projection — no
-        table rewrite happens at evolution time, the normal epoch
-        rewrite absorbs it). Time travel keeps each epoch's OWN schema:
-        ``read_at`` on a pre-evolution epoch returns the old columns,
-        exactly as the lakehouse formats behave. The evolved column
-        list is recorded in the manifest (``schemas``) as a maintenance
-        republish — same epoch, one swap — so the catalog stays
-        self-describing; ``_stage_epoch`` carries the record forward
-        structurally.
+        existing rows read typed NULL until a change touches them. No
+        table rewrite happens at evolution time on ANY strategy:
 
-        COW members only: a bucketed member would leave untouched
-        buckets on the old parquet schema (a multi-path scan with mixed
-        schemas needs mergeSchema on every read), and a MOR member's
-        read-time reconciliation would need per-column presence logic
-        down the delta chain — both deliberately out of scope; drop and
-        re-backfill those, or route the table through COW across the
-        evolution."""
+        - COW: the first post-evolution merge backfills the target
+          projection (``merge_upsert``/``merge_upsert_flagged``) and the
+          normal epoch rewrite absorbs it.
+        - bucketed COW: only TOUCHED buckets rewrite onto the wide
+          schema; untouched buckets keep their old parquet files, and
+          reads merge footers (``schema_evolved`` gates the mergeSchema
+          cost to evolved tables only).
+        - MOR / bucketed MOR: post-evolution deltas simply carry the new
+          column; the reconciling read scans mixed-schema slices with
+          mergeSchema and resolves per column (a missing plain column on
+          the winning row reads NULL; a missing flagged cell is the
+          unchanged marker and inherits — nothing concrete below yields
+          NULL). Folds then materialize the wide schema bucket by
+          bucket.
+
+        Time travel keeps each epoch's OWN schema: the manifest records
+        the widened list under ``schemas`` (a maintenance republish —
+        same epoch, one swap), ``_stage_epoch`` carries it forward
+        structurally, and ``_read_from`` projects every read to ITS
+        manifest's record — pre-evolution epochs resolve to their narrow
+        columns, exactly as the lakehouse formats behave. A fresh
+        catalog over the same root rehydrates the record at
+        construction, so the widened writer survives a restart (ADVICE
+        r11).
+
+        ``added_value_cols`` is a list (new columns default to STRING —
+        the engine's text-representation model, SURVEY §1.2) or a
+        {column: Spark DDL type} dict for typed backfill NULLs.
+
+        Refused while a WAP branch is live: the branch head forked the
+        PRE-evolution schema record and its publish would silently
+        revert the evolution (the one mainline mutation the epoch-based
+        fast-forward check cannot catch, because a maintenance republish
+        keeps the epoch)."""
         t = self.targets[tbl]
-        if self._strategy(t) != "cow":
-            raise NotImplementedError(
-                f"evolve_schema supports copy-on-write members; {tbl} is "
-                f"{t.strategy} (untouched buckets / delta chains would mix "
-                "parquet schemas)"
-            )
-        clash = [
-            c for c in added_value_cols if c in t.value_cols or c in t.key_cols
-        ]
+        types = (
+            dict(added_value_cols)
+            if isinstance(added_value_cols, dict)
+            else {c: "string" for c in added_value_cols}
+        )
+        clash = [c for c in types if c in t.value_cols or c in t.key_cols]
         if clash:
             raise ValueError(f"columns already exist on {tbl}: {clash}")
         self._refuse_if_branches("evolve_schema")
-        t.value_cols = list(t.value_cols) + list(added_value_cols)
+        t.value_cols = list(t.value_cols) + list(types)
+        if self._strategy(t) != "cow":
+            t.schema_evolved = True
         m = self.manifest()
         schemas = dict(m.get("schemas", {}))
-        schemas[tbl] = {"key": t.key_cols, "value": t.value_cols}
+        prior_types = schemas.get(tbl, {}).get("types", {})
+        schemas[tbl] = {
+            "key": t.key_cols,
+            "value": t.value_cols,
+            "types": {**prior_types, **types},
+        }
         self._publish({**m, "schemas": schemas})
 
     def apply_txn(
@@ -1821,7 +2318,6 @@ class TxnCatalog:
         ``change_flatten(flagged=True)`` staging rows, MOR frames
         ``compact_for_mor_flagged`` output."""
         m = self.manifest()
-        self._refuse_if_branches("apply_txn")
         if m["epoch"] is not None and epoch <= m["epoch"]:
             return None  # redelivered epoch: the commit record says done
         new_m, result = self._stage_epoch(compacted_by_table, m, epoch, flagged)
@@ -1874,9 +2370,11 @@ class TxnCatalog:
         }
         touched_buckets: dict[str, dict[int, int]] = {}
         new_counts: dict[str, int] = {}
+        new_bucket_counts: dict[str, dict[str, int]] = {}
         # allocation floor: after a rollback the base manifest holds OLD
-        # version numbers while later log entries reference higher ones —
-        # never allocate over a directory any retained epoch references
+        # version numbers while later log entries reference higher ones
+        # — and with live WAP branches, other heads hold NEWER ones —
+        # never allocate over a directory any retained manifest references
         hw = self._high_water()
         for tbl, compacted in compacted_by_table.items():
             t = self.targets[tbl]
@@ -1900,10 +2398,30 @@ class TxnCatalog:
                     "backfill it via TxnCatalog.initialize before apply_txn"
                 )
             if self._is_bmor(t):
-                new_bmor[tbl] = t.stage_delta(compacted, new_bmor[tbl])
+                new_bmor[tbl] = t.stage_delta(
+                    compacted,
+                    new_bmor[tbl],
+                    conflict_floor=hw["bmor"].get(tbl),
+                )
             elif self._is_mor(t):
                 mm = new_mor[tbl]
                 i = mm["deltas"]
+                # merge-on-read slots are COUNT-addressed and cannot
+                # skip: a slot below the high-water is already referenced
+                # by ANOTHER live manifest (a WAP branch, or the mainline
+                # seen from a branch) — writing it would silently corrupt
+                # that writer's staged chain. COW/bucketed writers
+                # allocate around each other via the floor; MOR must
+                # refuse (the one genuinely unserializable interleaving).
+                hw_d = hw["mor"].get(tbl, {}).get("deltas", {}).get(str(mm["base"]), 0)
+                if i < hw_d:
+                    raise RuntimeError(
+                        f"MOR delta-slot conflict on {tbl}: slot {i} of base "
+                        f"{mm['base']} is already referenced by another live "
+                        "manifest (a WAP branch or the mainline) — publish or "
+                        "drop the other writer first; merge-on-read chains "
+                        "cannot interleave concurrent writers"
+                    )
                 compacted.select(
                     *t.key_cols, "kind", "last_seq", *t.value_cols
                 ).write.mode("overwrite").parquet(t._delta_dir(mm["base"], i))
@@ -1917,6 +2435,13 @@ class TxnCatalog:
                 )
                 new_bucketed[tbl] = new_map
                 touched_buckets[tbl] = touched
+                # footer-metadata cardinalities of the touched buckets,
+                # merged over the untouched buckets' prior counts: the
+                # manifest can then answer COUNT(*) as a sum
+                new_bucket_counts[tbl] = {
+                    **m.get("bucket_counts", {}).get(tbl, {}),
+                    **t.last_stage_counts,
+                }
             else:
                 # merge against the BASE manifest's version, not the
                 # mainline pointer — they differ when staging the second
@@ -1965,6 +2490,16 @@ class TxnCatalog:
                     if new_counts or m.get("row_counts")
                     else {}
                 ),
+                **(
+                    {
+                        "bucket_counts": {
+                            **m.get("bucket_counts", {}),
+                            **new_bucket_counts,
+                        }
+                    }
+                    if new_bucket_counts or m.get("bucket_counts")
+                    else {}
+                ),
             },
             result,
         )
@@ -1979,14 +2514,27 @@ class TxnCatalog:
     # with the same single-swap commit every other path uses. A failed
     # audit drops the branch file; the staged directories become
     # ordinary unreferenced orphans for ``vacuum`` (which retains
-    # anything a LIVE branch still references). Version-number
-    # namespaces (``v_<n>``, delta slots, bucket versions) are shared
-    # with the mainline, so while any branch is live the mainline is
-    # frozen: ``apply_txn``/``compact`` refuse — the WAP discipline is
-    # stage → audit → publish-or-drop, never concurrent divergence.
+    # anything a LIVE branch still references).
+    #
+    # CONCURRENCY (optimistic, VERDICT r11 #6 — replacing round 11's
+    # whole-catalog freeze): version numbers are allocated above the
+    # high-water mark of EVERY retained manifest — the log, the head,
+    # and all live branch heads (``_high_water``) — so a long-running
+    # audit branch and the mainline (or two branches) stage DISJOINT
+    # ``v_<n>``/bucket versions and never overwrite each other. The
+    # conflict surfaces at PUBLISH instead: the fast-forward check
+    # refuses a branch whose fork epoch the mainline has moved past
+    # (drop and restage — Iceberg's "commit conflict, retry"). The one
+    # genuinely unserializable interleaving is merge-on-read DELTA
+    # SLOTS (count-addressed chains cannot skip a slot), which staging
+    # detects against the same high-water record and refuses
+    # descriptively at stage time. ``evolve_schema`` still freezes
+    # under live branches: it republishes at the SAME epoch, which the
+    # epoch-based fast-forward check cannot defend.
     # At 100 TB this buys the thing audits need: the expensive staging
     # write happens exactly once, the audit reads real committed-shape
-    # files, and publish/drop are O(1) metadata moves.
+    # files, publish/drop are O(1) metadata moves, and a slow audit no
+    # longer stalls the ingest pipeline behind it.
 
     @property
     def _branch_dir(self) -> str:
@@ -2039,22 +2587,18 @@ class TxnCatalog:
         same Spark jobs as ``apply_txn`` — nothing becomes visible on
         the mainline; the branch head manifest is swapped atomically
         under ``_BRANCHES/``. Repeated staging advances the branch head
-        (multi-epoch audits); staging a NEW branch while a DIFFERENT
-        one is live is refused — branches share the mainline's version
-        number namespace, so two live branches would allocate the same
-        ``v_<n>``/delta slots and silently overwrite each other's
-        staged directories (the same hazard _refuse_if_branches guards
-        the mainline against). Returns the per-table result map."""
+        (multi-epoch audits). Concurrent branches (and a concurrently
+        advancing mainline) are safe for COW/bucketed members — every
+        writer allocates version numbers above the high-water mark of
+        ALL live manifests, so staged directories are disjoint; at most
+        one of the divergent writers can then fast-forward publish
+        (first wins; the rest restage or drop). Merge-on-read members
+        refuse at stage time on an actual delta-slot conflict (their
+        chains are count-addressed). Returns the per-table result
+        map."""
         try:
             base = self._branch_manifest(name)
         except FileNotFoundError:
-            others = [b for b in self._branches() if b != name]
-            if others:
-                raise RuntimeError(
-                    f"stage_branch({name!r}) refused: branch(es) {others} are "
-                    "live and hold the same staged version numbers this branch "
-                    "would allocate — publish_branch or drop_branch first"
-                ) from None
             base = dict(self.manifest())
             # remember the mainline epoch this branch forked from: the
             # publish is fast-forward-only against exactly this record
@@ -2089,10 +2633,10 @@ class TxnCatalog:
         ``_CATALOG`` swap (the staged directories the branch references
         become the committed state — zero data movement), then the
         branch file is retired. Refuses if the mainline moved past the
-        branch's fork point (nothing can have moved it while the branch
-        was live — apply_txn/compact refuse — so a mismatch means
-        manual surgery happened; re-stage rather than merge). Returns
-        the published epoch."""
+        branch's fork point — with optimistic concurrency this is the
+        expected loser's outcome when the mainline (or another branch)
+        published first: drop and restage against the new head, never
+        merge. Returns the published epoch."""
         bm = self._branch_manifest(name)
         cur = self.manifest()
         if cur["epoch"] != bm.get("wap_base_epoch"):
@@ -2111,6 +2655,48 @@ class TxnCatalog:
         visible to any reader."""
         os.remove(self._branch_path(name))
 
+    # -- durable WAP rejection records (ADVICE r11) ----------------------
+    #
+    # A rejected epoch is CONSUMED by the streaming gate (the
+    # checkpoint advances past the poison batch), so without a durable
+    # record a restart would leave no trace that an epoch was dropped —
+    # the exact audit trail WAP exists to produce. Rejections append
+    # one small JSON line next to the catalog ``_LOG``; appends after a
+    # crash mid-line are tolerated by the reader (a torn last line is
+    # skipped). Metadata-sized, never vacuumed: the rejection record is
+    # the post-mortem's primary document.
+
+    @property
+    def _rejections_path(self) -> str:
+        return os.path.join(self.root, "_WAP_REJECTIONS")
+
+    def record_wap_rejection(self, epoch: int, branch: str, reason: str = "") -> None:
+        import json
+
+        with open(self._rejections_path, "a") as f:
+            f.write(json.dumps({"epoch": epoch, "branch": branch, "reason": reason}))
+            f.write("\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def wap_rejections(self) -> list[dict]:
+        """All recorded audit rejections, oldest first (torn trailing
+        lines from a crash mid-append are skipped)."""
+        import json
+
+        try:
+            with open(self._rejections_path) as f:
+                lines = f.read().splitlines()
+        except FileNotFoundError:
+            return []
+        out = []
+        for ln in lines:
+            try:
+                out.append(json.loads(ln))
+            except ValueError:
+                continue
+        return out
+
     def compact(self, tbl: str, buckets: list[int] | None = None):
         """OPTIMIZE one catalog-managed merge-on-read table (whole-table
         or bucketed): fold its deltas (as seen by the CATALOG manifest)
@@ -2118,12 +2704,22 @@ class TxnCatalog:
         is untouched, so the maintenance pass can never be mistaken for
         (or refuse) a data epoch. ``buckets`` selects the file groups of
         a bucketed member to fold (default: every one with pending
-        deltas); whole-table members fold entirely."""
-        self._refuse_if_branches("compact")
+        deltas); whole-table members fold entirely. Safe alongside live
+        WAP branches: the fold writes a FRESH base generation (never a
+        slot a branch references — generations only grow), and a branch
+        publishing afterwards simply re-references the pre-fold chain —
+        logically identical state, only the fold's work discarded."""
         m = self.manifest()
         t = self.targets[tbl]
+        # fresh generations allocate above the all-manifests high-water
+        # mark (log + head + live branch heads), like every other write
+        hw = self._high_water()
         if self._is_bmor(t):
-            new_state = t.stage_compact(m["bmor"][tbl], buckets)
+            floor = {
+                b: h.get("base", -1)
+                for b, h in hw["bmor"].get(tbl, {}).items()
+            }
+            new_state = t.stage_compact(m["bmor"][tbl], buckets, alloc_floor=floor)
             # maintenance republish is STRUCTURAL: copy the whole
             # manifest and replace only the one key this fold changes —
             # adding a future strategy can't silently drop another's map
@@ -2133,7 +2729,7 @@ class TxnCatalog:
             raise ValueError(f"table {tbl} is copy-on-write; compact applies to MOR")
         mm = m["mor"][tbl]
         state = t.read(manifest=mm)
-        v = mm["base"] + 1
+        v = max(mm["base"], hw["mor"].get(tbl, {}).get("base", -1)) + 1
         state.write.mode("overwrite").parquet(t._base_dir(v))
         # maintenance republish is STRUCTURAL: copy the whole manifest
         # and replace only the one key this fold changes — a fold that

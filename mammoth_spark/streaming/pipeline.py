@@ -109,15 +109,23 @@ class ChangeLogPipeline:
         # BRANCH state, publish on True (one fast-forward swap), DROP
         # on False. A rejected epoch is consumed (the checkpoint
         # advances; the batch is poison, not backpressure) and recorded
-        # in ``rejected_epochs``; the mainline never references its
-        # staging, which vacuum reclaims. This is Iceberg's WAP gate
-        # inside the micro-batch loop: bad upstream batches stop at the
-        # audit instead of reaching consumers.
+        # DURABLY in the catalog's rejection log (ADVICE r11 — the
+        # checkpoint has moved past the poison batch, so an in-memory
+        # list would lose the audit trail on restart); the mainline
+        # never references its staging, which vacuum reclaims. This is
+        # Iceberg's WAP gate inside the micro-batch loop: bad upstream
+        # batches stop at the audit instead of reaching consumers.
         self.audit = audit
         self.wap_branch = wap_branch
-        self.rejected_epochs: list[int] = []
         if audit is not None and txn_catalog is None:
             raise ValueError("audit requires a txn_catalog (WAP is a catalog gate)")
+        # rebuilt from the durable record: a restarted pipeline keeps
+        # the full rejection history of its catalog
+        self.rejected_epochs: list[int] = (
+            [int(r["epoch"]) for r in txn_catalog.wap_rejections()]
+            if txn_catalog is not None and hasattr(txn_catalog, "wap_rejections")
+            else []
+        )
         self.value_cols = value_cols
         self.expected_schema = expected_schema or plain_change_log_schema(
             value_cols, flagged=flagged
@@ -257,6 +265,10 @@ class ChangeLogPipeline:
             cat.publish_branch(self.wap_branch)
         else:
             cat.drop_branch(self.wap_branch)
+            # durable FIRST (fsync'd one-line append), then the
+            # in-memory mirror: a crash right here leaves the record,
+            # never a silently vanished epoch
+            cat.record_wap_rejection(epoch_id, self.wap_branch, reason="audit_failed")
             self.rejected_epochs.append(epoch_id)
 
     def start(self, trigger_seconds: float | None = None, available_now: bool = False):

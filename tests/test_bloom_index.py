@@ -165,3 +165,118 @@ def test_probe_pushes_in_predicate_to_scan(spark, target):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "In(key" in plan, plan[:800]
     assert "Join" not in plan
+
+
+# -- round 12: bloom index on the bucketed MERGE-ON-READ target ---------------
+
+
+from mammoth_spark.sources.target import ParquetBucketedMorTarget, compact_for_mor
+
+
+@pytest.fixture
+def bmor_target(spark, tmp_path):
+    t = ParquetBucketedMorTarget(
+        spark,
+        str(tmp_path / "bm_items"),
+        ["key"],
+        ["name"],
+        n_buckets=4,
+        bloom_bits=1024,
+    )
+    t.initialize(
+        spark.createDataFrame([(f"k{i}", f"name-{i}") for i in range(64)], KV)
+    )
+    return t
+
+
+def _mor_batch(spark, rows, seq0=0):
+    return compact_for_mor(
+        spark.createDataFrame(rows, CHG).withColumn(
+            "seq", F.monotonically_increasing_id() + F.lit(seq0)
+        ),
+        ["key"],
+        ["name"],
+    )
+
+
+def test_bmor_bloom_sidecars_on_base_and_deltas(spark, bmor_target):
+    t = bmor_target
+    m = t._manifest()["buckets"]
+    for b in range(4):
+        assert os.path.exists(
+            os.path.join(t._base_dir(b, m[str(b)]["base"]), "_BLOOM")
+        )
+    t.write_delta(_mor_batch(spark, [("k1", "UPSERT", "renamed")], 100))
+    m = t._manifest()["buckets"]
+    touched = [b for b in range(4) if m[str(b)]["deltas"] > 0]
+    assert touched
+    for b in touched:
+        assert os.path.exists(
+            os.path.join(t._delta_dir(b, m[str(b)]["base"], 0), "_BLOOM")
+        )
+
+
+def test_bmor_probe_reconciles_chain(spark, bmor_target):
+    t = bmor_target
+    t.write_delta(_mor_batch(spark, [("k1", "UPSERT", "renamed"), ("k2", "DELETE", None)], 100))
+    got = _state(t.probe([("k1",), ("k2",), ("k3",)]))
+    # k1 resolves to the delta, k2's tombstone reconciles it away, k3 base
+    assert got == {"k1": "renamed", "k3": "name-3"}
+    st = t.last_probe_stats
+    assert st["n_keys"] == 3 and st["bloom_negative"] == 0
+
+
+def test_bmor_probe_absent_keys_skip_io(spark, bmor_target):
+    t = bmor_target
+    t.write_delta(_mor_batch(spark, [("k1", "UPSERT", "renamed")], 100))
+    t.probe([("zz1",), ("zz2",), ("zz3",), ("zz4",), ("zz5",)])
+    st = t.last_probe_stats
+    assert st["bloom_negative"] >= 4
+    assert st["buckets_read"] <= 1
+
+
+def test_bmor_probe_new_key_in_delta_found(spark, bmor_target):
+    """A key born in a DELTA slice is admitted by the delta's own
+    sidecar even though the base's filter has never seen it."""
+    t = bmor_target
+    t.write_delta(_mor_batch(spark, [("fresh", "UPSERT", "brand-new")], 100))
+    assert _state(t.probe([("fresh",)])) == {"fresh": "brand-new"}
+
+
+def test_bmor_fold_resets_filters(spark, bmor_target):
+    """After a fold the fresh base's sidecar is rebuilt from the folded
+    rows: a deleted-then-folded key prunes to zero I/O again."""
+    t = bmor_target
+    t.write_delta(_mor_batch(spark, [("k1", "DELETE", None)], 100))
+    t.compact()
+    m = t._manifest()["buckets"]
+    assert all(m[str(b)]["deltas"] == 0 for b in range(4) if m[str(b)]["deltas"])
+    out = t.probe([("k1",)])
+    assert out.count() == 0
+    # the folded filter rejects it outright (modulo bit-collision FP)
+    got2 = _state(t.probe([("k3",)]))
+    assert got2 == {"k3": "name-3"}
+
+
+def test_catalog_probe_bmor_member(spark, tmp_path):
+    """TxnCatalog.probe passthrough for bucketed-MOR members: probes run
+    against the CATALOG's committed chain state, with pruning stats."""
+    from mammoth_spark.sources.target import TxnCatalog
+
+    t = ParquetBucketedMorTarget(
+        spark,
+        str(tmp_path / "bm"),
+        ["key"],
+        ["name"],
+        n_buckets=4,
+        bloom_bits=1024,
+    )
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"items": t})
+    cat.initialize(
+        {"items": spark.createDataFrame([(f"k{i}", f"n{i}") for i in range(32)], KV)}
+    )
+    cat.apply_txn({"items": _mor_batch(spark, [("k7", "UPSERT", "seven")], 100)}, epoch=0)
+    got = _state(cat.probe("items", [("k7",), ("absent",)]))
+    assert got == {"k7": "seven"}
+    st = t.last_probe_stats
+    assert st["bloom_negative"] == 1 and st["buckets_read"] == 1

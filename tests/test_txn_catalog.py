@@ -1534,22 +1534,33 @@ def test_wap_drop_branch_leaves_no_trace(spark, catalog):
     }
 
 
-def test_wap_mainline_frozen_while_branch_live(spark, catalog):
-    """apply_txn and compact refuse while a branch holds staged version
-    numbers — the version namespace is shared, so a mainline write
-    would overwrite the branch's staged directories."""
+def test_wap_mainline_advances_while_branch_live(spark, catalog):
+    """Optimistic WAP concurrency (VERDICT r11 #6, replacing the
+    whole-catalog freeze): the mainline keeps committing epochs while a
+    long-running audit branch is live — allocations go above the
+    high-water mark of EVERY live manifest, so the branch's staged
+    directories are never overwritten — and the conflict surfaces at
+    PUBLISH, where the stale branch's fast-forward check refuses."""
     cat = catalog
     cat.stage_branch(
         "audit", {"users": _chg(spark, [("2", "UPSERT", "Van")])}, epoch=0
     )
-    with pytest.raises(RuntimeError, match="live WAP branch"):
-        cat.apply_txn({"users": _chg(spark, [("3", "UPSERT", "X")])}, epoch=0)
-    with pytest.raises(RuntimeError, match="live WAP branch"):
-        cat.compact("users")
-    cat.drop_branch("audit")
-    # thawed
+    # the mainline is NOT frozen: the ingest pipeline keeps moving
     cat.apply_txn({"users": _chg(spark, [("3", "UPSERT", "Joni")])}, epoch=0)
-    assert "3" in _state(cat, "users")
+    assert _state(cat, "users") == {"1": "Taylor Swift", "3": "Joni"}
+    # the live branch's staged state is intact (disjoint version dirs)
+    got = {r["key"]: r["name"] for r in cat.read_branch("users", "audit").collect()}
+    assert got == {"1": "Taylor Swift", "2": "Van"}
+    # the branch lost the race: its publish is no longer a fast-forward
+    with pytest.raises(RuntimeError, match="not a fast-forward"):
+        cat.publish_branch("audit")
+    # loser's protocol: drop and restage against the new head, publish
+    cat.drop_branch("audit")
+    cat.stage_branch(
+        "audit", {"users": _chg(spark, [("2", "UPSERT", "Van")])}, epoch=1
+    )
+    assert cat.publish_branch("audit") == 1
+    assert _state(cat, "users") == {"1": "Taylor Swift", "2": "Van", "3": "Joni"}
 
 
 def test_wap_vacuum_retains_live_branch_files(spark, catalog):
@@ -1649,18 +1660,35 @@ def test_pipeline_wap_gate_semantics(spark, catalog, tmp_path):
     assert _state(cat, "users")["2"] == "Van Morrison"
 
 
-def test_wap_refuses_second_concurrent_branch(spark, catalog):
-    """Regression (round-11 review finding): branches share the
-    mainline's version-number namespace, so staging a NEW branch while
-    a different one is live would allocate the same v_<n> dirs and
-    silently overwrite the first branch's audited staging. Refuse."""
+def test_wap_concurrent_branches_allocate_disjoint(spark, catalog):
+    """The round-11 review's collision scenario, now SAFE by
+    construction: two live branches allocate version numbers above each
+    other's heads (the high-water floor spans all live manifests), so
+    neither overwrites the other's staged directories; first to publish
+    wins the fast-forward, the loser restages."""
     cat = catalog
     cat.stage_branch("a", {"users": _chg(spark, [("2", "UPSERT", "from-a")])}, epoch=0)
-    with pytest.raises(RuntimeError, match="live and hold the same staged"):
-        cat.stage_branch("b", {"users": _chg(spark, [("3", "UPSERT", "from-b")])}, epoch=0)
-    # branch a's staging is intact and publishable
+    cat.stage_branch("b", {"users": _chg(spark, [("3", "UPSERT", "from-b")])}, epoch=0)
+    # disjoint staged versions: both branches read back their own epoch
+    got_a = {r["key"]: r["name"] for r in cat.read_branch("users", "a").collect()}
+    got_b = {r["key"]: r["name"] for r in cat.read_branch("users", "b").collect()}
+    assert got_a == {"1": "Taylor Swift", "2": "from-a"}
+    assert got_b == {"1": "Taylor Swift", "3": "from-b"}
+    import json
+
+    vs_a = json.load(open(cat._branch_path("a")))["versions"]["users"]
+    vs_b = json.load(open(cat._branch_path("b")))["versions"]["users"]
+    assert vs_a != vs_b  # the actual round-11 hazard, pinned
+    # first publish wins ...
     assert cat.publish_branch("a") == 0
     assert _state(cat, "users")["2"] == "from-a"
+    # ... the loser is refused at the fast-forward check and restages
+    with pytest.raises(RuntimeError, match="not a fast-forward"):
+        cat.publish_branch("b")
+    cat.drop_branch("b")
+    # the dropped branch's orphans reclaim; the winner's state survives
+    cat.vacuum(keep_epochs=2)
+    assert _state(cat, "users") == {"1": "Taylor Swift", "2": "from-a"}
 
 
 # -- additive schema evolution ----------------------------------------------
@@ -1713,22 +1741,13 @@ def test_evolve_schema_additive(spark, catalog):
     assert cat.manifest()["schemas"]["users"]["value"] == ["name", "nick"]
 
 
-def test_evolve_schema_guards(spark, catalog, tmp_path):
+def test_evolve_schema_guards(spark, catalog):
     cat = catalog
     with pytest.raises(ValueError, match="already exist"):
         cat.evolve_schema("users", ["name"])
-    bkt = TxnCatalog(
-        spark,
-        str(tmp_path / "bkt_cat"),
-        {
-            "items": ParquetBucketedTarget(
-                spark, str(tmp_path / "bkt_items"), ["key"], ["name"], n_buckets=4
-            )
-        },
-    )
-    with pytest.raises(NotImplementedError, match="copy-on-write"):
-        bkt.evolve_schema("items", ["extra"])
-    # frozen while a WAP branch is live (same version-namespace hazard)
+    # still frozen while a WAP branch is live: the evolution republishes
+    # at the SAME epoch, which the epoch-based fast-forward publish check
+    # cannot defend — the branch would silently revert the schema record
     cat.stage_branch("audit", {"users": _chg(spark, [("2", "UPSERT", "x")])}, epoch=0)
     with pytest.raises(RuntimeError, match="live WAP branch"):
         cat.evolve_schema("users", ["nick"])
@@ -1803,10 +1822,13 @@ def test_rollback_restores_past_state_as_new_epoch(spark, catalog):
     # a vacuumed-away epoch cannot be restored
     with pytest.raises(FileNotFoundError):
         cat.rollback(0)
-    # frozen while a WAP branch is live
+    # a live WAP branch survives a rollback untouched, but the epoch
+    # bump makes its publish non-fast-forward (optimistic concurrency:
+    # the restore won the race; the branch restages)
     cat.stage_branch("audit", {"users": _chg(spark, [("4", "UPSERT", "x")])}, epoch=4)
-    with pytest.raises(RuntimeError, match="live WAP branch"):
-        cat.rollback(3)
+    cat.rollback(3)
+    with pytest.raises(RuntimeError, match="not a fast-forward"):
+        cat.publish_branch("audit")
     cat.drop_branch("audit")
 
 
@@ -1875,12 +1897,10 @@ def test_wap_branch_all_four_strategies(spark, tmp_path):
         assert set(_state(cat, t)) == {"k0", "k1"}
 
 
-def test_rollback_bucketed_member_and_mor_refusal(spark, bucketed_catalog, tmp_path):
+def test_rollback_bucketed_member(spark, bucketed_catalog):
     """Rollback with a bucketed member: post-restore writes allocate
     per-bucket versions above the history high-water mark, so
-    intermediate epochs' bucket dirs survive. MOR members refuse —
-    delta chains are count-addressed and a restored count would re-read
-    intermediate slots."""
+    intermediate epochs' bucket dirs survive."""
     cat = bucketed_catalog
     cat.apply_txn({"items": _chg(spark, [("i0", "UPSERT", "good")])}, epoch=0)
     cat.apply_txn({"items": _chg(spark, [("i0", "UPSERT", "BAD")])}, epoch=1)
@@ -1893,12 +1913,537 @@ def test_rollback_bucketed_member_and_mor_refusal(spark, bucketed_catalog, tmp_p
         r["name"] for r in cat.read_at("items", 1).collect() if r["key"] == "i0"
     } == {"BAD"}
 
-    from mammoth_spark.sources.target import ParquetMorTarget
 
-    mor_cat = TxnCatalog(
-        spark,
-        str(tmp_path / "morcat"),
-        {"logs": ParquetMorTarget(spark, str(tmp_path / "morlogs"), ["key"], ["name"])},
+def test_rollback_mor_member_fold_on_restore(spark, tmp_path):
+    """Fold-on-restore (VERDICT r11 #1): restoring a catalog whose MOR
+    member's chain was extended by intermediate epochs materializes the
+    restored state into a FRESH base generation above the high-water
+    mark — post-restore deltas append to the fresh chain, so they can
+    never overwrite slots the intermediate epochs still reference, and
+    time travel onto the bad epoch keeps reading its own slices."""
+    from mammoth_spark.sources.target import ParquetMorTarget, compact_for_mor
+
+    t = ParquetMorTarget(spark, str(tmp_path / "mor"), ["key"], ["name"])
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"logs": t})
+    cat.initialize({"logs": spark.createDataFrame([("1", "Taylor Swift")], KV)})
+
+    def batch(rows, seq0):
+        return compact_for_mor(
+            spark.createDataFrame(rows, CHG).withColumn(
+                "seq", F.monotonically_increasing_id() + F.lit(seq0)
+            ),
+            ["key"],
+            ["name"],
+        )
+
+    cat.apply_txn({"logs": batch([("2", "UPSERT", "Van")], 0)}, epoch=0)
+    # the poison epoch extends the same count-addressed chain
+    cat.apply_txn(
+        {"logs": batch([("1", "DELETE", None), ("2", "UPSERT", "BAD")], 100)}, epoch=1
     )
-    with pytest.raises(NotImplementedError, match="count-addressed"):
-        mor_cat.rollback(0)
+    assert _state(cat, "logs") == {"2": "BAD"}
+
+    assert cat.rollback(0) == 2
+    assert _state(cat, "logs") == {"1": "Taylor Swift", "2": "Van"}
+    # the restored member sits on a FRESH generation with no deltas
+    mm = cat.manifest()["mor"]["logs"]
+    assert mm["deltas"] == 0 and mm["base"] > 0
+    # the bad epoch stays auditable: its chain's slices were never
+    # touched by the restore or by post-restore writes
+    assert {r["name"] for r in cat.read_at("logs", 1).collect()} == {"BAD"}
+    cat.apply_txn({"logs": batch([("3", "UPSERT", "Joni")], 200)}, epoch=3)
+    assert _state(cat, "logs") == {"1": "Taylor Swift", "2": "Van", "3": "Joni"}
+    assert {r["name"] for r in cat.read_at("logs", 1).collect()} == {"BAD"}
+    assert {
+        r["key"]: r["name"] for r in cat.read_at("logs", 0).collect()
+    } == {"1": "Taylor Swift", "2": "Van"}
+    # vacuum after the restore keeps the live window readable
+    cat.vacuum(keep_epochs=2)
+    assert _state(cat, "logs") == {"1": "Taylor Swift", "2": "Van", "3": "Joni"}
+
+
+def test_rollback_untouched_mor_member_restores_by_reference(spark, tmp_path):
+    """A MOR member whose chain was NOT extended since the restore
+    point restores with zero data movement (no fold): the restored
+    record equals the head record, so re-referencing it is safe."""
+    from mammoth_spark.sources.target import ParquetMergeTarget as COW
+    from mammoth_spark.sources.target import ParquetMorTarget, compact_for_mor
+
+    t_mor = ParquetMorTarget(spark, str(tmp_path / "mor"), ["key"], ["name"])
+    t_cow = COW(spark, str(tmp_path / "cow"), ["key"], ["name"])
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"logs": t_mor, "users": t_cow})
+    cat.initialize(
+        {
+            "logs": spark.createDataFrame([("1", "log-1")], KV),
+            "users": spark.createDataFrame([("1", "Taylor Swift")], KV),
+        }
+    )
+
+    def batch(rows, seq0):
+        return compact_for_mor(
+            spark.createDataFrame(rows, CHG).withColumn(
+                "seq", F.monotonically_increasing_id() + F.lit(seq0)
+            ),
+            ["key"],
+            ["name"],
+        )
+
+    cat.apply_txn({"logs": batch([("2", "UPSERT", "log-2")], 0)}, epoch=0)
+    # epoch 1 touches ONLY the COW table: the MOR chain is unchanged
+    cat.apply_txn({"users": _chg(spark, [("1", "UPSERT", "BAD")])}, epoch=1)
+    before = cat.manifest()["mor"]["logs"]
+    assert cat.rollback(0) == 2
+    # restored by reference — same generation, no fold ran
+    assert cat.manifest()["mor"]["logs"] == before
+    assert _state(cat, "logs") == {"1": "log-1", "2": "log-2"}
+    assert _state(cat, "users") == {"1": "Taylor Swift"}
+
+
+def test_rollback_bmor_member_folds_only_extended_buckets(spark, tmp_path):
+    """Bucketed-MOR fold-on-restore folds ONLY the file groups whose
+    restored chain an intermediate epoch extended — cold buckets
+    restore by reference (the fold cost tracks what changed since the
+    restore point, not the table)."""
+    from mammoth_spark.sources.target import (
+        ParquetBucketedMorTarget,
+        compact_for_mor,
+    )
+
+    t = ParquetBucketedMorTarget(
+        spark, str(tmp_path / "bm"), ["key"], ["name"], n_buckets=4
+    )
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"logs": t})
+    keys = [f"k{i}" for i in range(8)]
+    cat.initialize(
+        {"logs": spark.createDataFrame([(k, "init") for k in keys], KV)}
+    )
+
+    def batch(rows, seq0):
+        return compact_for_mor(
+            spark.createDataFrame(rows, CHG).withColumn(
+                "seq", F.monotonically_increasing_id() + F.lit(seq0)
+            ),
+            ["key"],
+            ["name"],
+        )
+
+    cat.apply_txn({"logs": batch([("k0", "UPSERT", "good")], 0)}, epoch=0)
+    good = cat.manifest()["bmor"]["logs"]
+    # the poison epoch touches only k0's bucket
+    cat.apply_txn({"logs": batch([("k0", "UPSERT", "BAD")], 100)}, epoch=1)
+    from mammoth_spark.sources.target import _bucket_expr
+
+    hot = (
+        spark.createDataFrame([("k0",)], "key string")
+        .select(_bucket_expr(["key"], 4).alias("b"))
+        .first()["b"]
+    )
+    assert cat.rollback(0) == 2
+    m = cat.manifest()["bmor"]["logs"]
+    # only the extended bucket folded to a fresh generation
+    for b in range(4):
+        if b == hot:
+            assert m[str(b)]["base"] > good[str(b)]["base"]
+            assert m[str(b)]["deltas"] == 0
+        else:
+            assert m[str(b)] == good[str(b)]
+    got = _state(cat, "logs")
+    assert got["k0"] == "good" and all(got[k] == "init" for k in keys if k != "k0")
+    # bad epoch auditable; post-restore writes never collide
+    assert {r["name"] for r in cat.read_at("logs", 1).collect() if r["key"] == "k0"} == {
+        "BAD"
+    }
+    cat.apply_txn({"logs": batch([("k0", "UPSERT", "newer")], 200)}, epoch=3)
+    assert _state(cat, "logs")["k0"] == "newer"
+    assert {r["name"] for r in cat.read_at("logs", 1).collect() if r["key"] == "k0"} == {
+        "BAD"
+    }
+
+
+# -- round 12: schema evolution beyond COW ------------------------------------
+
+
+def test_evolve_schema_bucketed_member(spark, tmp_path):
+    """Additive evolution on a bucketed COW member (VERDICT r11 #2):
+    only TOUCHED buckets rewrite onto the wide schema; untouched
+    buckets keep narrow parquet files and reads merge footers. Time
+    travel keeps per-epoch schemas."""
+    from mammoth_spark.sources.target import ParquetBucketedTarget
+
+    t = ParquetBucketedTarget(
+        spark, str(tmp_path / "bkt"), ["key"], ["name"], n_buckets=4
+    )
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"items": t})
+    keys = [f"k{i}" for i in range(8)]
+    cat.initialize(
+        {"items": spark.createDataFrame([(k, "init") for k in keys], KV)}
+    )
+    cat.apply_txn({"items": _chg(spark, [("k0", "UPSERT", "v0")])}, epoch=0)
+
+    cat.evolve_schema("items", {"score": "bigint"})
+    wide = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    # epoch 1 touches ONE key — only its bucket rewrites wide
+    cat.apply_txn(
+        {"items": spark.createDataFrame([("k0", "UPSERT", "v1", 7)], wide)}, epoch=1
+    )
+    rows = {r["key"]: (r["name"], r["score"]) for r in cat.read("items").collect()}
+    assert rows["k0"] == ("v1", 7)
+    # untouched rows (possibly in never-rewritten buckets): typed NULL
+    assert all(rows[k] == ("init", None) for k in keys if k != "k0")
+    # the typed backfill is a LongType column, not a string
+    assert dict(cat.read("items").dtypes)["score"] == "bigint"
+    # per-epoch schemas under time travel
+    assert cat.read_at("items", 0).columns == ["key", "name"]
+    assert set(cat.read_at("items", 1).columns) == {"key", "name", "score"}
+    # post-evolution batches must carry the full schema
+    with pytest.raises(ValueError, match="lacks value column"):
+        cat.apply_txn({"items": _chg(spark, [("k1", "UPSERT", "x")])}, epoch=2)
+
+
+def test_evolve_schema_mor_member(spark, tmp_path):
+    """Additive evolution on a whole-table MOR member: post-evolution
+    deltas carry the new column, pre-evolution slices read NULL for it,
+    and the reconciliation resolves per key (a key last touched before
+    the evolution reads typed NULL). Folds materialize the wide base."""
+    from mammoth_spark.sources.target import ParquetMorTarget, compact_for_mor
+
+    t = ParquetMorTarget(spark, str(tmp_path / "mor"), ["key"], ["name"])
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"logs": t})
+    cat.initialize(
+        {"logs": spark.createDataFrame([("a", "old-a"), ("b", "old-b")], KV)}
+    )
+
+    def batch(rows, schema, seq0):
+        return compact_for_mor(
+            spark.createDataFrame(rows, schema).withColumn(
+                "seq", F.monotonically_increasing_id() + F.lit(seq0)
+            ),
+            ["key"],
+            [f.name for f in schema.fields if f.name not in ("key", "kind")],
+        )
+
+    cat.apply_txn({"logs": batch([("a", "UPSERT", "mid-a")], CHG, 0)}, epoch=0)
+    cat.evolve_schema("logs", {"score": "bigint"})
+    wide = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    cat.apply_txn({"logs": batch([("b", "UPSERT", "new-b", 9)], wide, 100)}, epoch=1)
+    rows = {r["key"]: (r["name"], r["score"]) for r in cat.read("logs").collect()}
+    # a: last touched PRE-evolution -> typed NULL; b: post -> value
+    assert rows == {"a": ("mid-a", None), "b": ("new-b", 9)}
+    assert dict(cat.read("logs").dtypes)["score"] == "bigint"
+    # per-epoch schemas under time travel
+    assert cat.read_at("logs", 0).columns == ["key", "name"]
+    # fold materializes the wide schema; state unchanged
+    cat.compact("logs")
+    rows2 = {r["key"]: (r["name"], r["score"]) for r in cat.read("logs").collect()}
+    assert rows2 == rows
+    # post-fold the chain is fresh and still answers the old epochs
+    assert cat.read_at("logs", 0).columns == ["key", "name"]
+
+
+def test_evolve_schema_bmor_member(spark, tmp_path):
+    """Additive evolution on the bucketed-MOR member: mixed-schema
+    slices (folded buckets wide, cold buckets narrow; pre/post deltas)
+    reconcile correctly and per-bucket folds absorb the evolution."""
+    from mammoth_spark.sources.target import (
+        ParquetBucketedMorTarget,
+        compact_for_mor,
+    )
+
+    t = ParquetBucketedMorTarget(
+        spark, str(tmp_path / "bm"), ["key"], ["name"], n_buckets=4
+    )
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"logs": t})
+    keys = [f"k{i}" for i in range(8)]
+    cat.initialize(
+        {"logs": spark.createDataFrame([(k, "init") for k in keys], KV)}
+    )
+    cat.evolve_schema("logs", {"score": "bigint"})
+    wide = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+
+    def batch(rows, seq0):
+        return compact_for_mor(
+            spark.createDataFrame(rows, wide).withColumn(
+                "seq", F.monotonically_increasing_id() + F.lit(seq0)
+            ),
+            ["key"],
+            ["name", "score"],
+        )
+
+    cat.apply_txn({"logs": batch([("k0", "UPSERT", "v1", 5)], 0)}, epoch=0)
+    rows = {r["key"]: (r["name"], r["score"]) for r in cat.read("logs").collect()}
+    assert rows["k0"] == ("v1", 5)
+    assert all(rows[k] == ("init", None) for k in keys if k != "k0")
+    # fold only k0's bucket: its base goes wide, others stay narrow
+    cat.compact("logs")
+    rows2 = {r["key"]: (r["name"], r["score"]) for r in cat.read("logs").collect()}
+    assert rows2 == rows
+    assert cat.read_at("logs", -1).columns == ["key", "name"]
+
+
+def test_evolve_schema_flagged_cow(spark, tmp_path):
+    """ADVICE r11: the first FLAGGED (TOAST tri-state) batch after
+    evolve_schema must merge cleanly — the typed-NULL target backfill is
+    mirrored into merge_upsert_flagged; an unchanged cell on the new
+    column inherits that NULL."""
+    from mammoth_spark.operators import change_flatten
+
+    t = ParquetMergeTarget(spark, str(tmp_path / "cow"), ["key"], ["name"])
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"users": t})
+    cat.initialize({"users": spark.createDataFrame([("1", "Taylor Swift")], KV)})
+    cat.evolve_schema("users", ["nick"])
+
+    cell = "struct<v:string,is_null:boolean,is_unchanged:boolean>"
+    batch = spark.createDataFrame(
+        [
+            ("1", "UPSERT", ("Taylor", False, False), (None, False, True)),
+            ("2", "UPSERT", ("Van", False, False), ("The Man", False, False)),
+        ],
+        f"key string, kind string, name {cell}, nick {cell}",
+    )
+    flat = change_flatten(batch, ["key"], ["name", "nick"], flagged=True)
+    cat.apply_txn({"users": flat}, epoch=0, flagged=True)
+    rows = {r["key"]: (r["name"], r["nick"]) for r in cat.read("users").collect()}
+    # key 1's nick was TOAST-unchanged: it inherits the backfilled NULL
+    assert rows == {"1": ("Taylor", None), "2": ("Van", "The Man")}
+
+
+def test_evolve_schema_rehydrates_on_fresh_catalog(spark, tmp_path):
+    """ADVICE r11 (medium): a FRESH TxnCatalog constructed over the same
+    root with the original narrow constructor columns must rehydrate the
+    evolved value_cols from the manifest's schema record — otherwise the
+    next epoch's merge projects to the narrow list and silently drops
+    the evolved column's data."""
+    root, troot = str(tmp_path / "cat"), str(tmp_path / "cow")
+    t = ParquetMergeTarget(spark, troot, ["key"], ["name"])
+    cat = TxnCatalog(spark, root, {"users": t})
+    cat.initialize({"users": spark.createDataFrame([("1", "Taylor Swift")], KV)})
+    cat.evolve_schema("users", ["nick"])
+    wide = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("nick", T.StringType()),
+        ]
+    )
+    cat.apply_txn(
+        {"users": spark.createDataFrame([("2", "UPSERT", "Van", "The Man")], wide)},
+        epoch=0,
+    )
+
+    # restart: fresh target + catalog with the NARROW constructor columns
+    t2 = ParquetMergeTarget(spark, troot, ["key"], ["name"])
+    cat2 = TxnCatalog(spark, root, {"users": t2})
+    assert t2.value_cols == ["name", "nick"]  # rehydrated
+    cat2.apply_txn(
+        {"users": spark.createDataFrame([("3", "UPSERT", "Joni", "J")], wide)},
+        epoch=1,
+    )
+    rows = {r["key"]: (r["name"], r["nick"]) for r in cat2.read("users").collect()}
+    # key 2's nick SURVIVED the restart-merge (the silent-drop bug)
+    assert rows == {
+        "1": ("Taylor Swift", None),
+        "2": ("Van", "The Man"),
+        "3": ("Joni", "J"),
+    }
+
+
+def test_rollback_across_evolution_resets_schema(spark, tmp_path):
+    """ADVICE r11 (low): rolling back to a pre-evolution epoch resets
+    the member's in-memory value_cols to the restored manifest's record
+    (constructor columns when absent), so post-restore writes match the
+    restored schema instead of writing wide against a narrow manifest."""
+    t = ParquetMergeTarget(spark, str(tmp_path / "cow"), ["key"], ["name"])
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"users": t})
+    cat.initialize({"users": spark.createDataFrame([("1", "Taylor Swift")], KV)})
+    cat.apply_txn({"users": _chg(spark, [("2", "UPSERT", "Van")])}, epoch=0)
+    cat.evolve_schema("users", ["nick"])
+    wide = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("nick", T.StringType()),
+        ]
+    )
+    cat.apply_txn(
+        {"users": spark.createDataFrame([("3", "UPSERT", "Joni", "J")], wide)},
+        epoch=1,
+    )
+    assert t.value_cols == ["name", "nick"]
+    cat.rollback(0)
+    # schema reconciled to the restored (pre-evolution) epoch
+    assert t.value_cols == ["name"]
+    assert cat.manifest().get("schemas", {}) == {}
+    assert cat.read("users").columns == ["key", "name"]
+    # narrow writes continue cleanly (the restore consumed epoch 2)
+    cat.apply_txn({"users": _chg(spark, [("4", "UPSERT", "Nick Cave")])}, epoch=3)
+    assert _state(cat, "users") == {
+        "1": "Taylor Swift",
+        "2": "Van",
+        "4": "Nick Cave",
+    }
+    # the post-evolution epoch stays auditable with ITS wide schema
+    assert set(cat.read_at("users", 1).columns) == {"key", "name", "nick"}
+
+
+# -- round 12: durable rejections, bucketed counts, MOR conflict guard --------
+
+
+def test_wap_rejections_survive_restart(spark, catalog, tmp_path):
+    """ADVICE r11: a rejected epoch is consumed by the stream (the
+    checkpoint advances), so the rejection record must be DURABLE — a
+    fresh pipeline over the same catalog rebuilds rejected_epochs from
+    the catalog's _WAP_REJECTIONS log."""
+    from mammoth_spark.streaming.pipeline import ChangeLogPipeline
+
+    cat = catalog
+
+    def audit(c, branch, epoch_id):
+        return c.read_branch("users", branch).count() >= 1
+
+    def mk():
+        return ChangeLogPipeline(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "ckpt"),
+            cat.targets,
+            ["name"],
+            txn_catalog=cat,
+            audit=audit,
+        )
+
+    p1 = mk()
+    p1._apply_via_wap({"users": _chg(spark, [("2", "UPSERT", "Van")])}, 0)
+    p1._apply_via_wap(
+        {"users": _chg(spark, [("1", "DELETE", None), ("2", "DELETE", None)])}, 1
+    )
+    assert p1.rejected_epochs == [1]
+    # the record is on disk next to the catalog log
+    assert cat.wap_rejections() == [
+        {"epoch": 1, "branch": "wap", "reason": "audit_failed"}
+    ]
+    # a RESTARTED pipeline knows the full rejection history
+    p2 = mk()
+    assert p2.rejected_epochs == [1]
+    # torn trailing line (crash mid-append) is tolerated
+    with open(cat._rejections_path, "a") as f:
+        f.write('{"epoch": 99, "bra')
+    assert [r["epoch"] for r in cat.wap_rejections()] == [1]
+
+
+def test_metadata_only_count_bucketed(spark, tmp_path):
+    """VERDICT r11 #5: bucketed members answer COUNT(*) from per-bucket
+    manifest cardinalities (footer metadata of the touched buckets,
+    merged over prior counts each epoch) — the answer survives deleting
+    the data files, and epochs travel through the log."""
+    from mammoth_spark.sources.target import ParquetBucketedTarget
+
+    t = ParquetBucketedTarget(
+        spark, str(tmp_path / "bkt"), ["key"], ["name"], n_buckets=4
+    )
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"items": t})
+    cat.initialize(
+        {"items": spark.createDataFrame([(f"k{i}", "init") for i in range(10)], KV)}
+    )
+    assert cat.count("items") == 10
+    cat.apply_txn(
+        {"items": _chg(spark, [("k0", "DELETE", None), ("new1", "UPSERT", "x"),
+                               ("new2", "UPSERT", "y")])},
+        epoch=0,
+    )
+    assert cat.count("items") == 12 - 1  # 10 - 1 + 2
+    assert cat.count("items") == cat.read("items").count()
+    assert cat.count("items", epoch=-1) == 10  # travels through the log
+    # metadata-only: the answer survives the data files going away
+    import shutil
+
+    shutil.rmtree(t.root)
+    assert cat.count("items") == 11
+    assert cat.count("items", epoch=-1) == 10
+
+
+def test_mor_delta_slot_conflict_refused(spark, tmp_path):
+    """The one genuinely unserializable WAP interleaving: merge-on-read
+    delta slots are count-addressed, so a mainline epoch while a branch
+    staged the SAME table's next slot must refuse at stage time (and
+    vice versa) instead of silently overwriting the other's slice."""
+    from mammoth_spark.sources.target import ParquetMorTarget, compact_for_mor
+
+    t = ParquetMorTarget(spark, str(tmp_path / "mor"), ["key"], ["name"])
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"logs": t})
+    cat.initialize({"logs": spark.createDataFrame([("1", "Taylor Swift")], KV)})
+
+    def batch(rows, seq0):
+        return compact_for_mor(
+            spark.createDataFrame(rows, CHG).withColumn(
+                "seq", F.monotonically_increasing_id() + F.lit(seq0)
+            ),
+            ["key"],
+            ["name"],
+        )
+
+    cat.stage_branch("audit", {"logs": batch([("2", "UPSERT", "Van")], 0)}, epoch=0)
+    with pytest.raises(RuntimeError, match="delta-slot conflict"):
+        cat.apply_txn({"logs": batch([("3", "UPSERT", "Joni")], 100)}, epoch=0)
+    # the branch's staged slice is intact and publishes
+    assert cat.publish_branch("audit") == 0
+    assert _state(cat, "logs") == {"1": "Taylor Swift", "2": "Van"}
+    # after publish the mainline proceeds normally
+    cat.apply_txn({"logs": batch([("3", "UPSERT", "Joni")], 200)}, epoch=1)
+    assert _state(cat, "logs") == {"1": "Taylor Swift", "2": "Van", "3": "Joni"}
+
+
+def test_bmor_delta_slot_conflict_refused(spark, tmp_path):
+    """Bucketed-MOR version of the slot-conflict guard: refuses only
+    when the batches actually COLLIDE on a bucket's next slot; disjoint
+    buckets would not conflict (count-addressing is per file group)."""
+    from mammoth_spark.sources.target import (
+        ParquetBucketedMorTarget,
+        compact_for_mor,
+    )
+
+    t = ParquetBucketedMorTarget(
+        spark, str(tmp_path / "bm"), ["key"], ["name"], n_buckets=4
+    )
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"logs": t})
+    cat.initialize(
+        {"logs": spark.createDataFrame([(f"k{i}", "init") for i in range(8)], KV)}
+    )
+
+    def batch(rows, seq0):
+        return compact_for_mor(
+            spark.createDataFrame(rows, CHG).withColumn(
+                "seq", F.monotonically_increasing_id() + F.lit(seq0)
+            ),
+            ["key"],
+            ["name"],
+        )
+
+    cat.stage_branch("audit", {"logs": batch([("k0", "UPSERT", "b0")], 0)}, epoch=0)
+    # same key -> same bucket -> same next slot: refuse
+    with pytest.raises(RuntimeError, match="delta-slot conflict"):
+        cat.apply_txn({"logs": batch([("k0", "UPSERT", "main")], 100)}, epoch=0)
+    cat.publish_branch("audit")
+    assert _state(cat, "logs")["k0"] == "b0"
