@@ -152,7 +152,16 @@ def _wp_merge_rounds(
                 F.lit(_SEP + a + _SEP2 + b + _SEP),
                 F.lit(_SEP + a + b + _SEP),
             ).alias("wrapped"),
-        ).localCheckpoint()
+        )
+        # checkpoint every 3rd round (and the last), not every round:
+        # between checkpoints the next argmax recomputes <=2 extra
+        # codegen'd string replaces over the word table — far cheaper
+        # than a materialization job each round. Cuts the loop's
+        # per-job fixed cost ~1/3, which is what dominates wall time on
+        # a scheduler-noisy host (VERDICT r11 #3); results unchanged
+        # (pure caching cadence).
+        if r % 3 == 0 or r == rounds:
+            wrapped = wrapped.localCheckpoint()
         n_syms = wrapped.select(F.explode(_syms()).alias("sym")).agg(
             F.count_distinct("sym").cast("bigint").alias("n_symbol_types")
         )

@@ -32,28 +32,37 @@ import re
 # The round whose contract registry.DRIVER_EXPORT currently encodes.
 # Bump this (and regenerate the export with `python tools/rotation_ledger.py
 # --cut`) at the start of each round.
-CONTRACT_ROUND = 11
+CONTRACT_ROUND = 12
 
 # Queries whose implementation paths were refactored AFTER their last
 # driver row and must re-verify on the current tree before anything
-# else already-green. Round 11 touched two result-producing paths:
-# (a) TxnCatalog.changelog now carries presence via explicit
-# _in_old/_in_new flags instead of key-column isNotNull() (ADVICE r10)
-# — txn_changelog_diff re-verifies; (b) apply_txn's staging span was
-# extracted into _stage_epoch (shared with the new WAP branch surface),
-# and the COW merge base changed from the mainline pointer to the
-# manifest being staged against — the cross-table commit queries
-# exercising all strategies and the manifest-log reader re-verify.
-# (cdf_incremental_agg also flows through these but re-enters through
-# the never-green set: its r10 row is hash_match=False, which
-# last_green_rounds now correctly refuses to count.) All six r10
-# flagships re-verified green in r10 and drop out. Drop entries once
-# they hold a row on the current tree.
+# else already-green. Round 12 touched four result-producing paths:
+# (a) the MOR read was rewritten from one-union-leg-per-delta to a
+# two-scan (base + ONE multi-path delta scan) tolerant/projected read
+# with schema-evolution support — every query reading a MOR/bmor
+# member re-verifies; (b) rollback gained fold-on-restore and the
+# schema reset, and _stage_epoch gained the high-water floors spanning
+# live branch heads plus MOR slot-conflict guards — the catalog commit
+# / restore / WAP queries re-verify; (c) merge_upsert_flagged gained
+# the typed-NULL target backfill — the flagged (TOAST) queries
+# re-verify; (d) the bloom machinery moved into a shared mixin and
+# bucketed counts/manifest records changed — the bloom and stats
+# queries re-verify. Drop entries once they hold a row on the current
+# tree.
 FLAGSHIPS: list[str] = [
-    "txn_changelog_diff",
+    "catalog_rollback",
+    "txn_schema_evolve",
+    "catalog_stats_count",
+    "bucketed_bloom_lookup",
+    "catalog_wap_publish",
+    "streaming_wap_pipeline",
+    "catalog_replicate_incremental",
+    "cdf_incremental_agg",
     "streaming_txn_triple_strategy",
     "streaming_txn_mixed_toast",
     "txn_time_travel",
+    "cdc_apply_flagged",
+    "txn_changelog_diff",
 ]
 
 CONTRACT_SIZE = 50

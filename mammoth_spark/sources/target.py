@@ -1943,6 +1943,26 @@ class TxnCatalog:
         t = self.targets[tbl]
         old = self._read_from(tbl, self._manifest_at(from_epoch))
         new = self._read_from(tbl, self._manifest_at(to_epoch))
+        # epochs straddling an ADD COLUMN evolution resolve to different
+        # schemas (per-epoch schemas are the time-travel contract) — the
+        # diff is over the CURRENT declared columns, with the missing
+        # side backfilled as typed NULL (type from whichever side has
+        # it), so an evolution shows up as value-level UPDATE/no-change
+        # rather than an AnalysisException
+        from pyspark.sql import types as _T
+
+        def _backfill(df, other):
+            for v in t.value_cols:
+                if v not in df.columns:
+                    dt = (
+                        other.schema[v].dataType
+                        if v in other.columns
+                        else _T.StringType()
+                    )
+                    df = df.withColumn(v, F.lit(None).cast(dt))
+            return df
+
+        old, new = _backfill(old, new), _backfill(new, old)
         o = old.select(
             *[F.col(k).alias(f"_ko_{k}") for k in t.key_cols],
             *[F.col(v).alias(f"{v}_old") for v in t.value_cols],

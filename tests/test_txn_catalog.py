@@ -2447,3 +2447,30 @@ def test_bmor_delta_slot_conflict_refused(spark, tmp_path):
         cat.apply_txn({"logs": batch([("k0", "UPSERT", "main")], 100)}, epoch=0)
     cat.publish_branch("audit")
     assert _state(cat, "logs")["k0"] == "b0"
+
+
+def test_changelog_across_evolution_boundary(spark, tmp_path):
+    """CDF between epochs straddling an ADD COLUMN: the pre-evolution
+    side backfills typed NULL for the new column, so the diff reports
+    value-level changes instead of an AnalysisException."""
+    t = ParquetMergeTarget(spark, str(tmp_path / "cow"), ["key"], ["name"])
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"users": t})
+    cat.initialize({"users": spark.createDataFrame([("1", "Taylor Swift")], KV)})
+    cat.apply_txn({"users": _chg(spark, [("2", "UPSERT", "Van")])}, epoch=0)
+    cat.evolve_schema("users", ["nick"])
+    wide = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("nick", T.StringType()),
+        ]
+    )
+    cat.apply_txn(
+        {"users": spark.createDataFrame([("2", "UPSERT", "Van", "The Man")], wide)},
+        epoch=1,
+    )
+    diff = {r["key"]: (r["op"], r["nick_old"], r["nick_new"])
+            for r in cat.changelog("users", 0, 1).collect()}
+    # key 2 changed: nick NULL (backfilled old side) -> 'The Man'
+    assert diff == {"2": ("UPDATE", None, "The Man")}

@@ -107,6 +107,19 @@ PANEL = [
     # the store read; band-bucket pruning unchanged)
     "ann_index_delete",
     "dedup_ingest_after_purge",
+    # round-12 (VERDICT r11 #7): the round-11/12 catalog representatives
+    # — decades measured, not argued
+    "catalog_replicate_incremental",  # CDF-fed mirror: per-epoch work is
+                                      # O(changed keys); wall should be
+                                      # dominated by fixed per-epoch cost
+    "streaming_wap_pipeline",         # WAP gate in the micro-batch loop:
+                                      # audit read + metadata publish per
+                                      # epoch on top of the staging merge
+    "bucketed_bloom_lookup",          # bloom build rides the backfill; the
+                                      # probe side is bounded (|keys|/97)
+    "bmor_bloom_lookup",              # same index on the MOR chain: base +
+                                      # per-delta sidecars, probe reads only
+                                      # admitted file groups
 ]
 
 
@@ -1155,6 +1168,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dest", default="/tmp/sf10")
     ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated PANEL subset to (re)measure — the merge "
+        "keeps every previously recorded row, so an incremental refresh "
+        "never shrinks coverage",
+    )
+    ap.add_argument(
         "--history",
         action="store_true",
         help="measure per-epoch cost vs history depth for the "
@@ -1283,7 +1303,14 @@ def main() -> None:
         return
 
     results = {}
-    for name in PANEL:
+    panel = PANEL
+    if args.only:
+        wanted = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in PANEL]
+        if unknown:
+            raise SystemExit(f"--only names not in PANEL: {unknown}")
+        panel = wanted
+    for name in panel:
         fn = QUERIES[name]
         t10 = time_query(spark, fn, args.dest)  # big first: cache bias against us
         t1 = time_query(spark, fn, SF1)
