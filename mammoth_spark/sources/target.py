@@ -281,6 +281,74 @@ def compact_for_mor_flagged(
     )
 
 
+def _mor_tolerant_read(
+    spark: SparkSession,
+    base_paths: list[str],
+    delta_paths: list[str],
+    key_cols: list[str],
+    declared_value_cols: list[str],
+    flagged: bool,
+    schema_evolved: bool,
+    value_cols: list[str] | None,
+    col_types: dict | None,
+) -> DataFrame:
+    """The merge-on-read read body shared by the whole-table and
+    bucketed targets (they differ ONLY in how base/delta paths derive
+    from their manifests): TWO scans — all bases, all deltas — into the
+    shared keyed reconciliation, with additive-schema-evolution
+    tolerance. ``value_cols`` (an epoch's manifest schema record)
+    projects to exactly that schema, backfilling columns no scanned
+    slice carries as typed NULL; without it the read narrows to the
+    declared columns the files actually have (pre-evolution manifests
+    keep their own schema). mergeSchema is paid only when evolution is
+    in play."""
+    from pyspark.sql import functions as F
+
+    declared = list(value_cols) if value_cols is not None else list(declared_value_cols)
+    evolved = schema_evolved or value_cols is not None
+    reader = spark.read
+    if evolved:
+        # mixed pre/post-evolution slices: merge footers so the scan
+        # schema is the superset (absent columns read NULL per file)
+        reader = reader.option("mergeSchema", "true")
+    base_df = reader.parquet(*base_paths)
+    delta_df = reader.parquet(*delta_paths) if delta_paths else None
+    present = set(base_df.columns) | (
+        set(delta_df.columns) if delta_df is not None else set()
+    )
+    eff = declared if value_cols is not None else [
+        c for c in declared if c in present
+    ]
+    base_has = set(base_df.columns)
+    allrows = base_df.select(
+        *key_cols,
+        F.lit("UPSERT").alias("kind"),
+        F.lit(-1).cast("bigint").alias("last_seq"),
+        *[
+            mor_base_cells([c], flagged)[0]
+            if c in base_has
+            else _null_value_col(c, flagged, col_types)
+            for c in eff
+        ],
+    )
+    if delta_df is not None:
+        delta_has = set(delta_df.columns)
+        allrows = allrows.unionByName(
+            delta_df.select(
+                *key_cols,
+                "kind",
+                F.col("last_seq").cast("bigint").alias("last_seq"),
+                *[
+                    F.col(c)
+                    if c in delta_has
+                    else _null_value_col(c, flagged, col_types)
+                    for c in eff
+                ],
+            )
+        )
+    return reconcile_mor_rows(allrows, key_cols, eff, flagged)
+
+
 def _null_value_col(c: str, flagged: bool, col_types: dict | None):
     """Typed-NULL backfill expression for a value column no retained
     file carries (additive schema evolution before any write touched
@@ -507,62 +575,22 @@ class ParquetMorTarget:
         a NULL flagged cell is the unchanged marker and inherits.
         Without an override the read projects to the declared columns
         the files actually carry, so a pre-evolution manifest keeps its
-        narrow schema."""
-        from pyspark.sql import functions as F
-
+        narrow schema. Body shared with the bucketed twin
+        (``_mor_tolerant_read``)."""
         m = manifest if manifest is not None else self._manifest()
         if m["base"] is None:
             raise FileNotFoundError(f"MOR target {self.root} not initialized")
-        declared = list(value_cols) if value_cols is not None else list(self.value_cols)
-        evolved = getattr(self, "schema_evolved", False) or value_cols is not None
-        base_df = self.spark.read.parquet(self._base_dir(m["base"]))
-        delta_df = None
-        if m["deltas"]:
-            reader = self.spark.read
-            if evolved:
-                # mixed pre/post-evolution slices: merge footers so the
-                # scan schema is the superset (absent columns read NULL)
-                reader = reader.option("mergeSchema", "true")
-            delta_df = reader.parquet(
-                *[self._delta_dir(m["base"], i) for i in range(m["deltas"])]
-            )
-        present = set(base_df.columns) | (
-            set(delta_df.columns) if delta_df is not None else set()
+        return _mor_tolerant_read(
+            self.spark,
+            [self._base_dir(m["base"])],
+            [self._delta_dir(m["base"], i) for i in range(m["deltas"])],
+            self.key_cols,
+            self.value_cols,
+            self.flagged,
+            getattr(self, "schema_evolved", False),
+            value_cols,
+            col_types,
         )
-        # explicit projection backfills what no file carries; the
-        # tolerant default narrows to what the files actually have
-        eff = declared if value_cols is not None else [
-            c for c in declared if c in present
-        ]
-        base_has = set(base_df.columns)
-        base_cells = [
-            mor_base_cells([c], self.flagged)[0]
-            if c in base_has
-            else _null_value_col(c, self.flagged, col_types)
-            for c in eff
-        ]
-        allrows = base_df.select(
-            *self.key_cols,
-            F.lit("UPSERT").alias("kind"),
-            F.lit(-1).cast("bigint").alias("last_seq"),
-            *base_cells,
-        )
-        if delta_df is not None:
-            delta_has = set(delta_df.columns)
-            allrows = allrows.unionByName(
-                delta_df.select(
-                    *self.key_cols,
-                    "kind",
-                    F.col("last_seq").cast("bigint").alias("last_seq"),
-                    *[
-                        F.col(c)
-                        if c in delta_has
-                        else _null_value_col(c, self.flagged, col_types)
-                        for c in eff
-                    ],
-                )
-            )
-        return reconcile_mor_rows(allrows, self.key_cols, eff, self.flagged)
 
     def compact(self) -> int:
         """Fold deltas into a fresh base (OPTIMIZE): one reconciling read,
@@ -783,6 +811,70 @@ class _BloomIndexMixin:
         bits = bloom["bits"]
         return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
 
+    def _probe_impl(self, keys: list[tuple], chain_for_bucket, scan) -> DataFrame:
+        """The probe scaffolding shared by both bucketed targets —
+        they differ only in which sidecars gate a bucket
+        (``chain_for_bucket(b)``: one `_BLOOM` per COW bucket version;
+        base + per-delta-slice for the MOR chain) and what a pruned
+        read is (``scan(buckets)``). Route each key to its bucket via a
+        LocalTableScan (no file I/O), admit it iff ANY of its bucket's
+        sidecars admits, read only admitted keys' buckets, and filter
+        exactly: single-column keys push an IN predicate to the scan
+        (row-group min/max skip WITHIN admitted buckets too),
+        multi-column keys broadcast a left-semi join.
+        ``last_probe_stats`` records the pruning."""
+        from pyspark.sql import functions as F
+
+        keys = list(keys)
+        if not keys:
+            self.last_probe_stats = {
+                "n_keys": 0,
+                "bloom_negative": 0,
+                "buckets_read": 0,
+            }
+            return scan([0]).limit(0)
+        import pandas as pd
+
+        kdf = self.spark.createDataFrame(pd.DataFrame(keys, columns=self.key_cols))
+        sel = [*self.key_cols, self._bucket_col().alias("_b")]
+        if self.bloom_bits:
+            sel.append(F.array(*self._bloom_pos_cols()).alias("_ps"))
+        probe_rows = kdf.select(*sel).collect()  # LocalTableScan: no file I/O
+
+        chains: dict[int, list] = {}
+        admitted = []
+        n_negative = 0
+        for r in probe_rows:
+            b = int(r["_b"])
+            if self.bloom_bits and b not in chains:
+                chains[b] = chain_for_bucket(b)
+            if self.bloom_bits and not any(
+                self._bloom_admits(bl, r["_ps"]) for bl in chains[b]
+            ):
+                n_negative += 1
+                continue
+            admitted.append(r)
+        buckets_read = sorted({int(r["_b"]) for r in admitted})
+        self.last_probe_stats = {
+            "n_keys": len(probe_rows),
+            "bloom_negative": n_negative,
+            "buckets_read": len(buckets_read),
+        }
+        if not admitted:
+            return scan([0]).limit(0)
+        out = scan(buckets_read)
+        if len(self.key_cols) == 1:
+            return out.where(
+                F.col(self.key_cols[0]).isin([r[self.key_cols[0]] for r in admitted])
+            )
+        cand = self.spark.createDataFrame(
+            pd.DataFrame(
+                [[r[k] for k in self.key_cols] for r in admitted],
+                columns=self.key_cols,
+            )
+        )
+        return out.join(F.broadcast(cand), on=self.key_cols, how="left_semi")
+
 
 class ParquetBucketedTarget(_BloomIndexMixin):
     """Bucketed copy-on-write — the third storage strategy, between
@@ -887,80 +979,42 @@ class ParquetBucketedTarget(_BloomIndexMixin):
     def _bloom_load(self, b: int, version: int) -> dict | None:
         return self._bloom_load_dir(self._bucket_dir(b, version))
 
-    def probe(self, keys: list[tuple], bucket_map: dict | None = None) -> DataFrame:
+    def probe(
+        self,
+        keys: list[tuple],
+        bucket_map: dict | None = None,
+        value_cols: list[str] | None = None,
+        col_types: dict | None = None,
+    ) -> DataFrame:
         """Point-lookup a bounded set of keys: route each to its bucket,
         consult that bucket version's ``_BLOOM`` sidecar (when present
         and parameter-compatible), and READ only the buckets some
         admitted key routes to — keys the filter rejects cost zero file
         I/O. ``last_probe_stats`` records the pruning
-        (n_keys/bloom_negative/buckets_read) so tests and operators can
-        see it. Results are exact regardless of the filter: admitted
-        keys still verify against the real rows (a false positive is
-        one wasted pruned read, never a wrong row). The hash input is
-        the string form of the key (``concat_ws``), so numeric probe
-        values find string-stored keys and vice versa — same implicit
-        cast an equality join would apply."""
-        from pyspark.sql import functions as F
-
+        (n_keys/bloom_negative/buckets_read). Results are exact
+        regardless of the filter: admitted keys still verify against
+        the real rows (a false positive is one wasted pruned read,
+        never a wrong row). The hash input is the string form of the
+        key (``concat_ws``), so numeric probe values find string-stored
+        keys and vice versa — same implicit cast an equality join would
+        apply. ``value_cols``/``col_types`` project the pruned read to
+        a declared schema (a TxnCatalog passes its manifest's record,
+        so evolved tables probe with a stable schema no matter which
+        buckets the filter admits). Scaffolding shared with the MOR
+        twin (``_probe_impl``)."""
         if bucket_map is None:
             bucket_map = self._manifest()["buckets"]
         if not bucket_map:
             raise FileNotFoundError(f"bucketed target {self.root} not initialized")
-        keys = list(keys)
-        if not keys:
-            self.last_probe_stats = {
-                "n_keys": 0,
-                "bloom_negative": 0,
-                "buckets_read": 0,
-            }
-            return self.read_map(bucket_map, [0]).limit(0)
-        import pandas as pd
-
-        kdf = self.spark.createDataFrame(pd.DataFrame(keys, columns=self.key_cols))
-        sel = [*self.key_cols, self._bucket_col().alias("_b")]
-        if self.bloom_bits:
-            sel.append(F.array(*self._bloom_pos_cols()).alias("_ps"))
-        probe_rows = kdf.select(*sel).collect()  # LocalTableScan: no file I/O
-
-        blooms: dict[int, dict | None] = {}
-        admitted = []
-        n_negative = 0
-        for r in probe_rows:
-            b = int(r["_b"])
-            if b not in blooms:
-                blooms[b] = (
-                    self._bloom_load(b, int(bucket_map[str(b)]))
-                    if self.bloom_bits
-                    else None
-                )
-            if self.bloom_bits and not self._bloom_admits(blooms[b], r["_ps"]):
-                n_negative += 1
-                continue
-            admitted.append(r)
-        buckets_read = sorted({int(r["_b"]) for r in admitted})
-        self.last_probe_stats = {
-            "n_keys": len(probe_rows),
-            "bloom_negative": n_negative,
-            "buckets_read": len(buckets_read),
-        }
-        if not admitted:
-            return self.read_map(bucket_map, [0]).limit(0)
-        scan = self.read_map(bucket_map, buckets_read)
-        if len(self.key_cols) == 1:
-            # single-column key: an IN predicate reaches the parquet
-            # scan (PushedFilters: In(key, ...)), so row-group min/max
-            # stats skip WITHIN the admitted buckets too — and the IN
-            # is exact, no residual join needed
-            return scan.where(
-                F.col(self.key_cols[0]).isin([r[self.key_cols[0]] for r in admitted])
-            )
-        cand = self.spark.createDataFrame(
-            pd.DataFrame(
-                [[r[k] for k in self.key_cols] for r in admitted],
-                columns=self.key_cols,
-            )
+        return self._probe_impl(
+            keys,
+            chain_for_bucket=lambda b: [
+                self._bloom_load(b, int(bucket_map[str(b)]))
+            ],
+            scan=lambda bs: self.read_map(
+                bucket_map, bs, value_cols=value_cols, col_types=col_types
+            ),
         )
-        return scan.join(F.broadcast(cand), on=self.key_cols, how="left_semi")
 
     # -- staging (publish-free, so a TxnCatalog can own the commit) --------
     def stage_full(self, df: DataFrame, base: dict) -> dict:
@@ -1041,6 +1095,9 @@ class ParquetBucketedTarget(_BloomIndexMixin):
         )
         new_buckets = dict(base)
         if not touched:
+            # reset — a stale counts dict from a PREVIOUS staging (e.g. a
+            # WAP branch's) must not leak into this epoch's manifest
+            self.last_stage_counts = {}
             return new_buckets, {}
         target = self.read_map(base, touched)
         if flagged:
@@ -1445,8 +1502,6 @@ class ParquetBucketedMorTarget(_BloomIndexMixin):
         deltas) scan with mergeSchema, absent-everywhere columns
         backfill as typed NULL, and a TxnCatalog passes the EPOCH's
         schema record so time travel keeps per-epoch schemas."""
-        from pyspark.sql import functions as F
-
         m = manifest if manifest is not None else self._manifest()["buckets"]
         if not m:
             raise FileNotFoundError(
@@ -1460,126 +1515,54 @@ class ParquetBucketedMorTarget(_BloomIndexMixin):
             delta_paths.extend(
                 self._delta_dir(b, st["base"], i) for i in range(st["deltas"])
             )
-        declared = list(value_cols) if value_cols is not None else list(self.value_cols)
-        evolved = getattr(self, "schema_evolved", False) or value_cols is not None
-        reader = self.spark.read
-        if evolved:
-            reader = reader.option("mergeSchema", "true")
-        base_df = reader.parquet(*base_paths)
-        delta_df = reader.parquet(*delta_paths) if delta_paths else None
-        present = set(base_df.columns) | (
-            set(delta_df.columns) if delta_df is not None else set()
+        return _mor_tolerant_read(
+            self.spark,
+            base_paths,
+            delta_paths,
+            self.key_cols,
+            self.value_cols,
+            self.flagged,
+            getattr(self, "schema_evolved", False),
+            value_cols,
+            col_types,
         )
-        eff = declared if value_cols is not None else [
-            c for c in declared if c in present
-        ]
-        base_has = set(base_df.columns)
-        allrows = base_df.select(
-            *self.key_cols,
-            F.lit("UPSERT").alias("kind"),
-            F.lit(-1).cast("bigint").alias("last_seq"),
-            *[
-                mor_base_cells([c], self.flagged)[0]
-                if c in base_has
-                else _null_value_col(c, self.flagged, col_types)
-                for c in eff
-            ],
-        )
-        if delta_df is not None:
-            delta_has = set(delta_df.columns)
-            allrows = allrows.unionByName(
-                delta_df.select(
-                    *self.key_cols,
-                    "kind",
-                    F.col("last_seq").cast("bigint").alias("last_seq"),
-                    *[
-                        F.col(c)
-                        if c in delta_has
-                        else _null_value_col(c, self.flagged, col_types)
-                        for c in eff
-                    ],
-                )
-            )
-        return reconcile_mor_rows(allrows, self.key_cols, eff, self.flagged)
 
-    def probe(self, keys: list[tuple], manifest: dict | None = None) -> DataFrame:
+    def probe(
+        self,
+        keys: list[tuple],
+        manifest: dict | None = None,
+        value_cols: list[str] | None = None,
+        col_types: dict | None = None,
+    ) -> DataFrame:
         """Point-lookup a bounded key set against the merge-on-read
-        chain: route each key to its bucket, consult the base's AND
-        each delta slice's ``_BLOOM`` sidecars, and reconcile-read ONLY
-        the buckets some admitted key routes to. A key is admitted iff
-        ANY slice's filter admits it — a tombstoned key is admitted by
-        the delta that carries its DELETE and reconciles to absent
-        (exact), while a key whose deletion has been FOLDED vanishes
-        from the fresh base's filter and costs zero file I/O again.
-        ``last_probe_stats`` records the pruning. Results are exact
-        regardless of the filters: the reconciled read is filtered to
-        the admitted keys (broadcast semi-join / IN), so a false
-        positive is one wasted pruned read, never a wrong row."""
-        from pyspark.sql import functions as F
-
+        chain: a key is admitted iff the base's OR any delta slice's
+        ``_BLOOM`` admits it — a tombstoned key is admitted by the
+        delta that carries its DELETE and reconciles to absent (exact),
+        while a key whose deletion has been FOLDED vanishes from the
+        fresh base's filter and costs zero file I/O again. Per touched
+        bucket that is (1 + deltas) tiny JSON reads, bounded by the
+        compaction cadence. Scaffolding shared with the COW twin
+        (``_probe_impl``); ``value_cols``/``col_types`` as there."""
         m = manifest if manifest is not None else self._manifest()["buckets"]
         if not m:
             raise FileNotFoundError(
                 f"bucketed MOR target {self.root} not initialized"
             )
-        keys = list(keys)
-        if not keys:
-            self.last_probe_stats = {
-                "n_keys": 0,
-                "bloom_negative": 0,
-                "buckets_read": 0,
-            }
-            return self.read(buckets=[0], manifest=m).limit(0)
-        import pandas as pd
 
-        kdf = self.spark.createDataFrame(pd.DataFrame(keys, columns=self.key_cols))
-        sel = [*self.key_cols, self._bucket_col().alias("_b")]
-        if self.bloom_bits:
-            sel.append(F.array(*self._bloom_pos_cols()).alias("_ps"))
-        probe_rows = kdf.select(*sel).collect()  # LocalTableScan: no file I/O
+        def chain(b: int) -> list:
+            st = m[str(b)]
+            return [self._bloom_load_dir(self._base_dir(b, st["base"]))] + [
+                self._bloom_load_dir(self._delta_dir(b, st["base"], i))
+                for i in range(st["deltas"])
+            ]
 
-        # per touched bucket: the base's sidecar plus one per delta
-        # slice — (1 + deltas) tiny JSON reads, bounded by the chain
-        # length the compaction cadence already bounds
-        chain_blooms: dict[int, list] = {}
-        admitted = []
-        n_negative = 0
-        for r in probe_rows:
-            b = int(r["_b"])
-            if self.bloom_bits and b not in chain_blooms:
-                st = m[str(b)]
-                chain_blooms[b] = [
-                    self._bloom_load_dir(self._base_dir(b, st["base"]))
-                ] + [
-                    self._bloom_load_dir(self._delta_dir(b, st["base"], i))
-                    for i in range(st["deltas"])
-                ]
-            if self.bloom_bits and not any(
-                self._bloom_admits(bl, r["_ps"]) for bl in chain_blooms[b]
-            ):
-                n_negative += 1
-                continue
-            admitted.append(r)
-        buckets_read = sorted({int(r["_b"]) for r in admitted})
-        self.last_probe_stats = {
-            "n_keys": len(probe_rows),
-            "bloom_negative": n_negative,
-            "buckets_read": len(buckets_read),
-        }
-        if not admitted:
-            return self.read(buckets=[0], manifest=m).limit(0)
-        scan = self.read(buckets=buckets_read, manifest=m)
-        if len(self.key_cols) == 1:
-            return scan.where(
-                F.col(self.key_cols[0]).isin([r[self.key_cols[0]] for r in admitted])
-            )
-        cand = self.spark.createDataFrame(
-            pd.DataFrame(
-                [[r[k] for k in self.key_cols] for r in admitted],
-                columns=self.key_cols,
-            )
+        return self._probe_impl(
+            keys,
+            chain_for_bucket=chain,
+            scan=lambda bs: self.read(
+                buckets=bs, manifest=m, value_cols=value_cols, col_types=col_types
+            ),
         )
-        return scan.join(F.broadcast(cand), on=self.key_cols, how="left_semi")
 
     def write_delta(self, compacted: DataFrame) -> dict:
         """Standalone apply: stage + own-manifest swap, then the
@@ -2066,17 +2049,29 @@ class TxnCatalog:
         the CATALOG's state map (the member has no own manifest), so
         absent keys cost zero file I/O here too. Raises for
         whole-table members — COW/MOR tables have no per-bucket index
-        to consult; read and filter instead."""
+        to consult; read and filter instead.
+
+        The manifest's schema record rides along, so probing an EVOLVED
+        member returns the declared schema even when every admitted
+        bucket still sits on pre-evolution files — the probe's schema
+        never varies with which keys were asked."""
         t = self.targets[tbl]
         m = self.manifest()
+        rec = m.get("schemas", {}).get(tbl)
+        vcols = list(rec["value"]) if rec else None
+        ctypes = rec.get("types") if rec else None
         if self._is_bucketed(t):
             if tbl not in m.get("bucketed", {}):
                 raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
-            return t.probe(keys, bucket_map=m["bucketed"][tbl])
+            return t.probe(
+                keys, bucket_map=m["bucketed"][tbl], value_cols=vcols, col_types=ctypes
+            )
         if self._is_bmor(t):
             if tbl not in m.get("bmor", {}):
                 raise FileNotFoundError(f"table {tbl} not in catalog {self.root}")
-            return t.probe(keys, manifest=m["bmor"][tbl])
+            return t.probe(
+                keys, manifest=m["bmor"][tbl], value_cols=vcols, col_types=ctypes
+            )
         raise ValueError(
             f"table {tbl} ({t.strategy}) has no bucket/bloom index; "
             "probe applies to bucketed members"
@@ -2183,10 +2178,17 @@ class TxnCatalog:
             ctypes = rec.get("types") if rec else None
             # ADVICE r11: the restored epoch's schema governs from here —
             # reset BEFORE the folds below so fold-on-restore materializes
-            # the restored epoch's own column list
+            # the restored epoch's own column list. The mergeSchema gate
+            # tracks the record too: restoring to a pre-evolution epoch
+            # (no record) means every slice the head references is
+            # narrow again, so reads stop paying the footer merge
+            # (time travel ONTO post-evolution epochs still merges —
+            # their explicit value_cols forces it per read).
             t.value_cols = (
                 vcols if vcols is not None else list(self._ctor_value_cols[tbl])
             )
+            if self._strategy(t) != "cow":
+                t.schema_evolved = rec is not None
             if self._is_mor(t) and tbl in new_mor:
                 mm = new_mor[tbl]
                 h = hw["mor"].get(tbl, {})
@@ -2691,8 +2693,17 @@ class TxnCatalog:
         return os.path.join(self.root, "_WAP_REJECTIONS")
 
     def record_wap_rejection(self, epoch: int, branch: str, reason: str = "") -> None:
+        """Idempotent append: a crash AFTER this record but BEFORE the
+        stream checkpoint commits redelivers the epoch, re-runs the
+        audit, and lands here again — the (epoch, branch) dedup keeps
+        the trail one-line-per-rejection under at-least-once delivery."""
         import json
 
+        if any(
+            r.get("epoch") == epoch and r.get("branch") == branch
+            for r in self.wap_rejections()
+        ):
+            return
         with open(self._rejections_path, "a") as f:
             f.write(json.dumps({"epoch": epoch, "branch": branch, "reason": reason}))
             f.write("\n")

@@ -264,11 +264,14 @@ class ChangeLogPipeline:
         if self.audit(cat, self.wap_branch, epoch_id):
             cat.publish_branch(self.wap_branch)
         else:
-            cat.drop_branch(self.wap_branch)
-            # durable FIRST (fsync'd one-line append), then the
-            # in-memory mirror: a crash right here leaves the record,
-            # never a silently vanished epoch
+            # durable FIRST (fsync'd, idempotent one-line append), then
+            # the branch drop, then the in-memory mirror: a crash after
+            # the record leaves at worst a live branch the next attempt
+            # reclaims — never a silently vanished rejection. (A crash
+            # BEFORE the record redelivers the epoch, since the
+            # checkpoint hasn't committed either.)
             cat.record_wap_rejection(epoch_id, self.wap_branch, reason="audit_failed")
+            cat.drop_branch(self.wap_branch)
             self.rejected_epochs.append(epoch_id)
 
     def start(self, trigger_seconds: float | None = None, available_now: bool = False):

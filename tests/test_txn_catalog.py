@@ -2474,3 +2474,74 @@ def test_changelog_across_evolution_boundary(spark, tmp_path):
             for r in cat.changelog("users", 0, 1).collect()}
     # key 2 changed: nick NULL (backfilled old side) -> 'The Man'
     assert diff == {"2": ("UPDATE", None, "The Man")}
+
+
+def test_empty_batch_does_not_leak_stale_bucket_counts(spark, tmp_path):
+    """Regression (round-12 review, CONFIRMED): stage_merge's empty-batch
+    early return used to leave last_stage_counts from a PREVIOUS staging
+    (e.g. a WAP branch's), which _stage_epoch then published into the
+    mainline manifest — count() returned the branch's numbers."""
+    from mammoth_spark.sources.target import ParquetBucketedTarget
+
+    t = ParquetBucketedTarget(
+        spark, str(tmp_path / "bkt"), ["key"], ["name"], n_buckets=4
+    )
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"items": t})
+    cat.initialize(
+        {"items": spark.createDataFrame([(f"k{i}", "init") for i in range(8)], KV)}
+    )
+    # a branch staging rewrites buckets (sets last_stage_counts to the
+    # branch's 50-row world)
+    cat.stage_branch(
+        "audit",
+        {"items": _chg(spark, [(f"b{i}", "UPSERT", "x") for i in range(50)])},
+        epoch=0,
+    )
+    # mainline epoch with an EMPTY batch for the bucketed member
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField("kind", T.StringType()),
+                T.StructField("name", T.StringType()),
+            ]
+        ),
+    )
+    cat.apply_txn({"items": empty}, epoch=0)
+    assert cat.count("items") == 8  # not 58
+    assert cat.count("items") == cat.read("items").count()
+    cat.drop_branch("audit")
+
+
+def test_probe_evolved_member_schema_stable(spark, tmp_path):
+    """Regression (round-12 review): probing an evolved bucketed member
+    must return the DECLARED schema even when every admitted bucket is
+    still on pre-evolution parquet files."""
+    from mammoth_spark.sources.target import ParquetBucketedTarget
+
+    t = ParquetBucketedTarget(
+        spark, str(tmp_path / "bkt"), ["key"], ["name"], n_buckets=4, bloom_bits=1024
+    )
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"items": t})
+    cat.initialize(
+        {"items": spark.createDataFrame([(f"k{i}", f"n{i}") for i in range(16)], KV)}
+    )
+    cat.evolve_schema("items", {"score": "bigint"})
+    # NO post-evolution write: every bucket is narrow on disk
+    got = cat.probe("items", [("k3",)])
+    assert got.columns == ["key", "name", "score"]
+    rows = got.collect()
+    assert rows[0]["name"] == "n3" and rows[0]["score"] is None
+    assert dict(got.dtypes)["score"] == "bigint"
+
+
+def test_wap_rejection_record_idempotent(spark, catalog):
+    """Regression (round-12 review): redelivered rejections (crash after
+    the durable record, before the checkpoint commit) must not duplicate
+    the audit-trail line."""
+    cat = catalog
+    cat.record_wap_rejection(5, "wap", reason="audit_failed")
+    cat.record_wap_rejection(5, "wap", reason="audit_failed")
+    cat.record_wap_rejection(6, "wap", reason="audit_failed")
+    assert [r["epoch"] for r in cat.wap_rejections()] == [5, 6]
