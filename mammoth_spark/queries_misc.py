@@ -4098,3 +4098,144 @@ def catalog_wap_concurrent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.read("users").select(
         F.col("key").cast("bigint").alias("key"), "value_c"
     )
+
+
+@register(
+    "streaming_schema_drift_evolve",
+    oracle=f"""
+WITH {_WAP_VALID_CTE},
+span AS (
+  SELECT CAST(floor(max(seq) / 2.0) AS BIGINT) AS mid FROM change_log
+),
+agg AS (
+  SELECT key, arg_max(kind, seq) AS last_kind,
+         CAST(CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 100)
+              AS BIGINT) AS VARCHAR) AS value_c,
+         arg_max(
+           CASE WHEN seq > (SELECT mid FROM span)
+                THEN CAST(CAST(floor(value * 1000) AS BIGINT) AS VARCHAR) END,
+           CASE WHEN kind <> 'DELETE' THEN seq END) AS value_d
+  FROM valid GROUP BY key
+)
+SELECT key, value_c, value_d FROM agg WHERE last_kind <> 'DELETE'
+""",
+)
+def streaming_schema_drift_evolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema drift ABSORBED mid-stream (round 12 — the
+    capability the reference lacks: its supervisor answers EVERY
+    relation change with drop-slot + full-table re-copy,
+    supervisor.go:55-82, which at 100 TB turns a metadata-only upstream
+    ``ADD COLUMN`` into days of re-sync). The stream's first half
+    advertises the narrow relation; mid-stream the relation grows
+    ``value_d`` and the second half advertises + carries it. The
+    pipeline's drift check classifies the change as ADDITIVE and the
+    supervisor loop calls the evolve callback — one metadata-only
+    ``TxnCatalog.evolve_schema`` — then resumes from the SAME
+    checkpoint: the failed batch (never committed) redelivers under the
+    wide schema, pre-ALTER rows now advertising a PREFIX of the
+    declared columns pass the check and read NULL for the new column.
+    EXACTLY one restart, ZERO backfills (the backfill callback raises
+    if touched). The published state must equal the oracle's one-shot
+    net over the valid chain, value_d present only where the latest
+    non-DELETE writer was post-ALTER. Destructive drift (rename/drop)
+    still takes the reference's resync path — pinned in tests."""
+    from pyspark.sql import types as T
+
+    from .scratch import scratch_dir
+    from .sources.target import ParquetMergeTarget, TxnCatalog
+    from .streaming.pipeline import ChangeLogPipeline, run_with_restart
+
+    raw = _normalize_kinds(
+        events_as_change_log(read_table(spark, sf_dir, "events")).select(
+            "lsn", "seq", "key", "kind", "value"
+        )
+    )
+    mid = raw.agg((F.floor(F.max("seq") / 2)).cast("long")).first()[0]
+    base = raw.select(
+        "lsn",
+        "seq",
+        F.lit("public").alias("schema"),
+        F.lit("users").alias("tbl"),
+        "kind",
+        F.col("key").cast("string").alias("key"),
+        "value",
+    )
+    narrow = base.filter(F.col("seq") <= mid).select(
+        "lsn",
+        "seq",
+        "schema",
+        "tbl",
+        "kind",
+        "key",
+        F.array(F.lit("value_c")).alias("rel_cols"),
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+    )
+    wide = base.filter(F.col("seq") > mid).select(
+        "lsn",
+        "seq",
+        "schema",
+        "tbl",
+        "kind",
+        "key",
+        F.array(F.lit("value_c"), F.lit("value_d")).alias("rel_cols"),
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+        F.floor(F.col("value") * 1000).cast("long").cast("string").alias("value_d"),
+    )
+
+    src = scratch_dir(prefix="drift_evo_src_")
+    import glob as _glob
+    import os as _os
+
+    for i, part in enumerate([narrow, wide]):
+        stage = scratch_dir(prefix=f"drift_evo_half{i}_")
+        part.coalesce(2).write.mode("overwrite").json(stage)
+        for j, f in enumerate(sorted(_glob.glob(_os.path.join(stage, "*.json")))):
+            _os.replace(f, _os.path.join(src, f"half{i}_{j}.json"))
+
+    target = ParquetMergeTarget(
+        spark, scratch_dir(prefix="drift_evo_tgt_"), ["key"], ["value_c"]
+    )
+    catalog = TxnCatalog(
+        spark, scratch_dir(prefix="drift_evo_cat_"), {"users": target}
+    )
+    catalog.initialize(
+        {
+            "users": spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value_c", T.StringType()),
+                    ]
+                ),
+            )
+        }
+    )
+
+    cols = ["value_c"]  # the supervisor's mutable view of the schema
+
+    def backfill():
+        raise AssertionError("additive drift must never re-sync")
+
+    def evolve(advertised):
+        catalog.evolve_schema("users", [c for c in advertised if c not in cols])
+        cols[:] = advertised
+
+    ckpt = scratch_dir(prefix="drift_evo_ckpt_")
+
+    def make_pipeline():
+        return ChangeLogPipeline(
+            spark,
+            src,
+            ckpt,  # SAME checkpoint across the evolve-restart
+            {"users": target},
+            list(cols),
+            txn_catalog=catalog,
+        )
+
+    restarts = run_with_restart(make_pipeline, backfill, evolve=evolve)
+    assert restarts == 1, restarts
+    assert catalog.manifest()["schemas"]["users"]["value"] == ["value_c", "value_d"]
+    return catalog.read("users").select(
+        F.col("key").cast("bigint").alias("key"), "value_c", "value_d"
+    )

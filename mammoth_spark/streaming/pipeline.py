@@ -155,16 +155,36 @@ class ChangeLogPipeline:
             if stats["n"] == 0:
                 return
             # drift check (message_accumulator.go:118-122): every in-band
-            # relation column list must equal the pipeline's declared value
-            # columns; a differing Relation message aborts the stream and
-            # the supervisor re-syncs from scratch
+            # relation column list is compared against the pipeline's
+            # declared value columns. Three outcomes:
+            # - equal, or a PREFIX of declared: fine — prefix rows simply
+            #   predate the newest ADD COLUMN (their absent columns read
+            #   NULL on the plain path / unchanged-inherit when flagged),
+            #   which is exactly the post-evolution backfill semantics; a
+            #   redelivered boundary batch after an evolution restart
+            #   must not re-trip on its pre-ALTER rows.
+            # - declared is a PREFIX of advertised: ADDITIVE drift (an
+            #   upstream ADD COLUMN) — raised with the advertised list so
+            #   run_with_restart can evolve-and-resume instead of the
+            #   reference's drop-and-resync.
+            # - anything else (rename/drop/reorder): destructive drift,
+            #   full re-sync as in the reference.
             declared = list(self.value_cols)
             for rel_json in stats["rels"]:
-                if json.loads(rel_json) != declared:
+                advertised = json.loads(rel_json)
+                if advertised == declared or advertised == declared[: len(advertised)]:
+                    continue
+                if declared == advertised[: len(declared)]:
                     raise RelationChangedError(
-                        f"schema drift: relation advertises {json.loads(rel_json)}, "
-                        f"pipeline declared {declared}"
+                        f"schema drift (additive): relation advertises "
+                        f"{advertised}, pipeline declared {declared}.",
+                        advertised=advertised,
+                        additive=True,
                     )
+                raise RelationChangedError(
+                    f"schema drift: relation advertises {advertised}, "
+                    f"pipeline declared {declared}"
+                )
             # A8: fan out per relation; order preserved via seq inside
             # compact. Only tables PRESENT in the batch are touched — a
             # copy-on-write target rewrites the whole table per write,
@@ -298,15 +318,45 @@ class ChangeLogPipeline:
             raise q.exception()
 
 
+def _additive_advertised(root, exc) -> list | None:
+    """The advertised column list of an ADDITIVE drift, from the exception
+    instance when it survived the streaming wrapper, else parsed from the
+    ``ADDITIVE_DRIFT:[...]`` marker in the message string."""
+    import json
+    import re
+
+    if isinstance(root, RelationChangedError) and root.additive:
+        return root.advertised
+    m = re.search(r"ADDITIVE_DRIFT:(\[[^\]]*\])", str(exc))
+    if m:
+        return json.loads(m.group(1))
+    return None
+
+
 def run_with_restart(
     make_pipeline,
     backfill,
     max_restarts: int = 3,
     backoff_seconds: float = 0.5,
+    evolve=None,
 ) -> int:
     """A26 supervisor loop: run the pipeline; on RelationChangedError,
     re-run backfill (fresh snapshot, reference sync_service.go:111-125)
-    and restart. Returns the number of restarts performed."""
+    and restart. Returns the number of restarts performed.
+
+    ``evolve`` (optional, ``evolve(advertised_cols) -> None``): when the
+    drift is ADDITIVE (an upstream ``ALTER TABLE ADD COLUMN`` — the
+    advertised list extends the declared one), call it instead of
+    ``backfill`` and restart WITHOUT a re-sync: the caller evolves the
+    catalog schema (``TxnCatalog.evolve_schema``) and widens whatever
+    state ``make_pipeline`` reads, and the rebuilt pipeline resumes from
+    the SAME checkpoint — the failed batch (never committed) redelivers
+    and applies under the wide schema, pre-ALTER rows passing the
+    prefix-tolerant drift check. This is the capability the reference
+    lacks: its supervisor answers EVERY drift with drop-slot +
+    full-table re-copy (supervisor.go:55-82), which at 100 TB turns a
+    metadata-only ADD COLUMN into days of re-sync; here only
+    destructive drift (rename/drop/type) pays that."""
     restarts = 0
     while True:
         pipeline = make_pipeline()
@@ -321,6 +371,10 @@ def run_with_restart(
             if not is_drift or restarts >= max_restarts:
                 raise
             restarts += 1
+            advertised = _additive_advertised(root, exc)
+            if advertised is not None and evolve is not None:
+                evolve(advertised)  # metadata-only; same checkpoint resumes
+                continue
             time.sleep(backoff_seconds)  # supervisor.go:74-75 (10s in prod)
             backfill()
 

@@ -133,4 +133,27 @@ class RelationChangedError(RuntimeError):
     """Raised when a relation's schema drifts mid-stream; the supervisor
     responds with a full re-sync (reference
     sync/stream/message_accumulator.go:118-122, supervisor/supervisor.go:73-76).
-    """
+
+    ``additive`` + ``advertised`` classify the drift: an upstream
+    ``ALTER TABLE ADD COLUMN`` (the advertised list EXTENDS the declared
+    one) is recoverable without a re-sync — ``run_with_restart`` can
+    evolve the catalog schema and resume from the same checkpoint. Any
+    other shape (rename/drop/reorder/type) stays a full re-sync. The
+    advertised list is ALSO embedded in the message as a parseable
+    ``ADDITIVE_DRIFT:[...]`` marker because Structured Streaming may
+    surface foreachBatch failures with only the message string intact
+    (the supervisor falls back to parsing it)."""
+
+    def __init__(
+        self,
+        message: str,
+        advertised: list[str] | None = None,
+        additive: bool = False,
+    ):
+        if additive and advertised is not None:
+            import json
+
+            message = f"{message} ADDITIVE_DRIFT:{json.dumps(advertised)}"
+        super().__init__(message)
+        self.advertised = advertised
+        self.additive = additive

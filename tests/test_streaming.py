@@ -899,3 +899,129 @@ def test_flagged_pipeline_toast_cow_equals_mor(spark, tmp_path):
         ends[flavor] = {r["key"]: (r["a"], r["b"]) for r in target.read().collect()}
 
     assert ends["cow"] == ends["mor"] == expected
+
+
+def test_additive_drift_evolves_without_resync(spark, tmp_path):
+    """Round 12: an upstream ADD COLUMN mid-stream is ABSORBED — the
+    supervisor evolves the catalog schema and resumes from the SAME
+    checkpoint (no backfill, no re-sync); the redelivered batch applies
+    under the wide schema, and pre-ALTER rows (advertising a PREFIX of
+    the declared columns) pass the drift check and read NULL for the
+    new column. Destructive drift still re-syncs (next test)."""
+    from mammoth_spark.sources.target import TxnCatalog
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src, exist_ok=True)
+    cols = ["name"]  # mutable: the supervisor's view of the schema
+    target = ParquetMergeTarget(spark, str(tmp_path / "t"), ["key"], list(cols))
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"users": target})
+    cat.initialize(
+        {
+            "users": spark.createDataFrame(
+                [("1", "seed")],
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                    ]
+                ),
+            )
+        }
+    )
+    backfills = {"n": 0}
+
+    def backfill():
+        backfills["n"] += 1
+
+    def evolve(advertised):
+        cat.evolve_schema("users", [c for c in advertised if c not in cols])
+        cols[:] = advertised
+
+    def make_pipeline():
+        return ChangeLogPipeline(
+            spark,
+            source_dir=src,
+            checkpoint_dir=str(tmp_path / "ckpt"),  # SAME checkpoint throughout
+            targets={"users": target},
+            value_cols=list(cols),
+            txn_catalog=cat,
+        )
+
+    # one batch mixing pre-ALTER rows (narrow) and post-ALTER rows (wide)
+    rows = [
+        change(1, 1, "INSERT", 5, "pre-alter"),  # advertises ("name",)
+        dict(
+            change(1, 2, "INSERT", 6, "post-alter", rel_cols=("name", "nick")),
+            nick="Nick",
+        ),
+        dict(
+            change(1, 3, "UPDATE", 5, "pre2"),  # pre-ALTER image, later seq? no: seq 3 > 2
+        ),
+    ]
+    write_changes(src, "b1.json", rows)
+    restarts = run_with_restart(make_pipeline, backfill, evolve=evolve)
+    assert restarts == 1  # one evolve-restart, zero backfills
+    assert backfills["n"] == 0
+    assert cols == ["name", "nick"]
+    got = {r["key"]: (r["name"], r["nick"]) for r in cat.read("users").collect()}
+    assert got == {
+        "1": ("seed", None),       # untouched: typed NULL backfill
+        "5": ("pre2", None),       # pre-ALTER rows: no nick, reads NULL
+        "6": ("post-alter", "Nick"),
+    }
+    # the stream continues on the same checkpoint without further restarts
+    write_changes(
+        src,
+        "b2.json",
+        [dict(change(2, 9, "UPDATE", 5, "pre3", rel_cols=("name", "nick")), nick="N5")],
+    )
+    assert run_with_restart(make_pipeline, backfill, evolve=evolve) == 0
+    got = {r["key"]: (r["name"], r["nick"]) for r in cat.read("users").collect()}
+    assert got["5"] == ("pre3", "N5")
+
+
+def test_destructive_drift_still_resyncs_with_evolve_present(spark, tmp_path):
+    """A renamed column is NOT additive: even with an evolve callback
+    supplied, the supervisor answers with backfill (the reference's
+    drop-and-resync), never a silent schema mutation."""
+    src = str(tmp_path / "changes")
+    os.makedirs(src, exist_ok=True)
+    calls = {"backfill": 0, "evolve": 0, "attempt": 0}
+
+    def backfill():
+        calls["backfill"] += 1
+
+    def evolve(advertised):
+        calls["evolve"] += 1
+
+    def make_pipeline():
+        calls["attempt"] += 1
+        cols = ["name"] if calls["attempt"] == 1 else ["renamed"]
+        target = ParquetMergeTarget(
+            spark, str(tmp_path / f"t{calls['attempt']}"), ["key"], cols
+        )
+        target.initialize(
+            spark.createDataFrame(
+                [("1", "seed")],
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField(cols[0], T.StringType()),
+                    ]
+                ),
+            )
+        )
+        return ChangeLogPipeline(
+            spark,
+            source_dir=src,
+            checkpoint_dir=str(tmp_path / f"ckpt{calls['attempt']}"),
+            targets={"users": target},
+            value_cols=cols,
+        )
+
+    write_changes(
+        src, "b1.json", [change(1, 1, "INSERT", 5, "x", rel_cols=("renamed",))]
+    )
+    restarts = run_with_restart(make_pipeline, backfill, evolve=evolve)
+    assert restarts == 1
+    assert calls["backfill"] == 1 and calls["evolve"] == 0
