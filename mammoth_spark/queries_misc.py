@@ -4239,3 +4239,120 @@ def streaming_schema_drift_evolve_q(spark: SparkSession, sf_dir: str) -> DataFra
     return catalog.read("users").select(
         F.col("key").cast("bigint").alias("key"), "value_c", "value_d"
     )
+
+
+@register(
+    "catalog_erase_history",
+    oracle=f"""
+WITH change_log AS (
+  SELECT event_id AS seq, {EVENTS_KIND_SQL} AS kind,
+         CAST(user_id AS BIGINT) AS key, value
+  FROM events
+),
+agg AS (
+  SELECT key, arg_max(kind, seq) AS last_kind,
+         CAST(CAST(floor(arg_max(value, CASE WHEN kind <> 'DELETE' THEN seq END) * 100)
+              AS BIGINT) AS VARCHAR) AS value_c
+  FROM change_log GROUP BY key
+)
+SELECT key, value_c FROM agg
+WHERE last_kind <> 'DELETE' AND key % 7 <> 0
+""",
+)
+def catalog_erase_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten ERASURE ACROSS TIME TRAVEL (round 12 — the
+    governance capability a versioned catalog is usually said to
+    preclude; the reference has no history at all, so erasure there is
+    the warehouse's problem): three epochs commit on a bucketed member,
+    then every user with ``key % 7 == 0`` is erased. ``erase`` rewrites
+    ONLY the retained slices the subjects' keys hash into (cold file
+    groups keep their original files — pinned in tests), in place,
+    journaled, with bloom sidecars rebuilt from the kept rows — and the
+    manifests stay untouched, so ``read_at`` keeps answering for every
+    OTHER subject. In-query proof: every retained epoch reads back
+    zero erased keys, and a raw recursive scan of the member's parquet
+    files finds zero physical occurrences. The returned current state
+    must equal the oracle's one-shot net MINUS the erased subjects. At
+    100 TB the cost is (subjects' buckets) × (vacuum window) file-group
+    rewrites — never a table rewrite, never a history wipe."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from .scratch import scratch_dir
+    from .sources.target import ParquetBucketedTarget, TxnCatalog
+
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "seq",
+        F.col("key").cast("long").alias("key"),
+        "kind",
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+    )
+    b = log.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+    t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    t2 = b["lo"] + 2 * ((b["hi"] - b["lo"]) // 3)
+    log = log.select(F.col("key").cast("string").alias("key"), "seq", "kind", "value_c")
+
+    root = scratch_dir(prefix="erase_bkt_")
+    target = ParquetBucketedTarget(
+        spark, root, ["key"], ["value_c"], n_buckets=16, bloom_bits=8192
+    )
+    catalog = TxnCatalog(spark, scratch_dir(prefix="erase_cat_"), {"users": target})
+    catalog.initialize(
+        {
+            "users": spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value_c", T.StringType()),
+                    ]
+                ),
+            )
+        }
+    )
+    spans = [
+        log.filter(F.col("seq") <= t1),
+        log.filter((F.col("seq") > t1) & (F.col("seq") <= t2)),
+        log.filter(F.col("seq") > t2),
+    ]
+    for e, part in enumerate(spans):
+        catalog.apply_txn({"users": _inc_compact(part, ["value_c"])}, epoch=e)
+
+    # the erasure subjects: every 7th user (bounded collect, |users|/7)
+    subjects = [
+        (r["key"],)
+        for r in log.select("key").distinct().filter(F.col("key") % 7 == 0).collect()
+    ]
+    audit = catalog.erase("users", subjects)
+    assert audit["rows_removed"] > 0 and audit["dirs_rewritten"] > 0
+
+    # every retained epoch reads back ZERO erased subjects...
+    erased = {k for (k,) in subjects}
+    for e in range(3):
+        leaked = (
+            catalog.read_at("users", e)
+            .filter(F.col("key").isin(list(erased)))
+            .count()
+        )
+        assert leaked == 0, (e, leaked)
+    # ...and the PHYSICAL files contain zero occurrences (raw scan of
+    # every parquet directory under the member root)
+    dirs = sorted(
+        {
+            _os.path.dirname(f)
+            for f in _glob.glob(_os.path.join(root, "**", "*.parquet"), recursive=True)
+        }
+    )
+    hits = 0
+    for d in dirs:
+        hits += (
+            spark.read.parquet(d)
+            .filter(F.col("key").isin(list(erased)))
+            .count()
+        )
+    assert hits == 0, hits
+    return catalog.read("users").select(
+        F.col("key").cast("bigint").alias("key"), "value_c"
+    )

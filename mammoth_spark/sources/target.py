@@ -684,6 +684,25 @@ def _parquet_dir_rows(path: str) -> int:
     return n
 
 
+def _swap_live_dir(dst: str, src: str) -> None:
+    """Replace the CONTENTS of a live data directory with a freshly
+    staged one — the erase path's primitive, distinct from
+    ``_replace_dir`` (whose rmtree-then-rename is only safe when ``dst``
+    is an orphan no manifest references). Two renames: the old contents
+    move aside to a ``_trash`` sibling first, so a crash at any point
+    leaves BOTH the old and the new contents on disk (the erasure
+    journal records the in-flight directory; re-running the erase
+    completes idempotently and vacuum sweeps ``_trash_*``/``_stage_*``
+    leftovers)."""
+    import shutil
+
+    trash = tempfile.mkdtemp(dir=os.path.dirname(dst), prefix="_trash_")
+    old = os.path.join(trash, "old")
+    os.replace(dst, old)
+    os.replace(src, dst)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
 def _replace_dir(src: str, dst: str) -> None:
     """Move a staged directory into place. An existing ``dst`` is a
     crash orphan — staged by an epoch that died before its manifest
@@ -1233,7 +1252,7 @@ class ParquetBucketedTarget(_BloomIndexMixin):
                     victims.append(f"b{b}/{name}")
                     shutil.rmtree(os.path.join(bdir, name))
         for name in sorted(os.listdir(self.root)):
-            if name.startswith("_stage_"):
+            if name.startswith(("_stage_", "_trash_")):
                 victims.append(name)
                 shutil.rmtree(os.path.join(self.root, name))
         return sorted(victims)
@@ -1626,7 +1645,7 @@ class ParquetBucketedMorTarget(_BloomIndexMixin):
                     victims.append(f"b{b}/{name}")
                     shutil.rmtree(os.path.join(bdir, name))
         for name in sorted(os.listdir(self.root)):
-            if name.startswith("_stage_"):
+            if name.startswith(("_stage_", "_trash_")):
                 victims.append(name)
                 shutil.rmtree(os.path.join(self.root, name))
         return sorted(victims)
@@ -2728,6 +2747,232 @@ class TxnCatalog:
                 continue
         return out
 
+    # -- right-to-be-forgotten erasure across time travel ----------------
+    #
+    # Versioned catalogs create a governance tension: time travel RETAINS
+    # history, erasure demands the subject's rows be PHYSICALLY gone —
+    # including from epochs an audit can still read. The lakehouse
+    # convention (Delta/Iceberg) is "delete + wait out the retention
+    # window", which destroys time travel for everyone. ``erase`` keeps
+    # it: every retained slice that can contain the keys (pruned to the
+    # keys' hash buckets on the bucketed strategies) is rewritten
+    # in-place with the keys anti-joined out, manifests untouched —
+    # history stays readable for all other data, minus exactly the
+    # erased subject. Cost ∝ (slices that can hold the keys) × (vacuum
+    # window), never the table: at 100 TB with 10^4 buckets, erasing one
+    # user rewrites a handful of file groups' retained versions.
+
+    @property
+    def _erasures_path(self) -> str:
+        return os.path.join(self.root, "_ERASURES")
+
+    def _erase_journal(self, record: dict) -> None:
+        import json
+
+        with open(self._erasures_path, "a") as f:
+            f.write(json.dumps(record))
+            f.write("\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def _route_buckets(self, t, key_df: DataFrame) -> list[int]:
+        """The buckets a bounded key set hashes into (LocalTableScan)."""
+        return sorted(
+            int(r["_b"])
+            for r in key_df.select(t._bucket_col().alias("_b")).distinct().collect()
+        )
+
+    def _rebuild_dir_bloom(self, t, d: str) -> None:
+        """Rebuild one rewritten directory's ``_BLOOM`` from its KEPT
+        rows, so the sidecar stays exact after an erasure (a stale
+        filter would only cost false-positive reads, but exactness is
+        the documented contract). Distinct positions are bounded by the
+        bucket's key count × k."""
+        from pyspark.sql import functions as F
+
+        bits = bytearray((t.bloom_bits + 7) // 8)
+        for r in (
+            self.spark.read.parquet(d)
+            .select(F.explode(F.array(*t._bloom_pos_cols())).alias("_p"))
+            .distinct()
+            .toLocalIterator()
+        ):
+            p = int(r["_p"])
+            bits[p >> 3] |= 1 << (p & 7)
+        t._bloom_write(d, bits)
+
+    def _erase_dir(self, t, d: str, key_df: DataFrame) -> int:
+        """Rewrite one slice with the keys anti-joined out; returns rows
+        removed (footer count before vs observed count after — no extra
+        pass). The journal records the in-flight directory before the
+        swap; ``_swap_live_dir`` never leaves a window where neither the
+        old nor the new contents exist."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        n_before = _parquet_dir_rows(d)
+        kept = self.spark.read.parquet(d).join(
+            F.broadcast(key_df), on=t.key_cols, how="left_anti"
+        )
+        stage = tempfile.mkdtemp(dir=t.root, prefix="_stage_")
+        out = os.path.join(stage, "kept")
+        n_kept = _write_observed(kept, out)
+        had_bloom = os.path.exists(os.path.join(d, "_BLOOM"))
+        self._erase_journal({"op": "rewrite", "dir": d, "staged": out})
+        _swap_live_dir(d, out)
+        shutil.rmtree(stage, ignore_errors=True)
+        if had_bloom and getattr(t, "bloom_bits", None):
+            self._rebuild_dir_bloom(t, d)
+        return n_before - n_kept
+
+    def _refresh_counts_after_erase(self, tbl: str, t) -> None:
+        """Recorded cardinalities predate the erasure: HISTORY records
+        for ``tbl`` are dropped (``count(epoch=...)`` falls back to the
+        real read), the HEAD's records are recomputed from the rewritten
+        files' footers so current counts stay metadata-only."""
+        import json
+        import re as _re
+
+        if not os.path.isdir(self._log_dir):
+            entries = []
+        else:
+            entries = sorted(os.listdir(self._log_dir))
+        for name in entries:
+            mm = _re.fullmatch(r"m_(\d+)\.json", name)
+            if not mm:
+                continue
+            path = os.path.join(self._log_dir, name)
+            with open(path) as f:
+                e = json.load(f)
+            changed = False
+            for k in ("row_counts", "bucket_counts"):
+                if tbl in e.get(k, {}):
+                    e[k] = {a: v for a, v in e[k].items() if a != tbl}
+                    changed = True
+            if changed:
+                fd, tmp = tempfile.mkstemp(dir=self._log_dir, prefix="m.")
+                with os.fdopen(fd, "w") as f:
+                    json.dump(e, f)
+                os.replace(tmp, path)
+        m = self.manifest()
+        changed = False
+        if tbl in m.get("row_counts", {}):
+            m = {
+                **m,
+                "row_counts": {
+                    **m["row_counts"],
+                    tbl: _parquet_dir_rows(t._version_dir(int(m["versions"][tbl]))),
+                },
+            }
+            changed = True
+        if tbl in m.get("bucket_counts", {}):
+            bm = m["bucketed"][tbl]
+            m = {
+                **m,
+                "bucket_counts": {
+                    **m["bucket_counts"],
+                    tbl: {
+                        str(b): _parquet_dir_rows(t._bucket_dir(b, int(bm[str(b)])))
+                        for b in range(t.n_buckets)
+                    },
+                },
+            }
+            changed = True
+        if changed:
+            # maintenance republish: same epoch, corrected head counts
+            self._publish(m)
+
+    def erase(self, tbl: str, keys: list[tuple]) -> dict:
+        """Physically remove ``keys`` from EVERY retained state of
+        ``tbl`` — current, time-traveled, and branch-staged — while
+        leaving history readable for all other data.
+
+        Order of operations: (1) a huge-window ``vacuum`` first drops
+        every UNREFERENCED directory (crash orphans, dropped-branch
+        stagings) that could still hold the keys without appearing in
+        any manifest; (2) the retained slices that can contain the keys
+        — every referenced COW version / MOR slice, but only the keys'
+        HASH BUCKETS on the bucketed strategies — are rewritten in
+        place with a broadcast anti-join, journaled to ``_ERASURES``
+        (re-running after a crash completes idempotently: the anti-join
+        is a no-op on already-clean slices); bloom sidecars rebuild
+        from the kept rows; (3) stale cardinality records drop from
+        history and recompute for the head. Manifests and epoch
+        numbering are untouched, so ``read_at`` keeps working —
+        returning the history MINUS the erased subject, which is the
+        point. Erasure of the keys from upstream change-log staging
+        files is the source's retention concern, not the catalog's.
+
+        Returns an audit record {dirs_rewritten, rows_removed}."""
+        t = self.targets[tbl]
+        keys = list(keys)
+        if not keys:
+            return {"dirs_rewritten": 0, "rows_removed": 0}
+        import pandas as pd
+
+        key_df = self.spark.createDataFrame(
+            pd.DataFrame(keys, columns=t.key_cols)
+        ).localCheckpoint()
+        self.vacuum(keep_epochs=10**9)  # expire nothing, sweep every orphan
+        window = [e for _, e in self._log_entries()] + [self.manifest()]
+        window += [self._branch_manifest(b) for b in self._branches()]
+        strategy = self._strategy(t)
+        dirs: set[str] = set()
+        if strategy == "cow":
+            for e in window:
+                if tbl in e.get("versions", {}):
+                    dirs.add(t._version_dir(int(e["versions"][tbl])))
+        elif strategy == "bucketed":
+            touched = self._route_buckets(t, key_df)
+            for e in window:
+                bm = e.get("bucketed", {}).get(tbl)
+                if bm:
+                    dirs.update(
+                        t._bucket_dir(b, int(bm[str(b)])) for b in touched
+                    )
+        elif strategy == "mor":
+            for e in window:
+                mm = e.get("mor", {}).get(tbl)
+                if mm:
+                    dirs.add(t._base_dir(int(mm["base"])))
+                    dirs.update(
+                        t._delta_dir(int(mm["base"]), i)
+                        for i in range(int(mm["deltas"]))
+                    )
+        else:  # bmor
+            touched = self._route_buckets(t, key_df)
+            for e in window:
+                bst = e.get("bmor", {}).get(tbl)
+                if bst:
+                    for b in touched:
+                        st = bst[str(b)]
+                        dirs.add(t._base_dir(b, int(st["base"])))
+                        dirs.update(
+                            t._delta_dir(b, int(st["base"]), i)
+                            for i in range(int(st["deltas"]))
+                        )
+        self._erase_journal(
+            {"op": "begin", "tbl": tbl, "n_keys": len(keys), "n_dirs": len(dirs)}
+        )
+        rewritten = 0
+        removed = 0
+        for d in sorted(dirs):
+            if not os.path.isdir(d):
+                continue  # expired by vacuum between listing and rewrite
+            removed += self._erase_dir(t, d, key_df)
+            rewritten += 1
+        self._refresh_counts_after_erase(tbl, t)
+        self._erase_journal(
+            {
+                "op": "done",
+                "tbl": tbl,
+                "dirs_rewritten": rewritten,
+                "rows_removed": removed,
+            }
+        )
+        return {"dirs_rewritten": rewritten, "rows_removed": removed}
+
     def compact(self, tbl: str, buckets: list[int] | None = None):
         """OPTIMIZE one catalog-managed merge-on-read table (whole-table
         or bucketed): fold its deltas (as seen by the CATALOG manifest)
@@ -2831,7 +3076,7 @@ class TxnCatalog:
                             victims.append(f"{tbl}/b{b}/{name}")
                             shutil.rmtree(os.path.join(bdir, name))
                 for name in sorted(os.listdir(t.root)):
-                    if name.startswith("_stage_"):
+                    if name.startswith(("_stage_", "_trash_")):
                         victims.append(f"{tbl}/{name}")
                         shutil.rmtree(os.path.join(t.root, name))
                 continue
@@ -2882,7 +3127,7 @@ class TxnCatalog:
                 # (as everywhere here) means any present at vacuum time
                 # is such an orphan
                 for name in sorted(os.listdir(t.root)):
-                    if name.startswith("_stage_"):
+                    if name.startswith(("_stage_", "_trash_")):
                         victims.append(f"{tbl}/{name}")
                         shutil.rmtree(os.path.join(t.root, name))
                 continue
@@ -2893,6 +3138,21 @@ class TxnCatalog:
                 if v not in reach:
                     victims.append(f"{tbl}/v_{v}")
                     shutil.rmtree(t._version_dir(v))
+        # sweep erase/staging scratch at every member root and bucket
+        # subdir (_stage_*/_trash_* are never referenced by a manifest;
+        # the strategy arms above already sweep their own roots — this
+        # uniform pass covers COW/MOR roots, which only gained scratch
+        # with the erase path, and crash-left _trash_ in bucket dirs)
+        for tbl, t in self.targets.items():
+            for base in [t.root] + [
+                os.path.join(t.root, n)
+                for n in sorted(os.listdir(t.root))
+                if n.startswith("b") and os.path.isdir(os.path.join(t.root, n))
+            ]:
+                for name in sorted(os.listdir(base)):
+                    if name.startswith(("_stage_", "_trash_")):
+                        victims.append(os.path.relpath(os.path.join(base, name), t.root))
+                        shutil.rmtree(os.path.join(base, name))
         # prune log entries outside the window (state already expired)
         for c, e in entries:
             if e["epoch"] not in epochs_kept:

@@ -2545,3 +2545,129 @@ def test_wap_rejection_record_idempotent(spark, catalog):
     cat.record_wap_rejection(5, "wap", reason="audit_failed")
     cat.record_wap_rejection(6, "wap", reason="audit_failed")
     assert [r["epoch"] for r in cat.wap_rejections()] == [5, 6]
+
+
+# -- round 12: right-to-be-forgotten erasure across time travel ---------------
+
+
+def _mk_batch(spark, rows):
+    return _chg(spark, rows)
+
+
+@pytest.mark.parametrize("strategy", ["cow", "bucketed", "mor", "bmor"])
+def test_erase_removes_keys_from_all_retained_epochs(spark, tmp_path, strategy):
+    """erase() physically removes the subject's rows from the CURRENT
+    state AND every time-traveled epoch, on every storage strategy,
+    while history stays readable for everyone else. The proof is a raw
+    recursive scan of the member's data files: zero occurrences."""
+    from mammoth_spark.sources.target import (
+        ParquetBucketedMorTarget,
+        ParquetBucketedTarget,
+        ParquetMorTarget,
+        compact_for_mor,
+    )
+
+    mk = {
+        "cow": lambda: ParquetMergeTarget(spark, str(tmp_path / "t"), ["key"], ["name"]),
+        "bucketed": lambda: ParquetBucketedTarget(
+            spark, str(tmp_path / "t"), ["key"], ["name"], n_buckets=4, bloom_bits=512
+        ),
+        "mor": lambda: ParquetMorTarget(spark, str(tmp_path / "t"), ["key"], ["name"]),
+        "bmor": lambda: ParquetBucketedMorTarget(
+            spark, str(tmp_path / "t"), ["key"], ["name"], n_buckets=4, bloom_bits=512
+        ),
+    }[strategy]
+    t = mk()
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"users": t})
+    keys = [f"k{i}" for i in range(8)]
+    cat.initialize(
+        {"users": spark.createDataFrame([(k, "init") for k in keys], KV)}
+    )
+    is_mor = strategy in ("mor", "bmor")
+
+    def batch(rows, seq0):
+        if is_mor:
+            return compact_for_mor(
+                spark.createDataFrame(rows, CHG).withColumn(
+                    "seq", F.monotonically_increasing_id() + F.lit(seq0)
+                ),
+                ["key"],
+                ["name"],
+            )
+        return _chg(spark, rows)
+
+    cat.apply_txn({"users": batch([("k1", "UPSERT", "secret-1")], 0)}, epoch=0)
+    cat.apply_txn({"users": batch([("k1", "UPSERT", "secret-2"),
+                                   ("k2", "UPSERT", "keep-2")], 100)}, epoch=1)
+
+    audit = cat.erase("users", [("k1",)])
+    assert audit["rows_removed"] >= 1 and audit["dirs_rewritten"] >= 1
+    # current state: subject gone, everyone else intact
+    got = _state(cat, "users")
+    assert "k1" not in got and got["k2"] == "keep-2" and got["k3"] == "init"
+    # every retained epoch: subject gone, history otherwise readable
+    for e in (-1, 0, 1):
+        rows = {r["key"]: r["name"] for r in cat.read_at("users", e).collect()}
+        assert "k1" not in rows, (e, rows)
+        assert rows["k3"] == "init"
+    assert {r["key"]: r["name"] for r in cat.read_at("users", 1).collect()}[
+        "k2"
+    ] == "keep-2"
+    # PHYSICAL proof: no data file under the member root contains k1
+    import glob as _glob
+
+    hits = 0
+    for f in _glob.glob(str(tmp_path / "t" / "**" / "*.parquet"), recursive=True):
+        d = os.path.dirname(f)
+        hits += (
+            spark.read.parquet(d).filter(F.col("key") == "k1").count()
+        )
+    assert hits == 0
+    # counts still answer correctly (head metadata or fallback)
+    assert cat.count("users") == cat.read("users").count()
+    assert cat.count("users", epoch=0) == cat.read_at("users", 0).count()
+    # the audit journal recorded the erasure
+    import json as _json
+
+    ops = [
+        _json.loads(ln)["op"] for ln in open(cat._erasures_path).read().splitlines()
+    ]
+    assert ops[0] == "begin" and ops[-1] == "done"
+    # post-erase writes continue normally
+    cat.apply_txn({"users": batch([("k5", "UPSERT", "after")], 200)}, epoch=2)
+    assert _state(cat, "users")["k5"] == "after"
+
+
+def test_erase_bucket_pruned_and_bloom_rebuilt(spark, tmp_path):
+    """On bucketed strategies the erase rewrites ONLY the keys' hash
+    buckets (cold file groups keep their original files — mtime pinned)
+    and rebuilds the rewritten dirs' bloom sidecars from the kept rows."""
+    from mammoth_spark.sources.target import ParquetBucketedTarget, _bucket_expr
+
+    t = ParquetBucketedTarget(
+        spark, str(tmp_path / "t"), ["key"], ["name"], n_buckets=4, bloom_bits=512
+    )
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"users": t})
+    keys = [f"k{i}" for i in range(16)]
+    cat.initialize(
+        {"users": spark.createDataFrame([(k, "init") for k in keys], KV)}
+    )
+    hot = (
+        spark.createDataFrame([("k1",)], "key string")
+        .select(_bucket_expr(["key"], 4).alias("b"))
+        .first()["b"]
+    )
+    m = cat.manifest()["bucketed"]["users"]
+    cold = [b for b in range(4) if b != hot][0]
+    cold_dir = t._bucket_dir(cold, int(m[str(cold)]))
+    before = sorted(os.listdir(cold_dir))
+    mt_before = os.path.getmtime(cold_dir)
+
+    cat.erase("users", [("k1",)])
+    assert sorted(os.listdir(cold_dir)) == before
+    assert os.path.getmtime(cold_dir) == mt_before  # untouched, not rewritten
+    # the hot bucket's bloom was rebuilt exactly: k1 now prunes to 0 I/O
+    out = cat.probe("users", [("k1",)])
+    assert out.count() == 0
+    st = t.last_probe_stats
+    assert st["bloom_negative"] == 1 and st["buckets_read"] == 0
