@@ -4356,3 +4356,196 @@ def catalog_erase_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.read("users").select(
         F.col("key").cast("bigint").alias("key"), "value_c"
     )
+
+
+@register("catalog_wap_audit_diff", oracle=_TERTILE_KEPT_ORACLE)
+def catalog_wap_audit_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAP audit over the BRANCH DIFF (round 12): the audit inspects
+    ``branch_changes`` — the exact op/old/new rows publishing the branch
+    would apply — instead of a row-count heuristic. Three epochs stage
+    through the gate: the good first tertile publishes (its diff is all
+    INSERTs); the POISON epoch (an upstream replay bug re-emitting every
+    committed key as DELETE) is rejected because its diff is
+    majority-DELETE — the inspection catches it even though a row-count
+    tripwire tuned for emptiness would too, and unlike the count it
+    names exactly WHICH rows die (the post-mortem artifact); the good
+    last tertile publishes. The final state must equal the oracle's net
+    of tertiles 1 and 3 — the poison left no trace. The diff costs one
+    keyed full-outer join over mainline ∪ branch (run on the epochs you
+    gate, not on every commit), publish stays a metadata swap."""
+    from pyspark.sql import types as T
+
+    from .scratch import scratch_dir
+    from .sources.target import ParquetMergeTarget, TxnCatalog
+
+    raw = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "seq", "key", "kind", "value"
+    )
+    b = raw.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+    t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    t2 = b["lo"] + 2 * ((b["hi"] - b["lo"]) // 3)
+    kept = _normalize_kinds(
+        raw.filter((F.col("seq") <= t1) | (F.col("seq") > t2))
+    ).select(
+        "seq",
+        F.col("key").cast("string").alias("key"),
+        "kind",
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+    )
+
+    catalog = TxnCatalog(
+        spark,
+        scratch_dir(prefix="wapd_cat_"),
+        {
+            "users": ParquetMergeTarget(
+                spark, scratch_dir(prefix="wapd_cow_"), ["key"], ["value_c"]
+            )
+        },
+    )
+    catalog.initialize(
+        {
+            "users": spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value_c", T.StringType()),
+                    ]
+                ),
+            )
+        }
+    )
+
+    def audit_diff_ok(branch: str) -> bool:
+        # ONE job over the diff: op histogram of what publish would do
+        ops = {
+            r["op"]: r["n"]
+            for r in catalog.branch_changes("users", branch)
+            .groupBy("op")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(ops.values())
+        return total == 0 or ops.get("DELETE", 0) * 2 <= total
+
+    def gate(compacted, epoch) -> bool:
+        catalog.stage_branch("audit", {"users": compacted}, epoch=epoch)
+        if audit_diff_ok("audit"):
+            catalog.publish_branch("audit")
+            return True
+        catalog.drop_branch("audit")
+        return False
+
+    # epoch 0: good first tertile — all-INSERT diff, publishes
+    assert gate(_inc_compact(kept.filter(F.col("seq") <= t1), ["value_c"]), 0)
+    # epoch 1: the poison — its DIFF is all DELETEs of live keys; rejected
+    poison = catalog.read("users").select(
+        "key", F.lit("DELETE").alias("kind"), F.lit(None).cast("string").alias("value_c")
+    )
+    assert not gate(poison, 1)
+    assert catalog.manifest()["epoch"] == 0  # mainline untouched
+    # epoch 2: good last tertile publishes over the dropped staging
+    assert gate(_inc_compact(kept.filter(F.col("seq") > t2), ["value_c"]), 2)
+    catalog.vacuum(keep_epochs=3)
+    return catalog.read("users").select(
+        F.col("key").cast("bigint").alias("key"), "value_c"
+    )
+
+
+@register(
+    "catalog_read_asof",
+    oracle=f"""
+WITH change_log AS (
+  SELECT event_id AS seq, {EVENTS_KIND_SQL} AS kind,
+         CAST(user_id AS BIGINT) AS key, value
+  FROM events
+),
+span AS (
+  SELECT min(seq) + CAST((max(seq) - min(seq)) // 3 AS BIGINT) AS t1,
+         min(seq) + CAST(2 * ((max(seq) - min(seq)) // 3) AS BIGINT) AS t2
+  FROM change_log
+),
+prefix_state AS (
+  SELECT p.snap, c.key, arg_max(c.kind, c.seq) AS last_kind,
+         CAST(CAST(floor(arg_max(c.value, CASE WHEN c.kind <> 'DELETE' THEN c.seq END) * 100)
+              AS BIGINT) AS VARCHAR) AS value_c
+  FROM change_log c, span s,
+       (VALUES ('e0'), ('e1'), ('e2')) p(snap)
+  WHERE (p.snap = 'e0' AND c.seq <= s.t1)
+     OR (p.snap = 'e1' AND c.seq <= s.t2)
+     OR (p.snap = 'e2')
+  GROUP BY p.snap, c.key
+)
+SELECT snap, key, value_c FROM prefix_state WHERE last_kind <> 'DELETE'
+""",
+)
+def catalog_read_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel (round 12 — Delta's second travel
+    axis; ``read_at`` is VERSION AS OF): every publish stamps its wall
+    time into the committed manifest, making the log a committed
+    TIMELINE; ``read_asof(tbl, ts)`` resolves the latest manifest at or
+    before ``ts``. Three epochs commit with the wall clock captured
+    between them; reading AS OF each captured instant must reproduce
+    each epoch's exact prefix state (the oracle's from-scratch nets) —
+    the \"what did the 09:00 training run actually read\" question
+    answered from one JSON timeline, no epoch bookkeeping needed by the
+    caller."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from .scratch import scratch_dir
+    from .sources.target import ParquetMergeTarget, TxnCatalog
+
+    log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
+        "seq",
+        F.col("key").cast("string").alias("key"),
+        "kind",
+        F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
+    )
+    b = log.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+    t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    t2 = b["lo"] + 2 * ((b["hi"] - b["lo"]) // 3)
+
+    catalog = TxnCatalog(
+        spark,
+        scratch_dir(prefix="asof_cat_"),
+        {
+            "users": ParquetMergeTarget(
+                spark, scratch_dir(prefix="asof_cow_"), ["key"], ["value_c"]
+            )
+        },
+    )
+    catalog.initialize(
+        {
+            "users": spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value_c", T.StringType()),
+                    ]
+                ),
+            )
+        }
+    )
+    spans = [
+        log.filter(F.col("seq") <= t1),
+        log.filter((F.col("seq") > t1) & (F.col("seq") <= t2)),
+        log.filter(F.col("seq") > t2),
+    ]
+    instants = []
+    for e, part in enumerate(spans):
+        catalog.apply_txn({"users": _inc_compact(part, ["value_c"])}, epoch=e)
+        instants.append(_time.time())
+        _time.sleep(0.01)  # commit stamps are strictly before the capture
+
+    out = None
+    for e, ts in enumerate(instants):
+        snap = catalog.read_asof("users", ts).select(
+            F.lit(f"e{e}").alias("snap"),
+            F.col("key").cast("bigint").alias("key"),
+            "value_c",
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

@@ -1802,7 +1802,12 @@ class TxnCatalog:
 
     def _publish(self, manifest: dict) -> None:
         import json
+        import time as _time
 
+        # every publish stamps ITS OWN wall time (overriding whatever a
+        # structural carry brought along): the log becomes a committed
+        # timeline, which is what read_asof (TIMESTAMP AS OF) resolves
+        manifest = {**manifest, "committed_at": _time.time()}
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_CATALOG.")
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
@@ -1929,6 +1934,36 @@ class TxnCatalog:
         give. Travel depth is bounded by ``vacuum(keep_epochs)``."""
         return self._read_from(tbl, self._manifest_at(epoch))
 
+    def read_asof(self, tbl: str, ts: float) -> DataFrame:
+        """Delta's ``TIMESTAMP AS OF`` shape: read ``tbl`` exactly as the
+        catalog stood at wall-clock ``ts`` — the LATEST manifest
+        committed at or before it (every publish stamps ``committed_at``,
+        so the log is a committed timeline; maintenance republishes —
+        folds, count refreshes — resolve to their own instants, which is
+        the honest answer to "what did a reader at time T see").
+        Cross-table consistent like ``read_at``; travel depth bounded by
+        ``vacuum`` exactly the same way. Raises when ``ts`` predates the
+        oldest retained commit."""
+        entries = [e for _, e in self._log_entries()]
+        cur = self.manifest()
+        if cur.get("committed_at") is not None and not any(
+            e.get("committed_at") == cur["committed_at"] and e["epoch"] == cur["epoch"]
+            for e in entries
+        ):
+            entries.append(cur)  # crash window: swap landed, append didn't
+        hits = [
+            e
+            for e in entries
+            if e.get("committed_at") is not None and e["committed_at"] <= ts
+        ]
+        if not hits:
+            raise FileNotFoundError(
+                f"no commit at or before ts={ts} in catalog {self.root} "
+                "(older commits may have been expired by vacuum, or the "
+                "catalog predates commit timestamps)"
+            )
+        return self._read_from(tbl, hits[-1])
+
     def changelog(self, tbl: str, from_epoch: int, to_epoch: int) -> DataFrame:
         """Change-data-feed between two committed epochs (Delta CDF /
         Iceberg changelog shape, derived rather than stored): one
@@ -1942,10 +1977,33 @@ class TxnCatalog:
         every commit."""
         from pyspark.sql import functions as F
 
-        t = self.targets[tbl]
-        old = self._read_from(tbl, self._manifest_at(from_epoch))
-        new = self._read_from(tbl, self._manifest_at(to_epoch))
-        # epochs straddling an ADD COLUMN evolution resolve to different
+        return self._state_diff(
+            self.targets[tbl],
+            self._read_from(tbl, self._manifest_at(from_epoch)),
+            self._read_from(tbl, self._manifest_at(to_epoch)),
+        )
+
+    def branch_changes(self, tbl: str, name: str) -> DataFrame:
+        """What a WAP branch WOULD change if published: the same derived
+        CDF shape as ``changelog`` (op INSERT/DELETE/UPDATE with
+        ``<col>_old``/``<col>_new`` pairs), diffing the current mainline
+        state against the branch head. This is what a real audit wants
+        to inspect — not a row count but the exact rows an epoch
+        deletes or rewrites — and it reads the branch's staged files
+        directly (stage once, audit real files, publish O(1): the WAP
+        economics unchanged)."""
+        return self._state_diff(
+            self.targets[tbl],
+            self.read(tbl),
+            self.read_branch(tbl, name),
+        )
+
+    def _state_diff(self, t, old: DataFrame, new: DataFrame) -> DataFrame:
+        """Null-safe keyed diff of two table states (the body shared by
+        ``changelog`` and ``branch_changes``)."""
+        from pyspark.sql import functions as F
+
+        # states straddling an ADD COLUMN evolution resolve to different
         # schemas (per-epoch schemas are the time-travel contract) — the
         # diff is over the CURRENT declared columns, with the missing
         # side backfilled as typed NULL (type from whichever side has

@@ -2671,3 +2671,64 @@ def test_erase_bucket_pruned_and_bloom_rebuilt(spark, tmp_path):
     assert out.count() == 0
     st = t.last_probe_stats
     assert st["bloom_negative"] == 1 and st["buckets_read"] == 0
+
+
+# -- round 12: branch diff + timestamp time travel ----------------------------
+
+
+def test_branch_changes_is_the_audit_diff(spark, catalog):
+    """branch_changes(tbl, name) reports exactly what publishing the
+    branch would do — op + old/new pairs — the inspection a real WAP
+    audit runs instead of a row count."""
+    cat = catalog
+    cat.stage_branch(
+        "audit",
+        {
+            "users": _chg(
+                spark,
+                [
+                    ("1", "DELETE", None),          # deletes an existing row
+                    ("2", "UPSERT", "Van"),          # inserts a new one
+                ],
+            )
+        },
+        epoch=0,
+    )
+    diff = {
+        r["key"]: (r["op"], r["name_old"], r["name_new"])
+        for r in cat.branch_changes("users", "audit").collect()
+    }
+    assert diff == {
+        "1": ("DELETE", "Taylor Swift", None),
+        "2": ("INSERT", None, "Van"),
+    }
+    # an audit built on the diff: refuse epochs deleting anything
+    assert any(op == "DELETE" for op, _, _ in diff.values())
+    cat.drop_branch("audit")
+
+
+def test_read_asof_timestamp_travel(spark, catalog):
+    """TIMESTAMP AS OF: each commit stamps committed_at; read_asof
+    resolves the latest manifest at-or-before the asked instant."""
+    import time
+
+    cat = catalog
+    t0 = time.time()
+    time.sleep(0.01)
+    cat.apply_txn({"users": _chg(spark, [("2", "UPSERT", "Van")])}, epoch=0)
+    t1 = time.time()
+    time.sleep(0.01)
+    cat.apply_txn({"users": _chg(spark, [("3", "UPSERT", "Joni")])}, epoch=1)
+    t2 = time.time()
+
+    assert {r["key"] for r in cat.read_asof("users", t1).collect()} == {"1", "2"}
+    assert {r["key"] for r in cat.read_asof("users", t2).collect()} == {"1", "2", "3"}
+    # before the first commit: nothing to resolve
+    with pytest.raises(FileNotFoundError, match="no commit at or before"):
+        cat.read_asof("users", t0 - 3600)
+    # asking "now" resolves the head
+    assert {r["key"] for r in cat.read_asof("users", time.time()).collect()} == {
+        "1",
+        "2",
+        "3",
+    }
