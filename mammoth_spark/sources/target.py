@@ -830,7 +830,9 @@ class _BloomIndexMixin:
         bits = bloom["bits"]
         return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
 
-    def _probe_impl(self, keys: list[tuple], chain_for_bucket, scan) -> DataFrame:
+    def _probe_impl(
+        self, keys: list[tuple], chain_for_bucket, scan, n_buckets: int | None = None
+    ) -> DataFrame:
         """The probe scaffolding shared by both bucketed targets —
         they differ only in which sidecars gate a bucket
         (``chain_for_bucket(b)``: one `_BLOOM` per COW bucket version;
@@ -855,7 +857,12 @@ class _BloomIndexMixin:
         import pandas as pd
 
         kdf = self.spark.createDataFrame(pd.DataFrame(keys, columns=self.key_cols))
-        sel = [*self.key_cols, self._bucket_col().alias("_b")]
+        # route under the probed MAP's scheme (n_buckets), which after an
+        # online rebucket can differ from the live object's constructor
+        bucket_col = _bucket_expr(
+            self.key_cols, n_buckets if n_buckets is not None else self.n_buckets
+        )
+        sel = [*self.key_cols, bucket_col.alias("_b")]
         if self.bloom_bits:
             sel.append(F.array(*self._bloom_pos_cols()).alias("_ps"))
         probe_rows = kdf.select(*sel).collect()  # LocalTableScan: no file I/O
@@ -1033,16 +1040,23 @@ class ParquetBucketedTarget(_BloomIndexMixin):
             scan=lambda bs: self.read_map(
                 bucket_map, bs, value_cols=value_cols, col_types=col_types
             ),
+            n_buckets=len(bucket_map),
         )
 
     # -- staging (publish-free, so a TxnCatalog can own the commit) --------
-    def stage_full(self, df: DataFrame, base: dict) -> dict:
+    def stage_full(
+        self, df: DataFrame, base: dict, alloc_floor: dict | None = None
+    ) -> dict:
         """Stage a FULL-table state into fresh per-bucket version dirs
         (every bucket advances past ``base``; empty buckets get a
         schema-stable empty slice). Nothing becomes visible here — the
         returned ``{bucket: version}`` map takes effect only when some
         manifest (this target's ``_MANIFEST`` or a catalog's
-        ``_CATALOG``) is swapped to reference it."""
+        ``_CATALOG``) is swapped to reference it. ``alloc_floor`` (the
+        catalog's per-bucket high-water) matters when the NEW scheme's
+        bucket count differs from ``base``'s (online rebucket): bucket
+        directories are shared across schemes, so versions must clear
+        every retained reference, not just the current map's."""
         import shutil
 
         stage, present = self._stage_partitioned(df)
@@ -1052,8 +1066,9 @@ class ParquetBucketedTarget(_BloomIndexMixin):
             self._write_stage_blooms(stage, present)
         buckets = {}
         counts = {}
+        floor = alloc_floor or {}
         for b in range(self.n_buckets):
-            v = int(base.get(str(b), 0)) + 1
+            v = max(int(base.get(str(b), 0)), int(floor.get(str(b), 0))) + 1
             src = os.path.join(stage, f"_b={b}")
             dst = self._bucket_dir(b, v)
             if b in present:
@@ -1178,7 +1193,9 @@ class ParquetBucketedTarget(_BloomIndexMixin):
 
         if not bucket_map:
             raise FileNotFoundError(f"bucketed target {self.root} not initialized")
-        bs = range(self.n_buckets) if buckets is None else buckets
+        # the MAP is the scheme: a full read iterates ITS buckets, so a
+        # pre-rebucket manifest resolves under its own (old) bucket count
+        bs = sorted(int(b) for b in bucket_map) if buckets is None else buckets
         reader = self.spark.read
         if getattr(self, "schema_evolved", False) or value_cols is not None:
             reader = reader.option("mergeSchema", "true")
@@ -1361,19 +1378,27 @@ class ParquetBucketedMorTarget(_BloomIndexMixin):
         return _bucket_expr(self.key_cols, self.n_buckets)
 
     # -- publish-free staging (a TxnCatalog owns the commit record) ---------
-    def stage_initial(self, df: DataFrame, base: dict) -> dict:
+    def stage_initial(
+        self, df: DataFrame, base: dict, alloc_floor: dict | None = None
+    ) -> dict:
         """Stage a full backfill: every bucket gets a fresh base past
         ``base`` (empty buckets a schema-stable empty slice), deltas
         reset. Visible only when some manifest references the returned
-        ``{bucket: {base, deltas}}`` map."""
+        ``{bucket: {base, deltas}}`` map. ``alloc_floor`` ({bucket:
+        base-generation high-water}) serves online rebucket exactly as
+        on ``stage_full``."""
         import shutil
 
         stage, present = _stage_by_bucket(df, self.root, self._bucket_col())
         if self.bloom_bits:
             self._write_stage_blooms(stage, present)
         out = {}
+        floor = alloc_floor or {}
         for b in range(self.n_buckets):
-            v = int(base.get(str(b), {}).get("base", -1)) + 1
+            v = max(
+                int(base.get(str(b), {}).get("base", -1)),
+                int(floor.get(str(b), -1)),
+            ) + 1
             dst = self._base_dir(b, v)
             if b in present:
                 _replace_dir(os.path.join(stage, f"_b={b}"), dst)
@@ -1526,7 +1551,8 @@ class ParquetBucketedMorTarget(_BloomIndexMixin):
             raise FileNotFoundError(
                 f"bucketed MOR target {self.root} not initialized"
             )
-        bs = range(self.n_buckets) if buckets is None else buckets
+        # scheme-aware like read_map: the map's keys ARE the bucket set
+        bs = sorted(int(b) for b in m) if buckets is None else buckets
         base_paths, delta_paths = [], []
         for b in bs:
             st = m[str(b)]
@@ -1581,6 +1607,7 @@ class ParquetBucketedMorTarget(_BloomIndexMixin):
             scan=lambda bs: self.read(
                 buckets=bs, manifest=m, value_cols=value_cols, col_types=col_types
             ),
+            n_buckets=len(m),
         )
 
     def write_delta(self, compacted: DataFrame) -> dict:
@@ -1738,7 +1765,8 @@ class TxnCatalog:
         self._ctor_value_cols = {
             tbl: list(t.value_cols) for tbl, t in targets.items()
         }
-        for tbl, rec in self.manifest().get("schemas", {}).items():
+        head = self.manifest()
+        for tbl, rec in head.get("schemas", {}).items():
             t = self.targets.get(tbl)
             if t is None:
                 continue
@@ -1748,6 +1776,14 @@ class TxnCatalog:
                 # mixed-schema slices may persist until every bucket /
                 # delta chain is rewritten: reads must merge footers
                 t.schema_evolved = True
+        # the bucket SCHEME rehydrates from the head too: after an online
+        # rebucket a fresh catalog constructed with the original
+        # constructor n_buckets would route writes under the stale scheme
+        for tbl, t in self.targets.items():
+            if self._is_bucketed(t) and tbl in head.get("bucketed", {}):
+                t.n_buckets = len(head["bucketed"][tbl])
+            elif self._is_bmor(t) and tbl in head.get("bmor", {}):
+                t.n_buckets = len(head["bmor"][tbl])
 
     # Dispatch reads a DECLARED class marker, not duck-typed method
     # sets: the fourth strategy proved hasattr inference fragile (it
@@ -2266,6 +2302,12 @@ class TxnCatalog:
             )
             if self._strategy(t) != "cow":
                 t.schema_evolved = rec is not None
+            # the bucket scheme follows the restored manifest too
+            # (rollback across an online rebucket)
+            if self._is_bucketed(t) and tbl in out.get("bucketed", {}):
+                t.n_buckets = len(out["bucketed"][tbl])
+            elif self._is_bmor(t) and tbl in new_bmor:
+                t.n_buckets = len(new_bmor[tbl])
             if self._is_mor(t) and tbl in new_mor:
                 mm = new_mor[tbl]
                 h = hw["mor"].get(tbl, {})
@@ -2317,8 +2359,11 @@ class TxnCatalog:
         t = self.targets[tbl]
         if self._is_bucketed(t):
             bc = m.get("bucket_counts", {}).get(tbl)
-            if bc is not None and all(str(b) in bc for b in range(t.n_buckets)):
-                return sum(int(v) for v in bc.values())
+            bm = m.get("bucketed", {}).get(tbl, {})
+            # completeness is judged against the MANIFEST's own bucket
+            # set (scheme-aware across online rebuckets)
+            if bc is not None and bm and all(b in bc for b in bm):
+                return sum(int(bc[b]) for b in bm)
         return self._read_from(tbl, m).count()
 
     def evolve_schema(
@@ -2805,6 +2850,59 @@ class TxnCatalog:
                 continue
         return out
 
+    def rebucket(self, tbl: str, n_buckets: int) -> dict:
+        """ONLINE bucket-count evolution for a bucketed or bucketed-MOR
+        member (the layout change a table that outgrew its file-group
+        count needs — Hudi's bucket-rescale / Iceberg's partition-spec
+        evolution shape): ONE full rewrite of the current state staged
+        under the NEW scheme, published as a maintenance republish (same
+        epoch — the state is logically unchanged, only its layout
+        moved). History keeps working because every read/vacuum/erase
+        path derives the bucket set (and routing scheme) from each
+        MANIFEST's own map, never the live object: time travel onto
+        pre-rebucket epochs resolves under the old count, vacuum
+        reachability-checks the union of schemes, erase routes per
+        retained scheme. Bucket DIRECTORIES are shared across schemes,
+        so the staged versions allocate above the all-manifests
+        high-water mark. Refused while a WAP branch is live (like
+        evolve_schema: a same-epoch maintenance republish the
+        epoch-based fast-forward check cannot defend). The rewrite is
+        the unavoidable O(table) cost of a layout change — paid once,
+        scheduled by the operator, never forced on the write path."""
+        t = self.targets[tbl]
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        if not (self._is_bucketed(t) or self._is_bmor(t)):
+            raise ValueError(
+                f"table {tbl} ({t.strategy}) has no bucket layout; rebucket "
+                "applies to bucketed members"
+            )
+        self._refuse_if_branches("rebucket")
+        m = self.manifest()
+        state = self._read_from(tbl, m)
+        hw = self._high_water()
+        t.n_buckets = n_buckets
+        if self._is_bucketed(t):
+            floor = hw["bucketed"].get(tbl, {})
+            new_map = t.stage_full(state, m["bucketed"][tbl], alloc_floor=floor)
+            out = {
+                **m,
+                "bucketed": {**m["bucketed"], tbl: new_map},
+            }
+            if tbl in m.get("bucket_counts", {}):
+                out["bucket_counts"] = {
+                    **m["bucket_counts"],
+                    tbl: t.last_stage_counts,
+                }
+        else:
+            floor = {
+                b: h.get("base", -1) for b, h in hw["bmor"].get(tbl, {}).items()
+            }
+            new_map = t.stage_initial(state, m["bmor"][tbl], alloc_floor=floor)
+            out = {**m, "bmor": {**m["bmor"], tbl: new_map}}
+        self._publish(out)
+        return new_map
+
     # -- right-to-be-forgotten erasure across time travel ----------------
     #
     # Versioned catalogs create a governance tension: time travel RETAINS
@@ -2833,11 +2931,17 @@ class TxnCatalog:
             f.flush()
             os.fsync(f.fileno())
 
-    def _route_buckets(self, t, key_df: DataFrame) -> list[int]:
-        """The buckets a bounded key set hashes into (LocalTableScan)."""
+    def _route_buckets(self, t, key_df: DataFrame, n_buckets: int) -> list[int]:
+        """The buckets a bounded key set hashes into under an explicit
+        SCHEME (bucket count) — erase must route per retained manifest's
+        own scheme after an online rebucket (LocalTableScan)."""
         return sorted(
             int(r["_b"])
-            for r in key_df.select(t._bucket_col().alias("_b")).distinct().collect()
+            for r in key_df.select(
+                _bucket_expr(t.key_cols, n_buckets).alias("_b")
+            )
+            .distinct()
+            .collect()
         )
 
     def _rebuild_dir_bloom(self, t, d: str) -> None:
@@ -2931,8 +3035,8 @@ class TxnCatalog:
                 "bucket_counts": {
                     **m["bucket_counts"],
                     tbl: {
-                        str(b): _parquet_dir_rows(t._bucket_dir(b, int(bm[str(b)])))
-                        for b in range(t.n_buckets)
+                        b: _parquet_dir_rows(t._bucket_dir(int(b), int(v)))
+                        for b, v in bm.items()
                     },
                 },
             }
@@ -2982,12 +3086,16 @@ class TxnCatalog:
                 if tbl in e.get("versions", {}):
                     dirs.add(t._version_dir(int(e["versions"][tbl])))
         elif strategy == "bucketed":
-            touched = self._route_buckets(t, key_df)
+            routes: dict[int, list[int]] = {}
             for e in window:
                 bm = e.get("bucketed", {}).get(tbl)
                 if bm:
+                    # route under THIS manifest's scheme (rebucket-safe)
+                    n = len(bm)
+                    if n not in routes:
+                        routes[n] = self._route_buckets(t, key_df, n)
                     dirs.update(
-                        t._bucket_dir(b, int(bm[str(b)])) for b in touched
+                        t._bucket_dir(b, int(bm[str(b)])) for b in routes[n]
                     )
         elif strategy == "mor":
             for e in window:
@@ -2999,11 +3107,14 @@ class TxnCatalog:
                         for i in range(int(mm["deltas"]))
                     )
         else:  # bmor
-            touched = self._route_buckets(t, key_df)
+            routes = {}
             for e in window:
                 bst = e.get("bmor", {}).get(tbl)
                 if bst:
-                    for b in touched:
+                    n = len(bst)
+                    if n not in routes:
+                        routes[n] = self._route_buckets(t, key_df, n)
+                    for b in routes[n]:
                         st = bst[str(b)]
                         dirs.add(t._base_dir(b, int(st["base"])))
                         dirs.update(
@@ -3112,7 +3223,12 @@ class TxnCatalog:
                 states = [w["bmor"][tbl] for w in window if tbl in w.get("bmor", {})]
                 if not states:
                     continue
-                for b in range(t.n_buckets):
+                # union of bucket indices across the window: after an
+                # online rebucket, older manifests reference bucket
+                # numbers outside the live scheme — their file groups
+                # must still be reachability-checked, not skipped
+                all_bs = sorted({int(b) for st in states for b in st})
+                for b in all_bs:
                     reach = set()
                     for s in states:
                         st = s.get(str(b))
@@ -3168,7 +3284,9 @@ class TxnCatalog:
                 ]
                 if not maps:
                     continue
-                for b in range(t.n_buckets):
+                # union across schemes — see the bmor arm's comment
+                all_bs = sorted({int(b) for bm in maps for b in bm})
+                for b in all_bs:
                     reach = {int(bm[str(b)]) for bm in maps if str(b) in bm}
                     bdir = os.path.join(t.root, f"b{b}")
                     if not os.path.isdir(bdir):

@@ -2732,3 +2732,103 @@ def test_read_asof_timestamp_travel(spark, catalog):
         "2",
         "3",
     }
+
+
+# -- round 12: online bucket-count evolution ----------------------------------
+
+
+def test_rebucket_bucketed_member_online(spark, tmp_path):
+    """rebucket rewrites the current state under the new scheme as a
+    maintenance republish; history resolves under each manifest's OWN
+    scheme, writes prune under the new one, and vacuum sweeps across
+    schemes."""
+    from mammoth_spark.sources.target import ParquetBucketedTarget
+
+    t = ParquetBucketedTarget(
+        spark, str(tmp_path / "t"), ["key"], ["name"], n_buckets=2, bloom_bits=512
+    )
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"items": t})
+    keys = [f"k{i}" for i in range(12)]
+    cat.initialize(
+        {"items": spark.createDataFrame([(k, "init") for k in keys], KV)}
+    )
+    cat.apply_txn({"items": _chg(spark, [("k0", "UPSERT", "v0")])}, epoch=0)
+
+    new_map = cat.rebucket("items", 8)
+    assert len(new_map) == 8 and t.n_buckets == 8
+    assert cat.manifest()["epoch"] == 0  # maintenance republish, same epoch
+    got = _state(cat, "items")
+    assert got["k0"] == "v0" and all(got[k] == "init" for k in keys if k != "k0")
+    # metadata count survived the rebucket (recomputed per new bucket)
+    assert cat.count("items") == 12
+    # history resolves under the OLD scheme
+    assert {r["key"] for r in cat.read_at("items", -1).collect()} == set(keys)
+    # post-rebucket writes stage under the NEW scheme and probe works
+    cat.apply_txn({"items": _chg(spark, [("k3", "UPSERT", "after")])}, epoch=1)
+    assert _state(cat, "items")["k3"] == "after"
+    assert {r["name"] for r in cat.probe("items", [("k3",)]).collect()} == {"after"}
+    # a fresh catalog over the same root rehydrates the new scheme
+    t2 = ParquetBucketedTarget(
+        spark, str(tmp_path / "t"), ["key"], ["name"], n_buckets=2, bloom_bits=512
+    )
+    cat2 = TxnCatalog(spark, str(tmp_path / "cat"), {"items": t2})
+    assert t2.n_buckets == 8
+    assert {r["name"] for r in cat2.probe("items", [("k3",)]).collect()} == {"after"}
+    # vacuum across schemes keeps the window readable
+    cat.vacuum(keep_epochs=2)
+    assert _state(cat, "items")["k3"] == "after"
+    assert {r["key"] for r in cat.read_at("items", 0).collect()} == set(keys)
+
+
+def test_rebucket_bmor_member_and_erase_across_schemes(spark, tmp_path):
+    """Bucketed-MOR rebucket: fresh bases under the new scheme, deltas
+    reset; erase AFTER a rebucket routes per retained manifest's own
+    scheme, so pre-rebucket slices are cleaned too."""
+    from mammoth_spark.sources.target import (
+        ParquetBucketedMorTarget,
+        compact_for_mor,
+    )
+
+    t = ParquetBucketedMorTarget(
+        spark, str(tmp_path / "t"), ["key"], ["name"], n_buckets=2
+    )
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"logs": t})
+    keys = [f"k{i}" for i in range(8)]
+    cat.initialize(
+        {"logs": spark.createDataFrame([(k, "init") for k in keys], KV)}
+    )
+
+    def batch(rows, seq0):
+        return compact_for_mor(
+            spark.createDataFrame(rows, CHG).withColumn(
+                "seq", F.monotonically_increasing_id() + F.lit(seq0)
+            ),
+            ["key"],
+            ["name"],
+        )
+
+    cat.apply_txn({"logs": batch([("k1", "UPSERT", "secret")], 0)}, epoch=0)
+    new_map = cat.rebucket("logs", 4)
+    assert len(new_map) == 4 and all(st["deltas"] == 0 for st in new_map.values())
+    got = _state(cat, "logs")
+    assert got["k1"] == "secret" and got["k2"] == "init"
+    # post-rebucket deltas apply under the new scheme
+    cat.apply_txn({"logs": batch([("k1", "UPSERT", "secret-2")], 100)}, epoch=1)
+    assert _state(cat, "logs")["k1"] == "secret-2"
+    # history under the old scheme still reads
+    assert {r["key"] for r in cat.read_at("logs", -1).collect()} == set(keys)
+
+    # erase k1: retained slices exist under BOTH schemes (2 and 4)
+    audit = cat.erase("logs", [("k1",)])
+    assert audit["rows_removed"] >= 2
+    for e in (-1, 0, 1):
+        assert not any(
+            r["key"] == "k1" for r in cat.read_at("logs", e).collect()
+        ), e
+    import glob as _glob
+
+    hits = 0
+    for f in _glob.glob(str(tmp_path / "t" / "**" / "*.parquet"), recursive=True):
+        d = os.path.dirname(f)
+        hits += spark.read.parquet(d).filter(F.col("key") == "k1").count()
+    assert hits == 0
