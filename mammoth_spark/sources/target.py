@@ -684,19 +684,18 @@ def _parquet_dir_rows(path: str) -> int:
     return n
 
 
-def _swap_live_dir(dst: str, src: str) -> None:
+def _swap_live_dir(dst: str, src: str, trash: str) -> None:
     """Replace the CONTENTS of a live data directory with a freshly
     staged one — the erase path's primitive, distinct from
     ``_replace_dir`` (whose rmtree-then-rename is only safe when ``dst``
     is an orphan no manifest references). Two renames: the old contents
-    move aside to a ``_trash`` sibling first, so a crash at any point
-    leaves BOTH the old and the new contents on disk (the erasure
-    journal records the in-flight directory; re-running the erase
-    completes idempotently and vacuum sweeps ``_trash_*``/``_stage_*``
-    leftovers)."""
+    move aside to the caller-provided (and caller-JOURNALED) ``trash``
+    path first, so a crash at any point leaves at least one complete
+    copy on disk, and ``TxnCatalog._recover_inflight_erase`` — which
+    runs before every erase AND every vacuum — can restore ``dst`` from
+    the journal before any sweep touches the scratch dirs."""
     import shutil
 
-    trash = tempfile.mkdtemp(dir=os.path.dirname(dst), prefix="_trash_")
     old = os.path.join(trash, "old")
     os.replace(dst, old)
     os.replace(src, dst)
@@ -2881,25 +2880,34 @@ class TxnCatalog:
         m = self.manifest()
         state = self._read_from(tbl, m)
         hw = self._high_water()
+        old_n = t.n_buckets
         t.n_buckets = n_buckets
-        if self._is_bucketed(t):
-            floor = hw["bucketed"].get(tbl, {})
-            new_map = t.stage_full(state, m["bucketed"][tbl], alloc_floor=floor)
-            out = {
-                **m,
-                "bucketed": {**m["bucketed"], tbl: new_map},
-            }
-            if tbl in m.get("bucket_counts", {}):
-                out["bucket_counts"] = {
-                    **m["bucket_counts"],
-                    tbl: t.last_stage_counts,
+        try:
+            if self._is_bucketed(t):
+                floor = hw["bucketed"].get(tbl, {})
+                new_map = t.stage_full(state, m["bucketed"][tbl], alloc_floor=floor)
+                out = {
+                    **m,
+                    "bucketed": {**m["bucketed"], tbl: new_map},
                 }
-        else:
-            floor = {
-                b: h.get("base", -1) for b, h in hw["bmor"].get(tbl, {}).items()
-            }
-            new_map = t.stage_initial(state, m["bmor"][tbl], alloc_floor=floor)
-            out = {**m, "bmor": {**m["bmor"], tbl: new_map}}
+                if tbl in m.get("bucket_counts", {}):
+                    out["bucket_counts"] = {
+                        **m["bucket_counts"],
+                        tbl: t.last_stage_counts,
+                    }
+            else:
+                floor = {
+                    b: h.get("base", -1) for b, h in hw["bmor"].get(tbl, {}).items()
+                }
+                new_map = t.stage_initial(state, m["bmor"][tbl], alloc_floor=floor)
+                out = {**m, "bmor": {**m["bmor"], tbl: new_map}}
+        except BaseException:
+            # staging failed before the publish: the committed manifest
+            # still maps the OLD scheme — the live object must keep
+            # routing under it (a half-flipped scheme would merge keys
+            # into the wrong buckets and blind probe/erase routing)
+            t.n_buckets = old_n
+            raise
         self._publish(out)
         return new_map
 
@@ -2930,6 +2938,58 @@ class TxnCatalog:
             f.write("\n")
             f.flush()
             os.fsync(f.fileno())
+
+    def _recover_inflight_erase(self) -> list[str]:
+        """Repair any erase rewrite a crash left mid-swap: replay the
+        journal's ``rewrite`` records without a matching
+        ``rewrite_done`` and, when the live directory is MISSING,
+        restore it — preferring the fully-written staged copy (the
+        clean post-erase contents), falling back to the trashed old
+        contents. MUST run before any scratch sweep (it does: both
+        ``erase`` and ``vacuum`` call it first), because those two
+        copies live in ``_stage_*``/``_trash_*`` dirs the sweep would
+        otherwise reclaim. Returns the restored directories."""
+        done = set()
+        pending = []
+        for r in self._erase_log_records():
+            if r.get("op") == "rewrite_done":
+                done.add(r["dir"])
+            elif r.get("op") == "rewrite":
+                pending.append(r)
+        restored = []
+        for r in pending:
+            d = r["dir"]
+            if d in done or os.path.isdir(d):
+                continue
+            staged = r.get("staged")
+            trash_old = os.path.join(r.get("trash", ""), "old")
+            src = (
+                staged
+                if staged and os.path.isdir(staged)
+                else (trash_old if os.path.isdir(trash_old) else None)
+            )
+            if src is None:
+                continue  # both copies already gone: nothing recoverable
+            os.replace(src, d)
+            self._erase_journal({"op": "rewrite_done", "dir": d, "recovered": True})
+            restored.append(d)
+        return restored
+
+    def _erase_log_records(self) -> list[dict]:
+        import json
+
+        try:
+            with open(self._erasures_path) as f:
+                lines = f.read().splitlines()
+        except FileNotFoundError:
+            return []
+        out = []
+        for ln in lines:
+            try:
+                out.append(json.loads(ln))
+            except ValueError:
+                continue
+        return out
 
     def _route_buckets(self, t, key_df: DataFrame, n_buckets: int) -> list[int]:
         """The buckets a bounded key set hashes into under an explicit
@@ -2981,8 +3041,16 @@ class TxnCatalog:
         out = os.path.join(stage, "kept")
         n_kept = _write_observed(kept, out)
         had_bloom = os.path.exists(os.path.join(d, "_BLOOM"))
-        self._erase_journal({"op": "rewrite", "dir": d, "staged": out})
-        _swap_live_dir(d, out)
+        trash = tempfile.mkdtemp(dir=os.path.dirname(d), prefix="_trash_")
+        # the journal names BOTH recovery copies before anything moves:
+        # a crash anywhere in the swap is repaired by
+        # _recover_inflight_erase (preferring the clean staged copy)
+        # before any vacuum sweep can touch the scratch dirs
+        self._erase_journal(
+            {"op": "rewrite", "dir": d, "staged": out, "trash": trash}
+        )
+        _swap_live_dir(d, out, trash)
+        self._erase_journal({"op": "rewrite_done", "dir": d})
         shutil.rmtree(stage, ignore_errors=True)
         if had_bloom and getattr(t, "bloom_bits", None):
             self._rebuild_dir_bloom(t, d)
@@ -3044,6 +3112,22 @@ class TxnCatalog:
         if changed:
             # maintenance republish: same epoch, corrected head counts
             self._publish(m)
+        # live WAP branch heads recorded counts at stage time too — a
+        # later publish would install pre-erase cardinalities at the
+        # head; drop the table's records (count() falls back to a read
+        # until the next staging re-observes)
+        for name in self._branches():
+            bm2 = self._branch_manifest(name)
+            changed2 = False
+            for k in ("row_counts", "bucket_counts"):
+                if tbl in bm2.get(k, {}):
+                    bm2[k] = {a: v for a, v in bm2[k].items() if a != tbl}
+                    changed2 = True
+            if changed2:
+                fd, tmp = tempfile.mkstemp(dir=self._branch_dir, prefix=f"{name}.")
+                with os.fdopen(fd, "w") as f:
+                    json.dump(bm2, f)
+                os.replace(tmp, self._branch_path(name))
 
     def erase(self, tbl: str, keys: list[tuple]) -> dict:
         """Physically remove ``keys`` from EVERY retained state of
@@ -3076,6 +3160,7 @@ class TxnCatalog:
         key_df = self.spark.createDataFrame(
             pd.DataFrame(keys, columns=t.key_cols)
         ).localCheckpoint()
+        # vacuum itself recovers in-flight rewrites first, then sweeps
         self.vacuum(keep_epochs=10**9)  # expire nothing, sweep every orphan
         window = [e for _, e in self._log_entries()] + [self.manifest()]
         window += [self._branch_manifest(b) for b in self._branches()]
@@ -3203,6 +3288,9 @@ class TxnCatalog:
         O(history))."""
         import shutil
 
+        # a crash mid-erase leaves a live dir's only copies in scratch
+        # dirs this sweep would reclaim — repair before sweeping
+        self._recover_inflight_erase()
         m = self.manifest()
         if m["epoch"] is None:
             return []  # nothing ever committed: refuse, like vacuum_ivf_index
@@ -3249,10 +3337,6 @@ class TxnCatalog:
                         if name not in reach:
                             victims.append(f"{tbl}/b{b}/{name}")
                             shutil.rmtree(os.path.join(bdir, name))
-                for name in sorted(os.listdir(t.root)):
-                    if name.startswith(("_stage_", "_trash_")):
-                        victims.append(f"{tbl}/{name}")
-                        shutil.rmtree(os.path.join(t.root, name))
                 continue
             if self._is_mor(t):
                 reach = set()
@@ -3297,15 +3381,6 @@ class TxnCatalog:
                         if int(name[2:]) not in reach:
                             victims.append(f"{tbl}/b{b}/{name}")
                             shutil.rmtree(os.path.join(bdir, name))
-                # a crash INSIDE _stage_partitioned (before any version
-                # move) leaves a data-sized _stage_* scratch dir no
-                # manifest can ever reference; single-writer discipline
-                # (as everywhere here) means any present at vacuum time
-                # is such an orphan
-                for name in sorted(os.listdir(t.root)):
-                    if name.startswith(("_stage_", "_trash_")):
-                        victims.append(f"{tbl}/{name}")
-                        shutil.rmtree(os.path.join(t.root, name))
                 continue
             reach = {w["versions"][tbl] for w in window if tbl in w.get("versions", {})}
             if not reach:
@@ -3315,10 +3390,11 @@ class TxnCatalog:
                     victims.append(f"{tbl}/v_{v}")
                     shutil.rmtree(t._version_dir(v))
         # sweep erase/staging scratch at every member root and bucket
-        # subdir (_stage_*/_trash_* are never referenced by a manifest;
-        # the strategy arms above already sweep their own roots — this
-        # uniform pass covers COW/MOR roots, which only gained scratch
-        # with the erase path, and crash-left _trash_ in bucket dirs)
+        # subdir — the ONE sweep for all strategies (_stage_*/_trash_*
+        # are never referenced by a manifest; a crash inside
+        # _stage_partitioned or an erase swap leaves them, and
+        # _recover_inflight_erase already ran above, so nothing here is
+        # a live dir's only copy)
         for tbl, t in self.targets.items():
             for base in [t.root] + [
                 os.path.join(t.root, n)

@@ -127,6 +127,17 @@ class ChangeLogPipeline:
             else []
         )
         self.value_cols = value_cols
+        # Which declared columns were ADDED BY EVOLUTION — the only ones
+        # a row may legitimately omit (pre-ALTER rows advertise the
+        # schema they were written under). Derived from the catalog's
+        # schema records: evolve_schema records every added column in
+        # ``types``. Without this distinction a trailing upstream DROP
+        # COLUMN would be indistinguishable from pre-ALTER rows and get
+        # silently absorbed instead of re-syncing (round-12 review).
+        self.evolved_value_cols: set[str] = set()
+        if txn_catalog is not None:
+            for rec in txn_catalog.manifest().get("schemas", {}).values():
+                self.evolved_value_cols |= set(rec.get("types", {}))
         self.expected_schema = expected_schema or plain_change_log_schema(
             value_cols, flagged=flagged
         )
@@ -157,22 +168,30 @@ class ChangeLogPipeline:
             # drift check (message_accumulator.go:118-122): every in-band
             # relation column list is compared against the pipeline's
             # declared value columns. Three outcomes:
-            # - equal, or a PREFIX of declared: fine — prefix rows simply
-            #   predate the newest ADD COLUMN (their absent columns read
-            #   NULL on the plain path / unchanged-inherit when flagged),
-            #   which is exactly the post-evolution backfill semantics; a
+            # - equal, or a PREFIX of declared whose missing suffix is
+            #   entirely EVOLUTION-ADDED columns: fine — such rows simply
+            #   predate the ADD COLUMN (their absent columns read NULL on
+            #   the plain path / unchanged-inherit when flagged), which is
+            #   exactly the post-evolution backfill semantics; a
             #   redelivered boundary batch after an evolution restart
-            #   must not re-trip on its pre-ALTER rows.
+            #   must not re-trip on its pre-ALTER rows. A prefix missing
+            #   a NON-evolved column is an upstream DROP — destructive.
             # - declared is a PREFIX of advertised: ADDITIVE drift (an
             #   upstream ADD COLUMN) — raised with the advertised list so
             #   run_with_restart can evolve-and-resume instead of the
             #   reference's drop-and-resync.
-            # - anything else (rename/drop/reorder): destructive drift,
-            #   full re-sync as in the reference.
+            # - anything else (rename/drop/reorder/empty): destructive
+            #   drift, full re-sync as in the reference.
             declared = list(self.value_cols)
             for rel_json in stats["rels"]:
                 advertised = json.loads(rel_json)
-                if advertised == declared or advertised == declared[: len(advertised)]:
+                if advertised == declared:
+                    continue
+                if (
+                    advertised
+                    and advertised == declared[: len(advertised)]
+                    and set(declared[len(advertised):]) <= self.evolved_value_cols
+                ):
                     continue
                 if declared == advertised[: len(declared)]:
                     raise RelationChangedError(

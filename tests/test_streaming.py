@@ -1025,3 +1025,48 @@ def test_destructive_drift_still_resyncs_with_evolve_present(spark, tmp_path):
     restarts = run_with_restart(make_pipeline, backfill, evolve=evolve)
     assert restarts == 1
     assert calls["backfill"] == 1 and calls["evolve"] == 0
+
+
+def test_trailing_drop_column_is_destructive_drift(spark, tmp_path):
+    """Regression (round-12 review): rows advertising a PREFIX of the
+    declared columns are only legitimate when the missing suffix was
+    ADDED BY EVOLUTION (pre-ALTER rows); a prefix missing a column the
+    catalog never evolved is an upstream DROP COLUMN — destructive
+    drift, full re-sync, never silent absorption."""
+    from mammoth_spark.sources.target import TxnCatalog
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src, exist_ok=True)
+    target = ParquetMergeTarget(spark, str(tmp_path / "t"), ["key"], ["name", "nick"])
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"users": target})
+    cat.initialize(
+        {
+            "users": spark.createDataFrame(
+                [("1", "Taylor", "T")],
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("nick", T.StringType()),
+                    ]
+                ),
+            )
+        }
+    )
+    pipeline = ChangeLogPipeline(
+        spark,
+        source_dir=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        targets={"users": target},
+        value_cols=["name", "nick"],
+        txn_catalog=cat,
+    )
+    # nick was NEVER evolution-added (no schemas record): a row
+    # advertising only ("name",) means upstream DROPPED nick
+    write_changes(
+        src, "b1.json", [change(1, 1, "UPDATE", 1, "Taylor2", rel_cols=("name",))]
+    )
+    with pytest.raises(Exception, match="RelationChangedError|schema drift"):
+        pipeline.run_available()
+    # and an EMPTY advertised list is never a valid prefix
+    assert pipeline.evolved_value_cols == set()

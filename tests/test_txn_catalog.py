@@ -66,7 +66,9 @@ def test_one_txn_commits_all_tables(spark, catalog):
     assert out == {"users": 2, "albums": 2}
     assert _state(catalog, "users") == {"1": "Taylor Swift", "2": "Van Morrison"}
     assert _state(catalog, "albums") == {"a": "Astral Weeks", "b": "Blue"}
-    assert catalog.manifest() == {
+    m = catalog.manifest()
+    assert isinstance(m.pop("committed_at"), float)  # the read_asof timeline
+    assert m == {
         "epoch": 0,
         "versions": {"users": 2, "albums": 2},
         "row_counts": {"users": 2, "albums": 2},
@@ -329,6 +331,7 @@ def test_mixed_cow_mor_one_txn_commits_all(spark, mixed_catalog):
     assert _state(cat, "users") == {"1": "Taylor Swift", "2": "Van Morrison"}
     assert _state(cat, "plays") == {"p2": "song-b"}
     m = cat.manifest()
+    assert isinstance(m.pop("committed_at"), float)  # the read_asof timeline
     assert m == {
         "epoch": 0,
         "versions": {"users": 2},
@@ -2832,3 +2835,88 @@ def test_rebucket_bmor_member_and_erase_across_schemes(spark, tmp_path):
         d = os.path.dirname(f)
         hits += spark.read.parquet(d).filter(F.col("key") == "k1").count()
     assert hits == 0
+
+
+# -- round 12 second review: erase crash recovery, rebucket atomicity ---------
+
+
+def test_erase_crash_mid_swap_recovers(spark, tmp_path, monkeypatch):
+    """Regression (round-12 review, data-loss window): a crash BETWEEN
+    the two renames of the erase swap leaves the live dir missing; the
+    journal-driven recovery (run before every erase AND vacuum) restores
+    it from the staged copy before any sweep can reclaim it."""
+    import mammoth_spark.sources.target as tgt
+
+    t = ParquetMergeTarget(spark, str(tmp_path / "t"), ["key"], ["name"])
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"users": t})
+    cat.initialize(
+        {"users": spark.createDataFrame([("k1", "secret"), ("k2", "keep")], KV)}
+    )
+    cat.apply_txn({"users": _chg(spark, [("k3", "UPSERT", "three")])}, epoch=0)
+
+    real_swap = tgt._swap_live_dir
+    def crash_swap(dst, src, trash):
+        os.replace(dst, os.path.join(trash, "old"))
+        raise RuntimeError("simulated crash between the two renames")
+
+    monkeypatch.setattr(tgt, "_swap_live_dir", crash_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cat.erase("users", [("k1",)])
+    monkeypatch.setattr(tgt, "_swap_live_dir", real_swap)
+
+    # the crash left SOME live dir missing — vacuum must repair, not sweep
+    restored = cat._recover_inflight_erase()
+    assert restored, "recovery found nothing to restore"
+    # the restored copy is the CLEAN staged one: k1 already gone there
+    state = _state(cat, "users")
+    assert state.get("k2") == "keep"
+    # re-running the erase completes idempotently
+    cat.erase("users", [("k1",)])
+    assert "k1" not in _state(cat, "users")
+    assert _state(cat, "users")["k2"] == "keep"
+    cat.vacuum(keep_epochs=2)
+    assert _state(cat, "users")["k2"] == "keep"
+
+
+def test_erase_drops_stale_branch_counts(spark, tmp_path):
+    """Regression (round-12 review): a live branch staged BEFORE an
+    erase carries pre-erase cardinalities; publishing it must not
+    install them at the head."""
+    t = ParquetMergeTarget(spark, str(tmp_path / "t"), ["key"], ["name"])
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"users": t})
+    cat.initialize(
+        {"users": spark.createDataFrame([("k1", "secret"), ("k2", "keep")], KV)}
+    )
+    cat.stage_branch(
+        "audit", {"users": _chg(spark, [("k3", "UPSERT", "three")])}, epoch=0
+    )
+    cat.erase("users", [("k1",)])
+    assert cat.publish_branch("audit") == 0
+    assert cat.count("users") == cat.read("users").count() == 2  # k2, k3
+
+
+def test_rebucket_failure_restores_live_scheme(spark, tmp_path, monkeypatch):
+    """Regression (round-12 review): a staging failure inside rebucket
+    must restore the live object's n_buckets — a half-flipped scheme
+    would route writes into the wrong buckets of the old map."""
+    from mammoth_spark.sources.target import ParquetBucketedTarget
+
+    t = ParquetBucketedTarget(
+        spark, str(tmp_path / "t"), ["key"], ["name"], n_buckets=4
+    )
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"items": t})
+    cat.initialize(
+        {"items": spark.createDataFrame([(f"k{i}", "init") for i in range(8)], KV)}
+    )
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated staging failure")
+
+    monkeypatch.setattr(t, "stage_full", boom)
+    with pytest.raises(RuntimeError, match="simulated staging failure"):
+        cat.rebucket("items", 16)
+    assert t.n_buckets == 4  # live scheme restored
+    # writes and probes still route correctly under the committed scheme
+    cat.apply_txn({"items": _chg(spark, [("k0", "UPSERT", "after")])}, epoch=0)
+    assert _state(cat, "items")["k0"] == "after"
+    assert {r["name"] for r in cat.probe("items", [("k0",)]).collect()} == {"after"}
