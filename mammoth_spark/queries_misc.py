@@ -4337,21 +4337,21 @@ def catalog_erase_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
         )
         assert leaked == 0, (e, leaked)
-    # ...and the PHYSICAL files contain zero occurrences (raw scan of
-    # every parquet directory under the member root)
+    # ...and the PHYSICAL files contain zero occurrences — ONE raw
+    # multi-path scan over every parquet directory under the member
+    # root (uniform schema here: single strategy, no evolution), not a
+    # job per directory
     dirs = sorted(
         {
             _os.path.dirname(f)
             for f in _glob.glob(_os.path.join(root, "**", "*.parquet"), recursive=True)
         }
     )
-    hits = 0
-    for d in dirs:
-        hits += (
-            spark.read.parquet(d)
-            .filter(F.col("key").isin(list(erased)))
-            .count()
-        )
+    hits = (
+        spark.read.parquet(*dirs)
+        .filter(F.col("key").isin(list(erased)))
+        .count()
+    )
     assert hits == 0, hits
     return catalog.read("users").select(
         F.col("key").cast("bigint").alias("key"), "value_c"

@@ -741,7 +741,9 @@ class _BloomIndexMixin:
             for i in range(self.bloom_hashes)
         ]
 
-    def _write_stage_blooms(self, stage: str, present: list[int]) -> None:
+    def _write_stage_blooms(
+        self, stage: str, present: list[int], part_col: str = "_b"
+    ) -> None:
         """Build each touched bucket's bitmap DISTRIBUTED and drop a
         ``_BLOOM`` sidecar into its staged dir (the version move then
         carries it; ``_``-prefixed files are invisible to parquet
@@ -770,11 +772,11 @@ class _BloomIndexMixin:
             )
 
         df = self.spark.read.option("basePath", stage).parquet(
-            *[os.path.join(stage, f"_b={b}") for b in present]
+            *[os.path.join(stage, f"{part_col}={b}") for b in present]
         )
         it = (
             df.select(
-                F.col("_b").cast("int").alias("_b"),
+                F.col(part_col).cast("int").alias("_b"),
                 F.explode(F.array(*self._bloom_pos_cols())).alias("_p"),
             )
             .distinct()
@@ -786,9 +788,11 @@ class _BloomIndexMixin:
         for row in it:
             b = int(row["_b"])
             seen.add(b)
-            self._bloom_write(os.path.join(stage, f"_b={b}"), bytearray(row["bits"]))
+            self._bloom_write(
+                os.path.join(stage, f"{part_col}={b}"), bytearray(row["bits"])
+            )
         for b in set(present) - seen:
-            self._bloom_write(os.path.join(stage, f"_b={b}"), None)
+            self._bloom_write(os.path.join(stage, f"{part_col}={b}"), None)
 
     def _bloom_write(self, dst: str, bits: bytearray | None) -> None:
         import base64
@@ -3004,57 +3008,84 @@ class TxnCatalog:
             .collect()
         )
 
-    def _rebuild_dir_bloom(self, t, d: str) -> None:
-        """Rebuild one rewritten directory's ``_BLOOM`` from its KEPT
-        rows, so the sidecar stays exact after an erasure (a stale
-        filter would only cost false-positive reads, but exactness is
-        the documented contract). Distinct positions are bounded by the
-        bucket's key count × k."""
-        from pyspark.sql import functions as F
-
-        bits = bytearray((t.bloom_bits + 7) // 8)
-        for r in (
-            self.spark.read.parquet(d)
-            .select(F.explode(F.array(*t._bloom_pos_cols())).alias("_p"))
-            .distinct()
-            .toLocalIterator()
-        ):
-            p = int(r["_p"])
-            bits[p >> 3] |= 1 << (p & 7)
-        t._bloom_write(d, bits)
-
-    def _erase_dir(self, t, d: str, key_df: DataFrame) -> int:
-        """Rewrite one slice with the keys anti-joined out; returns rows
-        removed (footer count before vs observed count after — no extra
-        pass). The journal records the in-flight directory before the
-        swap; ``_swap_live_dir`` never leaves a window where neither the
-        old nor the new contents exist."""
+    def _erase_dir_group(self, t, dirs: list[str], key_df: DataFrame) -> int:
+        """Rewrite a SAME-SCHEMA group of slices with the keys
+        anti-joined out, in ONE distributed pass: a multi-path scan
+        tagged with each row's source slice (``input_file_name`` →
+        slice id), one broadcast anti-join, one staged write partitioned
+        by slice id, then per-slice journaled swaps. This is what keeps
+        an erasure's Spark-job count O(schema groups) — on a bucketed
+        catalog typically ONE job for every retained bucket version
+        across every retained epoch — instead of O(slices): the
+        difference between seconds and minutes at a deep vacuum window,
+        and between hours and a day at 100 TB. Returns rows removed
+        (footer counts, no extra pass); slices whose every row was
+        erased get a schema-stable empty rewrite; bloom sidecars (when
+        the target carries them) rebuild for the whole group in one
+        more distributed pass."""
         import shutil
 
         from pyspark.sql import functions as F
 
-        n_before = _parquet_dir_rows(d)
-        kept = self.spark.read.parquet(d).join(
-            F.broadcast(key_df), on=t.key_cols, how="left_anti"
+        dirs = sorted(dirs)
+        n_before = {d: _parquet_dir_rows(d) for d in dirs}  # driver-side footers
+        # slice identity: the last two path components are unique within
+        # one member root (v_N under the root or a bucket dir; base/delta
+        # slices under their bucket dir)
+        def _tail2(d: str) -> str:
+            a, b = os.path.split(os.path.abspath(d))
+            return f"{os.path.basename(a)}/{b}"
+
+        ids = {d: i for i, d in enumerate(dirs)}
+        map_args = []
+        for d, i in ids.items():
+            map_args += [F.lit(_tail2(d)), F.lit(i)]
+        src_dir = F.regexp_extract(F.input_file_name(), r"([^/]+/[^/]+)/[^/]+$", 1)
+        kept = (
+            self.spark.read.parquet(*dirs)
+            .withColumn("_g", F.element_at(F.create_map(*map_args), src_dir))
+            .join(F.broadcast(key_df), on=t.key_cols, how="left_anti")
         )
         stage = tempfile.mkdtemp(dir=t.root, prefix="_stage_")
-        out = os.path.join(stage, "kept")
-        n_kept = _write_observed(kept, out)
-        had_bloom = os.path.exists(os.path.join(d, "_BLOOM"))
-        trash = tempfile.mkdtemp(dir=os.path.dirname(d), prefix="_trash_")
-        # the journal names BOTH recovery copies before anything moves:
-        # a crash anywhere in the swap is repaired by
-        # _recover_inflight_erase (preferring the clean staged copy)
-        # before any vacuum sweep can touch the scratch dirs
-        self._erase_journal(
-            {"op": "rewrite", "dir": d, "staged": out, "trash": trash}
-        )
-        _swap_live_dir(d, out, trash)
-        self._erase_journal({"op": "rewrite_done", "dir": d})
+        kept.write.mode("overwrite").partitionBy("_g").parquet(stage)
+        schema_src = self.spark.read.parquet(dirs[0])
+        removed = 0
+        blooms = getattr(t, "bloom_bits", None)
+        bloom_parts = []
+        for d in dirs:
+            out = os.path.join(stage, f"_g={ids[d]}")
+            if not os.path.isdir(out):
+                # every row of this slice was erased: schema-stable empty
+                schema_src.limit(0).write.mode("overwrite").parquet(out)
+            had_bloom = blooms and os.path.exists(os.path.join(d, "_BLOOM"))
+            if had_bloom:
+                bloom_parts.append(ids[d])
+        if bloom_parts:
+            # one distributed pass rebuilds every rewritten sidecar from
+            # the KEPT rows (the group shares the staged tree layout)
+            self._erase_group_blooms(t, stage, bloom_parts)
+        for d in dirs:
+            out = os.path.join(stage, f"_g={ids[d]}")
+            trash = tempfile.mkdtemp(dir=os.path.dirname(d), prefix="_trash_")
+            # the journal names BOTH recovery copies before anything
+            # moves: a crash anywhere in the swap is repaired by
+            # _recover_inflight_erase (preferring the clean staged copy)
+            # before any vacuum sweep can touch the scratch dirs
+            self._erase_journal(
+                {"op": "rewrite", "dir": d, "staged": out, "trash": trash}
+            )
+            _swap_live_dir(d, out, trash)
+            self._erase_journal({"op": "rewrite_done", "dir": d})
+            removed += n_before[d] - _parquet_dir_rows(d)
         shutil.rmtree(stage, ignore_errors=True)
-        if had_bloom and getattr(t, "bloom_bits", None):
-            self._rebuild_dir_bloom(t, d)
-        return n_before - n_kept
+        return removed
+
+    def _erase_group_blooms(self, t, stage: str, part_ids: list[int]) -> None:
+        """Rebuild the rewritten slices' ``_BLOOM`` sidecars from the
+        staged kept rows — the same distributed one-row-per-group
+        builder staging uses (``_write_stage_blooms`` over the ``_g``
+        partition column)."""
+        t._write_stage_blooms(stage, part_ids, part_col="_g")
 
     def _refresh_counts_after_erase(self, tbl: str, t) -> None:
         """Recorded cardinalities predate the erasure: HISTORY records
@@ -3209,13 +3240,33 @@ class TxnCatalog:
         self._erase_journal(
             {"op": "begin", "tbl": tbl, "n_keys": len(keys), "n_dirs": len(dirs)}
         )
-        rewritten = 0
-        removed = 0
+        # group the slices by parquet schema (driver-side footer reads):
+        # each group rewrites in ONE distributed job — mixed schemas
+        # (MOR base vs delta slices, pre/post-evolution) must not union,
+        # because each slice writes back under its OWN schema
+        import pyarrow.parquet as pq
+        from collections import defaultdict
+
+        groups: dict[str, list[str]] = defaultdict(list)
         for d in sorted(dirs):
             if not os.path.isdir(d):
                 continue  # expired by vacuum between listing and rewrite
-            removed += self._erase_dir(t, d, key_df)
-            rewritten += 1
+            files = [
+                f
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith("_")
+            ]
+            if not files:
+                continue  # empty slice: nothing to erase
+            key = str(
+                pq.ParquetFile(os.path.join(d, files[0])).schema_arrow
+            )
+            groups[key].append(d)
+        rewritten = 0
+        removed = 0
+        for ds in groups.values():
+            removed += self._erase_dir_group(t, ds, key_df)
+            rewritten += len(ds)
         self._refresh_counts_after_erase(tbl, t)
         self._erase_journal(
             {
@@ -3403,7 +3454,8 @@ class TxnCatalog:
             ]:
                 for name in sorted(os.listdir(base)):
                     if name.startswith(("_stage_", "_trash_")):
-                        victims.append(os.path.relpath(os.path.join(base, name), t.root))
+                        rel = os.path.relpath(os.path.join(base, name), t.root)
+                        victims.append(f"{tbl}/{rel}")
                         shutil.rmtree(os.path.join(base, name))
         # prune log entries outside the window (state already expired)
         for c, e in entries:
