@@ -120,6 +120,13 @@ PANEL = [
     "bmor_bloom_lookup",              # same index on the MOR chain: base +
                                       # per-delta sidecars, probe reads only
                                       # admitted file groups
+    # round-12b: the erase and drift-evolve stories' decades
+    "catalog_erase_history",          # one distributed rewrite job per
+                                      # schema group + journaled swaps; cost
+                                      # ∝ subjects' buckets × vacuum window
+    "streaming_schema_drift_evolve",  # evolve-and-resume: one metadata
+                                      # republish + a stream restart; the
+                                      # redelivered batch dominates
 ]
 
 
