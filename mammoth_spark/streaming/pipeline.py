@@ -120,9 +120,15 @@ class ChangeLogPipeline:
         if audit is not None and txn_catalog is None:
             raise ValueError("audit requires a txn_catalog (WAP is a catalog gate)")
         # rebuilt from the durable record: a restarted pipeline keeps
-        # the full rejection history of its catalog
+        # the full rejection history of ITS OWN branch — pipelines
+        # sharing a catalog under different wap_branch names must not
+        # report each other's rejections after restart (ADVICE r12)
         self.rejected_epochs: list[int] = (
-            [int(r["epoch"]) for r in txn_catalog.wap_rejections()]
+            [
+                int(r["epoch"])
+                for r in txn_catalog.wap_rejections()
+                if r.get("branch") == wap_branch
+            ]
             if txn_catalog is not None and hasattr(txn_catalog, "wap_rejections")
             else []
         )
@@ -134,10 +140,18 @@ class ChangeLogPipeline:
         # ``types``. Without this distinction a trailing upstream DROP
         # COLUMN would be indistinguishable from pre-ALTER rows and get
         # silently absorbed instead of re-syncing (round-12 review).
-        self.evolved_value_cols: set[str] = set()
+        # ... tracked PER TABLE (ADVICE r12): the drift check runs per
+        # relation, and a column evolution-added on table X must not
+        # excuse table Y's upstream dropping a same-named trailing column
+        self.evolved_value_cols: dict[str, set[str]] = {}
+        # ... and which were RETIRED (projection-level DROP COLUMN,
+        # r13): redelivered PRE-DROP rows advertise the old wide
+        # relation — recognized as historical, not re-raised as drift
+        self.retired_value_cols: dict[str, set[str]] = {}
         if txn_catalog is not None:
-            for rec in txn_catalog.manifest().get("schemas", {}).values():
-                self.evolved_value_cols |= set(rec.get("types", {}))
+            for tbl, rec in txn_catalog.manifest().get("schemas", {}).items():
+                self.evolved_value_cols[tbl] = set(rec.get("types", {}))
+                self.retired_value_cols[tbl] = set(rec.get("retired", []))
         self.expected_schema = expected_schema or plain_change_log_schema(
             value_cols, flagged=flagged
         )
@@ -159,7 +173,12 @@ class ChangeLogPipeline:
             stats = batch.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.max("lsn").alias("max_lsn"),
-                F.collect_set(F.to_json("rel_cols")).alias("rels"),
+                F.collect_set(
+                    F.struct(
+                        F.col("tbl").alias("tbl"),
+                        F.to_json("rel_cols").alias("cols"),
+                    )
+                ).alias("rels"),
                 F.collect_set("tbl").alias("tbls"),
             ).collect()[0]
             # A17: empty batches still advance the checkpoint — nothing to do
@@ -176,29 +195,57 @@ class ChangeLogPipeline:
             #   redelivered boundary batch after an evolution restart
             #   must not re-trip on its pre-ALTER rows. A prefix missing
             #   a NON-evolved column is an upstream DROP — destructive.
+            # - advertised equals declared PLUS columns that were all
+            #   RETIRED on this table (projection-level DROP, r13):
+            #   fine — redelivered PRE-DROP rows advertise the relation
+            #   they were written under; their retired cells are simply
+            #   not read (the expected schema already dropped them).
             # - declared is a PREFIX of advertised: ADDITIVE drift (an
             #   upstream ADD COLUMN) — raised with the advertised list so
             #   run_with_restart can evolve-and-resume instead of the
             #   reference's drop-and-resync.
-            # - anything else (rename/drop/reorder/empty): destructive
+            # - advertised is an order-preserving STRICT SUBSEQUENCE of
+            #   declared: DROP drift (an upstream DROP COLUMN) — raised
+            #   with the missing list so run_with_restart can
+            #   retire-and-resume (metadata-only) instead of re-syncing.
+            # - anything else (rename/reorder/type/empty): destructive
             #   drift, full re-sync as in the reference.
             declared = list(self.value_cols)
-            for rel_json in stats["rels"]:
-                advertised = json.loads(rel_json)
+            for rel in stats["rels"]:
+                advertised = json.loads(rel["cols"])
                 if advertised == declared:
                     continue
+                evolved = self.evolved_value_cols.get(rel["tbl"], set())
+                retired = self.retired_value_cols.get(rel["tbl"], set())
                 if (
                     advertised
                     and advertised == declared[: len(advertised)]
-                    and set(declared[len(advertised):]) <= self.evolved_value_cols
+                    and set(declared[len(advertised):]) <= evolved
                 ):
                     continue
+                extras = [c for c in advertised if c not in declared]
+                if (
+                    extras
+                    and set(extras) <= retired
+                    and [c for c in advertised if c not in extras] == declared
+                ):
+                    continue  # pre-DROP rows: old wide relation, absorbed
                 if declared == advertised[: len(declared)]:
                     raise RelationChangedError(
                         f"schema drift (additive): relation advertises "
                         f"{advertised}, pipeline declared {declared}.",
                         advertised=advertised,
                         additive=True,
+                    )
+                if advertised and not extras and _is_subsequence(
+                    advertised, declared
+                ):
+                    dropped = [c for c in declared if c not in advertised]
+                    raise RelationChangedError(
+                        f"schema drift (drop): relation advertises "
+                        f"{advertised}, pipeline declared {declared}.",
+                        advertised=advertised,
+                        dropped=dropped,
                     )
                 raise RelationChangedError(
                     f"schema drift: relation advertises {advertised}, "
@@ -337,6 +384,29 @@ class ChangeLogPipeline:
             raise q.exception()
 
 
+def _is_subsequence(small: list, big: list) -> bool:
+    """Order-preserving subsequence test — the shape an upstream DROP
+    COLUMN leaves (remaining columns keep their relative order; any
+    reorder is destructive drift, not a drop)."""
+    it = iter(big)
+    return all(c in it for c in small)
+
+
+def _dropped_cols(root, exc) -> list | None:
+    """The missing column list of a DROP drift, from the exception
+    instance when it survived the streaming wrapper, else parsed from
+    the ``DROP_DRIFT:[...]`` marker in the message string."""
+    import json
+    import re
+
+    if isinstance(root, RelationChangedError) and root.dropped:
+        return root.dropped
+    m = re.search(r"DROP_DRIFT:(\[[^\]]*\])", str(exc))
+    if m:
+        return json.loads(m.group(1))
+    return None
+
+
 def _additive_advertised(root, exc) -> list | None:
     """The advertised column list of an ADDITIVE drift, from the exception
     instance when it survived the streaming wrapper, else parsed from the
@@ -358,6 +428,7 @@ def run_with_restart(
     max_restarts: int = 3,
     backoff_seconds: float = 0.5,
     evolve=None,
+    retire=None,
 ) -> int:
     """A26 supervisor loop: run the pipeline; on RelationChangedError,
     re-run backfill (fresh snapshot, reference sync_service.go:111-125)
@@ -375,7 +446,17 @@ def run_with_restart(
     lacks: its supervisor answers EVERY drift with drop-slot +
     full-table re-copy (supervisor.go:55-82), which at 100 TB turns a
     metadata-only ADD COLUMN into days of re-sync; here only
-    destructive drift (rename/drop/type) pays that."""
+    destructive drift (rename/reorder/type) pays that.
+
+    ``retire`` (optional, ``retire(dropped_cols) -> None``, round 13):
+    the DROP COLUMN twin — when the advertised list is an
+    order-preserving strict subsequence of the declared one, call it
+    instead of ``backfill`` and resume from the SAME checkpoint: the
+    caller retires the column(s) (``TxnCatalog.retire_column``, a
+    projection-level manifest record) and narrows whatever schema
+    ``make_pipeline`` reads; redelivered PRE-DROP rows advertising the
+    old wide relation pass the retired-tolerant drift check. Without
+    ``retire``, drop drift re-syncs exactly like the reference."""
     restarts = 0
     while True:
         pipeline = make_pipeline()
@@ -393,6 +474,10 @@ def run_with_restart(
             advertised = _additive_advertised(root, exc)
             if advertised is not None and evolve is not None:
                 evolve(advertised)  # metadata-only; same checkpoint resumes
+                continue
+            dropped = _dropped_cols(root, exc)
+            if dropped is not None and retire is not None:
+                retire(dropped)  # metadata-only; same checkpoint resumes
                 continue
             time.sleep(backoff_seconds)  # supervisor.go:74-75 (10s in prod)
             backfill()

@@ -137,10 +137,16 @@ class RelationChangedError(RuntimeError):
     ``additive`` + ``advertised`` classify the drift: an upstream
     ``ALTER TABLE ADD COLUMN`` (the advertised list EXTENDS the declared
     one) is recoverable without a re-sync — ``run_with_restart`` can
-    evolve the catalog schema and resume from the same checkpoint. Any
-    other shape (rename/drop/reorder/type) stays a full re-sync. The
-    advertised list is ALSO embedded in the message as a parseable
-    ``ADDITIVE_DRIFT:[...]`` marker because Structured Streaming may
+    evolve the catalog schema and resume from the same checkpoint.
+    ``dropped`` classifies the other recoverable shape (round 13): an
+    upstream ``DROP COLUMN`` — the advertised list is an
+    order-preserving strict subsequence of the declared one — which
+    ``run_with_restart`` can absorb by RETIRING the column(s)
+    (``TxnCatalog.retire_column``, a projection-level metadata record)
+    and resuming from the same checkpoint. Everything else
+    (rename/reorder/type) stays a full re-sync. The lists are ALSO
+    embedded in the message as parseable ``ADDITIVE_DRIFT:[...]`` /
+    ``DROP_DRIFT:[...]`` markers because Structured Streaming may
     surface foreachBatch failures with only the message string intact
     (the supervisor falls back to parsing it)."""
 
@@ -149,11 +155,15 @@ class RelationChangedError(RuntimeError):
         message: str,
         advertised: list[str] | None = None,
         additive: bool = False,
+        dropped: list[str] | None = None,
     ):
-        if additive and advertised is not None:
-            import json
+        import json
 
+        if additive and advertised is not None:
             message = f"{message} ADDITIVE_DRIFT:{json.dumps(advertised)}"
+        if dropped:
+            message = f"{message} DROP_DRIFT:{json.dumps(dropped)}"
         super().__init__(message)
         self.advertised = advertised
         self.additive = additive
+        self.dropped = dropped

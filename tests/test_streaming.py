@@ -980,6 +980,128 @@ def test_additive_drift_evolves_without_resync(spark, tmp_path):
     assert got["5"] == ("pre3", "N5")
 
 
+def test_drop_drift_retires_and_resumes_without_resync(spark, tmp_path):
+    """Round 13 (VERDICT r12 #3): an upstream DROP COLUMN mid-stream is
+    ABSORBED — the supervisor retires the column (projection-level
+    manifest record, zero data movement) and resumes from the SAME
+    checkpoint; the redelivered batch applies under the narrow schema,
+    and PRE-DROP rows (advertising the old wide relation) pass the
+    retired-tolerant drift check. The reference re-copies the whole
+    table here (supervisor.go:73-76). Time travel keeps the pre-drop
+    epochs wide."""
+    from mammoth_spark.sources.target import TxnCatalog
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src, exist_ok=True)
+    cols = ["name", "nick"]  # mutable: the supervisor's view
+    target = ParquetMergeTarget(spark, str(tmp_path / "t"), ["key"], list(cols))
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"users": target})
+    cat.initialize(
+        {
+            "users": spark.createDataFrame(
+                [("1", "seed", "S")],
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("nick", T.StringType()),
+                    ]
+                ),
+            )
+        }
+    )
+    backfills = {"n": 0}
+
+    def backfill():
+        backfills["n"] += 1
+
+    def retire(dropped):
+        cat.retire_column("users", dropped)
+        cols[:] = [c for c in cols if c not in dropped]
+
+    def make_pipeline():
+        return ChangeLogPipeline(
+            spark,
+            source_dir=src,
+            checkpoint_dir=str(tmp_path / "ckpt"),  # SAME checkpoint
+            targets={"users": target},
+            value_cols=list(cols),
+            txn_catalog=cat,
+        )
+
+    # one batch mixing PRE-DROP rows (old wide relation) and POST-DROP
+    # rows (narrow relation missing nick)
+    rows = [
+        dict(
+            change(1, 1, "INSERT", 5, "pre-drop", rel_cols=("name", "nick")),
+            nick="old",
+        ),
+        change(1, 2, "INSERT", 6, "post-drop", rel_cols=("name",)),
+    ]
+    write_changes(src, "b1.json", rows)
+    restarts = run_with_restart(make_pipeline, backfill, retire=retire)
+    assert restarts == 1  # one retire-restart, ZERO backfills
+    assert backfills["n"] == 0
+    assert cols == ["name"]
+    assert cat.read("users").columns == ["key", "name"]
+    got = {r["key"]: r["name"] for r in cat.read("users").collect()}
+    assert got == {"1": "seed", "5": "pre-drop", "6": "post-drop"}
+    # time travel: the pre-drop epoch still shows the column
+    assert cat.read_at("users", -1).columns == ["key", "name", "nick"]
+    assert {r["nick"] for r in cat.read_at("users", -1).collect()} == {"S"}
+    # the stream continues on the same checkpoint: narrow rows AND
+    # redelivery-shaped old wide rows both pass without restarts
+    write_changes(
+        src,
+        "b2.json",
+        [
+            change(2, 9, "UPDATE", 5, "after"),
+            dict(
+                change(2, 10, "UPDATE", 6, "late-wide", rel_cols=("name", "nick")),
+                nick="ghost",
+            ),
+        ],
+    )
+    assert run_with_restart(make_pipeline, backfill, retire=retire) == 0
+    assert backfills["n"] == 0
+    got = {r["key"]: r["name"] for r in cat.read("users").collect()}
+    assert got["5"] == "after" and got["6"] == "late-wide"
+    # without a retire callback, drop drift still re-syncs (reference
+    # parity): fresh checkpoint + fresh catalog, same narrow batch
+    src2 = str(tmp_path / "changes2")
+    os.makedirs(src2, exist_ok=True)
+    t2 = ParquetMergeTarget(spark, str(tmp_path / "t2"), ["key"], ["name", "nick"])
+    cat2 = TxnCatalog(spark, str(tmp_path / "cat2"), {"users": t2})
+    cat2.initialize(
+        {
+            "users": spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("nick", T.StringType()),
+                    ]
+                ),
+            )
+        }
+    )
+    write_changes(src2, "b1.json", [change(1, 1, "INSERT", 7, "x", rel_cols=("name",))])
+
+    def make2():
+        return ChangeLogPipeline(
+            spark,
+            source_dir=src2,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            targets={"users": t2},
+            value_cols=["name", "nick"],
+            txn_catalog=cat2,
+        )
+
+    with pytest.raises(Exception, match="schema drift"):
+        run_with_restart(make2, backfill, max_restarts=0)
+
+
 def test_destructive_drift_still_resyncs_with_evolve_present(spark, tmp_path):
     """A renamed column is NOT additive: even with an evolve callback
     supplied, the supervisor answers with backfill (the reference's
@@ -1069,4 +1191,93 @@ def test_trailing_drop_column_is_destructive_drift(spark, tmp_path):
     with pytest.raises(Exception, match="RelationChangedError|schema drift"):
         pipeline.run_available()
     # and an EMPTY advertised list is never a valid prefix
-    assert pipeline.evolved_value_cols == set()
+    assert pipeline.evolved_value_cols == {}
+
+
+def test_drop_of_column_evolved_on_other_table_is_destructive(spark, tmp_path):
+    """Regression (ADVICE r12): evolved columns are tracked PER TABLE.
+    ``nick`` evolution-added on ``orders`` must not excuse ``users``'s
+    upstream dropping its own trailing ``nick`` — the old union-of-all-
+    tables set silently absorbed that as pre-ALTER rows."""
+    from mammoth_spark.sources.target import TxnCatalog
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src, exist_ok=True)
+    two_col = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("nick", T.StringType()),
+        ]
+    )
+    one_col = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    users = ParquetMergeTarget(spark, str(tmp_path / "u"), ["key"], ["name", "nick"])
+    orders = ParquetMergeTarget(spark, str(tmp_path / "o"), ["key"], ["name"])
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"users": users, "orders": orders})
+    cat.initialize(
+        {
+            "users": spark.createDataFrame([("1", "Taylor", "T")], two_col),
+            "orders": spark.createDataFrame([("9", "o-one")], one_col),
+        }
+    )
+    cat.evolve_schema("orders", {"nick": "string"})  # orders, NOT users
+    pipeline = ChangeLogPipeline(
+        spark,
+        source_dir=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        targets={"users": users, "orders": orders},
+        value_cols=["name", "nick"],
+        txn_catalog=cat,
+    )
+    assert pipeline.evolved_value_cols.get("orders") == {"nick"}
+    assert "nick" not in pipeline.evolved_value_cols.get("users", set())
+    # a USERS row advertising only ("name",) is an upstream DROP: the
+    # orders evolution record must not excuse it
+    write_changes(
+        src, "b1.json", [change(1, 1, "UPDATE", 1, "Taylor2", rel_cols=("name",))]
+    )
+    with pytest.raises(Exception, match="RelationChangedError|schema drift"):
+        pipeline.run_available()
+
+
+def test_rejection_rehydration_is_branch_scoped(spark, tmp_path):
+    """Regression (ADVICE r12): a pipeline sharing a catalog with
+    another pipeline (different wap_branch) must not rehydrate the
+    other's rejection history as its own after restart."""
+    from mammoth_spark.sources.target import TxnCatalog
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src, exist_ok=True)
+    target = ParquetMergeTarget(spark, str(tmp_path / "t"), ["key"], ["name"])
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"users": target})
+    cat.initialize(
+        {
+            "users": spark.createDataFrame(
+                [("1", "Taylor")],
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                    ]
+                ),
+            )
+        }
+    )
+    cat.record_wap_rejection(7, "other-pipeline", reason="poison batch")
+    cat.record_wap_rejection(3, "mine", reason="my own history")
+    pipeline = ChangeLogPipeline(
+        spark,
+        source_dir=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        targets={"users": target},
+        value_cols=["name"],
+        txn_catalog=cat,
+        audit=lambda _cat, _branch, _epoch: True,
+        wap_branch="mine",
+    )
+    assert pipeline.rejected_epochs == [3]
