@@ -159,6 +159,68 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_png_roundtrip",
+    # Closed-form oracle for the REAL codec (VERDICT r12 #8): each doc
+    # synthesizes an 8x8 RGB image whose pixel bytes are the arithmetic
+    # pattern (s + i) mod 256 with s = (doc_id*31) mod 256; the pixel
+    # SUM of the decoded image is then pure SQL — 192 bytes per image,
+    # wraps start once s > 64: sum = 192s + 18336 - 256*max(0, s-64).
+    # A single flipped bit anywhere in the zlib stream, the Paeth
+    # predictor, or any of the five scanline unfilters moves the sum.
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS media_id, CAST((doc_id * 31) % 256 AS BIGINT) AS s
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       'RGB' AS mode,
+       CAST(192 * s + 18336 - 256 * greatest(0, s - 64) AS BIGINT) AS pixel_sum
+FROM base
+""",
+)
+def media_png_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec round-trip under a value-hash oracle (round 13 — the
+    multimodal family's first non-fake end-to-end driver row): every
+    5th document synthesizes a deterministic 8x8 RGB pattern, ENCODES
+    it with the from-scratch PNG writer (``filter_cycle=True`` rotates
+    all five scanline filters, so every unfilter branch — None, Sub,
+    Up, Average, Paeth — is on the hash path), DECODES it back with the
+    from-scratch reader (zlib inflate + unfilter), and reports the
+    decoded pixel sum, which the oracle computes in closed form from
+    doc_id alone. Arrow-batched ``mapInPandas``; work is O(rows), rows
+    are pruned JVM-side before Python."""
+    import pandas as pd
+
+    from .functions.png import png_decode, png_encode
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"]:
+                s = (int(mid) * 31) % 256
+                pixels = bytes((s + i) % 256 for i in range(192))
+                content = png_encode(8, 8, pixels, "RGB", filter_cycle=True)
+                w, h, mode, out = png_decode(content)
+                rows.append((int(mid), w, h, mode, sum(out)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "mode", "pixel_sum"]
+            )
+
+    return docs.mapInPandas(
+        run,
+        "media_id bigint, width int, height int, mode string, pixel_sum bigint",
+    )
+
+
+@register(
     "media_resize",
     driver=False,  # driver contract at its 50-entry cap; pytest-oracle-checked
     # resize emits deterministic metadata (orig_hash, dims, byte count) so
@@ -4688,16 +4750,17 @@ def catalog_erase_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e, part in enumerate(spans):
         catalog.apply_txn({"users": _inc_compact(part, ["value_c"])}, epoch=e)
 
-    # the erasure subjects: every 7th user (bounded collect, |users|/7)
-    subjects = [
-        (r["key"],)
-        for r in log.select("key").distinct().filter(F.col("key") % 7 == 0).collect()
-    ]
-    audit = catalog.erase("users", subjects)
+    # the erasure subjects: every 7th user — handed over AS A DATAFRAME
+    # (r13): the subject set never materializes on the driver; erase
+    # routes buckets with a distinct-buckets aggregate and anti-joins
+    # broadcast (shuffle fallback above max_broadcast_keys)
+    subjects_df = log.select("key").distinct().filter(F.col("key") % 7 == 0)
+    audit = catalog.erase("users", subjects_df)
     assert audit["rows_removed"] > 0 and audit["dirs_rewritten"] > 0
 
-    # every retained epoch reads back ZERO erased subjects...
-    erased = {k for (k,) in subjects}
+    # every retained epoch reads back ZERO erased subjects... (the
+    # bounded collect below is for the PROOFS only, |users|/7)
+    erased = {r["key"] for r in subjects_df.collect()}
     for e in range(3):
         leaked = (
             catalog.read_at("users", e)

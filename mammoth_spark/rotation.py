@@ -32,37 +32,45 @@ import re
 # The round whose contract registry.DRIVER_EXPORT currently encodes.
 # Bump this (and regenerate the export with `python tools/rotation_ledger.py
 # --cut`) at the start of each round.
-CONTRACT_ROUND = 12
+CONTRACT_ROUND = 13
 
 # Queries whose implementation paths were refactored AFTER their last
 # driver row and must re-verify on the current tree before anything
-# else already-green. Round 12 touched four result-producing paths:
-# (a) the MOR read was rewritten from one-union-leg-per-delta to a
-# two-scan (base + ONE multi-path delta scan) tolerant/projected read
-# with schema-evolution support — every query reading a MOR/bmor
-# member re-verifies; (b) rollback gained fold-on-restore and the
-# schema reset, and _stage_epoch gained the high-water floors spanning
-# live branch heads plus MOR slot-conflict guards — the catalog commit
-# / restore / WAP queries re-verify; (c) merge_upsert_flagged gained
-# the typed-NULL target backfill — the flagged (TOAST) queries
-# re-verify; (d) the bloom machinery moved into a shared mixin and
-# bucketed counts/manifest records changed — the bloom and stats
-# queries re-verify. Drop entries once they hold a row on the current
-# tree.
+# else already-green. Round 13 touched five result-producing paths:
+# (a) _stage_epoch now folds an exact net cardinality delta into
+# row_counts for MOR/bmor members (one stage-time probe) — the
+# multi-table streaming txn and MOR-catalog queries re-verify;
+# (b) _read_from projects COW reads to the epoch's schema record
+# (typed-NULL backfill / retired-column projection) — the evolution,
+# rollback, and time-travel queries re-verify; (c) publish_branch
+# reconciles schema records on the fast-forward and refuses stale
+# bucket schemes (the round-12 evolve/rebucket freeze removed) — the
+# WAP queries re-verify; (d) the drift classifier gained the
+# retired-tolerant check and per-table evolved sets — the drift stream
+# query re-verifies; (e) the WordPiece trainer collects its trajectory
+# eagerly and the encode loop is single-scan per round — both
+# wordpiece queries re-verify (also the r12 perf-weak set, so their
+# fresh rows double as the regression-fix record). Drop entries once
+# they hold a row on the current tree.
 FLAGSHIPS: list[str] = [
+    "wordpiece_train",
+    "wordpiece_encode_stats",
+    "streaming_schema_drift_evolve",
+    "streaming_txn_triple_strategy",
+    "streaming_txn_mixed_targets",
+    "streaming_txn_mixed_toast",
+    "catalog_rollback_mor",
     "catalog_rollback",
     "txn_schema_evolve",
-    "catalog_stats_count",
-    "bucketed_bloom_lookup",
+    "txn_schema_evolve_mor",
+    "txn_schema_evolve_bucketed",
+    "catalog_wap_concurrent",
     "catalog_wap_publish",
-    "streaming_wap_pipeline",
-    "catalog_replicate_incremental",
-    "cdf_incremental_agg",
-    "streaming_txn_triple_strategy",
-    "streaming_txn_mixed_toast",
-    "txn_time_travel",
-    "cdc_apply_flagged",
-    "txn_changelog_diff",
+    # catalog_wap_audit_diff deliberately NOT re-flagged: branch_changes
+    # (its result path) is untouched this round, and its slot is needed
+    # to keep the r07 tail inside the 5-round freshness bound
+    "catalog_erase_history",
+    "catalog_read_asof",
 ]
 
 CONTRACT_SIZE = 50

@@ -1993,11 +1993,7 @@ class TxnCatalog:
             df = df.select(
                 *t.key_cols,
                 *[
-                    F.col(v)
-                    if v in have
-                    else F.lit(None)
-                    .cast((ctypes or {}).get(v, "string"))
-                    .alias(v)
+                    F.col(v) if v in have else _null_value_col(v, False, ctypes)
                     for v in vcols
                 ],
             )
@@ -2456,6 +2452,15 @@ class TxnCatalog:
             F.max_by("kind", "last_seq").alias("_kind")
         )
         if self._is_bmor(t):
+            # bmor runs TWO jobs (bucket routing + the net agg): pin the
+            # batch-sized fold once so the second doesn't re-shuffle
+            folded = folded.localCheckpoint()
+        # liveness probe over the RAW chain, column-pruned to the key
+        # columns + (kind, last_seq): the reconciling read would window
+        # ALL keys with every value column per staged epoch — here the
+        # batch keys broadcast-join the chain scan BEFORE any fold, so
+        # the shuffle is O(batch-matched rows), not O(table) (r13 bench)
+        if self._is_bmor(t):
             bmap = m["bmor"][tbl]
             bexpr = _bucket_expr(t.key_cols, len(bmap))
             bs = sorted(
@@ -2464,29 +2469,65 @@ class TxnCatalog:
             )
             if not bs:
                 return 0
-            prev_keys = t.read(buckets=bs, manifest=bmap).select(*t.key_cols)
+            base_paths, delta_paths = [], []
+            for b in bs:
+                st = bmap[str(b)]
+                base_paths.append(t._base_dir(b, int(st["base"])))
+                delta_paths.extend(
+                    t._delta_dir(b, int(st["base"]), i)
+                    for i in range(int(st["deltas"]))
+                )
         else:
-            prev_keys = self._read_from(tbl, m).select(*t.key_cols)
-        hit = (
-            prev_keys.join(F.broadcast(folded), list(t.key_cols))
+            mm = m["mor"][tbl]
+            base_paths = [t._base_dir(int(mm["base"]))]
+            delta_paths = [
+                t._delta_dir(int(mm["base"]), i) for i in range(int(mm["deltas"]))
+            ]
+        chain = self.spark.read.parquet(*base_paths).select(
+            *t.key_cols,
+            F.lit("UPSERT").alias("kind"),
+            F.lit(-1).cast("bigint").alias("last_seq"),
+        )
+        if delta_paths:
+            chain = chain.unionByName(
+                self.spark.read.parquet(*delta_paths).select(
+                    *t.key_cols,
+                    "kind",
+                    F.col("last_seq").cast("bigint").alias("last_seq"),
+                )
+            )
+        # ONE job for the whole net: the liveness table (chain ⋈ batch
+        # keys, grouped) is batch-bounded, so it broadcasts BACK onto
+        # the folded batch and both aggs collapse into a single collect
+        # — per staged epoch this probe costs one Spark job, which is
+        # what a fixed-cost-dominated host actually prices (the folded
+        # subplan appears twice in the plan; ReusedExchange runs its
+        # shuffle once)
+        live_tbl = (
+            chain.join(F.broadcast(folded.select(*t.key_cols)), list(t.key_cols))
+            .groupBy(*t.key_cols)
+            .agg((F.max_by("kind", "last_seq") != "DELETE").alias("_live"))
+        )
+        live = F.coalesce(F.col("_live"), F.lit(False))
+        row = (
+            folded.join(F.broadcast(live_tbl), list(t.key_cols), "left")
             .agg(
-                F.count(F.lit(1)).alias("hits"),
                 F.coalesce(
-                    F.sum(F.when(F.col("_kind") == "DELETE", 1).otherwise(0)),
+                    F.sum(
+                        F.when((F.col("_kind") != "DELETE") & ~live, 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("inserts"),
+                F.coalesce(
+                    F.sum(
+                        F.when((F.col("_kind") == "DELETE") & live, 1).otherwise(0)
+                    ),
                     F.lit(0),
                 ).alias("del_hits"),
             )
             .collect()[0]
         )
-        batch = folded.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("_kind") != "DELETE", 1).otherwise(0)),
-                F.lit(0),
-            ).alias("upserts")
-        ).collect()[0]
-        upsert_hits = int(hit["hits"]) - int(hit["del_hits"])
-        inserts = int(batch["upserts"]) - upsert_hits
-        return inserts - int(hit["del_hits"])
+        return int(row["inserts"]) - int(row["del_hits"])
 
     def evolve_schema(
         self, tbl: str, added_value_cols: list[str] | dict[str, str]
@@ -2543,6 +2584,24 @@ class TxnCatalog:
         clash = [c for c in types if c in t.value_cols or c in t.key_cols]
         if clash:
             raise ValueError(f"columns already exist on {tbl}: {clash}")
+        # a RETIRED name must not come back (r13 review): retire is
+        # metadata-only — the dropped column's bytes still sit in
+        # retained files, and reads resolve columns BY NAME, so a
+        # re-added same-name column would silently resurrect the old
+        # values instead of reading NULL (the lakehouse formats avoid
+        # this with fresh column ids; without ids, refusal is the only
+        # safe answer — a privacy hazard otherwise, given erasure/
+        # right-to-be-forgotten builds on retire)
+        retired_clash = sorted(
+            set(types) & set(getattr(t, "retired_value_cols", []) or [])
+        )
+        if retired_clash:
+            raise ValueError(
+                f"columns were RETIRED on {tbl} and cannot be re-added by "
+                f"name: {retired_clash} — retained files still carry their "
+                "old bytes, which name-based reads would resurrect; use a "
+                "new column name"
+            )
         # r13: no whole-catalog freeze — live branches forked the old
         # record; publish_branch reconciles (installs the mainline's
         # current schemas on the fast-forward)
@@ -2739,24 +2798,22 @@ class TxnCatalog:
             # predates an online rebucket cannot stage — the writer now
             # routes keys under the LIVE scheme, which would land
             # slices in buckets the stale map doesn't address. Refuse
-            # descriptively (the optimistic loser's outcome).
-            if self._is_bmor(t) and len(new_bmor.get(tbl, {})) not in (
-                0,
-                t.n_buckets,
-            ):
+            # descriptively (the optimistic loser's outcome). A
+            # SAME-COUNT rebucket (pure relayout) is deliberately not
+            # guarded: routing is identical, and a branch publish
+            # reverting it discards only the relayout's work — exactly
+            # the documented benign fold-revert.
+            stale_map = (
+                new_bmor.get(tbl, {})
+                if self._is_bmor(t)
+                else new_bucketed.get(tbl, {})
+                if self._is_bucketed(t)
+                else None
+            )
+            if stale_map is not None and len(stale_map) not in (0, t.n_buckets):
                 raise RuntimeError(
                     f"staging {tbl} refused: its manifest addresses "
-                    f"{len(new_bmor[tbl])} buckets but the live scheme is "
-                    f"{t.n_buckets} (an online rebucket happened since this "
-                    "branch forked) — drop_branch and restage"
-                )
-            if self._is_bucketed(t) and len(new_bucketed.get(tbl, {})) not in (
-                0,
-                t.n_buckets,
-            ):
-                raise RuntimeError(
-                    f"staging {tbl} refused: its manifest addresses "
-                    f"{len(new_bucketed[tbl])} buckets but the live scheme is "
+                    f"{len(stale_map)} buckets but the live scheme is "
                     f"{t.n_buckets} (an online rebucket happened since this "
                     "branch forked) — drop_branch and restage"
                 )
@@ -2764,12 +2821,17 @@ class TxnCatalog:
                 # exact running cardinality: fold the batch's net delta
                 # into the manifest counter BEFORE staging (probe reads
                 # the base state m references) — count() stays
-                # metadata-only on merge-on-read members too
+                # metadata-only on merge-on-read members too. A missing
+                # counter (an erase dropped a branch's record, or a
+                # pre-counter catalog on disk) re-seeds with ONE
+                # reconciling count here — the self-healing upgrade
+                # path; every later epoch is back to the cheap probe.
                 prev_n = m.get("row_counts", {}).get(tbl)
-                if prev_n is not None:
-                    new_counts[tbl] = int(prev_n) + self._net_cardinality_delta(
-                        tbl, compacted, m
-                    )
+                if prev_n is None:
+                    prev_n = self._read_from(tbl, m).count()
+                new_counts[tbl] = int(prev_n) + self._net_cardinality_delta(
+                    tbl, compacted, m
+                )
                 new_bmor[tbl] = t.stage_delta(
                     compacted,
                     new_bmor[tbl],
@@ -2777,10 +2839,11 @@ class TxnCatalog:
                 )
             elif self._is_mor(t):
                 prev_n = m.get("row_counts", {}).get(tbl)
-                if prev_n is not None:
-                    new_counts[tbl] = int(prev_n) + self._net_cardinality_delta(
-                        tbl, compacted, m
-                    )
+                if prev_n is None:
+                    prev_n = self._read_from(tbl, m).count()  # re-seed once
+                new_counts[tbl] = int(prev_n) + self._net_cardinality_delta(
+                    tbl, compacted, m
+                )
                 mm = new_mor[tbl]
                 i = mm["deltas"]
                 # merge-on-read slots are COUNT-addressed and cannot
@@ -3021,7 +3084,11 @@ class TxnCatalog:
         # - a REBUCKET while the branch was live cannot fast-forward —
         #   the branch's staged maps address the OLD scheme and the
         #   writer now routes under the new one; refuse DESCRIPTIVELY
-        #   (the optimistic loser's outcome: drop and restage).
+        #   (the optimistic loser's outcome: drop and restage). A
+        #   SAME-COUNT rebucket (pure relayout) passes: routing is
+        #   identical under either map, so the publish reverting it
+        #   discards only the relayout's work — the documented benign
+        #   fold-revert, never wrong data.
         for k in ("bucketed", "bmor"):
             for tbl, live_map in cur.get(k, {}).items():
                 b_map = bm.get(k, {}).get(tbl)
@@ -3270,7 +3337,9 @@ class TxnCatalog:
             .collect()
         )
 
-    def _erase_dir_group(self, t, dirs: list[str], key_df: DataFrame) -> int:
+    def _erase_dir_group(
+        self, t, dirs: list[str], key_df: DataFrame, broadcast_keys: bool = True
+    ) -> int:
         """Rewrite a SAME-SCHEMA group of slices with the keys
         anti-joined out, in ONE distributed pass: a multi-path scan
         tagged with each row's source slice (``input_file_name`` →
@@ -3303,10 +3372,15 @@ class TxnCatalog:
         for d, i in ids.items():
             map_args += [F.lit(_tail2(d)), F.lit(i)]
         src_dir = F.regexp_extract(F.input_file_name(), r"([^/]+/[^/]+)/[^/]+$", 1)
+        # request-sized subject sets broadcast (zero shuffle of the
+        # scanned slices); million-subject DataFrames fall back to a
+        # shuffle anti-join — one key-partitioned pass, still bounded
+        # by the routed slices, never a driver materialization (r13)
+        probe = F.broadcast(key_df) if broadcast_keys else key_df
         kept = (
             self.spark.read.parquet(*dirs)
             .withColumn("_g", F.element_at(F.create_map(*map_args), src_dir))
-            .join(F.broadcast(key_df), on=t.key_cols, how="left_anti")
+            .join(probe, on=t.key_cols, how="left_anti")
         )
         stage = tempfile.mkdtemp(dir=t.root, prefix="_stage_")
         kept.write.mode("overwrite").partitionBy("_g").parquet(stage)
@@ -3426,7 +3500,12 @@ class TxnCatalog:
                     json.dump(bm2, f)
                 os.replace(tmp, self._branch_path(name))
 
-    def erase(self, tbl: str, keys: list[tuple]) -> dict:
+    def erase(
+        self,
+        tbl: str,
+        keys: "list[tuple] | DataFrame",
+        max_broadcast_keys: int = 500_000,
+    ) -> dict:
         """Physically remove ``keys`` from EVERY retained state of
         ``tbl`` — current, time-traveled, and branch-staged — while
         leaving history readable for all other data.
@@ -3447,16 +3526,31 @@ class TxnCatalog:
         point. Erasure of the keys from upstream change-log staging
         files is the source's retention concern, not the catalog's.
 
+        ``keys`` is a bounded ``list[tuple]`` (the request-sized GDPR
+        batch) or a DataFrame of key columns (round 13 — million-subject
+        erasure without driver materialization: the subjects never
+        leave the cluster; bucket routing stays a distinct-buckets
+        aggregate bounded by the scheme, and the anti-join stays
+        BROADCAST up to ``max_broadcast_keys`` distinct subjects,
+        falling back to a shuffle anti-join above it).
+
         Returns an audit record {dirs_rewritten, rows_removed}."""
         t = self.targets[tbl]
-        keys = list(keys)
-        if not keys:
-            return {"dirs_rewritten": 0, "rows_removed": 0}
-        import pandas as pd
+        if isinstance(keys, DataFrame):
+            key_df = keys.select(*t.key_cols).distinct().localCheckpoint()
+            n_keys = key_df.count()
+        else:
+            keys = list(keys)
+            n_keys = len(keys)
+            if n_keys:
+                import pandas as pd
 
-        key_df = self.spark.createDataFrame(
-            pd.DataFrame(keys, columns=t.key_cols)
-        ).localCheckpoint()
+                key_df = self.spark.createDataFrame(
+                    pd.DataFrame(keys, columns=t.key_cols)
+                ).localCheckpoint()
+        if not n_keys:
+            return {"dirs_rewritten": 0, "rows_removed": 0}
+        broadcast_keys = n_keys <= max_broadcast_keys
         # vacuum itself recovers in-flight rewrites first, then sweeps
         self.vacuum(keep_epochs=10**9)  # expire nothing, sweep every orphan
         window = [e for _, e in self._log_entries()] + [self.manifest()]
@@ -3504,7 +3598,7 @@ class TxnCatalog:
                             for i in range(int(st["deltas"]))
                         )
         self._erase_journal(
-            {"op": "begin", "tbl": tbl, "n_keys": len(keys), "n_dirs": len(dirs)}
+            {"op": "begin", "tbl": tbl, "n_keys": n_keys, "n_dirs": len(dirs)}
         )
         # group the slices by parquet schema (driver-side footer reads):
         # each group rewrites in ONE distributed job — mixed schemas
@@ -3531,7 +3625,7 @@ class TxnCatalog:
         rewritten = 0
         removed = 0
         for ds in groups.values():
-            removed += self._erase_dir_group(t, ds, key_df)
+            removed += self._erase_dir_group(t, ds, key_df, broadcast_keys)
             rewritten += len(ds)
         self._refresh_counts_after_erase(tbl, t)
         self._erase_journal(

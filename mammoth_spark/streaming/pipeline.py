@@ -174,9 +174,16 @@ class ChangeLogPipeline:
                 F.count(F.lit(1)).alias("n"),
                 F.max("lsn").alias("max_lsn"),
                 F.collect_set(
-                    F.struct(
-                        F.col("tbl").alias("tbl"),
-                        F.to_json("rel_cols").alias("cols"),
+                    # when() wrapper: a row without rel_cols must stay
+                    # tolerated (NULL elements drop from collect_set) —
+                    # a bare struct(tbl, NULL) would survive the set and
+                    # crash json.loads below (r13 review)
+                    F.when(
+                        F.col("rel_cols").isNotNull(),
+                        F.struct(
+                            F.col("tbl").alias("tbl"),
+                            F.to_json("rel_cols").alias("cols"),
+                        ),
                     )
                 ).alias("rels"),
                 F.collect_set("tbl").alias("tbls"),
@@ -217,19 +224,26 @@ class ChangeLogPipeline:
                     continue
                 evolved = self.evolved_value_cols.get(rel["tbl"], set())
                 retired = self.retired_value_cols.get(rel["tbl"], set())
-                if (
-                    advertised
-                    and advertised == declared[: len(advertised)]
-                    and set(declared[len(advertised):]) <= evolved
-                ):
-                    continue
+                # strip RETIRED extras first, then apply the pre-ALTER
+                # prefix rule to what remains — a historical row may
+                # predate BOTH a later retire and a later evolve
+                # (advertises the retired column, misses the evolved
+                # one), and the two absorptions must compose (r13
+                # review)
                 extras = [c for c in advertised if c not in declared]
-                if (
-                    extras
-                    and set(extras) <= retired
-                    and [c for c in advertised if c not in extras] == declared
-                ):
+                stripped = (
+                    [c for c in advertised if c not in extras]
+                    if extras and set(extras) <= retired
+                    else advertised
+                )
+                if stripped == declared:
                     continue  # pre-DROP rows: old wide relation, absorbed
+                if (
+                    stripped
+                    and stripped == declared[: len(stripped)]
+                    and set(declared[len(stripped):]) <= evolved
+                ):
+                    continue  # pre-ALTER (and possibly pre-DROP) rows
                 if declared == advertised[: len(declared)]:
                     raise RelationChangedError(
                         f"schema drift (additive): relation advertises "

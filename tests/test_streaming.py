@@ -1102,6 +1102,75 @@ def test_drop_drift_retires_and_resumes_without_resync(spark, tmp_path):
         run_with_restart(make2, backfill, max_restarts=0)
 
 
+def test_row_without_rel_cols_is_tolerated(spark, pipeline_env):
+    """Regression (r13 review): a change row missing the nullable
+    rel_cols field must stay tolerated by the drift check — the struct
+    rewrite of the stats agg would otherwise keep a (tbl, NULL) element
+    and crash json.loads with TypeError (not a drift error, so the
+    supervisor can't recover it)."""
+    src, target, pipeline = pipeline_env
+    row = change(1, 1, "UPDATE", 1, "NoRel")
+    del row["rel_cols"]
+    write_changes(src, "b1.json", [row])
+    pipeline.run_available()
+    got = {r["key"]: r["name"] for r in target.read().collect()}
+    assert got["1"] == "NoRel"
+
+
+def test_retire_then_evolve_absorbs_historical_wide_rows(spark, tmp_path):
+    """Regression (r13 review): the retired-extras and evolved-prefix
+    absorptions must COMPOSE — a historical row that predates BOTH a
+    later retire (advertises the dropped column) and a later evolve
+    (misses the added column) is genuinely old data, not drift."""
+    from mammoth_spark.sources.target import TxnCatalog
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src, exist_ok=True)
+    target = ParquetMergeTarget(
+        spark, str(tmp_path / "t"), ["key"], ["name", "nick"]
+    )
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"users": target})
+    cat.initialize(
+        {
+            "users": spark.createDataFrame(
+                [("1", "seed", "S")],
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("nick", T.StringType()),
+                    ]
+                ),
+            )
+        }
+    )
+    cat.retire_column("users", "nick")
+    cat.evolve_schema("users", {"alias": "string"})
+    # declared is now [name, alias]; a historical row advertises the
+    # ORIGINAL relation [name, nick] — pre-drop AND pre-evolve
+    pipeline = ChangeLogPipeline(
+        spark,
+        source_dir=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        targets={"users": target},
+        value_cols=["name", "alias"],
+        txn_catalog=cat,
+    )
+    write_changes(
+        src,
+        "b1.json",
+        [
+            dict(
+                change(1, 1, "UPDATE", 1, "old-row", rel_cols=("name", "nick")),
+                nick="ghost",
+            )
+        ],
+    )
+    pipeline.run_available()  # absorbed — no RelationChangedError
+    got = {r["key"]: (r["name"], r["alias"]) for r in cat.read("users").collect()}
+    assert got["1"] == ("old-row", None)
+
+
 def test_destructive_drift_still_resyncs_with_evolve_present(spark, tmp_path):
     """A renamed column is NOT additive: even with an evolve callback
     supplied, the supervisor answers with backfill (the reference's

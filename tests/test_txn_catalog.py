@@ -2957,6 +2957,35 @@ def test_read_asof_survives_clock_step_back(spark, catalog):
     }
 
 
+def test_read_asof_exact_timestamp_tie_prefers_later_commit(spark, catalog):
+    """Clock-resolution tie: two commits stamped the SAME committed_at
+    (sub-resolution clock or frozen clock) — read_asof must resolve the
+    LATER log entry (log order is the tie-break), so a reader at that
+    instant sees the final state, monotone with epoch order."""
+    import glob
+    import json
+    import time
+
+    cat = catalog
+    cat.apply_txn({"users": _chg(spark, [("2", "UPSERT", "Van")])}, epoch=0)
+    cat.apply_txn({"users": _chg(spark, [("3", "UPSERT", "Joni")])}, epoch=1)
+    tie = time.time()
+    for path in glob.glob(os.path.join(cat.root, "_LOG", "m_*.json")) + [
+        os.path.join(cat.root, "_CATALOG")
+    ]:
+        with open(path) as f:
+            m = json.load(f)
+        if m.get("epoch") in (0, 1):
+            m["committed_at"] = tie
+            with open(path, "w") as f:
+                json.dump(m, f)
+    assert {r["key"] for r in cat.read_asof("users", tie).collect()} == {
+        "1",
+        "2",
+        "3",
+    }
+
+
 def test_retire_column_metadata_only_drop(spark, tmp_path):
     """Round 13 (VERDICT r12 #3): retire_column is a projection-level
     DROP COLUMN — one manifest record, zero data movement. The head
@@ -3020,6 +3049,11 @@ def test_retire_column_metadata_only_drop(spark, tmp_path):
         cat.retire_column("users", ["ghost"])
     with pytest.raises(ValueError, match="every value column"):
         cat.retire_column("users", ["value_c", "value_e"])
+    # ... and a RETIRED name can never come back (r13 review: the old
+    # bytes are still in retained files and name-based reads would
+    # silently resurrect them — a privacy hazard)
+    with pytest.raises(ValueError, match="RETIRED.*cannot be re-added"):
+        cat2.evolve_schema("users", ["value_d"])
 
 
 def test_retire_column_mor_member(spark, tmp_path):
@@ -3209,6 +3243,55 @@ def test_erase_crash_mid_swap_recovers(spark, tmp_path, monkeypatch):
     assert _state(cat, "users")["k2"] == "keep"
 
 
+def test_erase_dataframe_keys_million_subjects(spark, tmp_path):
+    """Round 13 (VERDICT r12 #5): erase accepts a DataFrame of subjects
+    — a million-key erasure never materializes the keys on the driver.
+    With max_broadcast_keys forced to 0 the anti-join takes the SHUFFLE
+    path; results are identical to the broadcast path."""
+    from pyspark.sql import functions as F2
+
+    from mammoth_spark.sources.target import ParquetBucketedTarget
+
+    t = ParquetBucketedTarget(
+        spark, str(tmp_path / "bkt"), ["key"], ["name"], n_buckets=4, bloom_bits=1024
+    )
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"users": t})
+    cat.initialize(
+        {
+            "users": spark.createDataFrame(
+                [(f"k{i}", f"v{i}") for i in range(1000)], KV
+            )
+        }
+    )
+    cat.apply_txn({"users": _chg(spark, [("k0", "UPSERT", "touched")])}, epoch=0)
+    # 10^6 distinct subjects as a DataFrame (most absent from the table;
+    # only k0..k499 present) — never collected driver-side
+    subjects = spark.range(1_000_000).select(
+        F2.when(
+            F2.col("id") < 500,
+            F2.concat(F2.lit("k"), F2.col("id").cast("string")),
+        )
+        .otherwise(F2.concat(F2.lit("x"), F2.col("id").cast("string")))
+        .alias("key")
+    )
+    audit = cat.erase("users", subjects, max_broadcast_keys=0)  # shuffle path
+    assert audit["rows_removed"] >= 500
+    remaining = {r["key"] for r in cat.read("users").collect()}
+    assert remaining == {f"k{i}" for i in range(500, 1000)}
+    # history is clean too
+    assert not any(
+        int(r["key"][1:]) < 500 for r in cat.read_at("users", -1).collect()
+    )
+    # the journal recorded the true subject count
+    assert any(
+        rec.get("op") == "begin" and rec.get("n_keys") == 1_000_000
+        for rec in cat._erase_log_records()
+    )
+    # bloom probes still answer for kept keys after the sidecar rebuild
+    got = {r["key"] for r in cat.probe("users", [("k500",), ("k0",)]).collect()}
+    assert got == {"k500"}
+
+
 def test_second_erase_crash_mid_swap_recovers(spark, tmp_path, monkeypatch):
     """Regression (ADVICE r13, high): recovery must replay the journal
     keeping the LAST state per dir. A lifetime ``rewrite_done`` set
@@ -3260,6 +3343,49 @@ def test_second_erase_crash_mid_swap_recovers(spark, tmp_path, monkeypatch):
     assert _state(cat, "users")["k3"] == "keep"
     cat.vacuum(keep_epochs=2)
     assert _state(cat, "users")["k3"] == "keep"
+
+
+def test_mor_counter_reseeds_after_record_loss(spark, tmp_path):
+    """Self-healing counter (r13): when a MOR member's row_counts
+    record is missing (an erase dropped a live branch's record, or a
+    pre-counter catalog on disk), the next staging re-seeds it with one
+    reconciling count — count() is metadata-only again from then on."""
+    import shutil
+
+    from mammoth_spark.sources.target import ParquetMorTarget, compact_for_mor
+
+    t = ParquetMorTarget(spark, str(tmp_path / "mor"), ["key"], ["name"])
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"logs": t})
+    cat.initialize(
+        {"logs": spark.createDataFrame([(f"k{i}", "init") for i in range(5)], KV)}
+    )
+
+    # simulate a pre-counter manifest: strip the record from head + log
+    import glob
+    import json
+
+    for path in glob.glob(os.path.join(cat.root, "_LOG", "m_*.json")) + [
+        os.path.join(cat.root, "_CATALOG")
+    ]:
+        with open(path) as f:
+            m = json.load(f)
+        m.pop("row_counts", None)
+        with open(path, "w") as f:
+            json.dump(m, f)
+
+    def batch(rows, seq0):
+        return compact_for_mor(
+            spark.createDataFrame(rows, CHG).withColumn(
+                "seq", F.monotonically_increasing_id() + F.lit(seq0)
+            ),
+            ["key"],
+            ["name"],
+        )
+
+    cat.apply_txn({"logs": batch([("new1", "UPSERT", "x")], 0)}, epoch=0)
+    assert cat.manifest()["row_counts"]["logs"] == 6  # re-seeded + net
+    shutil.rmtree(t.root)  # metadata-only from here on
+    assert cat.count("logs") == 6
 
 
 def test_erase_drops_stale_branch_counts(spark, tmp_path):

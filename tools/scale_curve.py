@@ -124,9 +124,22 @@ PANEL = [
     "catalog_erase_history",          # one distributed rewrite job per
                                       # schema group + journaled swaps; cost
                                       # ∝ subjects' buckets × vacuum window
+                                      # (r13: subjects handed over as a
+                                      # DataFrame — same curve, no driver
+                                      # materialization)
     "streaming_schema_drift_evolve",  # evolve-and-resume: one metadata
                                       # republish + a stream restart; the
                                       # redelivered batch dominates
+    # round-13: the drop-drift and MOR-count stories' decades
+    "streaming_schema_drift_drop",    # retire-and-resume: projection-level
+                                      # manifest record + a stream restart;
+                                      # like evolve, the redelivered batch
+                                      # dominates — metadata work is O(1)
+    "catalog_stats_count_mor",        # running exact cardinality: one
+                                      # stage-time broadcast probe per
+                                      # epoch (bucket-pruned on bmor); the
+                                      # count itself reads one JSON at any
+                                      # scale
 ]
 
 
