@@ -1598,3 +1598,49 @@ def test_catalog_changelog_one_join_no_python(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_media_png_roundtrip_prunes_before_python(spark):
+    """The real-codec round-trip is ONE Arrow-batched Python stage fed
+    by a column-pruned scan: the parquet read materializes doc_id ONLY
+    (no text/meta bytes cross the JVM boundary), and the every-5th-doc
+    filter runs JVM-side below the Python operator — at 100 TB the
+    Python stage sees exactly the surviving ids, nothing else."""
+    df = ALL_QUERIES["media_png_roundtrip"](spark, SF)
+    plan = _executed_plan(df)
+    assert "MapInPandas" in plan
+    assert "ReadSchema: struct<doc_id" in plan
+    assert "text" not in plan.split("ReadSchema:")[1][:120]
+
+
+def test_catalog_stats_count_mor_result_is_metadata_only(spark):
+    """The six (strategy, snap, n_rows) rows come from manifest JSON —
+    the returned plan is a LocalTableScan with NO file scan at all (the
+    members' data directories were deleted before counting, so any scan
+    would crash, and the plan proves none is attempted)."""
+    df = ALL_QUERIES["catalog_stats_count_mor"](spark, SF)
+    plan = _executed_plan(df)
+    assert "LocalTableScan" in plan
+    assert "FileScan" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_drift_drop_head_read_is_narrow(spark):
+    """After the retire-and-resume, the head read projects the retired
+    column OUT at the scan: the final merge wrote narrow files and the
+    epoch's schema record governs the projection — value_d appears
+    nowhere in the returned plan, and nothing leaves the JVM."""
+    df = ALL_QUERIES["streaming_schema_drift_drop"](spark, SF)
+    plan = _executed_plan(df)
+    assert "value_d" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_wap_evolve_reconcile_read_stays_jvm_side(spark):
+    """The post-publish read resolves the widened schema record over
+    the mixed-width chain without Python and without a cartesian —
+    reconciliation is metadata plus an ordinary projected scan."""
+    df = ALL_QUERIES["catalog_wap_evolve_reconcile"](spark, SF)
+    plan = _executed_plan(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
