@@ -2451,16 +2451,16 @@ class TxnCatalog:
         folded = compacted.groupBy(*t.key_cols).agg(
             F.max_by("kind", "last_seq").alias("_kind")
         )
-        if self._is_bmor(t):
-            # bmor runs TWO jobs (bucket routing + the net agg): pin the
-            # batch-sized fold once so the second doesn't re-shuffle
-            folded = folded.localCheckpoint()
         # liveness probe over the RAW chain, column-pruned to the key
         # columns + (kind, last_seq): the reconciling read would window
         # ALL keys with every value column per staged epoch — here the
         # batch keys broadcast-join the chain scan BEFORE any fold, so
         # the shuffle is O(batch-matched rows), not O(table) (r13 bench)
         if self._is_bmor(t):
+            # bmor runs TWO jobs (the bucket-routing collect below +
+            # the net agg): pin the batch-sized fold once so the second
+            # doesn't re-shuffle it
+            folded = folded.localCheckpoint()
             bmap = m["bmor"][tbl]
             bexpr = _bucket_expr(t.key_cols, len(bmap))
             bs = sorted(
@@ -2817,10 +2817,11 @@ class TxnCatalog:
                     f"{t.n_buckets} (an online rebucket happened since this "
                     "branch forked) — drop_branch and restage"
                 )
-            if self._is_bmor(t):
-                # exact running cardinality: fold the batch's net delta
-                # into the manifest counter BEFORE staging (probe reads
-                # the base state m references) — count() stays
+            if self._is_bmor(t) or self._is_mor(t):
+                # exact running cardinality (ONE block for both MOR
+                # shapes — r13 second review): fold the batch's net
+                # delta into the manifest counter BEFORE staging (probe
+                # reads the base state m references) — count() stays
                 # metadata-only on merge-on-read members too. A missing
                 # counter (an erase dropped a branch's record, or a
                 # pre-counter catalog on disk) re-seeds with ONE
@@ -2832,18 +2833,13 @@ class TxnCatalog:
                 new_counts[tbl] = int(prev_n) + self._net_cardinality_delta(
                     tbl, compacted, m
                 )
+            if self._is_bmor(t):
                 new_bmor[tbl] = t.stage_delta(
                     compacted,
                     new_bmor[tbl],
                     conflict_floor=hw["bmor"].get(tbl),
                 )
             elif self._is_mor(t):
-                prev_n = m.get("row_counts", {}).get(tbl)
-                if prev_n is None:
-                    prev_n = self._read_from(tbl, m).count()  # re-seed once
-                new_counts[tbl] = int(prev_n) + self._net_cardinality_delta(
-                    tbl, compacted, m
-                )
                 mm = new_mor[tbl]
                 i = mm["deltas"]
                 # merge-on-read slots are COUNT-addressed and cannot
@@ -3540,7 +3536,10 @@ class TxnCatalog:
             key_df = keys.select(*t.key_cols).distinct().localCheckpoint()
             n_keys = key_df.count()
         else:
-            keys = list(keys)
+            # dedup the list path too (r13 second review): the journal's
+            # n_keys and the broadcast-vs-shuffle decision must agree
+            # with the equivalent DataFrame call, not count duplicates
+            keys = list(dict.fromkeys(tuple(k) for k in keys))
             n_keys = len(keys)
             if n_keys:
                 import pandas as pd

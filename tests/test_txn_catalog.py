@@ -3102,6 +3102,54 @@ def test_retire_column_mor_member(spark, tmp_path):
     assert cat.count("logs") == 3  # running counter survives the retire
 
 
+def test_retire_column_bucketed_member(spark, tmp_path):
+    """retire_column on a bucketed-COW member: untouched buckets keep
+    wide files (reads project the record), touched buckets rewrite
+    narrow, pre-retire epochs stay wide, and the per-bucket manifest
+    count sum survives."""
+    from mammoth_spark.sources.target import ParquetBucketedTarget
+
+    two = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value_c", T.StringType()),
+            T.StructField("value_d", T.StringType()),
+        ]
+    )
+    t = ParquetBucketedTarget(
+        spark, str(tmp_path / "t"), ["key"], ["value_c", "value_d"], n_buckets=4
+    )
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"items": t})
+    cat.initialize(
+        {
+            "items": spark.createDataFrame(
+                [(f"k{i}", f"c{i}", f"d{i}") for i in range(8)], two
+            )
+        }
+    )
+    cat.retire_column("items", "value_d")
+    assert cat.read("items").columns == ["key", "value_c"]
+    assert "value_d" in cat.read_at("items", -1).columns
+    chg = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("value_c", T.StringType()),
+        ]
+    )
+    cat.apply_txn(
+        {"items": spark.createDataFrame([("k0", "UPSERT", "c0x")], chg)}, epoch=0
+    )
+    got = {r["key"]: r["value_c"] for r in cat.read("items").collect()}
+    assert got["k0"] == "c0x" and got["k7"] == "c7" and len(got) == 8
+    assert cat.count("items") == 8  # per-bucket manifest sum intact
+    # changelog ACROSS the retire boundary diffs the narrow columns
+    cdf = cat.changelog("items", -1, 0)
+    ops = {r["key"]: r["op"] for r in cdf.collect()}
+    assert ops == {"k0": "UPDATE"}
+    assert "value_d_old" not in cdf.columns
+
+
 # -- round 12: online bucket-count evolution ----------------------------------
 
 
