@@ -24,6 +24,16 @@ from pyspark.sql import SparkSession
 _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # honor the 64m advisory target when coalescing instead of keeping
+    # one partition per core (r13, guide §2.2/§6): parallelismFirst=true
+    # (the default) pins tiny post-shuffle stages at max parallelism —
+    # dozens of near-empty tasks per stage for micro-batch-sized
+    # shuffles; false is the documented recommendation ("respect the
+    # configured target size") and is scale-ADAPTIVE, not a local-mode
+    # constant: any shuffle past 64m per partition keeps full
+    # parallelism at any cluster size, smaller ones stop paying
+    # per-task overhead they can't use
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -1562,14 +1562,23 @@ def streaming_dedup_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     sink = f"dedup_wm_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state partitions = shuffle partitions at query start (the repo's
+    # streaming convention, r13 here): the watermark bounds state to one
+    # window of ids, so 8 partitions beats paying 32 state-store
+    # instantiations per micro-batch
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink).select(
         F.col("event_id").cast("bigint"),
         F.col("user_id").cast("bigint"),

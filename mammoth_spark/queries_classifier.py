@@ -121,20 +121,23 @@ def _train_weights(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[in
     totals (partial-aggregated) -> 1-row collect -> literal-folded
     update (bounded driver control)."""
     feats = _feature_table(spark, sf_dir)
-    n = feats.count()
+    n = None  # rides the FIRST gradient agg (one fewer job, r13)
     w = [0] * _NF
     for _ in range(GD_ITERS):
         s = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(w)))
-        grads = feats.agg(
-            *[
-                F.sum(
-                    F.floor(
-                        (s - F.col("y")) * F.col(f"x{j}") * F.lit(1000000.0)
-                    ).cast("bigint")
-                ).alias(f"g{j}")
-                for j in range(_NF)
-            ]
-        ).collect()[0]
+        aggs = [
+            F.sum(
+                F.floor(
+                    (s - F.col("y")) * F.col(f"x{j}") * F.lit(1000000.0)
+                ).cast("bigint")
+            ).alias(f"g{j}")
+            for j in range(_NF)
+        ]
+        if n is None:
+            aggs.append(F.count(F.lit(1)).alias("_n"))
+        grads = feats.agg(*aggs).collect()[0]
+        if n is None:
+            n = grads["_n"]
         w = [
             w[j] - math.floor((GD_LR * 1.0 * grads[f"g{j}"]) / n)
             for j in range(_NF)

@@ -622,12 +622,25 @@ def streaming_chunk_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # call's scratch base without reaching into scratch internals.
     _STREAM_CHUNK_TL.base = base
     src = os.path.join(base, "src")
-    for i, (lo, hi) in enumerate([(0, 150), (150, 300), (300, 1 << 60)]):
-        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        pdir = os.path.join(base, f"stage{i}")
-        part.coalesce(1).write.parquet(pdir)
-        (pq,) = glob.glob(pdir + "/*.parquet")
-        os.makedirs(src, exist_ok=True)
+    # all three ingest chunks staged in ONE write job (r13, guide §1.2):
+    # tag by id range, hash-repartition on the tag (one file per chunk),
+    # partitionBy drops the tag from file contents — identical files to
+    # the old three filter+coalesce(1) writes, two fewer document scans
+    pdir = os.path.join(base, "stage")
+    (
+        docs.withColumn(
+            "_e",
+            F.when(F.col("doc_id") < 150, 0)
+            .when(F.col("doc_id") < 300, 1)
+            .otherwise(2),
+        )
+        .repartition(3, "_e")
+        .write.partitionBy("_e")
+        .parquet(pdir)
+    )
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        (pq,) = glob.glob(os.path.join(pdir, f"_e={i}", "*.parquet"))
         dst = os.path.join(src, f"ingest_{i}.parquet")
         os.rename(pq, dst)
         os.utime(dst, (1_000_000 + i, 1_000_000 + i))  # arrival order = id order

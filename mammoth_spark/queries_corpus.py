@@ -541,15 +541,21 @@ def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the head trains, the middle is sampled, the tail is audited —
     the standard CCNet curriculum cut.
 
-    Scale shape: pass 1 reduces the per-doc score column to TWO scalar
-    quantiles (at 100 TB: percentile_approx — a mergeable t-digest — in
-    place of the exact percentile; same plan shape); pass 2 re-scans and
-    labels against the broadcast thresholds. No global sort, no window:
-    the naive ntile(3) formulation would sort the whole corpus through
-    one partition. Quantiles 0.25/0.75 are exactly-representable binary
-    fractions and both engines interpolate at rank (n-1)*p over exact
-    integer scores, so the cut is reproducible cross-engine."""
-    lm = _lm_scored(spark, sf_dir)
+    Scale shape: the per-doc score table (doc_id + three bigints — ~1 %
+    of corpus bytes, the CCNet artifact shape) is materialized ONCE
+    (localCheckpoint) and feeds both passes; without it the full LM
+    pipeline (two corpus-sized tokenize scans + the model shuffles) ran
+    TWICE, once under the quantile agg and once under the labeling scan
+    (r13 measurement: the un-pinned form re-executed ~6 s of upstream
+    work). Pass 1 reduces the pinned scores to TWO scalar quantiles (at
+    100 TB: percentile_approx — a mergeable t-digest — in place of the
+    exact percentile; same plan shape); pass 2 labels against the
+    broadcast thresholds. No global sort, no window: the naive ntile(3)
+    formulation would sort the whole corpus through one partition.
+    Quantiles 0.25/0.75 are exactly-representable binary fractions and
+    both engines interpolate at rank (n-1)*p over exact integer scores,
+    so the cut is reproducible cross-engine."""
+    lm = _lm_scored(spark, sf_dir).localCheckpoint()
     thr = lm.agg(
         F.expr("percentile(mean_microprob, array(0.25, 0.75))").alias("q")
     ).select(F.col("q")[0].alias("p25"), F.col("q")[1].alias("p75"))

@@ -36,6 +36,63 @@ def _normalize_kinds(log: DataFrame) -> DataFrame:
     )
 
 
+def _stage_parts_once(parts: list[DataFrame], src: str, prefix: str):
+    """Stage N micro-batch slices with ONE Spark write job instead of N
+    (r13, guide §1.2/§2.4 — same files, fewer passes).
+
+    The old shape wrote each epoch's slice separately (filter →
+    coalesce → write.json), re-running the change-log lineage (events
+    scan + the kind-normalization window shuffle) once PER EPOCH. Here
+    every slice is tagged, unioned (allowMissingColumns: JSON omits
+    NULL fields, so a narrower slice padded with NULL columns
+    serializes the exact lines its own write produced), and written in
+    one partitioned job — hash-repartitioned on the tag, so each epoch
+    lands as one file. The returned ``release(i)`` moves epoch i's
+    files into ``src`` (driver-side renames), so callers still control
+    exactly when each epoch becomes visible to the stream between
+    ``run_available()`` calls; an empty slice releases one empty file,
+    keeping the micro-batch (and therefore epoch-id) sequence identical
+    to the per-slice writes."""
+    import glob as _glob
+    import os as _os
+
+    from .scratch import scratch_dir
+
+    stage = scratch_dir(prefix=prefix)
+    tagged = None
+    for i, p in enumerate(parts):
+        t = p.withColumn("_e", F.lit(i))
+        tagged = (
+            t if tagged is None else tagged.unionByName(t, allowMissingColumns=True)
+        )
+    tagged.repartition(len(parts), "_e").write.mode("overwrite").partitionBy(
+        "_e"
+    ).json(stage)
+
+    def release(i: int) -> None:
+        files = sorted(_glob.glob(_os.path.join(stage, f"_e={i}", "*.json")))
+        if not files:
+            open(_os.path.join(src, f"epoch{i}_0.json"), "w").close()
+            return
+        for j, f in enumerate(files):
+            _os.replace(f, _os.path.join(src, f"epoch{i}_{j}.json"))
+
+    return release
+
+
+def _seq_slices(stream_rows: DataFrame, bounds: list[tuple]) -> list[DataFrame]:
+    """The (lo, hi] seq-range slices the epoch loops stage."""
+    parts = []
+    for lo, hi in bounds:
+        part = stream_rows
+        if lo is not None:
+            part = part.filter(F.col("seq") > lo)
+        if hi is not None:
+            part = part.filter(F.col("seq") <= hi)
+        parts.append(part)
+    return parts
+
+
 @register(
     "snapshot_scan",
     oracle="""
@@ -1204,9 +1261,6 @@ def _streaming_cdc_apply_toast(spark: SparkSession, sf_dir: str, target_cls) -> 
     """Shared body of the COW/MOR TOAST streaming queries: stage the
     flagged stream in three seq-ordered epochs, run the flagged pipeline
     per epoch, return the published table state."""
-    import glob as _glob
-    import os as _os
-
     from pyspark.sql import types as T
 
     from .scratch import scratch_dir
@@ -1250,17 +1304,15 @@ def _streaming_cdc_apply_toast(spark: SparkSession, sf_dir: str, target_cls) -> 
     )
     # three seq-ordered epochs: per-key chains split across micro-batches
     # so `unchanged` inheritance crosses epoch (and, for MOR, delta and
-    # compact) boundaries — the semantics under test
-    for i, (lo, hi) in enumerate([(None, cut1), (cut1, cut2), (cut2, None)]):
-        part = stream_rows
-        if lo is not None:
-            part = part.filter(F.col("seq") > lo)
-        if hi is not None:
-            part = part.filter(F.col("seq") <= hi)
-        stage = scratch_dir(prefix=f"toast_epoch{i}_")
-        part.coalesce(2).write.mode("overwrite").json(stage)
-        for j, f in enumerate(sorted(_glob.glob(_os.path.join(stage, "*.json")))):
-            _os.replace(f, _os.path.join(src, f"epoch{i}_{j}.json"))
+    # compact) boundaries — the semantics under test. All three slices
+    # stage in ONE write job (r13); release() gates epoch visibility.
+    release = _stage_parts_once(
+        _seq_slices(stream_rows, [(None, cut1), (cut1, cut2), (cut2, None)]),
+        src,
+        prefix="toast_epochs_",
+    )
+    for i in range(3):
+        release(i)
         pipeline.run_available()
         if flagged and i == 1:
             target.compact()  # parity must cross the OPTIMIZE fold
@@ -1363,19 +1415,15 @@ def streaming_txn_mixed_targets_q(spark: SparkSession, sf_dir: str) -> DataFrame
         ["value_c"],
         txn_catalog=catalog,
     )
-    import glob as _glob
-    import os as _os
-
-    for i, (lo, hi) in enumerate([(None, mid), (mid, None)]):
-        part = stream_rows
-        if lo is not None:
-            part = part.filter(F.col("seq") > lo)
-        if hi is not None:
-            part = part.filter(F.col("seq") <= hi)
-        stage = scratch_dir(prefix=f"txn_epoch{i}_")
-        part.coalesce(2).write.mode("overwrite").json(stage)
-        for j, f in enumerate(sorted(_glob.glob(_os.path.join(stage, "*.json")))):
-            _os.replace(f, _os.path.join(src, f"epoch{i}_{j}.json"))
+    # both epoch slices staged in ONE write job (r13); release() gates
+    # per-epoch visibility between run_available() calls
+    release = _stage_parts_once(
+        _seq_slices(stream_rows, [(None, mid), (mid, None)]),
+        src,
+        prefix="txn_epochs_",
+    )
+    for i in range(2):
+        release(i)
         pipeline.run_available()
     assert catalog.manifest()["epoch"] == 1  # two epochs, one commit each
 
@@ -1499,19 +1547,14 @@ def streaming_txn_triple_strategy_q(spark: SparkSession, sf_dir: str) -> DataFra
         ["value_c"],
         txn_catalog=catalog,
     )
-    import glob as _glob
-    import os as _os
-
-    for i, (lo, hi) in enumerate([(None, mid), (mid, None)]):
-        part = stream_rows
-        if lo is not None:
-            part = part.filter(F.col("seq") > lo)
-        if hi is not None:
-            part = part.filter(F.col("seq") <= hi)
-        stage = scratch_dir(prefix=f"tri_epoch{i}_")
-        part.coalesce(2).write.mode("overwrite").json(stage)
-        for j, f in enumerate(sorted(_glob.glob(_os.path.join(stage, "*.json")))):
-            _os.replace(f, _os.path.join(src, f"epoch{i}_{j}.json"))
+    # both epoch slices staged in ONE write job (r13)
+    release = _stage_parts_once(
+        _seq_slices(stream_rows, [(None, mid), (mid, None)]),
+        src,
+        prefix="tri_epochs_",
+    )
+    for i in range(2):
+        release(i)
         pipeline.run_available()
     assert catalog.manifest()["epoch"] == 1  # two epochs, one commit each
 
@@ -1867,9 +1910,6 @@ def streaming_txn_mixed_toast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     by its own driver row; this row pins that they compose with each
     other — the oracle is the TOAST net effect with the same key-parity
     table split as streaming_txn_mixed_targets."""
-    import glob as _glob
-    import os as _os
-
     from pyspark.sql import types as T
 
     from .scratch import scratch_dir
@@ -1916,16 +1956,14 @@ def streaming_txn_mixed_toast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn_catalog=catalog,
         flagged=True,
     )
-    for i, (lo, hi) in enumerate([(None, mid), (mid, None)]):
-        part = stream_rows
-        if lo is not None:
-            part = part.filter(F.col("seq") > lo)
-        if hi is not None:
-            part = part.filter(F.col("seq") <= hi)
-        stage = scratch_dir(prefix=f"ttm_epoch{i}_")
-        part.coalesce(2).write.mode("overwrite").json(stage)
-        for j, f in enumerate(sorted(_glob.glob(_os.path.join(stage, "*.json")))):
-            _os.replace(f, _os.path.join(src, f"epoch{i}_{j}.json"))
+    # both epoch slices staged in ONE write job (r13)
+    release = _stage_parts_once(
+        _seq_slices(stream_rows, [(None, mid), (mid, None)]),
+        src,
+        prefix="ttm_epochs_",
+    )
+    for i in range(2):
+        release(i)
         pipeline.run_available()
         if i == 0:
             # OPTIMIZE the MOR member mid-stream through the CATALOG
@@ -3256,14 +3294,10 @@ def streaming_wap_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn_catalog=catalog,
         audit=audit,
     )
-    import glob as _glob
-    import os as _os
-
-    for i, part in enumerate([e0, poison, e2]):
-        stage = scratch_dir(prefix=f"wap_epoch{i}_")
-        part.coalesce(2).write.mode("overwrite").json(stage)
-        for j, f in enumerate(sorted(_glob.glob(_os.path.join(stage, "*.json")))):
-            _os.replace(f, _os.path.join(src, f"epoch{i}_{j}.json"))
+    # all three epoch slices staged in ONE write job (r13)
+    release = _stage_parts_once([e0, poison, e2], src, prefix="wap_epochs_")
+    for i in range(3):
+        release(i)
         pipeline.run_available()
 
     assert pipeline.rejected_epochs == [1], pipeline.rejected_epochs
@@ -3827,21 +3861,26 @@ def catalog_rollback_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("value_c"),
     )
     catalog.apply_txn({"users": poison, "shadow": poison}, epoch=1)
-    assert catalog.read("users").count() == 0  # the damage is live
+    # the damage is live — via the manifest's exact running counter
+    # (r13: count() on MOR members is metadata-only; the counter's
+    # physical proof is catalog_stats_count_mor's data-dirs-deleted
+    # check, so these audit asserts need no reconcile-read jobs)
+    assert catalog.count("users") == 0
 
     # fold-on-restore: both members rebase onto fresh generations
     assert catalog.rollback(0) == 2
     m = catalog.manifest()
     assert m["mor"]["users"]["deltas"] == 0 and m["mor"]["users"]["base"] > 0
-    # the poison epoch stays auditable (its slices were never touched)
-    assert catalog.read_at("users", 1).count() == 0
-    assert catalog.read_at("shadow", 1).count() == 0
+    # the poison epoch stays auditable (its slices were never touched;
+    # the epoch-1 manifest still answers through the log, metadata-only)
+    assert catalog.count("users", epoch=1) == 0
+    assert catalog.count("shadow", epoch=1) == 0
 
     last = compact_for_mor(
         kept.filter(F.col("seq") > t2), ["key"], ["value_c"]
     )
     catalog.apply_txn({"users": last, "shadow": last}, epoch=3)
-    assert catalog.read_at("users", 1).count() == 0  # still auditable
+    assert catalog.count("users", epoch=1) == 0  # still auditable
     users = catalog.read("users")
     # the bucketed-MOR shadow restored to the identical state
     assert users.exceptAll(catalog.read("shadow")).limit(1).count() == 0
@@ -4758,32 +4797,28 @@ def catalog_erase_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit = catalog.erase("users", subjects_df)
     assert audit["rows_removed"] > 0 and audit["dirs_rewritten"] > 0
 
-    # every retained epoch reads back ZERO erased subjects... (the
-    # bounded collect below is for the PROOFS only, |users|/7)
-    erased = {r["key"] for r in subjects_df.collect()}
-    for e in range(3):
-        leaked = (
-            catalog.read_at("users", e)
-            .filter(F.col("key").isin(list(erased)))
-            .count()
-        )
-        assert leaked == 0, (e, leaked)
-    # ...and the PHYSICAL files contain zero occurrences — ONE raw
-    # multi-path scan over every parquet directory under the member
-    # root (uniform schema here: single strategy, no evolution), not a
-    # job per directory
+    # in-query proof, ONE action (r13 — was four separate count jobs
+    # plus a driver-side subject collect): every retained epoch's
+    # read-back UNIONed with one raw multi-path scan of every parquet
+    # directory under the member root (uniform schema here: single
+    # strategy, no evolution), semi-joined against the subject
+    # DataFrame broadcast — zero rows may survive. No driver
+    # materialization of the subject set at all.
     dirs = sorted(
         {
             _os.path.dirname(f)
             for f in _glob.glob(_os.path.join(root, "**", "*.parquet"), recursive=True)
         }
     )
-    hits = (
-        spark.read.parquet(*dirs)
-        .filter(F.col("key").isin(list(erased)))
-        .count()
+    from functools import reduce as _reduce
+
+    probe = _reduce(
+        DataFrame.unionByName,
+        [catalog.read_at("users", e).select("key") for e in range(3)]
+        + [spark.read.parquet(*dirs).select("key")],
     )
-    assert hits == 0, hits
+    leaked = probe.join(F.broadcast(subjects_df), "key", "semi").count()
+    assert leaked == 0, leaked
     return catalog.read("users").select(
         F.col("key").cast("bigint").alias("key"), "value_c"
     )

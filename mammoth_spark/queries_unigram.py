@@ -35,10 +35,12 @@ implements no tokenizer; SURVEY §2 Table B): all EM work runs on the
 DISTINCT-WORD table weighted by frequency (vocabulary-sized, Heaps'-law
 sublinear), never on the token stream. The only data-sized job at any SF
 is the ONE initial word-frequency shuffle. Per EM round, the Viterbi DP
-is W_MAX relaxation rounds of {explode <= P_MAX candidate extensions,
+is ONE pass: explode <= W_MAX x P_MAX candidate substrings,
 BroadcastHashJoin against the piece table (bounded: <= V_MULTI + alphabet
-rows), per-(word, pos) min-struct aggregate}, each round localCheckpointed
-so round r+1 never recomputes rounds 1..r (the IVM convention). The
+rows), one groupBy(word) edge-collect, then the whole forward DP rolls
+inside a single higher-order ``aggregate`` expression per row (r13: this
+replaced W_MAX distributed relaxation rounds — 12 exchanges per EM round
+— with one, bit-identical results). The
 DuckDB oracle replicates the arithmetic but swaps the DP for exhaustive
 recursive-CTE enumeration of all segmentations — affordable at oracle
 scale (<= tetranacci(W_MAX) ~ 1.5k paths/word), impossible at 100 TB,
@@ -117,26 +119,44 @@ def _seed_vocab(words: DataFrame) -> DataFrame:
     return chars.unionByName(multi)
 
 
-def _extend_state(state: DataFrame, pieces: DataFrame) -> DataFrame:
-    """One DP relaxation: extend every open state by one vocabulary
-    piece. The candidate substrings explode JVM-side (<= P_MAX per
-    state) and probe the BOUNDED piece table via BroadcastHashJoin —
-    plan-asserted: this is the step that would become a data-sized
-    shuffle if the piece table were ever joined shuffled."""
+def _edge_table(words: DataFrame, pieces: DataFrame) -> DataFrame:
+    """Per-word DP edge list: every (start, len) substring of the word
+    that is a vocabulary piece, with its micro-log cost. The candidate
+    substrings explode JVM-side (<= P_MAX per position) and probe the
+    BOUNDED piece table via BroadcastHashJoin — plan-asserted: this is
+    the step that would become a data-sized shuffle if the piece table
+    were ever joined shuffled. ONE groupBy(word) collects the edges
+    (<= W_MAX x P_MAX structs, order-independent downstream)."""
     return (
-        state.filter(F.col("pos") < F.length("word"))
-        .select("*", F.explode(F.sequence(F.lit(1), F.lit(P_MAX))).alias("plen"))
-        .filter(F.col("pos") + F.col("plen") <= F.length("word"))
-        .withColumn("sub", F.expr("substring(word, pos + 1, plen)"))
-        .join(F.broadcast(pieces), F.col("sub") == F.col("piece"))
+        words.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s"),
+        )
         .select(
             "word",
             "freq",
-            (F.col("pos") + F.col("plen")).alias("pos"),
-            (F.col("cost") + F.col("pcost")).cast("bigint").alias("cost"),
-            (F.col("nseg") + 1).alias("nseg"),
-            F.concat("lens", F.col("plen").cast("string")).alias("lens"),
-            F.concat("pcs", F.array("sub")).alias("pcs"),
+            "s",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(P_MAX), F.length("word") - F.col("s") + 1),
+                )
+            ).alias("l"),
+        )
+        .withColumn("sub", F.expr("substring(word, s, l)"))
+        .join(F.broadcast(pieces), F.col("sub") == F.col("piece"))
+        .groupBy("word")
+        .agg(
+            F.any_value("freq").alias("freq"),
+            F.collect_list(
+                F.struct(
+                    F.col("s").alias("s"),
+                    F.col("l").alias("l"),
+                    F.col("pcost").alias("pcost"),
+                    F.col("sub").alias("p"),
+                )
+            ).alias("edges"),
         )
     )
 
@@ -144,12 +164,21 @@ def _extend_state(state: DataFrame, pieces: DataFrame) -> DataFrame:
 def _viterbi_best(words: DataFrame, vocab: DataFrame) -> DataFrame:
     """Best segmentation per word under integer micro-log costs.
 
-    Relaxation DP: state = best (cost, nseg, lens, pcs) per (word, pos);
-    W_MAX rounds of extend-by-one-piece + min-struct merge reach the
-    fixpoint because every piece advances pos by >= 1. The piece table is
-    bounded (<= V_MULTI + alphabet) and broadcast; each round's state is
-    (distinct words x <= W_MAX+1 positions) rows, localCheckpointed to
-    keep the plan flat. Returns one row per word: freq, nseg, pcs.
+    Forward DP per word, run as ONE codegen'd expression (r13
+    optimization): the bounded piece table broadcast-joins the word's
+    candidate substrings once, one groupBy(word) collects the <= W_MAX x
+    P_MAX matching edges, and ``aggregate(sequence(1, len), ...)`` rolls
+    best (cost, nseg, lens, pcs) forward position by position inside the
+    row — ``acc[i]`` holds the best struct for the length-(i-1) prefix
+    (NULL when unreachable), each step min-merges the candidates ending
+    at that position (``array_min`` skips NULLs), and the answer is the
+    final entry. Replaces the previous W_MAX distributed relaxation
+    rounds (union + groupBy shuffle each, 12 exchanges + periodic
+    localCheckpoints per EM round) with exactly ONE exchange per EM
+    round; the per-(word,pos) greedy min under the (cost, nseg, lens)
+    total order is unchanged, so results are bit-identical (equal lens
+    implies identical boundaries, hence identical pcs — the tie-break
+    is total). Returns one row per segmentable word: freq, nseg, pcs.
     """
     mlog_total = int(
         vocab.agg(
@@ -164,40 +193,47 @@ def _viterbi_best(words: DataFrame, vocab: DataFrame) -> DataFrame:
             F.lit(mlog_total)
             - F.floor(F.log(F.col("cnt").cast("double")) * _MLOG).cast("bigint")
         ).alias("pcost"),
-    ).localCheckpoint()
-
-    state = words.select(
-        "word",
-        "freq",
-        F.lit(0).alias("pos"),
-        F.lit(0).cast("bigint").alias("cost"),
-        F.lit(0).alias("nseg"),
-        F.lit("").alias("lens"),
-        F.array().cast("array<string>").alias("pcs"),
     )
-    for r in range(W_MAX):
-        ext = _extend_state(state, pieces)
-        state = (
-            state.unionByName(ext)
-            .groupBy("word", "pos")
-            .agg(F.min(F.struct("cost", "nseg", "lens", "freq", "pcs")).alias("st"))
-            .select(
-                "word",
-                "pos",
-                F.col("st.cost").alias("cost"),
-                F.col("st.nseg").alias("nseg"),
-                F.col("st.lens").alias("lens"),
-                F.col("st.freq").alias("freq"),
-                F.col("st.pcs").alias("pcs"),
-            )
+
+    edges = _edge_table(words, pieces)
+
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("bigint").alias("cost"),
+            F.lit(0).alias("nseg"),
+            F.lit("").alias("lens"),
+            F.array().cast("array<string>").alias("pcs"),
         )
-        # no per-round driver action here (unlike BPE's argmax collect),
-        # so rounds pipeline lazily; checkpoint every 4th round only to
-        # bound plan depth / optimizer time, not to force work
-        if r % 4 == 3 or r == W_MAX - 1:
-            state = state.localCheckpoint()
-    return state.filter(F.col("pos") == F.length("word")).select(
-        "word", "freq", "nseg", "pcs"
+    )
+
+    def _step(acc, p):
+        def _cand(e):
+            pred = F.element_at(acc, e["s"])
+            return F.when(
+                (e["s"] + e["l"] - 1 == p) & pred.isNotNull(),
+                F.struct(
+                    (pred["cost"] + e["pcost"]).alias("cost"),
+                    (pred["nseg"] + 1).alias("nseg"),
+                    F.concat(pred["lens"], e["l"].cast("string")).alias("lens"),
+                    F.concat(pred["pcs"], F.array(e["p"])).alias("pcs"),
+                ),
+            )
+
+        return F.concat(acc, F.array(F.array_min(F.transform(F.col("edges"), _cand))))
+
+    best = F.element_at(
+        F.aggregate(F.sequence(F.lit(1), F.length("word")), init, _step),
+        F.length("word") + 1,
+    )
+    return (
+        edges.select("word", "freq", best.alias("b"))
+        .filter(F.col("b").isNotNull())
+        .select(
+            "word",
+            "freq",
+            F.col("b.nseg").alias("nseg"),
+            F.col("b.pcs").alias("pcs"),
+        )
     )
 
 

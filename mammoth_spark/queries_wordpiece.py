@@ -20,13 +20,15 @@ with the 1e12 scale the numerator is ~1e36 — still inside decimal(38,0)
 Encoding is the real WordPiece/BERT inference rule: greedy
 longest-match-first against the trained piece vocabulary (simplified
 position-agnostic — no ## continuation marking, noted here so the
-docstring never overclaims). Engine side it is R rounds (R = longest
-word, a bounded scalar) of {explode candidate lengths, probe the
-BOUNDED broadcast piece table, per-word max-length advance} over the
-frequency-weighted DISTINCT-word table — the same
-work-proportional-to-vocabulary shape as the unigram Viterbi, never a
-corpus-sized loop. Oracle side the same greedy walk is a recursive CTE
-with a correlated max-subquery per step.
+docstring never overclaims). Engine side it is ONE pass over the
+frequency-weighted DISTINCT-word table: explode candidate substrings,
+probe the BOUNDED broadcast piece table, one groupBy(word) edge
+collect, then the whole greedy walk runs inside the row as a
+higher-order ``aggregate`` (r13: replaced R = longest-word distributed
+rounds with one exchange) — the same work-proportional-to-vocabulary
+shape as the unigram Viterbi, never a corpus-sized loop. Oracle side
+the same greedy walk is a recursive CTE with a correlated
+max-subquery per step.
 
 Training-loop physical shape (the BPE convention): per round one
 vocab-keyed pair aggregation + one symbol aggregation (both over the
@@ -312,13 +314,21 @@ def wordpiece_encode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     by pieces-per-word (weighted by word frequency) — the compression
     readout that tells you whether WP_ROUNDS merges were enough.
 
-    Engine loop: R rounds (R = longest word, a bounded scalar collect)
-    of {explode candidate lengths <= longest piece, equi-probe the
-    BROADCAST piece table, per-word max-length advance}. Every round's
-    state is one row per still-open distinct word — vocabulary-sized
-    work, zero corpus rescans. Single-char pieces are unioned into the
-    vocabulary (guaranteed coverage), so greedy never strands a word
-    and the loop terminates in <= R rounds."""
+    Engine shape (r13 optimization — one pass, zero loop rounds): the
+    word's candidate substrings (start x length <= longest piece)
+    explode JVM-side and probe the BROADCAST piece table once; one
+    groupBy(word) collects the matching (start, len) edges; then the
+    whole greedy longest-match walk runs INSIDE the row as a
+    higher-order ``aggregate`` over at most length(word) steps (each
+    matched step advances pos by >= 1, so length(word) steps always
+    reach the end; an unmatched position stalls harmlessly, exactly
+    like the old loop's zero-advance round). Replaces the previous
+    R = longest-word DISTRIBUTED rounds — R broadcast probes + R
+    groupBy exchanges + periodic localCheckpoints — with ONE exchange,
+    and drops the max-word-length scalar-collect job. Single-char
+    pieces are unioned into the vocabulary (guaranteed coverage), so
+    greedy never strands a word; results are bit-identical (the
+    max-length advance per position is the same argmax)."""
     words = _word_table(spark, sf_dir)
     final, _ = _wp_merge_rounds(_wrapped(words), WP_ROUNDS)
     pieces = (
@@ -331,74 +341,67 @@ def wordpiece_encode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    # bounded scalar collects: loop depth + candidate-length cap
-    max_word = int(
-        words.agg(F.max(F.length("word")).alias("m")).collect()[0]["m"] or 0
-    )
+    # bounded scalar collect: candidate-length cap
     max_piece = int(
         pieces.agg(F.max(F.length("piece")).alias("m")).collect()[0]["m"] or 1
     )
-    state = words.select(
-        "word", "freq", F.lit(1).alias("pos"), F.lit(0).alias("np")
+    edges = (
+        words.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s"),
+        )
+        .select(
+            "word",
+            "freq",
+            "s",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(max_piece), F.length("word") - F.col("s") + 1
+                    ),
+                )
+            ).alias("l"),
+        )
+        .withColumn("frag", F.expr("substring(word, s, l)"))
+        .join(F.broadcast(pieces), F.col("frag") == F.col("piece"), "left")
+        .groupBy("word")
+        .agg(
+            F.any_value("freq").alias("freq"),
+            # collect_list skips NULLs: unmatched candidate rows vanish,
+            # words with no matches at all keep an empty edge list (and
+            # stall at pos 1 with np 0, the old loop's behavior)
+            F.collect_list(
+                F.when(
+                    F.col("piece").isNotNull(),
+                    F.struct(F.col("s").alias("s"), F.col("l").alias("l")),
+                )
+            ).alias("edges"),
+        )
     )
-    for r in range(max_word):
-        # ONE scan of the previous state per round (linear lineage).
-        # The r12 shape split state into open/done and unioned them
-        # back, so un-checkpointed lineage DOUBLED per round — 2^k
-        # recompute between every-4th-round checkpoints, the other half
-        # of the r12 driver-bench regression (VERDICT r12 #1). Here
-        # done rows ride through the same select: their candidate array
-        # is NULL, explode_outer keeps the row, the left broadcast probe
-        # misses, and the agg advances them by coalesce(.., 0).
-        state = (
-            state.select(
-                "*",
-                F.explode_outer(
-                    F.when(
-                        F.col("pos") <= F.length("word"),
-                        F.sequence(
-                            F.lit(1),
-                            F.least(
-                                F.lit(max_piece),
-                                F.length("word") - F.col("pos") + 1,
-                            ),
-                        ),
-                    )
-                ).alias("l"),
-            )
-            .withColumn("frag", F.expr("substring(word, pos, l)"))
-            .join(
-                F.broadcast(pieces),
-                F.col("frag") == F.col("piece"),
-                "left",
-            )
-            .groupBy("word")
-            .agg(
-                F.any_value("freq").alias("freq"),
-                (
-                    F.any_value("pos")
-                    + F.coalesce(
-                        F.max(F.when(F.col("piece").isNotNull(), F.col("l"))),
-                        F.lit(0),
-                    )
-                ).alias("pos"),
-                (
-                    F.any_value("np")
-                    + F.when(
-                        F.max(
-                            F.when(F.col("piece").isNotNull(), F.col("l"))
-                        ).isNotNull(),
-                        1,
-                    ).otherwise(0)
-                ).alias("np"),
+
+    init = F.struct(F.lit(1).alias("pos"), F.lit(0).alias("np"))
+
+    def _step(acc, _):
+        # max-length piece starting at the current position (array_max
+        # skips the NULLs of non-matching edges; order-independent, so
+        # collect_list's nondeterministic order cannot leak into results)
+        ml = F.array_max(
+            F.transform(
+                F.col("edges"),
+                lambda e: F.when(e["s"] == acc["pos"], e["l"]),
             )
         )
-        # every 4th round only, and never the last: the final rounds'
-        # lineage stays visible so the plan tests can pin the broadcast
-        # piece probe (checkpointing truncates the plan to an RDD scan);
-        # safe now that per-round lineage is LINEAR, not a union tree
-        if r % 4 == 3 and r != max_word - 1:
-            state = state.localCheckpoint()
+        return F.when(
+            (acc["pos"] <= F.length("word")) & ml.isNotNull(),
+            F.struct(
+                (acc["pos"] + ml).alias("pos"), (acc["np"] + 1).alias("np")
+            ),
+        ).otherwise(acc)
+
+    fin = F.aggregate(F.sequence(F.lit(1), F.length("word")), init, _step)
+    state = edges.select("word", "freq", fin["np"].alias("np"))
     return state.groupBy(F.col("np").cast("bigint").alias("n_pieces")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
         F.sum("freq").cast("bigint").alias("total_freq"),

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from mammoth_spark import queries  # noqa: F401  (registers everything)
 from mammoth_spark.queries_unigram import (
-    _extend_state,
+    _edge_table,
     _seed_vocab,
     _viterbi_best,
     _word_table,
@@ -90,24 +90,18 @@ def test_unigram_word_table_partial_agg_and_pruned_scan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_unigram_dp_extension_broadcasts_pieces(spark):
-    # the per-round DP probe joins the BOUNDED piece table broadcast —
-    # shuffling the state table against pieces would add W_MAX exchanges
-    # per EM round
+def test_unigram_dp_edge_probe_broadcasts_pieces(spark):
+    # the DP edge probe joins the BOUNDED piece table broadcast —
+    # shuffling the word table against pieces would make the vocab probe
+    # a data-sized exchange — and the whole per-word forward DP runs as
+    # ONE expression over the collected edge list: exactly one Exchange
+    # (the groupBy(word) edge-collect) in the whole Viterbi plan per EM
+    # round, vs the 12 the pre-r13 relaxation rounds paid
     words = _word_table(spark, SF)
     vocab = _seed_vocab(words)
     pieces = vocab.select("piece", F.lit(0).cast("bigint").alias("pcost"))
-    state = words.select(
-        "word",
-        "freq",
-        F.lit(0).alias("pos"),
-        F.lit(0).cast("bigint").alias("cost"),
-        F.lit(0).alias("nseg"),
-        F.lit("").alias("lens"),
-        F.array().cast("array<string>").alias("pcs"),
-    )
     plan = (
-        _extend_state(state, pieces)
+        _edge_table(words, pieces)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -115,6 +109,18 @@ def test_unigram_dp_extension_broadcasts_pieces(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+    # vocab is localCheckpointed in _em_counts; mirror that here so the
+    # assertion sees the EM-round plan, not the seed-vocab lineage
+    best_plan = (
+        _viterbi_best(words, vocab.localCheckpoint())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", best_plan)) <= 1
 
 
 def test_unigram_train_head_is_take_ordered(spark, tmp_path):
