@@ -520,14 +520,21 @@ def connected_components(
     aggregate — sum(comp) is strictly decreasing until converged, so one
     equal reading proves no vertex moved (labels only ever decrease).
     """
+    from pyspark.sql import Observation
+
     # Materialize the edge list ONCE — every round joins against it, and
     # without the cut each round would replay the upstream pair pipeline
-    # (e.g. the whole LSH candidate generation) from scratch.
+    # (e.g. the whole LSH candidate generation) from scratch. The edge
+    # count rides the SAME materialization job as an Observation (r13:
+    # metrics fire on localCheckpoint, verified) instead of a second
+    # count() pass.
+    obs0 = Observation()
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     # Size the iteration to the EDGE count, not the session default: the
@@ -536,7 +543,7 @@ def connected_components(
     # empty-task scheduling overhead. ~1M edges per partition keeps tasks
     # dense locally and scales the same way on a cluster (a 10^10-edge run
     # gets 10^4 partitions).
-    n_edges = sym.count()
+    n_edges = int(obs0.get["n"])
     parts = max(1, min(sym.rdd.getNumPartitions(), int(n_edges // 1_000_000) + 1))
     # partition by DST — the per-round join key — so EnsureRequirements
     # reuses this layout every iteration and the edge list is never
@@ -562,7 +569,14 @@ def connected_components(
             "id", F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp")
         )
         # comp is always some vertex's id (a min over ids), so the
-        # pointer-jump self-join is total: follow comp -> comp(comp)
+        # pointer-jump self-join is total: follow comp -> comp(comp).
+        # The fixpoint sum rides the SAME materialization job as an
+        # Observation (r13): one action per round, not two. decimal(38,0)
+        # because ids may span the full bigint domain (e.g. xxhash64-keyed
+        # vertices from operators/compact.py) and an ANSI bigint sum
+        # would overflow; the decimal sum is exact, so the
+        # strictly-decreasing fixpoint argument is unchanged.
+        obs = Observation()
         jumped = (
             stepped.alias("x")
             .join(
@@ -572,12 +586,9 @@ def connected_components(
                 "comp",
             )
             .select(F.col("x.id").alias("id"), F.col("jcomp").alias("comp"))
+            .observe(obs, F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"))
         ).localCheckpoint(eager=True)
-        # decimal(38,0) sum: ids may span the full bigint domain (e.g.
-        # xxhash64-keyed vertices from operators/compact.py) and an ANSI
-        # bigint sum would overflow; the decimal sum is exact, so the
-        # strictly-decreasing fixpoint argument is unchanged
-        s = jumped.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        s = obs.get["s"]
         labels = jumped
         if s == prev_sum:
             break

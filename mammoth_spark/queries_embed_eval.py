@@ -40,10 +40,25 @@ EMB_DIM = 64
 CENT_SCALE = 1_000_000
 
 
+def _spread_scan(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Input-split fix (guide §2.5, r13): the embedding store at bench
+    scale is ONE small parquet file, so the scan is a single task and
+    every per-row-heavy consumer (the D^2/2 gram cells especially)
+    serializes on one core. When — and only when — the scan is
+    under-parallel, hash-repartition on the unique vec_id to the
+    session's core count; at scale the scan's natural splits already
+    exceed this and the branch is a no-op (the conditional is what
+    keeps this scale-adaptive rather than a local-mode constant)."""
+    target = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target, "vec_id")
+    return emb
+
+
 def _scored_queries(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
     """(query_id, q_label, neighbor_id, n_label, cos_sim): every corpus
     vector scored against the broadcast query slice, self excluded."""
-    v = read_table(spark, sf_dir, "embeddings").select(
+    v = _spread_scan(spark, read_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.col("label").cast("bigint").alias("label"),
         F.col("embedding").cast("array<double>").alias("emb"),
@@ -257,7 +272,7 @@ def nearest_centroid_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-partition Window and the broadcast). Cosine rounds to 6
     decimals BEFORE the argmax so both engines break near-ties the
     same way (then by smaller label)."""
-    v = read_table(spark, sf_dir, "embeddings").select(
+    v = _spread_scan(spark, read_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.col("label").cast("bigint").alias("label"),
         F.col("embedding").cast("array<double>").alias("emb"),
@@ -348,7 +363,7 @@ def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined, so the shuffle carries 64 rows per task no
     matter the corpus size. Wide sums run in DECIMAL(38,0) because
     n * sum(m^2) overflows int64 past ~100k vectors."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _spread_scan(spark, read_table(spark, sf_dir, "embeddings"))
     dims = emb.select(
         F.posexplode(
             F.expr(
@@ -433,7 +448,7 @@ def embedding_covariance_summary_q(spark: SparkSession, sf_dir: str) -> DataFram
     plan holds; the per-row cost is D^2/2 multiplies, the classic
     gram-matrix map-reduce (a Pandas-UDF BLAS kernel per partition is
     the constant-factor upgrade, plan shape unchanged)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _spread_scan(spark, read_table(spark, sf_dir, "embeddings"))
     d = EMB_DIM
     pairs = emb.select(
         F.explode(

@@ -449,7 +449,7 @@ def snapshot_incremental_equiv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect."""
     log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
         "seq", "kind", "key", "value"
-    )
+    ).localCheckpoint()  # r13: pinned once — the bounds agg and every epoch slice reuse it
     boundary = log.agg((F.floor(F.max("seq") / 2)).cast("long")).collect()[0][0]
     snap = (
         compact_last_wins(log.filter(F.col("seq") <= boundary), ["key"], ["value"])
@@ -1079,7 +1079,7 @@ def merge_on_read_equiv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key",
         "kind",
         F.floor(F.col("value") * 1000).cast("bigint").alias("value_milli"),
-    )
+    ).localCheckpoint()  # r13: pinned once — the bounds agg and every epoch slice reuse it
     bounds = log.agg(
         F.min("seq").alias("lo"), F.max("seq").alias("hi")
     ).first()
@@ -1646,7 +1646,7 @@ def txn_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kind",
             F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
         )
-    )
+    ).localCheckpoint()  # pinned once: the mid agg and both epoch halves reuse it (r13)
     mid = log.agg(
         F.floor((F.min("seq") + F.max("seq")) / 2.0).cast("long").alias("m")
     ).first()["m"]
@@ -1759,7 +1759,7 @@ def txn_changelog_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("string").alias("key"),
         "kind",
         F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-    )
+    ).localCheckpoint()  # r13: pinned once — the bounds agg and every epoch slice reuse it
     mid = log.agg(
         F.floor((F.min("seq") + F.max("seq")) / 2.0).cast("long").alias("m")
     ).first()["m"]
@@ -1839,7 +1839,7 @@ def cdf_incremental_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("string").alias("key"),
         "kind",
         F.floor(F.col("value") * 100).cast("long").alias("vm"),
-    )
+    ).localCheckpoint()  # r13: pinned once — the bounds agg and every epoch slice reuse it
     mid = log.agg(
         F.floor((F.min("seq") + F.max("seq")) / 2.0).cast("long").alias("m")
     ).first()["m"]
@@ -2910,7 +2910,7 @@ def catalog_wap_publish_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kind",
             F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
         )
-    )
+    ).localCheckpoint()  # pinned once: the span agg and every epoch slice reuse it (r13)
     b = log.agg(
         F.min("seq").alias("lo"), F.max("seq").alias("hi")
     ).first()
@@ -3030,7 +3030,7 @@ def catalog_replicate_incremental_q(spark: SparkSession, sf_dir: str) -> DataFra
             "kind",
             F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
         )
-    )
+    ).localCheckpoint()  # pinned once: the span agg and every epoch slice reuse it (r13)
     b = log.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
     t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
     t2 = b["lo"] + 2 * (b["hi"] - b["lo"]) // 3
@@ -3227,7 +3227,7 @@ def streaming_wap_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = events_as_change_log(read_table(spark, sf_dir, "events")).select(
         "lsn", "seq", "key", "kind", "value"
-    )
+    ).localCheckpoint()  # r13: pinned once — the bounds agg and every epoch slice reuse it
     b = raw.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
     t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
     t2 = b["lo"] + 2 * ((b["hi"] - b["lo"]) // 3)
@@ -3357,7 +3357,7 @@ def txn_schema_evolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = events_as_change_log(read_table(spark, sf_dir, "events")).select(
         "seq", F.col("key").cast("string").alias("key"), "kind", "value"
-    )
+    ).localCheckpoint()  # r13: pinned once — the bounds agg and every epoch slice reuse it
     mid = log.agg((F.floor(F.max("seq") / 2)).cast("long")).first()[0]
 
     catalog = TxnCatalog(
@@ -3476,7 +3476,7 @@ def catalog_stats_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("string").alias("key"),
         "kind",
         F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-    )
+    ).localCheckpoint()  # r13: pinned once — the bounds agg and every epoch slice reuse it
     b = log.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
     t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
     t2 = b["lo"] + 2 * ((b["hi"] - b["lo"]) // 3)
@@ -3558,7 +3558,7 @@ def catalog_rollback_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("string").alias("key"),
         "kind",
         F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-    )
+    ).localCheckpoint()  # pinned once: both kept tertiles reuse it (r13)
 
     catalog = TxnCatalog(
         spark,
@@ -3825,7 +3825,7 @@ def catalog_rollback_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("string").alias("key"),
         "kind",
         F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-    )
+    ).localCheckpoint()  # pinned once: both kept tertiles reuse it (r13)
 
     catalog = TxnCatalog(
         spark,
@@ -4036,7 +4036,7 @@ def catalog_stats_count_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("key").cast("string").alias("key"),
         "kind",
         F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-    )
+    ).localCheckpoint()  # r13: pinned once — the bounds agg and every epoch slice reuse it
     b = log.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
     t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
     t2 = b["lo"] + 2 * ((b["hi"] - b["lo"]) // 3)
@@ -4147,7 +4147,7 @@ def catalog_stats_count_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("string").alias("key"),
         "kind",
         F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-    )
+    ).localCheckpoint()  # r13: pinned once — the bounds agg and every epoch slice reuse it
     b = log.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
     t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
     t2 = b["lo"] + 2 * ((b["hi"] - b["lo"]) // 3)
@@ -4254,7 +4254,7 @@ def catalog_wap_concurrent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kind",
             F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
         )
-    )
+    ).localCheckpoint()  # pinned once: the span agg and every epoch slice reuse it (r13)
     b = log.agg(
         F.min("seq").alias("lo"), F.max("seq").alias("hi"), F.max("key").alias("mx")
     ).first()
@@ -4407,14 +4407,11 @@ def streaming_schema_drift_evolve_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     src = scratch_dir(prefix="drift_evo_src_")
-    import glob as _glob
-    import os as _os
-
-    for i, part in enumerate([narrow, wide]):
-        stage = scratch_dir(prefix=f"drift_evo_half{i}_")
-        part.coalesce(2).write.mode("overwrite").json(stage)
-        for j, f in enumerate(sorted(_glob.glob(_os.path.join(stage, "*.json")))):
-            _os.replace(f, _os.path.join(src, f"half{i}_{j}.json"))
+    # both halves staged in ONE write job (r13); they land in the same
+    # micro-batch either way (one availableNow batch), so order is moot
+    release = _stage_parts_once([narrow, wide], src, prefix="drift_evo_halves_")
+    release(0)
+    release(1)
 
     target = ParquetMergeTarget(
         spark, scratch_dir(prefix="drift_evo_tgt_"), ["key"], ["value_c"]
@@ -4514,7 +4511,7 @@ def catalog_wap_evolve_reconcile_q(spark: SparkSession, sf_dir: str) -> DataFram
         "kind",
         F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
         F.floor(F.col("value") * 1000).cast("long").cast("string").alias("value_d"),
-    )
+    ).localCheckpoint()  # r13: pinned once — the bounds agg and every epoch slice reuse it
     mid = log.agg((F.floor(F.max("seq") / 2)).cast("long")).first()[0]
 
     target = ParquetMergeTarget(
@@ -4637,14 +4634,11 @@ def streaming_schema_drift_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     src = scratch_dir(prefix="drift_drop_src_")
-    import glob as _glob
-    import os as _os
-
-    for i, part in enumerate([wide, narrow]):
-        stage = scratch_dir(prefix=f"drift_drop_half{i}_")
-        part.coalesce(2).write.mode("overwrite").json(stage)
-        for j, f in enumerate(sorted(_glob.glob(_os.path.join(stage, "*.json")))):
-            _os.replace(f, _os.path.join(src, f"half{i}_{j}.json"))
+    # both halves staged in ONE write job (r13); same single-batch note
+    # as the evolve twin
+    release = _stage_parts_once([wide, narrow], src, prefix="drift_drop_halves_")
+    release(0)
+    release(1)
 
     target = ParquetMergeTarget(
         spark,
@@ -4757,7 +4751,7 @@ def catalog_erase_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("long").alias("key"),
         "kind",
         F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-    )
+    ).localCheckpoint()  # r13: pinned once — the bounds agg and every epoch slice reuse it
     b = log.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
     t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
     t2 = b["lo"] + 2 * ((b["hi"] - b["lo"]) // 3)
@@ -4857,7 +4851,7 @@ def catalog_wap_audit_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("string").alias("key"),
         "kind",
         F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-    )
+    ).localCheckpoint()  # pinned once: both kept tertiles reuse it (r13)
 
     catalog = TxnCatalog(
         spark,
@@ -4968,7 +4962,7 @@ def catalog_read_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("string").alias("key"),
         "kind",
         F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-    )
+    ).localCheckpoint()  # r13: pinned once — the bounds agg and every epoch slice reuse it
     b = log.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
     t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
     t2 = b["lo"] + 2 * ((b["hi"] - b["lo"]) // 3)
@@ -5060,7 +5054,7 @@ def catalog_rebucket_online_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("string").alias("key"),
         "kind",
         F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-    )
+    ).localCheckpoint()  # r13: pinned once — the bounds agg and every epoch slice reuse it
     b = log.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
     t1 = b["lo"] + (b["hi"] - b["lo"]) // 3
     t2 = b["lo"] + 2 * ((b["hi"] - b["lo"]) // 3)
@@ -5099,7 +5093,9 @@ def catalog_rebucket_online_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the backfill epoch's manifest still maps 4 buckets; the rebucket's
     # same-epoch maintenance republish moved epoch 0's latest entry to 16)
     assert len(catalog._manifest_at(-1)["bucketed"]["users"]) == 4
-    assert catalog.read_at("users", 0).count() == n_before
+    # metadata-only through the log (r13): the epoch-0 manifest's
+    # bucket_counts answer without a read job
+    assert catalog.count("users", epoch=0) == n_before
 
     catalog.apply_txn(
         {

@@ -243,47 +243,36 @@ def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a", "b", F.floor(pair_cos * 1000000).cast("bigint").alias("msim")
         )
-        .localCheckpoint()
     )
-    slim = cand.select("vec_id", "mrel")
+    # Bounded driver argmax, extended (r13): the candidate table (MMR_N
+    # rows) and the pairwise-sim table (MMR_N^2 rows) are BOUNDED by
+    # construction at any corpus size, so collect both ONCE and run the
+    # greedy loop in plain Python — the old shape paid one Spark argmax
+    # job per selection round over a ~40-row in-memory table (MMR_K
+    # fixed-cost jobs for zero distributed work). Trajectory identical:
+    # same integer scores, same (score desc, vec_id asc) argmax, and the
+    # tie-break is total so iteration order cannot matter.
+    rel = {
+        int(r["vec_id"]): int(r["mrel"])
+        for r in cand.select("vec_id", "mrel").collect()
+    }
+    msim = {
+        (int(r["a"]), int(r["b"])): int(r["msim"]) for r in pairs.collect()
+    }
     selected: list[int] = []
     records = []
     for rank in range(1, MMR_K + 1):
-        if selected:
-            mx = (
-                pairs.filter(F.col("b").isin([int(s) for s in selected]))
-                .groupBy("a")
-                .agg(F.max("msim").alias("mx"))
-                .withColumnRenamed("a", "vec_id")
-            )
-            scored = (
-                slim.filter(~F.col("vec_id").isin([int(s) for s in selected]))
-                .join(F.broadcast(mx), "vec_id", "left")
-                .select(
-                    "vec_id",
-                    "mrel",
-                    F.coalesce("mx", F.lit(0)).cast("bigint").alias("max_msim"),
-                )
-            )
-        else:
-            scored = slim.select(
-                "vec_id", "mrel", F.lit(0).cast("bigint").alias("max_msim")
-            )
-        scored = scored.withColumn(
-            "score_micro",
-            (7 * F.col("mrel") - 3 * F.col("max_msim")).cast("bigint"),
-        )
-        best = scored.orderBy(F.desc("score_micro"), "vec_id").take(1)[0]
-        selected.append(int(best["vec_id"]))
-        records.append(
-            (
-                rank,
-                int(best["vec_id"]),
-                int(best["mrel"]),
-                int(best["max_msim"]),
-                int(best["score_micro"]),
-            )
-        )
+        best = None
+        for vid, mrel in rel.items():
+            if vid in selected:
+                continue
+            mx = max((msim.get((vid, s), 0) for s in selected), default=0)
+            score = 7 * mrel - 3 * mx
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, mrel, mx, score)
+        selected.append(best[1])
+        records.append((rank, best[1], best[2], best[3], best[4]))
     return spark.createDataFrame(
         records,
         "sel_rank int, vec_id bigint, mrel bigint, max_msim bigint,"

@@ -679,6 +679,29 @@ def _stage_by_bucket(df: DataFrame, root: str, bucket_col) -> tuple[str, list[in
     return stage, present
 
 
+def _write_empty_slice(df: DataFrame, dst: str, root: str, cache: dict) -> None:
+    """Schema-stable EMPTY bucket slice via a per-schema template
+    (r13, guide §1.2): the old shape ran ``df.limit(0).write`` once PER
+    empty bucket — a 16-bucket ``initialize`` on an empty table paid 16
+    near-empty Spark write jobs of identical bytes. Now the first empty
+    slice of each distinct schema is written by Spark (so the parquet
+    footer types are exactly what this engine writes — no hand-rolled
+    type mapping to drift) into a ``_empty_tpl_`` dir under the target
+    root (invisible to vacuum's ``_stage_``/``_trash_`` sweeps), and
+    every further empty bucket is a driver-side copy of that template."""
+    import shutil
+
+    key = df.schema.json()
+    tpl = cache.get(key)
+    if tpl is None or not os.path.isdir(tpl):
+        tpl = tempfile.mkdtemp(dir=root, prefix="_empty_tpl_")
+        df.limit(0).write.mode("overwrite").parquet(tpl)
+        cache[key] = tpl
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(tpl, dst)
+
+
 def _parquet_dir_rows(path: str) -> int:
     """Exact row count of one staged bucket directory from the parquet
     FOOTERS (pyarrow metadata reads — no data pages, no Spark job): the
@@ -754,32 +777,26 @@ class _BloomIndexMixin:
     def _write_stage_blooms(
         self, stage: str, present: list[int], part_col: str = "_b"
     ) -> None:
-        """Build each touched bucket's bitmap DISTRIBUTED and drop a
-        ``_BLOOM`` sidecar into its staged dir (the version move then
-        carries it; ``_``-prefixed files are invisible to parquet
+        """Build each touched bucket's bit-position set DISTRIBUTED and
+        drop a ``_BLOOM`` sidecar into its staged dir (the version move
+        then carries it; ``_``-prefixed files are invisible to parquet
         readers, like ``_SUCCESS``). One column-pruned pass over the
-        freshly staged parquet: distinct (bucket, bit) pairs →
-        per-bucket byte assembly in an Arrow-batched ``applyInPandas``
-        → ONE ROW PER BUCKET streamed back via ``toLocalIterator`` —
-        the driver holds a single bitmap at a time (≤ bloom_bits/8
-        bytes, i.e. bounded by the BUCKET's key count, never the
-        table's), so a 10^4-bucket backfill streams 10^4 small rows
-        instead of collecting O(table × k) positions."""
-        import pandas as pd
+        freshly staged parquet: ``collect_set`` of the k positions per
+        bucket — ONE exchange with map-side partial dedup (the old
+        shape paid a ``distinct`` exchange AND a ``groupBy`` exchange
+        plus an ``applyInPandas`` Python worker; setting bloom bits is
+        idempotent so per-bucket set semantics are all that is needed,
+        r13 guide §2.4/§4) — then ONE ROW PER BUCKET streamed back via
+        ``toLocalIterator``: the driver holds a single bucket's
+        position set at a time (≤ min(bucket keys × k, bloom_bits)
+        ints, never the table's), so a 10^4-bucket backfill streams
+        10^4 bounded rows instead of collecting O(table × k)
+        positions."""
         from pyspark.sql import functions as F
 
         if not present:
             return
         m_bytes = (self.bloom_bits + 7) // 8
-
-        def build(pdf: pd.DataFrame) -> pd.DataFrame:
-            bits = bytearray(m_bytes)
-            for p in pdf["_p"]:
-                p = int(p)
-                bits[p >> 3] |= 1 << (p & 7)
-            return pd.DataFrame(
-                {"_b": [int(pdf["_b"].iloc[0])], "bits": [bytes(bits)]}
-            )
 
         df = self.spark.read.option("basePath", stage).parquet(
             *[os.path.join(stage, f"{part_col}={b}") for b in present]
@@ -789,18 +806,19 @@ class _BloomIndexMixin:
                 F.col(part_col).cast("int").alias("_b"),
                 F.explode(F.array(*self._bloom_pos_cols())).alias("_p"),
             )
-            .distinct()
             .groupBy("_b")
-            .applyInPandas(build, "_b int, bits binary")
+            .agg(F.collect_set("_p").alias("_ps"))
             .toLocalIterator()
         )
         seen = set()
         for row in it:
             b = int(row["_b"])
             seen.add(b)
-            self._bloom_write(
-                os.path.join(stage, f"{part_col}={b}"), bytearray(row["bits"])
-            )
+            bits = bytearray(m_bytes)
+            for p in row["_ps"]:
+                p = int(p)
+                bits[p >> 3] |= 1 << (p & 7)
+            self._bloom_write(os.path.join(stage, f"{part_col}={b}"), bits)
         for b in set(present) - seen:
             self._bloom_write(os.path.join(stage, f"{part_col}={b}"), None)
 
@@ -977,6 +995,7 @@ class ParquetBucketedTarget(_BloomIndexMixin):
         self.last_probe_stats: dict | None = None
         self.last_stage_counts: dict = {}
         self.schema_evolved = False  # see ParquetMorTarget
+        self._empty_tpl: dict = {}  # schema.json -> empty-slice template dir
         os.makedirs(root, exist_ok=True)
 
     # -- manifest ---------------------------------------------------------
@@ -1089,10 +1108,8 @@ class ParquetBucketedTarget(_BloomIndexMixin):
                 counts[str(b)] = _parquet_dir_rows(dst)
             else:
                 # empty bucket: a valid empty parquet dir keeps read()
-                # schema-stable (write an empty slice once)
-                if os.path.isdir(dst):
-                    shutil.rmtree(dst)
-                df.limit(0).write.mode("overwrite").parquet(dst)
+                # schema-stable (one templated slice, driver-side copies)
+                _write_empty_slice(df, dst, self.root, self._empty_tpl)
                 if self.bloom_bits:
                     self._bloom_write(dst, None)
                 counts[str(b)] = 0
@@ -1168,9 +1185,7 @@ class ParquetBucketedTarget(_BloomIndexMixin):
                 counts[str(b)] = _parquet_dir_rows(dst)
             else:
                 # every key of this bucket was deleted by the batch
-                if os.path.isdir(dst):
-                    shutil.rmtree(dst)
-                merged.limit(0).write.mode("overwrite").parquet(dst)
+                _write_empty_slice(merged, dst, self.root, self._empty_tpl)
                 if self.bloom_bits:
                     self._bloom_write(dst, None)
                 counts[str(b)] = 0
@@ -1357,6 +1372,7 @@ class ParquetBucketedMorTarget(_BloomIndexMixin):
         self.bloom_hashes = bloom_hashes
         self.last_probe_stats: dict | None = None
         self.schema_evolved = False  # see ParquetMorTarget
+        self._empty_tpl: dict = {}  # schema.json -> empty-slice template dir
         os.makedirs(root, exist_ok=True)
 
     # -- layout -------------------------------------------------------------
@@ -1416,9 +1432,7 @@ class ParquetBucketedMorTarget(_BloomIndexMixin):
             if b in present:
                 _replace_dir(os.path.join(stage, f"_b={b}"), dst)
             else:
-                if os.path.isdir(dst):
-                    shutil.rmtree(dst)
-                df.limit(0).write.mode("overwrite").parquet(dst)
+                _write_empty_slice(df, dst, self.root, self._empty_tpl)
                 if self.bloom_bits:
                     self._bloom_write(dst, None)
             out[str(b)] = {"base": v, "deltas": 0}
@@ -1528,9 +1542,7 @@ class ParquetBucketedMorTarget(_BloomIndexMixin):
                 _replace_dir(os.path.join(stage, f"_b={b}"), dst)
             else:
                 # every key of this bucket is deleted: empty fresh base
-                if os.path.isdir(dst):
-                    shutil.rmtree(dst)
-                folded.limit(0).write.mode("overwrite").parquet(dst)
+                _write_empty_slice(folded, dst, self.root, self._empty_tpl)
                 if self.bloom_bits:
                     self._bloom_write(dst, None)
             new[str(b)] = {"base": v, "deltas": 0}

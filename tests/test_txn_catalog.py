@@ -3478,3 +3478,40 @@ def test_rebucket_failure_restores_live_scheme(spark, tmp_path, monkeypatch):
     cat.apply_txn({"items": _chg(spark, [("k0", "UPSERT", "after")])}, epoch=0)
     assert _state(cat, "items")["k0"] == "after"
     assert {r["name"] for r in cat.probe("items", [("k0",)]).collect()} == {"after"}
+
+
+def test_empty_bucket_slices_use_template_copies(spark, tmp_path):
+    """r13 optimization internals: staging an all-empty (or
+    partially-empty) bucket map writes ONE Spark-produced empty slice
+    per schema (a ``_empty_tpl_`` dir under the target root) and fills
+    every other empty bucket with driver-side copies — the copies must
+    be valid, schema-stable parquet that read() and probe() treat
+    exactly like the old per-bucket empty writes."""
+    import glob
+
+    from mammoth_spark.sources.target import ParquetBucketedTarget
+
+    t = ParquetBucketedTarget(
+        spark, str(tmp_path / "bkt"), ["key"], ["value_c"], n_buckets=4
+    )
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("key", T.StringType()),
+                          T.StructField("value_c", T.StringType())])
+    )
+    t.initialize(empty)
+    # one template, four referenced bucket dirs, all readable + empty
+    assert glob.glob(str(tmp_path / "bkt" / "_empty_tpl_*"))
+    out = t.read()
+    assert out.columns == ["key", "value_c"] and out.count() == 0
+    # a real write after the templated init behaves normally...
+    t.write(spark.createDataFrame(
+        [("a", "1", "UPSERT"), ("b", "2", "UPSERT")],
+        "key string, value_c string, kind string").select("key", "kind", "value_c"))
+    assert {r["key"] for r in t.read().collect()} == {"a", "b"}
+    # ...and a batch that deletes every key of a touched bucket stages a
+    # templated empty slice for it (still readable, still schema-stable)
+    t.write(spark.createDataFrame(
+        [("a", None, "DELETE"), ("b", None, "DELETE")],
+        "key string, value_c string, kind string").select("key", "kind", "value_c"))
+    out2 = t.read()
+    assert out2.columns == ["key", "value_c"] and out2.count() == 0
