@@ -216,9 +216,15 @@ def dedup_minhash_lsh(
     (memory-and-disk) because three branches consume it — signatures and
     both sides of the verification join.
     """
-    from pyspark import StorageLevel
-
-    base = with_shingles(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # EAGER materialization, not a lazy persist (r13): the band join's
+    # AQE broadcast jobs are submitted concurrently, and with a lazy
+    # persist every one of them raced to populate the cache — the event
+    # log showed 5+ overlapping broadcast jobs each re-running the full
+    # shingle computation (2–5 s apiece at sf0.1). localCheckpoint
+    # computes the shingle frame exactly once, synchronously; the three
+    # consumers (signatures, both verification sides) read the pinned
+    # partitions.
+    base = with_shingles(df, text_col, id_col).localCheckpoint()
     sigs = base.select(F.col(id_col), *_sig_cols(n_bands * n_rows)).select(
         F.col(id_col), *_band_cols(n_bands, n_rows)
     )

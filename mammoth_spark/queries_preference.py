@@ -147,32 +147,42 @@ def bt_strength_duels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; strengths localCheckpoint per round so round r+1 never
     recomputes rounds 1..r."""
     duels = _duels(spark, sf_dir).localCheckpoint()
+    # dirpairs is repartitioned by i BEFORE its (i, j) aggregation —
+    # hash(i) satisfies the groupBy(i, j) clustering requirement, so the
+    # agg adds no second exchange — and PERSISTED (not checkpointed):
+    # InMemoryRelation retains the hash(i) output partitioning, so every
+    # MM round's groupBy("i") below reuses this layout with ZERO
+    # exchanges (r13, guide §2.4; a localCheckpoint would erase the
+    # partitioning info and re-shuffle the pair table once per round).
     dirpairs = (
         duels.select(F.col("winner").alias("i"), F.col("loser").alias("j"))
         .unionAll(duels.select(F.col("loser").alias("i"), F.col("winner").alias("j")))
+        .repartition("i")
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .localCheckpoint()
+        .persist()
     )
+    # one union-aggregate replaces distinct + left join + coalesce
+    # (r13): winners and losers together ARE the participant universe,
+    # and summing 1-for-win / 0-for-loss gives the win count directly
     wins = (
-        dirpairs.select("i")
-        .distinct()
-        .join(
-            duels.groupBy(F.col("winner").alias("i")).agg(
-                F.count(F.lit(1)).alias("nw")
-            ),
-            "i",
-            "left",
-        )
-        .select("i", F.coalesce("nw", F.lit(0)).cast("bigint").alias("w"))
-        .localCheckpoint()
+        duels.select(F.col("winner").alias("i"), F.lit(1).alias("win"))
+        .unionAll(duels.select(F.col("loser").alias("i"), F.lit(0).alias("win")))
+        .groupBy("i")
+        .agg(F.sum("win").cast("bigint").alias("w"))
+        .persist()
     )
     s = wins.select("i", F.lit(S0).cast("bigint").alias("s"))
     for _ in range(BT_ROUNDS):
         d = (
+            # explicit broadcasts: the strength table is player-sized;
+            # hinting guarantees the streamed side stays the persisted
+            # hash(i)-partitioned pair table (a checkpointed RDD has no
+            # stats, so without AQE's runtime fallback a sort-merge join
+            # would re-shuffle dirpairs every round)
             dirpairs.alias("p")
-            .join(s.alias("si"), F.col("si.i") == F.col("p.i"))
-            .join(s.alias("sj"), F.col("sj.i") == F.col("p.j"))
+            .join(F.broadcast(s.alias("si")), F.col("si.i") == F.col("p.i"))
+            .join(F.broadcast(s.alias("sj")), F.col("sj.i") == F.col("p.j"))
             .select(
                 F.col("p.i").alias("i"),
                 F.expr(

@@ -2508,31 +2508,49 @@ class TxnCatalog:
                     F.col("last_seq").cast("bigint").alias("last_seq"),
                 )
             )
-        # ONE job for the whole net: the liveness table (chain ⋈ batch
-        # keys, grouped) is batch-bounded, so it broadcasts BACK onto
-        # the folded batch and both aggs collapse into a single collect
-        # — per staged epoch this probe costs one Spark job, which is
-        # what a fixed-cost-dominated host actually prices (the folded
-        # subplan appears twice in the plan; ReusedExchange runs its
-        # shuffle once)
-        live_tbl = (
-            chain.join(F.broadcast(folded.select(*t.key_cols)), list(t.key_cols))
-            .groupBy(*t.key_cols)
-            .agg((F.max_by("kind", "last_seq") != "DELETE").alias("_live"))
+        # ONE action, ONE regroup (r13): the matched chain rows and the
+        # folded batch UNION into a single per-key fold — liveness comes
+        # from max_by over the CHAIN rows only (batch rows carry a NULL
+        # ordinal, which max_by ignores; a key with no chain match folds
+        # to NULL liveness → not live), the batch verdict from the one
+        # batch row per key. The old shape built a liveness table and
+        # broadcast it BACK onto the batch — a second join and a second
+        # broadcast exchange that AQE priced as extra jobs per staged
+        # epoch. Shuffled bytes stay O(batch-matched rows).
+        matched = chain.join(
+            F.broadcast(folded.select(*t.key_cols)), list(t.key_cols)
+        )
+        unioned = matched.select(
+            *t.key_cols, "kind", "last_seq", F.lit(False).alias("_is_batch")
+        ).unionByName(
+            folded.select(
+                *t.key_cols,
+                F.col("_kind").alias("kind"),
+                F.lit(None).cast("bigint").alias("last_seq"),
+                F.lit(True).alias("_is_batch"),
+            )
+        )
+        per_key = unioned.groupBy(*t.key_cols).agg(
+            (
+                F.max_by(
+                    "kind", F.when(~F.col("_is_batch"), F.col("last_seq"))
+                )
+                != "DELETE"
+            ).alias("_live"),
+            F.max(F.when(F.col("_is_batch"), F.col("kind"))).alias("_bk"),
         )
         live = F.coalesce(F.col("_live"), F.lit(False))
         row = (
-            folded.join(F.broadcast(live_tbl), list(t.key_cols), "left")
-            .agg(
+            per_key.agg(
                 F.coalesce(
                     F.sum(
-                        F.when((F.col("_kind") != "DELETE") & ~live, 1).otherwise(0)
+                        F.when((F.col("_bk") != "DELETE") & ~live, 1).otherwise(0)
                     ),
                     F.lit(0),
                 ).alias("inserts"),
                 F.coalesce(
                     F.sum(
-                        F.when((F.col("_kind") == "DELETE") & live, 1).otherwise(0)
+                        F.when((F.col("_bk") == "DELETE") & live, 1).otherwise(0)
                     ),
                     F.lit(0),
                 ).alias("del_hits"),
@@ -3396,11 +3414,18 @@ class TxnCatalog:
         removed = 0
         blooms = getattr(t, "bloom_bits", None)
         bloom_parts = []
+        # fully-erased slices share ONE templated empty write per schema
+        # (r13, guide §1.2): the old shape ran a limit(0) Spark write
+        # job PER emptied slice — a subject wave covering all 16 buckets
+        # of an epoch paid 16 sequential near-empty jobs right here
+        tpl_cache = getattr(t, "_empty_tpl", None)
+        if tpl_cache is None:
+            tpl_cache = {}
         for d in dirs:
             out = os.path.join(stage, f"_g={ids[d]}")
             if not os.path.isdir(out):
                 # every row of this slice was erased: schema-stable empty
-                schema_src.limit(0).write.mode("overwrite").parquet(out)
+                _write_empty_slice(schema_src, out, t.root, tpl_cache)
             had_bloom = blooms and os.path.exists(os.path.join(d, "_BLOOM"))
             if had_bloom:
                 bloom_parts.append(ids[d])
