@@ -725,10 +725,11 @@ def _shared_shingle_counts(
         F.explode(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("shingle"),
     )
     # one shingle computation feeds both join sides; hash join beats
-    # sort-merge here (small build side per (block, shingle) key)
-    from pyspark import StorageLevel
-
-    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    # sort-merge here (small build side per (block, shingle) key).
+    # Eager cut, not a lazy persist (r13): the self-join's two map
+    # stages are scheduled concurrently and would otherwise BOTH miss
+    # the unpopulated cache and recompute the exploded shingle frame.
+    docs = docs.localCheckpoint()
     a, b = docs.alias("a"), docs.hint("shuffle_hash").alias("b")
     join_cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
         F.col("a.shingle") == F.col("b.shingle")

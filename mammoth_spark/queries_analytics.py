@@ -691,15 +691,24 @@ def incremental_agg_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame
     agg = None  # maintained aggregate: bucket -> n_rows
     for lo, hi in [(0, 1000), (1000, 1 << 62)]:
         batch = log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
-        net = compact_last_wins(batch, ["key"], ["value"]).select("key", "kind", "value")
+        # pinned once per epoch (r13): both maintained tables consume it
+        # (pre-image join AND base merge), and each ran the compaction
+        # window from scratch at its own checkpoint
+        net = compact_last_wins(batch, ["key"], ["value"]).select(
+            "key", "kind", "value"
+        ).localCheckpoint()
         if base is None:
-            # bootstrap: first batch IS the initial state
-            base = net.filter(F.col("kind") != "DELETE").select("key", "value")
+            # bootstrap: first batch IS the initial state; the aggregate
+            # derives from the CHECKPOINTED base so its own
+            # materialization re-reads pinned rows, not the window chain
+            base = (
+                net.filter(F.col("kind") != "DELETE")
+                .select("key", "value")
+                .localCheckpoint()
+            )
             agg = base.groupBy(bucket_of(F.col("value")).alias("bucket")).agg(
                 F.count(F.lit(1)).alias("n_rows")
-            )
-            base = base.localCheckpoint()
-            agg = agg.localCheckpoint()
+            ).localCheckpoint()
             continue
         # pre-image lookup: broadcast the compacted change set at the base
         pre = net.alias("c").join(

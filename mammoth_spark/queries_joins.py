@@ -589,14 +589,16 @@ def pagerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       orders on the orderkey shuffle, then broadcasts the two true
       dimensions) collapsing to a |V|^2-bounded edge list with map-side
       partial aggregation.
-    - The ITERATION runs on the collapsed graph. Each step is one
-      keyed join edges x ranks + one aggregation on dst — the classic
-      per-iteration shuffle pair. Rank mass is integer micro-units with
-      per-edge floor((85*r*w)/(100*out_w)) so both engines agree
-      bit-for-bit (float damping never does). Iterations are a
-      fixed-depth unrolled DAG; at real depth you checkpoint every ~5
-      rounds to cut lineage, as dedup_clusters does
-      (functions/dedup.py:336).
+    - The ITERATION runs on the collapsed graph, which is BOUNDED BY
+      CONSTRUCTION: |V| = nations = 25 at any TPC-H scale factor, so
+      the edge list is ≤ 625 rows and the loop is plain Python integer
+      arithmetic on the driver (r13 — the bounded-driver-control class
+      of mmr_rerank/BPE argmax; the old unrolled join-per-iteration DAG
+      paid ~20 fixed-cost jobs for zero distributed work). Rank mass is
+      integer micro-units with per-edge floor((85*r*w)/(100*out_w)) so
+      both engines agree bit-for-bit (float damping never does). On an
+      UNBOUNDED graph this loop belongs in joins with periodic
+      checkpoints, as dedup_clusters does (functions/dedup.py:336).
 
     Top-10 emission is orderBy+limit = TakeOrderedAndProject (per-
     partition top-k, driver merge of 10-row heaps), never a global sort."""
@@ -615,37 +617,37 @@ def pagerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select(F.col("dst").alias("node"))
-    ).distinct()
-    outw = edges.groupBy(F.col("src").alias("node")).agg(
-        F.sum("w").cast("bigint").alias("out_w")
-    )
     teleport = (15 * PR_SCALE) // 100
 
-    ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
+    # Bounded driver iteration (r13, same class as mmr_rerank): the
+    # collapsed graph is |V|^2-bounded with |V| = nations — 25 AT ANY
+    # SCALE FACTOR (TPC-H fixes the nation table), so the edge list is
+    # ≤ 625 rows BY CONSTRUCTION and the PR loop is pure Python integer
+    # arithmetic on it. The old unrolled-DAG loop paid ~20 AQE
+    # join/broadcast jobs for zero distributed work per iteration; the
+    # one distributed job left is the edge derivation itself (the
+    # actual 100 TB part). Spark's bigint `DIV` and Python `//` agree
+    # on the all-positive operands, so ranks are bit-identical.
+    edge_rows = [
+        (int(r["src"]), int(r["dst"]), int(r["w"])) for r in edges.collect()
+    ]
+    node_set = {s for s, _, _ in edge_rows} | {d for _, d, _ in edge_rows}
+    out_w: dict[int, int] = {}
+    for s, _, w in edge_rows:
+        out_w[s] = out_w.get(s, 0) + w
+    ranks = {n: PR_SCALE for n in node_set}
     for _ in range(PR_ITERS):
-        inflow = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outw.withColumnRenamed("node", "src"), "src")
-            .select(
-                "dst",
-                F.expr("CAST((85 * r * w) DIV (100 * out_w) AS BIGINT)").alias(
-                    "contrib"
-                ),
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("contrib").cast("bigint").alias("inflow"))
-        )
-        ranks = nodes.join(inflow, "node", "left").select(
-            "node",
-            (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0)))
-            .cast("bigint")
-            .alias("r"),
-        )
+        inflow: dict[int, int] = {}
+        for s, dst, w in edge_rows:
+            contrib = (85 * ranks[s] * w) // (100 * out_w[s])
+            inflow[dst] = inflow.get(dst, 0) + contrib
+        ranks = {n: teleport + inflow.get(n, 0) for n in node_set}
 
+    ranks_df = spark.createDataFrame(
+        [(n, r) for n, r in ranks.items()], "node bigint, r bigint"
+    )
     return (
-        ranks.join(F.broadcast(nation), ranks["node"] == nation["n_nationkey"])
+        ranks_df.join(F.broadcast(nation), ranks_df["node"] == nation["n_nationkey"])
         .select("n_name", F.col("r").alias("rank_micro"))
         .orderBy(F.desc("rank_micro"), "n_name")
         .limit(10)

@@ -69,9 +69,13 @@ def _kn_tables(spark: SparkSession, sf_dir: str):
     vocabulary-restricted bigrams (both words in the top-K vocabulary;
     the practical equivalent of mapping OOV to <unk> and dropping it).
 
-    c12 is localCheckpointed (lazily): it is the ONLY data-sized
+    c12 is localCheckpointed EAGERLY (r13): it is the ONLY data-sized
     aggregation, and ctx/cont/tot are all derived from it — without the
-    checkpoint each derived table would re-shuffle the corpus.
+    checkpoint each derived table would re-shuffle the corpus, and with
+    a LAZY cut the derived tables' concurrently submitted broadcast
+    jobs could each still compute it before any of them had
+    materialized the blocks (the lazy-persist race the LSH shingle
+    frame measured).
     """
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
@@ -101,7 +105,7 @@ def _kn_tables(spark: SparkSession, sf_dir: str):
     c12 = (
         inb.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     ctx = c12.groupBy("w1").agg(
         F.sum("c12").cast("bigint").alias("c1"),

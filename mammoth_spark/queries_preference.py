@@ -172,7 +172,10 @@ def bt_strength_duels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("win").cast("bigint").alias("w"))
         .persist()
     )
-    s = wins.select("i", F.lit(S0).cast("bigint").alias("s"))
+    # eager: materializing s0 populates the wins cache exactly once —
+    # the two concurrent round-1 broadcast jobs would otherwise BOTH
+    # miss the lazy persist and recompute the wins aggregation
+    s = wins.select("i", F.lit(S0).cast("bigint").alias("s")).localCheckpoint()
     for _ in range(BT_ROUNDS):
         d = (
             # explicit broadcasts: the strength table is player-sized;
