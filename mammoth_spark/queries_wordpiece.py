@@ -99,28 +99,9 @@ def _wp_merge_rounds(
     driver-bench regression (VERDICT r12 #1)."""
     records = []
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    # round r's PRE-merge symbol table is round r-1's POST-merge state,
-    # so collecting it (vocab-bounded — alphabet + merges) does double
-    # duty (r13): its row count IS the previous record's n_symbol_types
-    # (no separate count_distinct job), and the argmax joins feed from
-    # the collected LocalTableScan instead of re-running the symbol agg
-    # under each broadcast. Only the final round's post-merge count
-    # needs its own 1-row agg after the loop.
-    prev = None  # (r, merge, pair_freq, micro) awaiting post-merge n_syms
     for r in range(1, rounds + 1):
-        symc_rows = (
-            wrapped.select(F.explode(_syms()).alias("sym"), "freq")
-            .groupBy("sym")
-            .agg(F.sum("freq").cast("bigint").alias("c"))
-            .collect()
-        )
-        if prev is not None:
-            records.append((*prev, len(symc_rows)))
-            prev = None
-        symc = wrapped.sparkSession.createDataFrame(
-            [(row["sym"], int(row["c"])) for row in symc_rows],
-            "sym string, c bigint",
-        )
+        syms = wrapped.select(F.explode(_syms()).alias("sym"), "freq")
+        symc = syms.groupBy("sym").agg(F.sum("freq").cast("bigint").alias("c"))
         pairs = (
             wrapped.select(_syms().alias("syms"), "freq")
             .filter(F.size("syms") >= 2)
@@ -190,16 +171,12 @@ def _wp_merge_rounds(
         # results unchanged (pure caching cadence).
         if r % 3 == 0 or r == rounds:
             wrapped = wrapped.localCheckpoint()
-        prev = (r, a + "+" + b, pair_freq, micro)
-    if prev is not None:
-        # the last merged round's post-merge symbol count — the one
-        # record the next iteration's symc collect can no longer answer
         n_syms = int(
             wrapped.select(F.explode(_syms()).alias("sym"))
             .agg(F.count_distinct("sym").cast("bigint").alias("n"))
             .collect()[0]["n"]  # 1-row scalar, bounded driver control
         )
-        records.append((*prev, n_syms))
+        records.append((r, a + "+" + b, pair_freq, micro, n_syms))
     return wrapped, records
 
 
