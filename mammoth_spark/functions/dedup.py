@@ -216,15 +216,20 @@ def dedup_minhash_lsh(
     (memory-and-disk) because three branches consume it — signatures and
     both sides of the verification join.
     """
-    # EAGER materialization, not a lazy persist (r13): the band join's
-    # AQE broadcast jobs are submitted concurrently, and with a lazy
-    # persist every one of them raced to populate the cache — the event
-    # log showed 5+ overlapping broadcast jobs each re-running the full
-    # shingle computation (2–5 s apiece at sf0.1). localCheckpoint
-    # computes the shingle frame exactly once, synchronously; the three
-    # consumers (signatures, both verification sides) read the pinned
-    # partitions.
-    base = with_shingles(df, text_col, id_col).localCheckpoint()
+    # EAGERLY POPULATED persist (r13): the band join's AQE broadcast
+    # jobs are submitted concurrently, and with a lazy persist every one
+    # of them raced to populate the cache — the event log showed 5+
+    # overlapping broadcast jobs each re-running the full shingle
+    # computation (2–5 s apiece at sf0.1). The count() materializes the
+    # cache exactly once, synchronously, BEFORE any consumer. The
+    # storage stays the COLUMNAR persist, not a localCheckpoint: the
+    # scale-curve refresh measured the row-format checkpoint 2.4× slower
+    # at sf1/sf10, where materializing the shingle arrays as row blocks
+    # dwarfs the race it avoids.
+    from pyspark import StorageLevel
+
+    base = with_shingles(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
     sigs = base.select(F.col(id_col), *_sig_cols(n_bands * n_rows)).select(
         F.col(id_col), *_band_cols(n_bands, n_rows)
     )
@@ -726,10 +731,16 @@ def _shared_shingle_counts(
     )
     # one shingle computation feeds both join sides; hash join beats
     # sort-merge here (small build side per (block, shingle) key).
-    # Eager cut, not a lazy persist (r13): the self-join's two map
+    # Eagerly POPULATED columnar persist (r13): the self-join's two map
     # stages are scheduled concurrently and would otherwise BOTH miss
-    # the unpopulated cache and recompute the exploded shingle frame.
-    docs = docs.localCheckpoint()
+    # the unpopulated cache and recompute the exploded shingle frame;
+    # the count() fills the cache once before either starts (columnar
+    # persist, not a checkpoint — see dedup_minhash_lsh's note on the
+    # row-format cost at scale).
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    docs.count()
     a, b = docs.alias("a"), docs.hint("shuffle_hash").alias("b")
     join_cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
         F.col("a.shingle") == F.col("b.shingle")

@@ -959,15 +959,20 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams through explode -> broadcast hash join -> per-doc count with
     map-side partial aggregation. No all-pairs doc comparison ever forms.
     """
+    from pyspark import StorageLevel
+
     from .functions.dedup import with_shingles
     from .functions.numeric import round6
 
     docs = read_table(spark, sf_dir, "documents")
-    # both the eval and train branches read the shingle frame — cut it
-    # EAGERLY (r13): the eval branch is a broadcast-side job scheduled
-    # concurrently with the train scan, and a lazy persist let both
-    # miss the cache and run the CPU-bound shingling twice
-    sh = with_shingles(docs, "text", "doc_id").localCheckpoint()
+    # both the eval and train branches read the shingle frame — persist
+    # it and POPULATE eagerly (r13): the eval branch is a broadcast-side
+    # job scheduled concurrently with the train scan, and a lazy persist
+    # let both miss the cache and run the CPU-bound shingling twice
+    # (columnar persist, not a checkpoint — see dedup_minhash_lsh's note
+    # on the row-format cost at scale)
+    sh = with_shingles(docs, "text", "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     is_eval = F.col("doc_id") % 97 == 0
     eval_sh = (
         sh.filter(is_eval).select(F.explode("sh").alias("shingle")).distinct()
