@@ -1870,8 +1870,10 @@ def streaming_tws_timers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # watermark advance the timer flush needs
     _stage(ev.filter(F.col("ms") < cut1), 0)
     _stage(ev.filter(F.col("ms") >= cut1), 1)
-    sentinel = spark.createDataFrame(
-        [(sentinel_user, hi + 2 * gap_ms)], "user_id bigint, ms bigint"
+    from .model import local_df
+
+    sentinel = local_df(
+        spark, [(sentinel_user, hi + 2 * gap_ms)], "user_id bigint, ms bigint"
     )
     _stage(sentinel, 2)
     _stage(sentinel.select("user_id", (F.col("ms") + 2 * gap_ms).alias("ms")), 3)

@@ -228,8 +228,10 @@ def quality_classifier_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the collected weights — the model artifact, not data."""
     _, w = _train_weights(spark, sf_dir)
     rows = [(name, int(w[j])) for j, name in enumerate(_FEATURES)]
-    return spark.createDataFrame(
-        rows, "feature string, w_micro bigint"
+    from .model import local_df
+
+    return local_df(
+        spark, rows, "feature string, w_micro bigint"
     ).orderBy("feature")
 
 

@@ -372,7 +372,9 @@ def rag_retrieval_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnorm = cdim.groupBy("doc_id", "chunk_idx").agg(
         F.sqrt(F.sum(F.col("cnt") * F.col("cnt") * 1.0)).alias("c_nrm")
     )
-    q = spark.createDataFrame(RAG_QUERIES, "qid long, query string")
+    from .model import local_df
+
+    q = local_df(spark, RAG_QUERIES, "qid long, query string")
     qdim = (
         q.select("qid", F.explode(_tokens(F.col("query"))).alias("term"))
         .groupBy(

@@ -643,8 +643,10 @@ def pagerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             inflow[dst] = inflow.get(dst, 0) + contrib
         ranks = {n: teleport + inflow.get(n, 0) for n in node_set}
 
-    ranks_df = spark.createDataFrame(
-        [(n, r) for n, r in ranks.items()], "node bigint, r bigint"
+    from .model import local_df
+
+    ranks_df = local_df(
+        spark, [(n, r) for n, r in ranks.items()], "node bigint, r bigint"
     )
     return (
         ranks_df.join(F.broadcast(nation), ranks_df["node"] == nation["n_nationkey"])

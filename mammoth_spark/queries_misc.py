@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from .functions.arrays import pg_array_to_json
 from .functions.multimodal import documents_as_media, extract_features, media_stats
-from .model import read_table
+from .model import local_df, read_table
 from .registry import register
 
 
@@ -713,8 +713,7 @@ def _streaming_cdc_apply(spark: SparkSession, sf_dir: str, target_cls) -> DataFr
     target = target_cls(
         spark, scratch_dir(prefix="cdc_stream_tgt_"), ["key"], ["value_c"]
     )
-    empty = spark.createDataFrame(
-        [],
+    empty = local_df(spark, [],
         T.StructType(
             [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
         ),
@@ -1283,8 +1282,7 @@ def _streaming_cdc_apply_toast(spark: SparkSession, sf_dir: str, target_cls) -> 
         target = target_cls(
             spark, scratch_dir(prefix="toast_tgt_"), ["key"], ["value_c", "props_c"]
         )
-    empty = spark.createDataFrame(
-        [],
+    empty = local_df(spark, [],
         T.StructType(
             [
                 T.StructField("key", T.StringType()),
@@ -1399,8 +1397,7 @@ def streaming_txn_mixed_targets_q(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
     }
     catalog = TxnCatalog(spark, scratch_dir(prefix="txn_cat_"), targets)
-    empty = spark.createDataFrame(
-        [],
+    empty = local_df(spark, [],
         T.StructType(
             [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
         ),
@@ -1529,8 +1526,7 @@ def streaming_txn_triple_strategy_q(spark: SparkSession, sf_dir: str) -> DataFra
         ),
     }
     catalog = TxnCatalog(spark, scratch_dir(prefix="tri_cat_"), targets)
-    empty = spark.createDataFrame(
-        [],
+    empty = local_df(spark, [],
         T.StructType(
             [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
         ),
@@ -1660,8 +1656,7 @@ def txn_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     catalog = TxnCatalog(spark, scratch_dir(prefix="tt_cat_"), targets)
-    empty = spark.createDataFrame(
-        [],
+    empty = local_df(spark, [],
         T.StructType(
             [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
         ),
@@ -1770,8 +1765,7 @@ def txn_changelog_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     }
     catalog = TxnCatalog(spark, scratch_dir(prefix="cdf_cat_"), targets)
-    empty = spark.createDataFrame(
-        [],
+    empty = local_df(spark, [],
         T.StructType(
             [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
         ),
@@ -1848,8 +1842,7 @@ def cdf_incremental_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t": ParquetMorTarget(spark, scratch_dir(prefix="ica_mor_"), ["key"], ["vm"])
     }
     catalog = TxnCatalog(spark, scratch_dir(prefix="ica_cat_"), targets)
-    empty = spark.createDataFrame(
-        [],
+    empty = local_df(spark, [],
         T.StructType(
             [T.StructField("key", T.StringType()), T.StructField("vm", T.LongType())]
         ),
@@ -1935,8 +1928,7 @@ def streaming_txn_mixed_toast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     catalog = TxnCatalog(spark, scratch_dir(prefix="ttm_cat_"), targets)
-    empty = spark.createDataFrame(
-        [],
+    empty = local_df(spark, [],
         T.StructType(
             [
                 T.StructField("key", T.StringType()),
@@ -2926,8 +2918,7 @@ def catalog_wap_publish_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         },
     )
-    empty = spark.createDataFrame(
-        [],
+    empty = local_df(spark, [],
         T.StructType(
             [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
         ),
@@ -3046,8 +3037,7 @@ def catalog_replicate_incremental_q(spark: SparkSession, sf_dir: str) -> DataFra
             },
         )
 
-    empty = spark.createDataFrame(
-        [],
+    empty = local_df(spark, [],
         T.StructType(
             [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
         ),
@@ -3271,8 +3261,7 @@ def streaming_wap_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, scratch_dir(prefix="swap_tgt_wap_"), ["key"], ["value_c"]
     )
     catalog = TxnCatalog(spark, scratch_dir(prefix="wap_pipe_cat_"), {"users": target})
-    empty = spark.createDataFrame(
-        [],
+    empty = local_df(spark, [],
         T.StructType(
             [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
         ),
@@ -3371,8 +3360,7 @@ def txn_schema_evolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     catalog.initialize(
         {
-            "users": spark.createDataFrame(
-                [],
+            "users": local_df(spark, [],
                 T.StructType(
                     [
                         T.StructField("key", T.StringType()),
@@ -3492,8 +3480,7 @@ def catalog_stats_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     catalog.initialize(
         {
-            "users": spark.createDataFrame(
-                [],
+            "users": local_df(spark, [],
                 T.StructType(
                     [
                         T.StructField("key", T.StringType()),
@@ -3571,8 +3558,7 @@ def catalog_rollback_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     catalog.initialize(
         {
-            "users": spark.createDataFrame(
-                [],
+            "users": local_df(spark, [],
                 T.StructType(
                     [
                         T.StructField("key", T.StringType()),
@@ -3703,8 +3689,7 @@ def txn_schema_evolve_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     catalog.initialize(
         {
-            "users": spark.createDataFrame(
-                [],
+            "users": local_df(spark, [],
                 T.StructType(
                     [
                         T.StructField("key", T.StringType()),
@@ -3758,8 +3743,7 @@ def txn_schema_evolve_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     catalog.initialize(
         {
-            "users": spark.createDataFrame(
-                [],
+            "users": local_df(spark, [],
                 T.StructType(
                     [
                         T.StructField("key", T.StringType()),
@@ -3840,8 +3824,7 @@ def catalog_rollback_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         },
     )
-    empty = spark.createDataFrame(
-        [],
+    empty = local_df(spark, [],
         T.StructType(
             [T.StructField("key", T.StringType()), T.StructField("value_c", T.StringType())]
         ),
@@ -4049,8 +4032,7 @@ def catalog_stats_count_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFram
     )
     catalog.initialize(
         {
-            "users": spark.createDataFrame(
-                [],
+            "users": local_df(spark, [],
                 T.StructType(
                     [
                         T.StructField("key", T.StringType()),
@@ -4161,8 +4143,7 @@ def catalog_stats_count_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog = TxnCatalog(
         spark, scratch_dir(prefix="statsm_cat_"), {"mor": mor, "bmor": bmor}
     )
-    empty = spark.createDataFrame(
-        [],
+    empty = local_df(spark, [],
         T.StructType(
             [
                 T.StructField("key", T.StringType()),
@@ -4272,8 +4253,7 @@ def catalog_wap_concurrent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     catalog.initialize(
         {
-            "users": spark.createDataFrame(
-                [],
+            "users": local_df(spark, [],
                 T.StructType(
                     [
                         T.StructField("key", T.StringType()),
@@ -4421,8 +4401,7 @@ def streaming_schema_drift_evolve_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
     catalog.initialize(
         {
-            "users": spark.createDataFrame(
-                [],
+            "users": local_df(spark, [],
                 T.StructType(
                     [
                         T.StructField("key", T.StringType()),
@@ -4520,8 +4499,7 @@ def catalog_wap_evolve_reconcile_q(spark: SparkSession, sf_dir: str) -> DataFram
     catalog = TxnCatalog(spark, scratch_dir(prefix="wapevo_cat_"), {"users": target})
     catalog.initialize(
         {
-            "users": spark.createDataFrame(
-                [],
+            "users": local_df(spark, [],
                 T.StructType(
                     [
                         T.StructField("key", T.StringType()),
@@ -4651,8 +4629,7 @@ def streaming_schema_drift_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     catalog.initialize(
         {
-            "users": spark.createDataFrame(
-                [],
+            "users": local_df(spark, [],
                 T.StructType(
                     [
                         T.StructField("key", T.StringType()),
@@ -4764,8 +4741,7 @@ def catalog_erase_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog = TxnCatalog(spark, scratch_dir(prefix="erase_cat_"), {"users": target})
     catalog.initialize(
         {
-            "users": spark.createDataFrame(
-                [],
+            "users": local_df(spark, [],
                 T.StructType(
                     [
                         T.StructField("key", T.StringType()),
@@ -4864,8 +4840,7 @@ def catalog_wap_audit_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     catalog.initialize(
         {
-            "users": spark.createDataFrame(
-                [],
+            "users": local_df(spark, [],
                 T.StructType(
                     [
                         T.StructField("key", T.StringType()),
@@ -4978,8 +4953,7 @@ def catalog_read_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     catalog.initialize(
         {
-            "users": spark.createDataFrame(
-                [],
+            "users": local_df(spark, [],
                 T.StructType(
                     [
                         T.StructField("key", T.StringType()),
@@ -5070,8 +5044,7 @@ def catalog_rebucket_online_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog = TxnCatalog(spark, scratch_dir(prefix="rebkt_cat_"), {"users": target})
     catalog.initialize(
         {
-            "users": spark.createDataFrame(
-                [],
+            "users": local_df(spark, [],
                 T.StructType(
                     [
                         T.StructField("key", T.StringType()),

@@ -273,7 +273,10 @@ def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best = (key, vid, mrel, mx, score)
         selected.append(best[1])
         records.append((rank, best[1], best[2], best[3], best[4]))
-    return spark.createDataFrame(
+    from .model import local_df
+
+    return local_df(
+        spark,
         records,
         "sel_rank int, vec_id bigint, mrel bigint, max_msim bigint,"
         " score_micro bigint",

@@ -270,7 +270,10 @@ def wordpiece_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # records are eagerly-collected tuples: the trajectory is a
     # LocalTableScan with ZERO training-lineage recompute (empty list ->
     # empty trajectory, same shape as the oracle's empty b0 UNION)
-    return spark.createDataFrame(
+    from .model import local_df
+
+    return local_df(
+        spark,
         records,
         "round int, merge_pair string, pair_freq bigint, "
         "micro_score bigint, n_symbol_types bigint",
