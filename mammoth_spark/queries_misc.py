@@ -70,12 +70,22 @@ def _stage_parts_once(parts: list[DataFrame], src: str, prefix: str):
     ).json(stage)
 
     def release(i: int) -> None:
+        # mtimes forced so FileStreamSource's oldest-first ordering equals
+        # epoch order (same convention as streaming_dedup_ingest): callers
+        # that release every epoch UP FRONT can then run ONE availableNow
+        # query with maxFilesPerTrigger=1 — one stream lifecycle instead of
+        # one per epoch — with micro-batch boundaries (and epoch ids)
+        # unchanged (r13 pass 6)
         files = sorted(_glob.glob(_os.path.join(stage, f"_e={i}", "*.json")))
         if not files:
-            open(_os.path.join(src, f"epoch{i}_0.json"), "w").close()
+            p = _os.path.join(src, f"epoch{i}_0.json")
+            open(p, "w").close()
+            _os.utime(p, (1_000_000 + i, 1_000_000 + i))
             return
         for j, f in enumerate(files):
-            _os.replace(f, _os.path.join(src, f"epoch{i}_{j}.json"))
+            dst = _os.path.join(src, f"epoch{i}_{j}.json")
+            _os.replace(f, dst)
+            _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
 
     return release
 
@@ -1266,7 +1276,9 @@ def _streaming_cdc_apply_toast(spark: SparkSession, sf_dir: str, target_cls) -> 
     from .sources.target import ParquetMorTarget
     from .streaming.pipeline import ChangeLogPipeline
 
-    stream_rows = _toast_stream_rows(spark, sf_dir)
+    # sequential two-consumer pin: bounds agg populates the columnar
+    # cache, the staged write reuses it (r13 pass 6)
+    stream_rows = _toast_stream_rows(spark, sf_dir).persist()
     bounds = stream_rows.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
     cut1 = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 3
     cut2 = bounds["lo"] + 2 * (bounds["hi"] - bounds["lo"]) // 3
@@ -1299,6 +1311,7 @@ def _streaming_cdc_apply_toast(spark: SparkSession, sf_dir: str, target_cls) -> 
         {"users": target},
         ["value_c", "props_c"],
         flagged=True,
+        max_files_per_trigger=1,
     )
     # three seq-ordered epochs: per-key chains split across micro-batches
     # so `unchanged` inheritance crosses epoch (and, for MOR, delta and
@@ -1309,11 +1322,22 @@ def _streaming_cdc_apply_toast(spark: SparkSession, sf_dir: str, target_cls) -> 
         src,
         prefix="toast_epochs_",
     )
-    for i in range(3):
-        release(i)
+    stream_rows.unpersist()
+    if not flagged:
+        # COW variant: no mid-stream action between epochs — release all
+        # three up front (epoch-ordered mtimes) and run ONE availableNow
+        # query = three micro-batches, one stream lifecycle (r13 pass 6).
+        # The MOR variant keeps the per-epoch loop: its mid-stream
+        # compact() between epochs 2 and 3 IS the semantics under test.
+        for i in range(3):
+            release(i)
         pipeline.run_available()
-        if flagged and i == 1:
-            target.compact()  # parity must cross the OPTIMIZE fold
+    else:
+        for i in range(3):
+            release(i)
+            pipeline.run_available()
+            if i == 1:
+                target.compact()  # parity must cross the OPTIMIZE fold
     return target.read().select(
         F.col("key").cast("bigint").alias("key"), "value_c", "props_c"
     )
@@ -1383,7 +1407,7 @@ def streaming_txn_mixed_targets_q(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("key").cast("string").alias("key"),
         F.array(F.lit("value_c")).alias("rel_cols"),
         F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-    )
+    ).persist()  # sequential two-consumer pin: mid agg populates, staged write reuses (r13 pass 6)
     mid = stream_rows.agg(
         ((F.min("seq") + F.max("seq")) / 2).cast("long").alias("m")
     ).first()["m"]
@@ -1411,17 +1435,21 @@ def streaming_txn_mixed_targets_q(spark: SparkSession, sf_dir: str) -> DataFrame
         targets,
         ["value_c"],
         txn_catalog=catalog,
+        max_files_per_trigger=1,
     )
-    # both epoch slices staged in ONE write job (r13); release() gates
-    # per-epoch visibility between run_available() calls
+    # both epoch slices staged in ONE write job (r13); released up front
+    # with epoch-ordered mtimes, so ONE availableNow run processes them
+    # as two micro-batches (maxFilesPerTrigger=1) — one stream lifecycle
+    # instead of two, identical epoch boundaries (r13 pass 6)
     release = _stage_parts_once(
         _seq_slices(stream_rows, [(None, mid), (mid, None)]),
         src,
         prefix="txn_epochs_",
     )
+    stream_rows.unpersist()
     for i in range(2):
         release(i)
-        pipeline.run_available()
+    pipeline.run_available()
     assert catalog.manifest()["epoch"] == 1  # two epochs, one commit each
 
     out = None
@@ -1509,7 +1537,7 @@ def streaming_txn_triple_strategy_q(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("key").cast("string").alias("key"),
         F.array(F.lit("value_c")).alias("rel_cols"),
         F.floor(F.col("value") * 100).cast("long").cast("string").alias("value_c"),
-    )
+    ).persist()  # sequential two-consumer pin: mid agg populates, staged write reuses (r13 pass 6)
     mid = stream_rows.agg(
         ((F.min("seq") + F.max("seq")) / 2).cast("long").alias("m")
     ).first()["m"]
@@ -1542,16 +1570,20 @@ def streaming_txn_triple_strategy_q(spark: SparkSession, sf_dir: str) -> DataFra
         targets,
         ["value_c"],
         txn_catalog=catalog,
+        max_files_per_trigger=1,
     )
-    # both epoch slices staged in ONE write job (r13)
+    # both epoch slices staged in ONE write job (r13), released up front
+    # with epoch-ordered mtimes: ONE availableNow run = two micro-batches
+    # (one stream lifecycle instead of two, r13 pass 6)
     release = _stage_parts_once(
         _seq_slices(stream_rows, [(None, mid), (mid, None)]),
         src,
         prefix="tri_epochs_",
     )
+    stream_rows.unpersist()
     for i in range(2):
         release(i)
-        pipeline.run_available()
+    pipeline.run_available()
     assert catalog.manifest()["epoch"] == 1  # two epochs, one commit each
 
     out = None
@@ -1909,12 +1941,16 @@ def streaming_txn_mixed_toast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.target import ParquetMergeTarget, ParquetMorTarget, TxnCatalog
     from .streaming.pipeline import ChangeLogPipeline
 
+    # sequential two-consumer persist (guide §5, r13 pass 6): the bounds
+    # agg populates the columnar cache, the staged write below reuses it
+    # instead of re-running the tri-state normalize windows; unpersisted
+    # right after staging
     stream_rows = _toast_stream_rows(spark, sf_dir).withColumn(
         "tbl",
         F.when(F.col("key").cast("bigint") % 2 == 0, F.lit("users_cow")).otherwise(
             F.lit("plays_mor")
         ),
-    )
+    ).persist()
     bounds = stream_rows.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
     mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 2
 
@@ -1954,6 +1990,7 @@ def streaming_txn_mixed_toast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         src,
         prefix="ttm_epochs_",
     )
+    stream_rows.unpersist()
     for i in range(2):
         release(i)
         pipeline.run_available()
@@ -3282,12 +3319,15 @@ def streaming_wap_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["value_c"],
         txn_catalog=catalog,
         audit=audit,
+        max_files_per_trigger=1,
     )
-    # all three epoch slices staged in ONE write job (r13)
+    # all three epoch slices staged in ONE write job (r13), released up
+    # front with epoch-ordered mtimes: ONE availableNow run = three
+    # micro-batches (one stream lifecycle instead of three, r13 pass 6)
     release = _stage_parts_once([e0, poison, e2], src, prefix="wap_epochs_")
     for i in range(3):
         release(i)
-        pipeline.run_available()
+    pipeline.run_available()
 
     assert pipeline.rejected_epochs == [1], pipeline.rejected_epochs
     assert catalog.manifest()["epoch"] == 2  # mainline skipped the poison

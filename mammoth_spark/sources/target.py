@@ -2437,7 +2437,9 @@ class TxnCatalog:
                 return sum(int(bc[b]) for b in bm)
         return self._read_from(tbl, m).count()
 
-    def _net_cardinality_delta(self, tbl: str, compacted: DataFrame, m: dict) -> int:
+    def _net_cardinality_delta(
+        self, tbl: str, compacted: DataFrame, m: dict, prev_n: int | None = None
+    ) -> int:
         """Net COUNT(*) change one compacted merge-on-read batch causes,
         computed AT STAGE TIME so the manifest keeps carrying exact
         ``row_counts`` for MOR / bucketed-MOR members (VERDICT r12 #2 —
@@ -2463,6 +2465,21 @@ class TxnCatalog:
         folded = compacted.groupBy(*t.key_cols).agg(
             F.max_by("kind", "last_seq").alias("_kind")
         )
+        # empty-state shortcut (r13 pass 6): the counter is the exact
+        # number of LIVE keys, so prev_n == 0 ⇒ no key can be live ⇒
+        # delete_hits = 0 and every non-DELETE verdict inserts — the
+        # folded batch alone answers the probe, no chain scan, no
+        # broadcast join. This is every MOR member's epoch-0 staging
+        # (fresh catalogs initialize empty), and at 100 TB it is the
+        # bootstrap epoch of every new table.
+        if prev_n == 0:
+            row = folded.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_kind") != "DELETE", 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("inserts")
+            ).collect()[0]
+            return int(row["inserts"])
         # liveness probe over the RAW chain, column-pruned to the key
         # columns + (kind, last_seq): the reconciling read would window
         # ALL keys with every value column per staged epoch — here the
@@ -2861,7 +2878,7 @@ class TxnCatalog:
                 if prev_n is None:
                     prev_n = self._read_from(tbl, m).count()
                 new_counts[tbl] = int(prev_n) + self._net_cardinality_delta(
-                    tbl, compacted, m
+                    tbl, compacted, m, prev_n=int(prev_n)
                 )
             if self._is_bmor(t):
                 new_bmor[tbl] = t.stage_delta(

@@ -2506,6 +2506,60 @@ def test_metadata_only_count_mor(spark, tmp_path):
     assert cat.count("logs", epoch=-1) == 10
 
 
+def test_mor_counter_empty_state_shortcut(spark, tmp_path):
+    """r13 pass 6: when the manifest counter is 0 the net-cardinality
+    probe answers from the folded batch ALONE (count == number of live
+    keys, so zero live keys ⇒ no delete can hit) — no chain scan, no
+    broadcast join. Pin that the shortcut epoch's counter is exact
+    (ghost deletes and intra-batch delete-then-insert chains included)
+    and that the full-probe path still composes on top of it."""
+    from mammoth_spark.sources.target import ParquetMorTarget, compact_for_mor
+
+    t = ParquetMorTarget(spark, str(tmp_path / "mor"), ["key"], ["name"])
+    cat = TxnCatalog(spark, str(tmp_path / "cat"), {"logs": t})
+    cat.initialize({"logs": spark.createDataFrame([], KV)})
+    assert cat.count("logs") == 0  # the shortcut's precondition
+
+    def batch(rows, seq0):
+        return compact_for_mor(
+            spark.createDataFrame(rows, CHG).withColumn(
+                "seq", F.monotonically_increasing_id() + F.lit(seq0)
+            ),
+            ["key"],
+            ["name"],
+        )
+
+    # epoch 0 stages against count==0: 2 inserts, a ghost delete (no
+    # live key can exist — must not decrement), and a key whose
+    # in-batch chain folds insert→delete (dead on arrival)
+    cat.apply_txn(
+        {
+            "logs": batch(
+                [
+                    ("a", "UPSERT", "x"),
+                    ("b", "UPSERT", "y"),
+                    ("ghost", "DELETE", None),
+                    ("flicker", "UPSERT", "z"),
+                    ("flicker", "DELETE", None),
+                ],
+                0,
+            )
+        },
+        epoch=0,
+    )
+    assert cat.count("logs") == 2
+    assert cat.count("logs") == cat.read("logs").count()
+    # epoch 1 runs the FULL probe (prev_n == 2): one delete-hit, one
+    # insert — the two paths compose into one exact running counter
+    cat.apply_txn(
+        {"logs": batch([("a", "DELETE", None), ("c", "UPSERT", "w")], 100)},
+        epoch=1,
+    )
+    assert cat.count("logs") == 2
+    assert cat.count("logs") == cat.read("logs").count()
+    assert cat.count("logs", epoch=0) == 2  # travels through the log
+
+
 def test_metadata_only_count_bmor(spark, tmp_path):
     """Bucketed-MOR twin of test_metadata_only_count_mor: backfill sums
     the staged bases' footers; each delta folds its net change computed
