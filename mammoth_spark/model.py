@@ -179,9 +179,15 @@ def local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
     if isinstance(schema, str):
         schema = T._parse_datatype_string(schema)
     if isinstance(schema, T.StructType) and not rows:
-        return spark.range(0).select(
+        out = spark.range(0).select(
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
+        # statically-empty marker (r13 pass 7): consumers that would
+        # otherwise pay a Spark write job per empty frame (catalog
+        # backfills) can recognize provable emptiness and take the
+        # per-schema template path instead
+        out._mammoth_static_empty = True
+        return out
     names = [f.name for f in schema.fields] if isinstance(schema, T.StructType) else list(schema)
     if not rows:
         return spark.createDataFrame([], schema)

@@ -1780,6 +1780,12 @@ class TxnCatalog:
         self.root = root
         self.targets = targets
         os.makedirs(root, exist_ok=True)
+        # per-schema empty templates for statically-empty backfills
+        # (r13 pass 7): an N-member initialize over local_df-empty
+        # snapshots pays ONE Spark write per distinct schema instead of
+        # one per member; lives under the CATALOG root (never a target
+        # root, so no vacuum sweep sees it)
+        self._empty_tpl: dict = {}
         # Rehydrate evolved schemas from the committed manifest (ADVICE
         # r11): ``evolve_schema`` records the widened column list under
         # ``schemas``, and a FRESH catalog constructed over the same
@@ -2202,13 +2208,24 @@ class TxnCatalog:
                     for b, st in bmor[tbl].items()
                 )
             elif self._is_mor(t):
-                counts[tbl] = _write_observed(df, t._base_dir(0))
+                if getattr(df, "_mammoth_static_empty", False):
+                    # provably-empty backfill: per-schema template copy,
+                    # count 0 by construction — no write job, no
+                    # Observation (r13 pass 7)
+                    _write_empty_slice(df, t._base_dir(0), self.root, self._empty_tpl)
+                    counts[tbl] = 0
+                else:
+                    counts[tbl] = _write_observed(df, t._base_dir(0))
                 mor[tbl] = {"base": 0, "deltas": 0}
             elif self._is_bucketed(t):
                 bucketed[tbl] = t.stage_full(df, {})
                 bucket_counts[tbl] = t.last_stage_counts
             else:
-                counts[tbl] = _write_observed(df, t._version_dir(1))
+                if getattr(df, "_mammoth_static_empty", False):
+                    _write_empty_slice(df, t._version_dir(1), self.root, self._empty_tpl)
+                    counts[tbl] = 0
+                else:
+                    counts[tbl] = _write_observed(df, t._version_dir(1))
                 versions[tbl] = 1
         manifest = self._mk_manifest(-1, versions, mor, bucketed, bmor)
         if counts:

@@ -51,9 +51,11 @@ def main() -> None:
     for name in args.queries:
         sc = spark.sparkContext
         sc.setJobDescription(f"evprofile:{name}")
+        t0_ms = int(time.time() * 1000)
         t0 = time.perf_counter()
         QUERIES[name](spark, args.sf).write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
+        t1_ms = int(time.time() * 1000)
         sc.setJobDescription(None)
         spark.catalog.clearCache()
 
@@ -90,8 +92,15 @@ def main() -> None:
                         "name": si["Stage Name"].split("\n")[0][:80],
                         "tasks": si["Number of Tasks"],
                     }
+        # attribute by TIME WINDOW, not description: streaming-thread
+        # jobs (micro-batch work) don't inherit the main thread's
+        # description, and they are usually the point
         mine = sorted(
-            (j for j in jobs.items() if f"evprofile:{name}" in j[1]["desc"] and "end" in j[1]),
+            (
+                j
+                for j in jobs.items()
+                if "end" in j[1] and t0_ms <= j[1]["start"] <= t1_ms
+            ),
             key=lambda kv: kv[1]["start"],
         )
         if not mine:
