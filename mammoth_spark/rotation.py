@@ -32,45 +32,47 @@ import re
 # The round whose contract registry.DRIVER_EXPORT currently encodes.
 # Bump this (and regenerate the export with `python tools/rotation_ledger.py
 # --cut`) at the start of each round.
-CONTRACT_ROUND = 13
+CONTRACT_ROUND = 14
 
 # Queries whose implementation paths were refactored AFTER their last
 # driver row and must re-verify on the current tree before anything
-# else already-green. Round 13 touched five result-producing paths:
-# (a) _stage_epoch now folds an exact net cardinality delta into
-# row_counts for MOR/bmor members (one stage-time probe) — the
-# multi-table streaming txn and MOR-catalog queries re-verify;
-# (b) _read_from projects COW reads to the epoch's schema record
-# (typed-NULL backfill / retired-column projection) — the evolution,
-# rollback, and time-travel queries re-verify; (c) publish_branch
-# reconciles schema records on the fast-forward and refuses stale
-# bucket schemes (the round-12 evolve/rebucket freeze removed) — the
-# WAP queries re-verify; (d) the drift classifier gained the
-# retired-tolerant check and per-table evolved sets — the drift stream
-# query re-verifies; (e) the WordPiece trainer collects its trajectory
-# eagerly and the encode loop is single-scan per round — both
-# wordpiece queries re-verify (also the r12 perf-weak set, so their
-# fresh rows double as the regression-fix record). Drop entries once
-# they hold a row on the current tree.
+# else already-green. Round 14 (optimization round 2) flags two sets:
+# (a) VERDICT r13 #2's carry-over — the twelve paths round 13 changed
+# that the r13 sample never re-verified (driver-side pagerank loop,
+# persist-partitioning reuse, observation-fused dedup rounds,
+# localCheckpoint pins, IVM/time-travel/rebucket/WAP lifecycle
+# restructures); (b) the paths THIS round's optimizations touch:
+# lifecycle-fused mid-stream compacts (after_batch hook) on the
+# MOR-toast twins and the triple-composition query, the distributed
+# bloom probe (probe_df — no driver key collect) on both lookup
+# queries, and thread-overlapped multi-table staging (_stage_epoch /
+# initialize / rollback folds) on every multi-member catalog query —
+# the heaviest of which re-verify here. Drop entries once they hold a
+# row on the current tree.
 FLAGSHIPS: list[str] = [
-    "wordpiece_train",
-    "wordpiece_encode_stats",
-    "streaming_schema_drift_evolve",
+    # (a) r13-changed, not in the r13 sample (VERDICT r13 #2)
+    "pagerank_topk",
+    "dedup_clusters",
+    "dedup_survivorship",
+    "lsh_recall_report",
+    "bt_strength_duels",
+    "embedding_covariance_summary",
+    "perplexity_buckets",
+    "incremental_agg_maintenance",
+    "txn_time_travel",
+    "catalog_rebucket_online",
+    "streaming_wap_pipeline",
+    "streaming_cdc_apply_toast",
+    # (b) r14-optimized paths
+    "streaming_cdc_apply_mor_toast",
+    "streaming_txn_mixed_toast",
+    "bucketed_bloom_lookup",
+    "bmor_bloom_lookup",
     "streaming_txn_triple_strategy",
     "streaming_txn_mixed_targets",
-    "streaming_txn_mixed_toast",
     "catalog_rollback_mor",
-    "catalog_rollback",
-    "txn_schema_evolve",
-    "txn_schema_evolve_mor",
-    "txn_schema_evolve_bucketed",
-    "catalog_wap_concurrent",
-    "catalog_wap_publish",
-    # catalog_wap_audit_diff deliberately NOT re-flagged: branch_changes
-    # (its result path) is untouched this round, and its slot is needed
-    # to keep the r07 tail inside the 5-round freshness bound
+    "catalog_stats_count_mor",
     "catalog_erase_history",
-    "catalog_read_asof",
 ]
 
 CONTRACT_SIZE = 50

@@ -861,6 +861,114 @@ class _BloomIndexMixin:
         bits = bloom["bits"]
         return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
 
+    def _chain_longs(self, chain: list) -> list[list[int]] | None:
+        """A bucket's sidecar chain as bit-packed long arrays for the
+        SQL-side admit check (bit p of the filter ⇒ long p>>6, bit
+        p&63 — little-endian 8-byte packing preserves the byte-layout
+        bit arithmetic ``_bloom_admits`` uses). ``None`` when ANY
+        element is missing/parameter-incompatible: such a chain admits
+        every key, exactly like ``_bloom_admits``."""
+        out = []
+        for bl in chain:
+            if (
+                bl is None
+                or bl["m"] != self.bloom_bits
+                or bl["k"] != self.bloom_hashes
+            ):
+                return None
+            bits = bl["bits"]
+            padded = bits + b"\x00" * (-len(bits) % 8)
+            out.append(
+                [
+                    int.from_bytes(padded[i : i + 8], "little", signed=True)
+                    for i in range(0, len(padded), 8)
+                ]
+            )
+        return out
+
+    def _probe_df_impl(
+        self, kdf: DataFrame, chain_for_bucket, scan, n_buckets: int | None = None
+    ) -> DataFrame:
+        """Distributed twin of ``_probe_impl`` (r14, VERDICT r13 #7):
+        the probe keys stay a DataFrame end to end — no driver collect
+        of the key set, no data-sized broadcast — so a probe set that
+        is a FRACTION of the table (1% of customers at 100 TB) never
+        lands on the driver. The sidecars (metadata-sized: n_buckets ×
+        chain tiny JSONs) are loaded on the driver and broadcast as a
+        bit-packed lookup table; each key's admit verdict evaluates in
+        the JVM via higher-order functions over its k positions, and
+        the ONLY driver materialization is one bounded aggregate row
+        (negative count + the distinct admitted buckets, ≤ n_buckets
+        values). The pruned read of admitted buckets is then left-semi
+        joined against the admitted keys — a shuffle join, never a
+        collect — preserving ``probe``'s exact-result contract.
+        ``last_probe_stats`` records the pruning identically."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        nb = n_buckets if n_buckets is not None else self.n_buckets
+        bucket_col = _bucket_expr(self.key_cols, nb)
+        sel = [*self.key_cols, bucket_col.alias("_b")]
+        if self.bloom_bits:
+            sel.append(F.array(*self._bloom_pos_cols()).alias("_ps"))
+        routed = kdf.select(*sel)
+
+        if self.bloom_bits:
+            chains_schema = T.StructType(
+                [
+                    T.StructField("_b", T.IntegerType(), False),
+                    T.StructField(
+                        "_chains",
+                        T.ArrayType(T.ArrayType(T.LongType(), False), False),
+                        True,
+                    ),
+                ]
+            )
+            chain_rows = [
+                (b, self._chain_longs(chain_for_bucket(b))) for b in range(nb)
+            ]
+            chains_df = self.spark.createDataFrame(chain_rows, chains_schema)
+            routed = routed.join(F.broadcast(chains_df), "_b", "left")
+            # call_function: the classic shiftleft/shiftright wrappers
+            # type numBits as a Python int, but here it is a column
+            bit_set = lambda bits, p: (
+                F.element_at(
+                    bits, F.call_function("shiftright", p, F.lit(6)) + F.lit(1)
+                ).bitwiseAND(
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        p.bitwiseAND(F.lit(63)),
+                    )
+                )
+                != F.lit(0)
+            )
+            admit = F.col("_chains").isNull() | F.exists(
+                "_chains",
+                lambda bits: F.forall("_ps", lambda p: bit_set(bits, p)),
+            )
+        else:
+            admit = F.lit(True)
+        routed = routed.withColumn("_admit", admit)
+
+        # ONE bounded aggregate answers the stats and the admitted-bucket
+        # set together (collect_set ≤ n_buckets values; NULLs drop)
+        st = routed.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(~F.col("_admit"), 1).otherwise(0)).alias("neg"),
+            F.collect_set(F.when(F.col("_admit"), F.col("_b"))).alias("bks"),
+        ).first()
+        buckets_read = sorted(int(b) for b in st["bks"])
+        self.last_probe_stats = {
+            "n_keys": int(st["n_keys"]),
+            "bloom_negative": int(st["neg"] or 0),
+            "buckets_read": len(buckets_read),
+        }
+        if not buckets_read:
+            return scan([0]).limit(0)
+        admitted = routed.filter(F.col("_admit")).select(*self.key_cols)
+        return scan(buckets_read).join(admitted, on=self.key_cols, how="left_semi")
+
     def _probe_impl(
         self, keys: list[tuple], chain_for_bucket, scan, n_buckets: int | None = None
     ) -> DataFrame:
@@ -1066,6 +1174,32 @@ class ParquetBucketedTarget(_BloomIndexMixin):
             raise FileNotFoundError(f"bucketed target {self.root} not initialized")
         return self._probe_impl(
             keys,
+            chain_for_bucket=lambda b: [
+                self._bloom_load(b, int(bucket_map[str(b)]))
+            ],
+            scan=lambda bs: self.read_map(
+                bucket_map, bs, value_cols=value_cols, col_types=col_types
+            ),
+            n_buckets=len(bucket_map),
+        )
+
+    def probe_df(
+        self,
+        kdf: DataFrame,
+        bucket_map: dict | None = None,
+        value_cols: list[str] | None = None,
+        col_types: dict | None = None,
+    ) -> DataFrame:
+        """``probe`` for a DISTRIBUTED probe-key DataFrame (r14): same
+        bloom-gated bucket pruning and exact results, but the key set
+        never materializes on the driver — the API for probe sets that
+        scale with the data (``_probe_df_impl`` for the mechanics)."""
+        if bucket_map is None:
+            bucket_map = self._manifest()["buckets"]
+        if not bucket_map:
+            raise FileNotFoundError(f"bucketed target {self.root} not initialized")
+        return self._probe_df_impl(
+            kdf,
             chain_for_bucket=lambda b: [
                 self._bloom_load(b, int(bucket_map[str(b)]))
             ],
@@ -1636,6 +1770,39 @@ class ParquetBucketedMorTarget(_BloomIndexMixin):
             n_buckets=len(m),
         )
 
+    def probe_df(
+        self,
+        kdf: DataFrame,
+        manifest: dict | None = None,
+        value_cols: list[str] | None = None,
+        col_types: dict | None = None,
+    ) -> DataFrame:
+        """``probe`` for a DISTRIBUTED probe-key DataFrame (r14): the
+        base-or-any-delta admit rule evaluates in the JVM against the
+        broadcast sidecar table; the key set never lands on the driver
+        (``_probe_df_impl``)."""
+        m = manifest if manifest is not None else self._manifest()["buckets"]
+        if not m:
+            raise FileNotFoundError(
+                f"bucketed MOR target {self.root} not initialized"
+            )
+
+        def chain(b: int) -> list:
+            st = m[str(b)]
+            return [self._bloom_load_dir(self._base_dir(b, st["base"]))] + [
+                self._bloom_load_dir(self._delta_dir(b, st["base"], i))
+                for i in range(st["deltas"])
+            ]
+
+        return self._probe_df_impl(
+            kdf,
+            chain_for_bucket=chain,
+            scan=lambda bs: self.read(
+                buckets=bs, manifest=m, value_cols=value_cols, col_types=col_types
+            ),
+            n_buckets=len(m),
+        )
+
     def write_delta(self, compacted: DataFrame) -> dict:
         """Standalone apply: stage + own-manifest swap, then the
         automatic per-bucket OPTIMIZE for buckets at the cadence."""
@@ -1702,6 +1869,28 @@ class ParquetBucketedMorTarget(_BloomIndexMixin):
                 victims.append(name)
                 shutil.rmtree(os.path.join(self.root, name))
         return sorted(victims)
+
+
+def _for_each_table(items: list[tuple], fn) -> dict:
+    """Run ``fn(key, value)`` for every (key, value) pair, overlapping
+    INDEPENDENT tables' Spark jobs from a small driver thread pool
+    (guide §2.6: actions are only sequential because the driver calls
+    them sequentially — a multi-table epoch stages disjoint directories
+    per table, so the next table's jobs can back-fill executors the
+    current one's driver gaps leave idle). Returns {key: fn result} in
+    input order; the FIRST (input-order) failure propagates, exactly
+    like the sequential loop — any sibling staging that already ran
+    left only unreferenced directories, the documented crash-leftover
+    shape vacuum reclaims. Sized by ``SPARK_GRAFT_STAGE_THREADS``
+    (default 4 — "2-3 jobs in flight is plenty"); 1 disables."""
+    max_threads = int(os.environ.get("SPARK_GRAFT_STAGE_THREADS", "4"))
+    if len(items) <= 1 or max_threads <= 1:
+        return {k: fn(k, v) for k, v in items}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(items), max_threads)) as pool:
+        futs = [(k, pool.submit(fn, k, v)) for k, v in items]
+        return {k: f.result() for k, f in futs}
 
 
 def _write_observed(df: DataFrame, path: str) -> int:
@@ -2195,38 +2384,66 @@ class TxnCatalog:
         mor = {}
         bucketed = {}
         bmor = {}
-        for tbl, df in snapshots.items():
+
+        def _backfill_one(tbl: str, df: DataFrame) -> dict:
             t = self.targets[tbl]
             if self._is_bmor(t):
-                bmor[tbl] = t.stage_initial(df, {})
+                st = t.stage_initial(df, {})
                 # footer-metadata sum over the freshly staged bases —
                 # no extra job; epoch staging then folds each batch's
                 # net delta in, so COUNT(*) stays metadata-only on
                 # merge-on-read members too (VERDICT r12 #2)
-                counts[tbl] = sum(
-                    _parquet_dir_rows(t._base_dir(int(b), st["base"]))
-                    for b, st in bmor[tbl].items()
+                n = sum(
+                    _parquet_dir_rows(t._base_dir(int(b), s["base"]))
+                    for b, s in st.items()
                 )
-            elif self._is_mor(t):
+                return {"bmor": st, "count": n}
+            if self._is_mor(t):
                 if getattr(df, "_mammoth_static_empty", False):
                     # provably-empty backfill: per-schema template copy,
                     # count 0 by construction — no write job, no
                     # Observation (r13 pass 7)
                     _write_empty_slice(df, t._base_dir(0), self.root, self._empty_tpl)
-                    counts[tbl] = 0
+                    n = 0
                 else:
-                    counts[tbl] = _write_observed(df, t._base_dir(0))
-                mor[tbl] = {"base": 0, "deltas": 0}
-            elif self._is_bucketed(t):
-                bucketed[tbl] = t.stage_full(df, {})
-                bucket_counts[tbl] = t.last_stage_counts
+                    n = _write_observed(df, t._base_dir(0))
+                return {"mor": {"base": 0, "deltas": 0}, "count": n}
+            if self._is_bucketed(t):
+                return {"bucketed": t.stage_full(df, {}), "bucket_counts": t.last_stage_counts}
+            if getattr(df, "_mammoth_static_empty", False):
+                _write_empty_slice(df, t._version_dir(1), self.root, self._empty_tpl)
+                n = 0
             else:
-                if getattr(df, "_mammoth_static_empty", False):
-                    _write_empty_slice(df, t._version_dir(1), self.root, self._empty_tpl)
-                    counts[tbl] = 0
-                else:
-                    counts[tbl] = _write_observed(df, t._version_dir(1))
-                versions[tbl] = 1
+                n = _write_observed(df, t._version_dir(1))
+            return {"version": 1, "count": n}
+
+        # statically-empty members first, sequentially: they share the
+        # per-schema template cache (driver-side copies, at most one
+        # Spark job per distinct schema); the real backfills — the
+        # expensive, independent writes — then overlap (guide §2.6)
+        items = sorted(
+            snapshots.items(),
+            key=lambda kv: not getattr(kv[1], "_mammoth_static_empty", False),
+        )
+        n_empty = sum(
+            1 for _, df in items if getattr(df, "_mammoth_static_empty", False)
+        )
+        backfilled = {
+            tbl: _backfill_one(tbl, df) for tbl, df in items[:n_empty]
+        }
+        backfilled.update(_for_each_table(items[n_empty:], _backfill_one))
+        for tbl, upd in backfilled.items():
+            if "count" in upd:
+                counts[tbl] = upd["count"]
+            if "bmor" in upd:
+                bmor[tbl] = upd["bmor"]
+            if "mor" in upd:
+                mor[tbl] = upd["mor"]
+            if "bucketed" in upd:
+                bucketed[tbl] = upd["bucketed"]
+                bucket_counts[tbl] = upd["bucket_counts"]
+            if "version" in upd:
+                versions[tbl] = upd["version"]
         manifest = self._mk_manifest(-1, versions, mor, bucketed, bmor)
         if counts:
             manifest["row_counts"] = counts
@@ -2367,6 +2584,7 @@ class TxnCatalog:
             k: {b: dict(s) for b, s in v.items()}
             for k, v in out.get("bmor", {}).items()
         }
+        folds: list[tuple] = []
         for tbl, t in self.targets.items():
             rec = schemas.get(tbl)
             vcols = list(rec["value"]) if rec else None
@@ -2398,10 +2616,15 @@ class TxnCatalog:
                 h = hw["mor"].get(tbl, {})
                 extended = h.get("deltas", {}).get(str(mm["base"]), 0) > mm["deltas"]
                 if extended or h.get("base", -1) > mm["base"]:
-                    state = t.read(manifest=mm, value_cols=vcols, col_types=ctypes)
-                    v = max(h.get("base", -1), mm["base"]) + 1
-                    state.write.mode("overwrite").parquet(t._base_dir(v))
-                    new_mor[tbl] = {"base": v, "deltas": 0}
+
+                    def _fold_mor(tbl, args):
+                        t, mm, h, vcols, ctypes = args
+                        state = t.read(manifest=mm, value_cols=vcols, col_types=ctypes)
+                        v = max(h.get("base", -1), mm["base"]) + 1
+                        state.write.mode("overwrite").parquet(t._base_dir(v))
+                        return {"base": v, "deltas": 0}
+
+                    folds.append((tbl, ("mor", _fold_mor, (t, mm, h, vcols, ctypes))))
             elif self._is_bmor(t) and tbl in new_bmor:
                 st = new_bmor[tbl]
                 h = hw["bmor"].get(tbl, {})
@@ -2415,7 +2638,21 @@ class TxnCatalog:
                         risk.append(b)
                         floor[str(b)] = bh.get("base", -1)
                 if risk:
-                    new_bmor[tbl] = t.stage_compact(st, buckets=risk, alloc_floor=floor)
+
+                    def _fold_bmor(tbl, args):
+                        t, st, risk, floor = args
+                        return t.stage_compact(st, buckets=risk, alloc_floor=floor)
+
+                    folds.append((tbl, ("bmor", _fold_bmor, (t, st, risk, floor))))
+        # fold-on-restore materializations are per-member independent
+        # staging writes (nothing referenced until the swap below) —
+        # overlap them like any multi-table staging span (guide §2.6)
+        folded = _for_each_table(
+            [(tbl, spec) for tbl, spec in folds],
+            lambda tbl, spec: (spec[0], spec[1](tbl, spec[2])),
+        )
+        for tbl, (kind, res) in folded.items():
+            (new_mor if kind == "mor" else new_bmor)[tbl] = res
         if new_mor:
             out["mor"] = new_mor
         if new_bmor:
@@ -2837,6 +3074,9 @@ class TxnCatalog:
         # — and with live WAP branches, other heads hold NEWER ones —
         # never allocate over a directory any retained manifest references
         hw = self._high_water()
+        # validation pass first — every guard is metadata-only, so all
+        # tables' refusals surface BEFORE any staging job runs (and the
+        # staging fan-out below starts from a fully vetted batch)
         for tbl, compacted in compacted_by_table.items():
             t = self.targets[tbl]
             # MOR/bucketed/bmor staging folds into the table's CURRENT
@@ -2881,6 +3121,32 @@ class TxnCatalog:
                     f"{t.n_buckets} (an online rebucket happened since this "
                     "branch forked) — drop_branch and restage"
                 )
+            if self._is_mor(t):
+                mm = new_mor[tbl]
+                # merge-on-read slots are COUNT-addressed and cannot
+                # skip: a slot below the high-water is already referenced
+                # by ANOTHER live manifest (a WAP branch, or the mainline
+                # seen from a branch) — writing it would silently corrupt
+                # that writer's staged chain. COW/bucketed writers
+                # allocate around each other via the floor; MOR must
+                # refuse (the one genuinely unserializable interleaving).
+                hw_d = (
+                    hw["mor"].get(tbl, {}).get("deltas", {}).get(str(mm["base"]), 0)
+                )
+                if mm["deltas"] < hw_d:
+                    raise RuntimeError(
+                        f"MOR delta-slot conflict on {tbl}: slot {mm['deltas']} "
+                        f"of base {mm['base']} is already referenced by another "
+                        "live manifest (a WAP branch or the mainline) — publish "
+                        "or drop the other writer first; merge-on-read chains "
+                        "cannot interleave concurrent writers"
+                    )
+
+        # staging pass: every table writes into directories nothing
+        # references yet — independent work, overlapped per _for_each_table
+        def _stage_one(tbl: str, compacted: DataFrame) -> dict:
+            t = self.targets[tbl]
+            upd: dict = {}
             if self._is_bmor(t) or self._is_mor(t):
                 # exact running cardinality (ONE block for both MOR
                 # shapes — r13 second review): fold the batch's net
@@ -2894,11 +3160,11 @@ class TxnCatalog:
                 prev_n = m.get("row_counts", {}).get(tbl)
                 if prev_n is None:
                     prev_n = self._read_from(tbl, m).count()
-                new_counts[tbl] = int(prev_n) + self._net_cardinality_delta(
+                upd["count"] = int(prev_n) + self._net_cardinality_delta(
                     tbl, compacted, m, prev_n=int(prev_n)
                 )
             if self._is_bmor(t):
-                new_bmor[tbl] = t.stage_delta(
+                upd["bmor"] = t.stage_delta(
                     compacted,
                     new_bmor[tbl],
                     conflict_floor=hw["bmor"].get(tbl),
@@ -2906,26 +3172,10 @@ class TxnCatalog:
             elif self._is_mor(t):
                 mm = new_mor[tbl]
                 i = mm["deltas"]
-                # merge-on-read slots are COUNT-addressed and cannot
-                # skip: a slot below the high-water is already referenced
-                # by ANOTHER live manifest (a WAP branch, or the mainline
-                # seen from a branch) — writing it would silently corrupt
-                # that writer's staged chain. COW/bucketed writers
-                # allocate around each other via the floor; MOR must
-                # refuse (the one genuinely unserializable interleaving).
-                hw_d = hw["mor"].get(tbl, {}).get("deltas", {}).get(str(mm["base"]), 0)
-                if i < hw_d:
-                    raise RuntimeError(
-                        f"MOR delta-slot conflict on {tbl}: slot {i} of base "
-                        f"{mm['base']} is already referenced by another live "
-                        "manifest (a WAP branch or the mainline) — publish or "
-                        "drop the other writer first; merge-on-read chains "
-                        "cannot interleave concurrent writers"
-                    )
                 compacted.select(
                     *t.key_cols, "kind", "last_seq", *t.value_cols
                 ).write.mode("overwrite").parquet(t._delta_dir(mm["base"], i))
-                new_mor[tbl] = {"base": mm["base"], "deltas": i + 1}
+                upd["mor"] = {"base": mm["base"], "deltas": i + 1}
             elif self._is_bucketed(t):
                 new_map, touched = t.stage_merge(
                     compacted,
@@ -2933,12 +3183,12 @@ class TxnCatalog:
                     flagged=flagged,
                     alloc_floor=hw["bucketed"].get(tbl),
                 )
-                new_bucketed[tbl] = new_map
-                touched_buckets[tbl] = touched
+                upd["bucketed"] = new_map
+                upd["touched"] = touched
                 # footer-metadata cardinalities of the touched buckets,
                 # merged over the untouched buckets' prior counts: the
                 # manifest can then answer COUNT(*) as a sum
-                new_bucket_counts[tbl] = {
+                upd["bucket_counts"] = {
                     **m.get("bucket_counts", {}).get(tbl, {}),
                     **t.last_stage_counts,
                 }
@@ -2957,8 +3207,24 @@ class TxnCatalog:
                 # Iceberg-snapshot-summary shape: the new cardinality is
                 # observed ON the staging write itself (zero extra pass),
                 # so the manifest can answer COUNT(*) metadata-only.
-                new_counts[tbl] = _write_observed(merged, t._version_dir(v))
-                new_versions[tbl] = v
+                upd["count"] = _write_observed(merged, t._version_dir(v))
+                upd["version"] = v
+            return upd
+
+        staged = _for_each_table(list(compacted_by_table.items()), _stage_one)
+        for tbl, upd in staged.items():
+            if "count" in upd:
+                new_counts[tbl] = upd["count"]
+            if "bmor" in upd:
+                new_bmor[tbl] = upd["bmor"]
+            if "mor" in upd:
+                new_mor[tbl] = upd["mor"]
+            if "bucketed" in upd:
+                new_bucketed[tbl] = upd["bucketed"]
+                touched_buckets[tbl] = upd["touched"]
+                new_bucket_counts[tbl] = upd["bucket_counts"]
+            if "version" in upd:
+                new_versions[tbl] = upd["version"]
         result = {}
         for t in compacted_by_table:
             if self._is_bmor(self.targets[t]):

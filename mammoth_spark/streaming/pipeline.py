@@ -83,6 +83,7 @@ class ChangeLogPipeline:
         flagged: bool = False,
         audit=None,
         wap_branch: str = "wap",
+        after_batch=None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -117,6 +118,17 @@ class ChangeLogPipeline:
         # batches stop at the audit instead of reaching consumers.
         self.audit = audit
         self.wap_branch = wap_branch
+        # after_batch (optional, ``after_batch(pipeline, epoch_id)``):
+        # invoked after a micro-batch's apply + commit bookkeeping, on
+        # the stream's own thread — the hook point for MID-STREAM
+        # MAINTENANCE (e.g. a between-epochs OPTIMIZE/compact) so a
+        # driver loop that only needs an action BETWEEN epochs can run
+        # ONE availableNow lifecycle instead of one per epoch (r14,
+        # guide §1.2: the per-lifecycle setup was the dominant fixed
+        # cost). Ordering is identical to the per-lifecycle loop: the
+        # epoch's manifest swap happens inside the apply, the hook runs
+        # strictly after it and strictly before the next epoch's batch.
+        self.after_batch = after_batch
         if audit is not None and txn_catalog is None:
             raise ValueError("audit requires a txn_catalog (WAP is a catalog gate)")
         # rebuilt from the durable record: a restarted pipeline keeps
@@ -161,6 +173,11 @@ class ChangeLogPipeline:
 
     # -- the sink body (stage 3, eventSink stream.go:323-349) -------------
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        self._apply_batch_body(batch, epoch_id)
+        if self.after_batch is not None:
+            self.after_batch(self, epoch_id)
+
+    def _apply_batch_body(self, batch: DataFrame, epoch_id: int) -> None:
         import json
 
         # the micro-batch feeds several consumers (drift check, per-table

@@ -280,3 +280,45 @@ def test_catalog_probe_bmor_member(spark, tmp_path):
     assert got == {"k7": "seven"}
     st = t.last_probe_stats
     assert st["bloom_negative"] == 1 and st["buckets_read"] == 1
+
+
+# -- round 14: distributed probe (probe_df — no driver key collect) -----------
+
+
+def _kdf(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "key string")
+
+
+def test_probe_df_matches_probe_cow(spark, target):
+    keys = ["k3", "k17", "k60", "zz1", "zz2", "zz3", "zz4", "zz5"]
+    want = _state(target.probe([(k,) for k in keys]))
+    st_list = dict(target.last_probe_stats)
+    got = _state(target.probe_df(_kdf(spark, keys)))
+    st_df = dict(target.last_probe_stats)
+    assert got == want
+    # identical pruning: the SQL-side bit check and _bloom_admits read
+    # the same sidecars through the same bit arithmetic
+    assert st_df == st_list
+
+
+def test_probe_df_matches_probe_bmor(spark, bmor_target):
+    t = bmor_target
+    t.write_delta(
+        _mor_batch(spark, [("k1", "UPSERT", "renamed"), ("k2", "DELETE", None)], 100)
+    )
+    keys = ["k1", "k2", "k3", "fresh-absent", "zz1", "zz2"]
+    want = _state(t.probe([(k,) for k in keys]))
+    st_list = dict(t.last_probe_stats)
+    got = _state(t.probe_df(_kdf(spark, keys)))
+    st_df = dict(t.last_probe_stats)
+    assert got == want == {"k1": "renamed", "k3": "name-3"}
+    assert st_df == st_list
+
+
+def test_probe_df_empty_and_all_absent(spark, target):
+    out = target.probe_df(_kdf(spark, []))
+    assert out.columns == ["key", "name"] and out.count() == 0
+    assert target.last_probe_stats["n_keys"] == 0
+    out = target.probe_df(_kdf(spark, ["zz-a", "zz-b", "zz-c", "zz-d", "zz-e"]))
+    st = target.last_probe_stats
+    assert st["n_keys"] == 5 and st["bloom_negative"] >= 4

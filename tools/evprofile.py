@@ -26,6 +26,8 @@ def main() -> None:
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("--timeline", action="store_true",
+                    help="print every job chronologically with its gap-before")
     args = ap.parse_args()
 
     from mammoth_spark.protobuf_shim import ensure_protobuf
@@ -121,6 +123,17 @@ def main() -> None:
             print(f"  job {jid}: {d:6.2f}s  tasks={ntasks:<4d} {sname}")
         big_gaps = sorted(enumerate(gaps), key=lambda x: -x[1])[:5]
         print("  biggest gaps:", ", ".join(f"after#{i}:{g:.2f}s" for i, g in big_gaps))
+        if args.timeline:
+            print("  -- timeline (gap-before | dur | tasks | stage) --")
+            prev_end = None
+            for jid, j in mine:
+                d = (j["end"] - j["start"]) / 1000
+                gap = (j["start"] - prev_end) / 1000 if prev_end is not None else 0.0
+                prev_end = j["end"]
+                sid = max(j["stages"]) if j["stages"] else None
+                sname = stages.get(sid, {}).get("name", "?") if sid is not None else "?"
+                ntasks = sum(stages.get(s, {}).get("tasks", 0) for s in j["stages"] if s in stages)
+                print(f"  j{jid:<4d} gap={gap:5.2f} dur={d:5.2f} tasks={ntasks:<4d} {sname}")
 
 
 if __name__ == "__main__":

@@ -63,7 +63,7 @@ def main() -> None:
     shuffle = time.perf_counter() - t0
     print(f"host: trivial={trivial:.3f}s shuffle={shuffle:.3f}s", flush=True)
 
-    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
     results = {}
     for name in args.queries:
         if name not in QUERIES:
