@@ -542,7 +542,7 @@ def streaming_tx_assemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state-store partition count is pinned by the conf at query start; a
     # few hundred tx keys need nowhere near the batch default of 32
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             assembled.writeStream.format("memory")
@@ -1053,9 +1053,11 @@ def stream_stream_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"ss_attr_{uuid.uuid4().hex[:8]}"
     # stream-stream join state partitions = shuffle partitions at query
     # start; both state stores here hold a bounded hour of per-user rows,
-    # so 8 partitions beats paying 32 state-store instantiations per batch
+    # so fewer partitions beat paying 32 state-store instantiations per
+    # batch (r14 A/B: 4 parts min 2.34 s vs 8 parts 2.73 s vs 32 ~the
+    # r13 floor; production sizes this by state volume, not a constant)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             joined.writeStream.format("memory")
@@ -1360,7 +1362,7 @@ def streaming_tws_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # x 3 batches = 96 store lifecycles dominate a small-key stream;
     # 8 partitions cuts that 4x with zero effect on results
     prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         # fixture knob: bound the keyed-state population so the micro-
         # bench exercises cross-batch state, not 19k key round trips
@@ -1474,7 +1476,7 @@ def streaming_tws_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # x 3 batches = 96 store lifecycles dominate a small-key stream;
     # 8 partitions cuts that 4x with zero effect on results
     prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         # tighter cap than the totals twin: MapState costs ~8 state
         # round trips per key-batch (containsKey per novel value + the
@@ -1576,7 +1578,7 @@ def streaming_dedup_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window of ids, so 8 partitions beats paying 32 state-store
     # instantiations per micro-batch
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             deduped.writeStream.format("memory")

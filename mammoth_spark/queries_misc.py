@@ -3182,7 +3182,10 @@ def bucketed_bloom_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = present_df.unionByName(
         present_df.select((F.col("c_custkey") + int(stats["mx"])).alias("c_custkey"))
     )
-    hits = target.probe_df(probes).select(
+    # exact=False: the LEFT JOIN below already restricts the pruned
+    # read to the probe keys — the probe-side semi join would shuffle
+    # the same keys a second time for rows the outer join drops anyway
+    hits = target.probe_df(probes, exact=False).select(
         F.col("c_custkey").alias("probe_key"), "c_name"
     )
     st = target.last_probe_stats
@@ -3317,8 +3320,12 @@ def streaming_wap_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog.initialize({"users": empty})
 
     def audit(cat, branch, epoch_id) -> bool:
-        n_main = cat.read("users").count()
-        n_branch = cat.read_branch("users", branch).count()
+        # metadata-only tripwire (r14): both manifests carry exact
+        # cardinalities (Observation-observed on the staging writes),
+        # so the gate decision costs ZERO jobs — the same numbers the
+        # old two count jobs per epoch computed from the files
+        n_main = cat.count("users")
+        n_branch = cat.count_branch("users", branch)
         return n_branch >= n_main // 2  # mass-delete tripwire
 
     src = scratch_dir(prefix="wap_stream_src_")
@@ -3882,18 +3889,23 @@ def catalog_rollback_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     catalog.initialize({"users": empty, "shadow": empty})
 
+    # pinned once (r14, guide §5): a batch staged to BOTH members is
+    # evaluated up to five times (per-member counter probe + staging
+    # write + the bmor touched-bucket route) — the checkpoint turns four
+    # window-compact re-runs into cheap scans of one materialization
     first = compact_for_mor(
         kept.filter(F.col("seq") <= t1), ["key"], ["value_c"]
-    )
+    ).localCheckpoint()
     catalog.apply_txn({"users": first, "shadow": first}, epoch=0)
 
     # the poisoned epoch COMMITS, extending both count-addressed chains
+    # (pinned too: its lineage is the users reconciling read)
     poison = catalog.read("users").select(
         "key",
         F.lit("DELETE").alias("kind"),
         F.lit(int(t1) + 1).alias("last_seq"),
         F.lit(None).cast("string").alias("value_c"),
-    )
+    ).localCheckpoint()
     catalog.apply_txn({"users": poison, "shadow": poison}, epoch=1)
     # the damage is live — via the manifest's exact running counter
     # (r13: count() on MOR members is metadata-only; the counter's
@@ -3912,7 +3924,7 @@ def catalog_rollback_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     last = compact_for_mor(
         kept.filter(F.col("seq") > t2), ["key"], ["value_c"]
-    )
+    ).localCheckpoint()
     catalog.apply_txn({"users": last, "shadow": last}, epoch=3)
     assert catalog.count("users", epoch=1) == 0  # still auditable
     users = catalog.read("users")
@@ -4003,7 +4015,10 @@ def bmor_bloom_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = present_df.unionByName(
         present_df.select((F.col("c_custkey") + int(stats["mx"])).alias("c_custkey"))
     )
-    hits = target.probe_df(probes).select(
+    # exact=False: the LEFT JOIN below already restricts the pruned
+    # read to the probe keys — the probe-side semi join would shuffle
+    # the same keys a second time for rows the outer join drops anyway
+    hits = target.probe_df(probes, exact=False).select(
         F.col("c_custkey").alias("probe_key"), "c_name"
     )
     st = target.last_probe_stats
@@ -4206,7 +4221,10 @@ def catalog_stats_count_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         log.filter(F.col("seq") > t2),
     ]
     for e, part in enumerate(spans):
-        compacted = compact_for_mor(part, ["key"], ["value_c"])
+        # pinned once per epoch (r14, guide §5): staged to BOTH members,
+        # the compact is otherwise re-run five times (two counter
+        # probes, two staging writes, the bmor bucket route)
+        compacted = compact_for_mor(part, ["key"], ["value_c"]).localCheckpoint()
         catalog.apply_txn({"mor": compacted, "bmor": compacted}, epoch=e)
         if e == 1:
             # OPTIMIZE both chains mid-history: folds are

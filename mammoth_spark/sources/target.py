@@ -887,7 +887,12 @@ class _BloomIndexMixin:
         return out
 
     def _probe_df_impl(
-        self, kdf: DataFrame, chain_for_bucket, scan, n_buckets: int | None = None
+        self,
+        kdf: DataFrame,
+        chain_for_bucket,
+        scan,
+        n_buckets: int | None = None,
+        exact: bool = True,
     ) -> DataFrame:
         """Distributed twin of ``_probe_impl`` (r14, VERDICT r13 #7):
         the probe keys stay a DataFrame end to end — no driver collect
@@ -902,7 +907,14 @@ class _BloomIndexMixin:
         values). The pruned read of admitted buckets is then left-semi
         joined against the admitted keys — a shuffle join, never a
         collect — preserving ``probe``'s exact-result contract.
-        ``last_probe_stats`` records the pruning identically."""
+        ``last_probe_stats`` records the pruning identically.
+
+        ``exact=False`` skips that final semi join and returns the
+        pruned read RAW (admitted buckets' rows, probe keys or not) —
+        for callers that immediately join the result against their own
+        probe set anyway (the lookup queries' LEFT JOIN), where the
+        semi join would be a second shuffle of the same keys for rows
+        the outer join drops regardless."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -950,6 +962,11 @@ class _BloomIndexMixin:
         else:
             admit = F.lit(True)
         routed = routed.withColumn("_admit", admit)
+        if exact:
+            # the admitted-keys side is consumed twice (stats agg + the
+            # final semi join) — pin it so the probe lineage and the
+            # broadcast admit check run once (executor-local, O(probes))
+            routed = routed.localCheckpoint()
 
         # ONE bounded aggregate answers the stats and the admitted-bucket
         # set together (collect_set ≤ n_buckets values; NULLs drop)
@@ -966,6 +983,8 @@ class _BloomIndexMixin:
         }
         if not buckets_read:
             return scan([0]).limit(0)
+        if not exact:
+            return scan(buckets_read)
         admitted = routed.filter(F.col("_admit")).select(*self.key_cols)
         return scan(buckets_read).join(admitted, on=self.key_cols, how="left_semi")
 
@@ -1189,11 +1208,13 @@ class ParquetBucketedTarget(_BloomIndexMixin):
         bucket_map: dict | None = None,
         value_cols: list[str] | None = None,
         col_types: dict | None = None,
+        exact: bool = True,
     ) -> DataFrame:
         """``probe`` for a DISTRIBUTED probe-key DataFrame (r14): same
         bloom-gated bucket pruning and exact results, but the key set
         never materializes on the driver — the API for probe sets that
-        scale with the data (``_probe_df_impl`` for the mechanics)."""
+        scale with the data (``_probe_df_impl`` for the mechanics and
+        the ``exact=False`` pruned-read-only contract)."""
         if bucket_map is None:
             bucket_map = self._manifest()["buckets"]
         if not bucket_map:
@@ -1207,6 +1228,7 @@ class ParquetBucketedTarget(_BloomIndexMixin):
                 bucket_map, bs, value_cols=value_cols, col_types=col_types
             ),
             n_buckets=len(bucket_map),
+            exact=exact,
         )
 
     # -- staging (publish-free, so a TxnCatalog can own the commit) --------
@@ -1776,11 +1798,12 @@ class ParquetBucketedMorTarget(_BloomIndexMixin):
         manifest: dict | None = None,
         value_cols: list[str] | None = None,
         col_types: dict | None = None,
+        exact: bool = True,
     ) -> DataFrame:
         """``probe`` for a DISTRIBUTED probe-key DataFrame (r14): the
         base-or-any-delta admit rule evaluates in the JVM against the
         broadcast sidecar table; the key set never lands on the driver
-        (``_probe_df_impl``)."""
+        (``_probe_df_impl``; ``exact=False`` as on the COW twin)."""
         m = manifest if manifest is not None else self._manifest()["buckets"]
         if not m:
             raise FileNotFoundError(
@@ -1801,6 +1824,7 @@ class ParquetBucketedMorTarget(_BloomIndexMixin):
                 buckets=bs, manifest=m, value_cols=value_cols, col_types=col_types
             ),
             n_buckets=len(m),
+            exact=exact,
         )
 
     def write_delta(self, compacted: DataFrame) -> dict:
@@ -2678,6 +2702,18 @@ class TxnCatalog:
         the manifest log. The read-side count remains only as a
         fallback for manifests that predate the counters."""
         m = self.manifest() if epoch is None else self._manifest_at(epoch)
+        return self._count_from(tbl, m)
+
+    def count_branch(self, tbl: str, name: str) -> int:
+        """COUNT(*) at a WAP branch head — metadata-only exactly like
+        ``count`` (branch staging runs the same ``_stage_epoch``, so the
+        branch manifest carries the same exact cardinalities): the
+        audit-side count a WAP gate's tripwire reads without touching
+        the staged files (r14 — streaming_wap_pipeline's audit paid two
+        count JOBS per epoch for numbers both manifests already held)."""
+        return self._count_from(tbl, self._branch_manifest(name))
+
+    def _count_from(self, tbl: str, m: dict) -> int:
         counts = m.get("row_counts", {})
         if tbl in counts:
             return int(counts[tbl])

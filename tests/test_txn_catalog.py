@@ -3569,3 +3569,24 @@ def test_empty_bucket_slices_use_template_copies(spark, tmp_path):
         "key string, value_c string, kind string").select("key", "kind", "value_c"))
     out2 = t.read()
     assert out2.columns == ["key", "value_c"] and out2.count() == 0
+
+
+def test_count_branch_metadata_only(spark, catalog):
+    """count_branch answers from the branch manifest's row_counts (r14:
+    the WAP audit tripwire costs zero jobs) — it must equal the branch
+    read's count and survive the branch advancing."""
+    cat = catalog
+    cat.stage_branch(
+        "audit", {"users": _chg(spark, [("2", "UPSERT", "Van")])}, epoch=0
+    )
+    assert cat.count_branch("users", "audit") == cat.read_branch(
+        "users", "audit"
+    ).count()
+    # the manifest carries the number explicitly — no read-side fallback
+    assert "users" in cat._branch_manifest("audit").get("row_counts", {})
+    cat.stage_branch(
+        "audit", {"users": _chg(spark, [("3", "DELETE", None)])}, epoch=1
+    )
+    assert cat.count_branch("users", "audit") == cat.read_branch(
+        "users", "audit"
+    ).count()
