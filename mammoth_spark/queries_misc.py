@@ -3003,8 +3003,11 @@ def catalog_wap_publish_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", F.lit("DELETE").alias("kind"), F.lit(None).cast("string").alias("value_c")
     )
     catalog.stage_branch("audit", {"users": bad}, epoch=2)
-    n_main = catalog.read("users").count()
-    n_bad = catalog.read_branch("users", "audit").count()
+    # metadata-only tripwire (r14): both manifests carry the exact
+    # cardinalities — same decision, zero jobs (the epoch-1 audit above
+    # keeps its read: NULL-key inspection is a data property)
+    n_main = catalog.count("users")
+    n_bad = catalog.count_branch("users", "audit")
     assert n_bad < n_main, "mass-delete tripwire should have fired"
     catalog.drop_branch("audit")
     assert catalog.manifest()["epoch"] == 1  # mainline untouched by the drop
@@ -3014,7 +3017,7 @@ def catalog_wap_publish_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog.stage_branch(
         "audit", {"users": compacted(log.filter(F.col("seq") > t2))}, epoch=2
     )
-    assert catalog.read_branch("users", "audit").count() > 0
+    assert catalog.count_branch("users", "audit") > 0  # metadata-only (r14)
     catalog.publish_branch("audit")
     return catalog.read("users").select(
         F.col("key").cast("bigint").alias("key"), "value_c"

@@ -143,20 +143,29 @@ def test_contract_is_ledger_cut():
 
 
 def test_contract_bounds_row_age():
-    """Freshness invariant the cut is designed to maintain: no query's
-    last green driver row may be older than CONTRACT_ROUND - 5 (a full
-    202-query sweep takes ceil(202/50) = 5 contracts) unless the query
-    holds a slot in the current contract (i.e. is being re-verified now)."""
+    """Freshness invariant the cut is designed to maintain (rotation.py:
+    every row ages at most ceil(N/50)+1 contracts): no query's last green
+    driver row may be older than that bound unless the query holds a slot
+    in the current contract (i.e. is being re-verified now). The bound is
+    computed from the LIVE registry — the r13 version hard-coded 5 from
+    the 202-query era, which is unsatisfiable at 263 queries (a full
+    sweep alone takes ceil(263/50) = 6 contracts before any flagship
+    re-verification slot is spent)."""
+    import math
+
     from mammoth_spark.rotation import CONTRACT_ROUND, last_green_rounds
 
+    bound = math.ceil(len(QUERIES) / 50) + 1
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     exported = set(entry_mod.queries().keys())
     last = last_green_rounds(repo, upto_round=CONTRACT_ROUND)
     stale = [
         (n, r) for n, r in sorted(last.items())
-        if n in QUERIES and r < CONTRACT_ROUND - 5 and n not in exported
+        if n in QUERIES and r < CONTRACT_ROUND - bound and n not in exported
     ]
-    assert not stale, f"driver rows older than 5 rounds and not being re-verified: {stale}"
+    assert not stale, (
+        f"driver rows older than {bound} rounds and not being re-verified: {stale}"
+    )
 
 
 def test_entry_smoke(spark):
