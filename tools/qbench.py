@@ -3,14 +3,14 @@
 
 Times individual queries with the noop sink (same methodology as
 bench.py), optionally repeating, optionally dumping the formatted plan
-to plans/r13/<query>_<tag>.txt, and optionally counting the Spark jobs
+to plans/r14/<query>_<tag>.txt, and optionally counting the Spark jobs
 a query launches (statusTracker job-id delta — the per-epoch fixed-cost
 signal for the streaming/catalog queries).
 
 Usage (from the repo root):
     python tools/qbench.py q1 q2 ...            # time each once
     python tools/qbench.py -n 3 q1              # 3 repeats (min/median)
-    python tools/qbench.py --plan before q1     # dump plans/r13/q1_before.txt
+    python tools/qbench.py --plan before q1     # dump plans/r14/q1_before.txt
     python tools/qbench.py --sf /root/testdata/sf0.01 q1
 """
 
@@ -33,7 +33,7 @@ def main() -> None:
     ap.add_argument("-n", type=int, default=1, help="repeats per query")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--plan", default=None, metavar="TAG",
-                    help="dump plans/r13/<query>_<TAG>.txt (formatted explain)")
+                    help="dump plans/r14/<query>_<TAG>.txt (formatted explain)")
     ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args()
 
